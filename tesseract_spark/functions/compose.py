@@ -1,0 +1,160 @@
+"""Deterministic page composer: text specs -> page images + golden spans.
+
+The fixture-side inverse of the engine (FIXTURES.md §5): pages are composed
+from the procedural bitmap font with exactly the typographic parameters the
+layout stage detects (pitch, paragraph gap, indent, gutter, quantized shear),
+so the golden span sequence of every rendered page is known by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .fonts import CELL_H, WORD_GAP, mask_to_gray, render_line, text_ink_width
+
+LEADING = 6  # blank rows between line cells (pitch = 22 per scale unit)
+PITCH = CELL_H + LEADING
+PARA_GAP = 20  # extra rows between paragraphs (pitch + 20 > 1.8 * pitch)
+MARGIN = 12
+GUTTER = 48  # two-column gutter width (> detector minimum of 24)
+
+
+@dataclass
+class PageSpec:
+    """One page: a list of paragraphs (each a list of line texts) plus
+    optional second column, media elements, scale/skew/polarity/noise."""
+
+    paragraphs: list[list[str]]
+    column2: list[list[str]] | None = None
+    scale: int = 1
+    skew: float = 0.0  # must be a SKEW_GRID value for exact recovery
+    inverted: bool = False
+    noise_dots: int = 0
+    indent_paras: tuple[int, ...] = ()  # paragraph idxs with first-line indent
+    photos: tuple[tuple[int, int, int], ...] = ()  # (after_para, w, h)
+    rules: tuple[int, ...] = ()  # after_para indexes
+    dpi: int = 300
+
+
+@dataclass
+class ComposedPage:
+    image: np.ndarray  # uint8 grayscale
+    golden: list[tuple[str, str]]  # ordered (kind, text) — kind 'text'|'media'
+    width: int
+    height: int
+
+
+def _column_elements(
+    spec: PageSpec, paragraphs: list[list[str]], x0: int
+) -> tuple[list[dict], int, int]:
+    """Lay out one column; returns (elements, ink_width, bottom_y)."""
+    s = spec.scale
+    y = MARGIN * s
+    elems: list[dict] = []
+    max_w = 0
+    for pi, para in enumerate(paragraphs):
+        lines = []
+        for li, text in enumerate(para):
+            indent = (
+                3 * WORD_GAP * s if (li == 0 and pi in spec.indent_paras) else 0
+            )
+            lines.append((x0 + indent, y, text))
+            max_w = max(max_w, indent + text_ink_width(text, s))
+            y += PITCH * s
+        elems.append({"kind": "text", "lines": lines, "para": pi})
+        y += PARA_GAP * s
+        for after, w, h in spec.photos:
+            if after == pi:
+                elems.append({"kind": "media", "photo": (x0, y, w, h)})
+                y += h + PARA_GAP * s
+        if pi in spec.rules:
+            elems.append({"kind": "media", "rule": (x0, y)})
+            y += 3 + PARA_GAP * s
+    return elems, max_w, y
+
+
+def _photo_mask(w: int, h: int) -> np.ndarray:
+    """Connected dense texture: solid 2px ring + 2x2 checkerboard interior
+    (single 8-connected component, density ~0.5 — imagefind-detectable)."""
+    m = np.zeros((h, w), dtype=bool)
+    m[:2, :] = m[-2:, :] = True
+    m[:, :2] = m[:, -2:] = True
+    yy, xx = np.mgrid[2 : h - 2, 2 : w - 2]
+    m[2 : h - 2, 2 : w - 2] = ((yy // 2) + (xx // 2)) % 2 == 0
+    return m
+
+
+def compose_page(spec: PageSpec) -> ComposedPage:
+    s = spec.scale
+    col1, w1, y1 = _column_elements(spec, spec.paragraphs, MARGIN * s)
+    elems = list(col1)
+    total_w = MARGIN * s + w1
+    total_h = y1
+    if spec.column2:
+        x2 = MARGIN * s + w1 + GUTTER * s
+        col2, w2, y2 = _column_elements(spec, spec.column2, x2)
+        elems += col2
+        total_w = x2 + w2
+        total_h = max(total_h, y2)
+    W = total_w + MARGIN * s
+    H = total_h + MARGIN * s
+    # account for rules spanning the page width
+    mask = np.zeros((H, W), dtype=bool)
+    golden: list[tuple[str, str]] = []
+    # render text + media; golden order = reading order the engine produces:
+    # two-column -> column 1 fully then column 2; single column -> by top y.
+    for e in elems:
+        if e["kind"] == "text":
+            for x, y, text in e["lines"]:
+                lm = render_line(text, s)
+                mask[y : y + lm.shape[0], x : x + lm.shape[1]] |= lm
+        elif "photo" in e:
+            x, y, w, h = e["photo"]
+            mask[y : y + h, x : x + w] |= _photo_mask(w, h)
+        else:
+            x, y = e["rule"]
+            rule_w = max(120, w1)
+            mask[y : y + 3, x : x + rule_w] = True
+    for e in sorted(elems, key=lambda e: _elem_order(e, spec)):
+        if e["kind"] == "text":
+            golden.append(("text", "\n".join(t for _x, _y, t in e["lines"])))
+        else:
+            golden.append(("media", ""))
+    # quantized shear (render-side of the skew model)
+    if spec.skew != 0.0:
+        shifts = np.round(spec.skew * np.arange(W)).astype(np.int64)
+        pad = int(abs(shifts).max()) + 1
+        sheared = np.zeros((H + 2 * pad, W), dtype=bool)
+        for x in range(W):
+            sheared[pad + shifts[x] : pad + shifts[x] + H, x] = mask[:, x]
+        mask = sheared
+        H = mask.shape[0]
+    img = mask_to_gray(mask)
+    if spec.noise_dots:
+        rng = np.random.default_rng((42, spec.noise_dots, W, H))
+        xs = rng.integers(2, W - 2, spec.noise_dots)
+        ys = rng.integers(2, max(3, MARGIN * s - 6), spec.noise_dots)
+        img[ys, xs] = 20  # isolated single-pixel specks in the top margin
+    if spec.inverted:
+        img = (255 - img.astype(np.int32)).astype(np.uint8)
+    return ComposedPage(image=img, golden=golden, width=W, height=H)
+
+
+def _elem_order(e: dict, spec: PageSpec) -> tuple:
+    """Reading-order key matching operators.page.analyze_page: columns
+    left-to-right when multi-column, else strictly by top y."""
+    if e["kind"] == "text":
+        x = min(l[0] for l in e["lines"])
+        y = min(l[1] for l in e["lines"])
+    elif "photo" in e:
+        x, y = e["photo"][0], e["photo"][1]
+    else:
+        x, y = e["rule"]
+    if spec.column2:
+        # column block ordering: all text of a column groups together; the
+        # engine forms one text region per column (x-sorted), media after.
+        is_media = e["kind"] == "media"
+        return (1 if is_media else 0, x if not is_media else 0, y)
+    return (y, x)

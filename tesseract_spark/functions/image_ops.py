@@ -1,0 +1,257 @@
+"""Pixel-level operators: binarization + connected components (pure numpy).
+
+These are the vectorized bodies of the page-stage pandas UDFs.  Semantics
+follow the reference:
+
+- Otsu global threshold: ``src/ccstruct/otsuthr.cpp:35-157`` (``OtsuThreshold``
+  / ``HistogramRect`` / ``OtsuStats``) — 256-bin histogram, maximize
+  between-class variance; applied per rectangle in
+  ``src/ccmain/thresholder.cpp:378-419``.
+- Adaptive tiled Otsu: ``src/ccmain/thresholder.cpp:247-274``
+  (Leptonica ``pixOtsuAdaptiveThreshold``; tile size from
+  ``thresholding_tile_size`` × dpi, min 16).
+- Sauvola: ``src/ccmain/thresholder.cpp:210-246`` — ``t = m·(1+k·(s/128−1))``.
+- Connected components: the reference chain-codes outlines
+  (``src/textord/edgblob.cpp:347``, ``scanedg.cpp:61``); we use an equivalent
+  run-based two-pass labeling with union-find, which yields identical
+  4/8-connected components without the chain-code detour.
+- Stroke width: distance-transform stats per blob
+  (``src/textord/tordmain.cpp:60-152`` ``SetBlobStrokeWidth``) — approximated
+  with horizontal/vertical run-length medians, which is what the reference's
+  h/v stroke measures converge to on axis-aligned glyphs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def otsu_threshold(img: np.ndarray) -> int:
+    """Global Otsu threshold for a uint8 image.
+
+    Returns t such that foreground (ink) is ``img <= t`` for dark-on-light
+    pages.  Mirrors OtsuStats (otsuthr.cpp:127-157): maximize
+    omega0*omega1*(mu0-mu1)^2 over split points.
+    """
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 127
+    levels = np.arange(256, dtype=np.float64)
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    m0 = np.cumsum(hist * levels)
+    mu_total = m0[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean0 = m0 / w0
+        mean1 = (mu_total - m0) / w1
+    var_between = w0 * w1 * (mean0 - mean1) ** 2
+    var_between = np.nan_to_num(var_between, nan=-1.0)
+    return int(np.argmax(var_between))
+
+
+def binarize_otsu(img: np.ndarray) -> np.ndarray:
+    """Binary ink mask (True = ink) via global Otsu with polarity detection.
+
+    The reference picks per-channel hi/lo polarity (otsuthr.cpp:60-106); we
+    detect inverted (white-on-black) pages by comparing mean intensities of
+    the two classes against the border, like the auto-invert retry in
+    lstmrecognizer.cpp:349-377 but resolved up front.
+    """
+    t = otsu_threshold(img)
+    dark = img <= t
+    # Border pixels are background with overwhelming probability.
+    border = np.concatenate([img[0], img[-1], img[:, 0], img[:, -1]])
+    border_dark = (border <= t).mean()
+    if border_dark > 0.5:  # dark background => ink is the light class
+        return ~dark
+    return dark
+
+
+def binarize_adaptive_otsu(img: np.ndarray, tile: int = 64) -> np.ndarray:
+    """Tiled Otsu with a smoothed threshold surface (thresholder.cpp:247-274).
+
+    Computes a per-tile Otsu threshold, box-filters the threshold map
+    (3x3 tile neighborhood), bilinearly holds it per tile, then thresholds.
+    """
+    h, w = img.shape
+    tile = max(16, int(tile))
+    th = max(1, (h + tile - 1) // tile)
+    tw = max(1, (w + tile - 1) // tile)
+    tmap = np.zeros((th, tw), dtype=np.float64)
+    for ty in range(th):
+        for tx in range(tw):
+            block = img[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            tmap[ty, tx] = otsu_threshold(block)
+    # 3x3 mean smoothing of the threshold surface.
+    padded = np.pad(tmap, 1, mode="edge")
+    sm = sum(
+        padded[dy : dy + th, dx : dx + tw] for dy in range(3) for dx in range(3)
+    ) / 9.0
+    full = np.repeat(np.repeat(sm, tile, axis=0), tile, axis=1)[:h, :w]
+    return img <= full
+
+
+def binarize_sauvola(img: np.ndarray, window: int = 25, k: float = 0.35) -> np.ndarray:
+    """Sauvola local threshold via integral images (thresholder.cpp:210-246).
+
+    t(x,y) = m(x,y) * (1 + k * (s(x,y)/128 - 1)); window >= 7 per reference.
+    """
+    window = max(7, int(window)) | 1
+    h, w = img.shape
+    f = img.astype(np.float64)
+    pad = window // 2
+    fp = np.pad(f, pad, mode="reflect")
+    fp2 = fp * fp
+    # summed-area tables
+    s1 = np.cumsum(np.cumsum(fp, axis=0), axis=1)
+    s2 = np.cumsum(np.cumsum(fp2, axis=0), axis=1)
+    s1 = np.pad(s1, ((1, 0), (1, 0)))
+    s2 = np.pad(s2, ((1, 0), (1, 0)))
+
+    def box(s):
+        return (
+            s[window:, window:]
+            - s[:-window, window:]
+            - s[window:, :-window]
+            + s[:-window, :-window]
+        )
+
+    n = window * window
+    mean = box(s1)[:h, :w] / n
+    var = box(s2)[:h, :w] / n - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    t = mean * (1.0 + k * (std / 128.0 - 1.0))
+    return f[:h, :w] <= t
+
+
+def label_components(mask: np.ndarray, connectivity: int = 8):
+    """Two-pass run-based connected-component labeling with union-find.
+
+    Equivalent output to the reference's outline tracer
+    (edgblob.cpp:347 extract_edges -> C_BLOBs) for solid glyphs.
+    Returns (labels int32 [H,W] with 0=background, n_components).
+    """
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent: list[int] = [0]  # parent[i] for union-find; 0 unused
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    next_label = 1
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end, label) of row y-1
+    pad = 1 if connectivity == 8 else 0
+    for y in range(h):
+        row = mask[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = list(np.flatnonzero(d == 1) + 1)
+        ends = list(np.flatnonzero(d == -1) + 1)
+        if row[0]:
+            starts.insert(0, 0)
+        if row[-1]:
+            ends.append(w)
+        cur_runs: list[tuple[int, int, int]] = []
+        pi = 0
+        for s, e in zip(starts, ends):
+            lab = 0
+            # advance prev-run pointer; overlap test with 8-conn diagonal pad
+            while pi < len(prev_runs) and prev_runs[pi][1] + pad <= s:
+                pi += 1
+            pj = pi
+            while pj < len(prev_runs) and prev_runs[pj][0] < e + pad:
+                plab = prev_runs[pj][2]
+                if lab == 0:
+                    lab = plab
+                else:
+                    union(lab, plab)
+                pj += 1
+            if lab == 0:
+                lab = next_label
+                parent.append(lab)
+                next_label += 1
+            labels[y, s:e] = lab
+            cur_runs.append((s, e, lab))
+        prev_runs = cur_runs
+    # flatten labels
+    remap = np.zeros(next_label, dtype=np.int32)
+    n = 0
+    for i in range(1, next_label):
+        r = find(i)
+        if remap[r] == 0:
+            n += 1
+            remap[r] = n
+        remap[i] = remap[r]
+    if next_label > 1:
+        labels = remap[labels]
+    return labels, n
+
+
+def component_stats(labels: np.ndarray, n: int) -> np.ndarray:
+    """Per-component bbox + area: rows of (left, top, right, bottom, area).
+
+    bbox is half-open [left,right) x [top,bottom) in top-down image coords;
+    callers convert to the reference's bottom-up TBOX convention at the edges
+    (SURVEY §1.1, thresholder.cpp:140-152).
+    """
+    out = np.zeros((n, 5), dtype=np.int64)
+    if n == 0:
+        return out
+    ys, xs = np.nonzero(labels)
+    labs = labels[ys, xs] - 1
+    out[:, 0] = np.full(n, labels.shape[1])
+    out[:, 1] = np.full(n, labels.shape[0])
+    np.minimum.at(out[:, 0], labs, xs)
+    np.minimum.at(out[:, 1], labs, ys)
+    np.maximum.at(out[:, 2], labs, xs)
+    np.maximum.at(out[:, 3], labs, ys)
+    out[:, 2] += 1
+    out[:, 3] += 1
+    np.add.at(out[:, 4], labs, 1)
+    return out
+
+
+def stroke_widths(mask: np.ndarray, labels: np.ndarray, n: int):
+    """Median horizontal/vertical ink run length per component.
+
+    Stands in for SetBlobStrokeWidth's distance-transform local-maxima stats
+    (tordmain.cpp:60-152): for axis-aligned strokes both reduce to the run
+    length across the stroke.  Returns (h_width[n], v_width[n]) float arrays.
+    """
+    h_runs: list[list[int]] = [[] for _ in range(n)]
+    v_runs: list[list[int]] = [[] for _ in range(n)]
+
+    def scan(arr2d, lab2d, sink):
+        rows, cols = arr2d.shape
+        for y in range(rows):
+            row = arr2d[y]
+            if not row.any():
+                continue
+            d = np.diff(row.astype(np.int8))
+            starts = list(np.flatnonzero(d == 1) + 1)
+            ends = list(np.flatnonzero(d == -1) + 1)
+            if row[0]:
+                starts.insert(0, 0)
+            if row[-1]:
+                ends.append(cols)
+            for s, e in zip(starts, ends):
+                sink[lab2d[y, s] - 1].append(e - s)
+
+    scan(mask, labels, h_runs)
+    scan(mask.T, labels.T, v_runs)
+    hw = np.array([float(np.median(r)) if r else 0.0 for r in h_runs])
+    vw = np.array([float(np.median(r)) if r else 0.0 for r in v_runs])
+    return hw, vw

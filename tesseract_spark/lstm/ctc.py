@@ -1,0 +1,247 @@
+"""CTC beam-search decoder with dual dict/no-dict beams + DAWG rescoring.
+
+Numpy re-expression of ``src/lstm/recodebeam.cpp``:
+
+- top-n softmax pruning per timestep, n = kBeamWidths[0] = 5
+  (recodebeam.cpp:92, 669-700);
+- bounded beam widths per code position {5, 10, 16, 16, ...}
+  (recodebeam.cpp:29-33);
+- dual beams: a dictionary beam whose prefixes must stay inside the DAWG
+  (``ContinueDawg``, recodebeam.cpp:1054-1133) and an unconstrained beam
+  (``ContinueUnichar``), deduped by (prefix, last-code) like
+  ``UpdateHeapIfMatched`` / ``ComputeCodeHash`` (recodebeam.cpp:1234-1275);
+- dict rescoring constants kDictRatio = 2.25, kCertOffset = -0.085
+  (src/lstm/lstmrecognizer.cpp:46-48);
+- word extraction at space characters with per-word certainty
+  (``ExtractBestPathAsWords``, recodebeam.cpp:238-320).
+
+The per-timestep loop is irreducibly sequential (SURVEY §7.4); it runs over
+numpy per line inside an Arrow-batched UDF, never per Spark row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .dawg import Dawg
+
+K_BEAM_WIDTHS = (5, 10, 16, 16, 16, 16, 16, 16, 16, 16)  # recodebeam.cpp:29-33
+K_TOP_N = 5  # recodebeam.cpp:92
+K_DICT_RATIO = 2.25  # lstmrecognizer.cpp:46
+K_CERT_OFFSET = -0.085  # lstmrecognizer.cpp:48
+
+
+@dataclass
+class BeamEntry:
+    prefix: tuple[int, ...] = ()
+    positions: tuple[int, ...] = ()  # timestep of each emitted char
+    last_code: int = -1  # last consumed non-blank code (-1 after blank)
+    dawg_node: int = 0  # current DAWG node for the in-progress word
+    dict_ok: bool = True  # prefix is a valid dict path (all words so far ok)
+    log_p: float = 0.0
+    certainty: float = 0.0  # min per-emission log-prob (worst case)
+    char_log_p: tuple[float, ...] = field(default_factory=tuple)
+
+
+@dataclass
+class DecodedWord:
+    text: str
+    start_t: int
+    end_t: int
+    certainty: float
+    confidence: float  # 0..100, mean exp(char log-probs), like tesseract conf
+    dict_word: bool
+
+
+def _beam_width(prefix_len: int) -> int:
+    return K_BEAM_WIDTHS[min(prefix_len, len(K_BEAM_WIDTHS) - 1)]
+
+
+def ctc_beam_decode(
+    log_probs: np.ndarray,
+    charset: str,
+    blank: int,
+    space_code: int | None = None,
+    dawg: Dawg | None = None,
+) -> tuple[str, list[DecodedWord], float]:
+    """Decode a [T, C] log-softmax sequence.
+
+    Returns (text, words, mean_certainty). ``space_code`` delimits words for
+    DAWG probing; DAWG chars map by charset position.
+    """
+    T, C = log_probs.shape
+    beams: dict[tuple, BeamEntry] = {((), -1, 0, True): BeamEntry()}
+    for t in range(T):
+        row = log_probs[t]
+        # top-n pruning (always admit blank)
+        n = min(K_TOP_N, C)
+        cand = np.argpartition(row, -n)[-n:]
+        if blank not in cand:
+            cand = np.append(cand, blank)
+        new_beams: dict[tuple, BeamEntry] = {}
+
+        def push(e: BeamEntry) -> None:
+            key = (e.prefix, e.last_code, e.dawg_node, e.dict_ok)
+            old = new_beams.get(key)
+            if old is None or e.log_p > old.log_p:
+                new_beams[key] = e
+
+        for e in beams.values():
+            for code in cand:
+                code = int(code)
+                lp = float(row[code])
+                if code == blank:
+                    push(
+                        BeamEntry(
+                            e.prefix, e.positions, -1, e.dawg_node, e.dict_ok,
+                            e.log_p + lp, min(e.certainty, lp), e.char_log_p,
+                        )
+                    )
+                    continue
+                if code == e.last_code:
+                    # CTC repeat: same code without intervening blank collapses
+                    push(
+                        BeamEntry(
+                            e.prefix, e.positions, code, e.dawg_node, e.dict_ok,
+                            e.log_p + lp, min(e.certainty, lp), e.char_log_p,
+                        )
+                    )
+                    continue
+                # emit a new character
+                dawg_node, dict_ok = e.dawg_node, e.dict_ok
+                if dawg is not None and dict_ok:
+                    if space_code is not None and code == space_code:
+                        # word boundary: previous word must be dict-complete
+                        if e.dawg_node == 0:
+                            dict_ok = not e.prefix or False
+                        dict_ok = dict_ok and _word_complete(e, dawg)
+                        dawg_node = 0
+                    else:
+                        nxt, _end = dawg.step(dawg_node, code)
+                        if nxt < 0:
+                            dict_ok = False
+                        else:
+                            dawg_node = nxt
+                push(
+                    BeamEntry(
+                        e.prefix + (code,), e.positions + (t,), code,
+                        dawg_node, dict_ok, e.log_p + lp,
+                        min(e.certainty, lp),
+                        e.char_log_p + (lp,),
+                    )
+                )
+        # keep top-k separately for dict and non-dict beams (dual beams)
+        entries = sorted(new_beams.values(), key=lambda b: -b.log_p)
+        kept: list[BeamEntry] = []
+        n_dict = n_free = 0
+        for b in entries:
+            w = _beam_width(len(b.prefix))
+            if b.dict_ok and dawg is not None:
+                if n_dict < w:
+                    kept.append(b)
+                    n_dict += 1
+            else:
+                if n_free < w:
+                    kept.append(b)
+                    n_free += 1
+        beams = {
+            (b.prefix, b.last_code, b.dawg_node, b.dict_ok): b for b in kept
+        }
+
+    final = sorted(beams.values(), key=lambda b: -b.log_p)
+    if not final:
+        return "", [], 0.0
+    best = final[0]
+    if dawg is not None:
+        # dict rescoring: a dict-valid path whose certainty is within
+        # kDictRatio of the best wins (lstmrecognizer.cpp:46-48 semantics).
+        best_dict = next(
+            (b for b in final if b.dict_ok and _word_complete(b, dawg)), None
+        )
+        if (
+            best_dict is not None
+            and best_dict is not best
+            and best_dict.certainty >= best.certainty * K_DICT_RATIO + K_CERT_OFFSET
+        ):
+            best = best_dict
+    text = "".join(charset[c] for c in best.prefix)
+    words = _extract_words(best, charset, space_code, dawg)
+    mean_cert = (
+        float(np.mean(best.char_log_p)) if best.char_log_p else 0.0
+    )
+    return text, words, mean_cert
+
+
+def _word_complete(e: BeamEntry, dawg: Dawg) -> bool:
+    """True if the in-progress word (since last space) ends at a DAWG end."""
+    if e.dawg_node == 0:
+        return True  # empty word (leading space / start)
+    # end-flag check: was the last consumed edge an end edge?  We re-probe by
+    # walking the last char: keep it simple — ask dawg whether node has end.
+    # Packed form stores end on edges; e.dawg_node reached via an edge whose
+    # end flag we did not carry, so recompute from last char context:
+    return _node_reached_is_end(e, dawg)
+
+
+def _node_reached_is_end(e: BeamEntry, dawg: Dawg) -> bool:
+    # Walk the current word from the root to recover the end flag.
+    word_codes: list[int] = []
+    for c in reversed(e.prefix):
+        if dawg.charset[c] == " ":
+            break
+        word_codes.append(c)
+    word_codes.reverse()
+    node, end = 0, True
+    for code in word_codes:
+        node, end = dawg.step(node, code)
+        if node < 0:
+            return False
+    return end
+
+
+def _extract_words(
+    best: BeamEntry, charset: str, space_code: int | None, dawg: Dawg | None
+) -> list[DecodedWord]:
+    words: list[DecodedWord] = []
+    cur: list[int] = []
+    cur_pos: list[int] = []
+    cur_lp: list[float] = []
+
+    def flush() -> None:
+        if not cur:
+            return
+        text = "".join(charset[c] for c in cur)
+        conf = float(np.exp(np.mean(cur_lp)) * 100.0)
+        is_dict = bool(dawg is not None and dawg.accepts(text))
+        words.append(
+            DecodedWord(
+                text, cur_pos[0], cur_pos[-1], float(min(cur_lp)), conf, is_dict
+            )
+        )
+        cur.clear()
+        cur_pos.clear()
+        cur_lp.clear()
+
+    for c, p, lp in zip(best.prefix, best.positions, best.char_log_p):
+        if space_code is not None and c == space_code:
+            flush()
+        else:
+            cur.append(c)
+            cur_pos.append(p)
+            cur_lp.append(lp)
+    flush()
+    return words
+
+
+def greedy_decode(log_probs: np.ndarray, charset: str, blank: int) -> str:
+    """Best-path (greedy) CTC collapse — the no-LM baseline."""
+    ids = np.argmax(log_probs, axis=1)
+    out: list[str] = []
+    prev = -1
+    for i in ids:
+        if i != blank and i != prev:
+            out.append(charset[int(i)])
+        prev = int(i)
+    return "".join(out)

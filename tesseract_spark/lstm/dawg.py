@@ -1,0 +1,147 @@
+"""DAWG (directed acyclic word graph) — build, pack, probe.
+
+Re-expresses the reference's dictionary machinery on numpy arrays:
+
+- ``src/dict/dawg.h:47`` packs each edge into a uint64 ``EDGE_RECORD``
+  (unichar_id | node_ref | WERD_END / LAST / DIRECTION flags,
+  dawg.h:79-86); ``src/dict/trie.h`` builds a trie then squishes it.
+- ``src/dict/dict.cpp:407`` (``def_letter_is_okay``) probes one letter at a
+  time during decoding; ``src/lstm/recodebeam.cpp:1054-1133``
+  (``ContinueDawg``) drives it per beam step.
+
+Here: build a trie from a wordlist, merge equivalent suffix subtrees
+(the "squish"), and pack edges into three parallel int64 numpy arrays
+sorted per node, so the decode loop probes children with
+``np.searchsorted`` — a broadcast-friendly, executor-side-shared structure
+(broadcast once per job, like DawgCache ``src/dict/dawg_cache.cpp``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Dawg:
+    """Packed DAWG with vectorized child lookup.
+
+    Arrays (aligned, one entry per edge, grouped by source node, sorted by
+    char code within a node):
+      edge_char[i]  — char code of edge i
+      edge_next[i]  — target node id (-1 if terminal-only edge)
+      edge_end[i]   — 1 if a word may end after consuming this edge
+      node_start[n], node_cnt[n] — edge span of node n (node 0 = root)
+    """
+
+    def __init__(self, charset: str, words: list[str]):
+        self.charset = charset
+        self.char_code = {c: i for i, c in enumerate(charset)}
+        trie: list[dict] = [{}]  # node -> {code: [child, end]}
+        ends: list[bool] = [False]
+        for w in sorted(set(words)):
+            codes = [self.char_code[c] for c in w if c in self.char_code]
+            if len(codes) != len(w) or not w:
+                continue  # word uses chars outside the charset
+            node = 0
+            for code in codes:
+                nxt = trie[node].get(code)
+                if nxt is None:
+                    trie.append({})
+                    ends.append(False)
+                    nxt = len(trie) - 1
+                    trie[node][code] = nxt
+                node = nxt
+            ends[node] = True
+        # squish: merge identical subtrees bottom-up (hash-consing)
+        sig_cache: dict[int, tuple] = {}
+
+        def signature(n: int) -> tuple:
+            if n in sig_cache:
+                return sig_cache[n]
+            sig = (ends[n],) + tuple(
+                (c, signature(ch)) for c, ch in sorted(trie[n].items())
+            )
+            sig_cache[n] = sig
+            return sig
+
+        canon: dict[tuple, int] = {}
+        remap: dict[int, int] = {}
+
+        def canonize(n: int) -> int:
+            if n in remap:
+                return remap[n]
+            for c in list(trie[n]):
+                trie[n][c] = canonize(trie[n][c])
+            sig = (ends[n],) + tuple(sorted(trie[n].items()))
+            if sig in canon:
+                remap[n] = canon[sig]
+            else:
+                canon[sig] = n
+                remap[n] = n
+            return remap[n]
+
+        canonize(0)
+        live = sorted({remap[i] for i in range(len(trie)) if remap.get(i) == i} | {0})
+        newid = {old: i for i, old in enumerate(live)}
+        n_nodes = len(live)
+        chars, nexts, endf = [], [], []
+        node_start = np.zeros(n_nodes, dtype=np.int64)
+        node_cnt = np.zeros(n_nodes, dtype=np.int64)
+        for old in live:
+            node_start[newid[old]] = len(chars)
+            for c, ch in sorted(trie[old].items()):
+                chars.append(c)
+                nexts.append(newid[remap[ch]])
+                endf.append(1 if ends[remap[ch]] else 0)
+            node_cnt[newid[old]] = len(trie[old])
+        self.edge_char = np.asarray(chars, dtype=np.int64)
+        self.edge_next = np.asarray(nexts, dtype=np.int64)
+        self.edge_end = np.asarray(endf, dtype=np.int64)
+        self.node_start = node_start
+        self.node_cnt = node_cnt
+        self.n_nodes = n_nodes
+        self.n_edges = len(chars)
+
+    def step(self, node: int, code: int) -> tuple[int, bool]:
+        """One ``def_letter_is_okay`` probe: (next_node, word_may_end).
+
+        Returns (-1, False) if the letter is not a valid continuation.
+        """
+        s = self.node_start[node]
+        c = self.node_cnt[node]
+        if c == 0:
+            return -1, False
+        span = self.edge_char[s : s + c]
+        i = int(np.searchsorted(span, code))
+        if i >= c or span[i] != code:
+            return -1, False
+        return int(self.edge_next[s + i]), bool(self.edge_end[s + i])
+
+    def accepts(self, word: str) -> bool:
+        node, end = 0, False
+        for ch in word:
+            code = self.char_code.get(ch)
+            if code is None:
+                return False
+            node, end = self.step(node, code)
+            if node < 0:
+                return False
+        return end
+
+    def all_words(self, max_len: int = 64) -> list[str]:
+        """Enumerate accepted words (round-trip test per dawg_test.cc:85-89)."""
+        out: list[str] = []
+        inv = {i: c for c, i in self.char_code.items()}
+        stack: list[tuple[int, str]] = [(0, "")]
+        while stack:
+            node, prefix = stack.pop()
+            if len(prefix) > max_len:
+                continue
+            s, c = self.node_start[node], self.node_cnt[node]
+            for i in range(int(c) - 1, -1, -1):
+                ch = inv[int(self.edge_char[s + i])]
+                nxt = int(self.edge_next[s + i])
+                w = prefix + ch
+                if self.edge_end[s + i]:
+                    out.append(w)
+                stack.append((nxt, w))
+        return sorted(out)

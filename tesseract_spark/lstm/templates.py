@@ -1,0 +1,169 @@
+"""Template-bank recognition network (trained-by-construction conv scorer).
+
+Stands in for the reference's LSTM forward pass in the hermetic sandbox
+(SURVEY §7.2 M3: "a tiny self-trained fixture net for hermetic tests").  The
+network is a single convolutional scoring layer whose filters ARE the glyph
+templates of the fixture font, evaluated as batched matrix products (the
+float32-BLAS analogue of the reference's int8 SIMD matmuls,
+src/lstm/weightmatrix.h:70-184, src/arch/intsimdmatrix*.cpp).  Its output is
+a per-x-column class-score sequence — the same NetworkIO softmax time-series
+shape the real LSTM produces (src/lstm/lstmrecognizer.cpp:247-291) — which
+feeds the CTC beam search unchanged.
+
+Timestep compression: only "interesting" columns (candidate glyph starts,
+word gaps, and separators) are emitted, mirroring the x-subsampling the
+reference gets from its conv/maxpool stack (src/lstm/input.cpp:82-99).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.fonts import CELL_H, CHARSET, WORD_GAP, get_font
+
+BLANK_SCORE = 0.9  # match fraction a true glyph must beat
+ALPHA = 24.0  # logit sharpness
+
+
+class TemplateNet:
+    """Glyph-template conv bank over canonical 16-row line strips."""
+
+    def __init__(self) -> None:
+        font = get_font()
+        self.charset = CHARSET + " "
+        self.space_code = len(CHARSET)
+        self.blank = len(self.charset)  # last class = CTC blank
+        self.n_classes = len(self.charset) + 1
+        # group filters by width for batched matmul
+        self.by_width: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for w in sorted({g.shape[1] for g in font.values()}):
+            idxs = [i for i, ch in enumerate(CHARSET) if font[ch].shape[1] == w]
+            filt = np.stack(
+                [font[CHARSET[i]].astype(np.float32).ravel() for i in idxs]
+            )  # [n_c, 16*w]
+            self.by_width[w] = (np.asarray(idxs, dtype=np.int64), filt)
+        self.widths = {ch: font[ch].shape[1] for ch in CHARSET}
+        self.width_by_code = np.zeros(len(CHARSET), dtype=np.int64)
+        for i, ch in enumerate(CHARSET):
+            self.width_by_code[i] = self.widths[ch]
+
+    def match_scores(self, strip: np.ndarray) -> dict[int, np.ndarray]:
+        """Per-width match-fraction maps.
+
+        strip: bool [16, W].  Returns {width: frac [n_c_w, W]} where
+        frac[c, x] = fraction of pixels equal between template c and the
+        16×w window at x (1.0 = exact).  Computed as one matmul per width
+        group (im2col → BLAS).
+        """
+        H, W = strip.shape
+        s = strip.astype(np.float32)
+        out: dict[int, np.ndarray] = {}
+        for w, (idxs, filt) in self.by_width.items():
+            if W < w:
+                out[w] = np.zeros((len(idxs), 0), dtype=np.float32)
+                continue
+            # im2col: windows [W-w+1, 16*w]
+            wins = np.lib.stride_tricks.sliding_window_view(s, (H, w))[0]
+            wins = wins.reshape(wins.shape[0], -1)
+            # equal-pixel count = T·W + (1-T)·(1-W)
+            dot = filt @ wins.T  # [n_c, n_win]
+            t_sum = filt.sum(axis=1, keepdims=True)
+            w_sum = wins.sum(axis=1)[None, :]
+            eq = 2.0 * dot - t_sum - w_sum + filt.shape[1]
+            frac = eq / filt.shape[1]
+            full = np.zeros((len(idxs), W), dtype=np.float32)
+            full[:, : frac.shape[1]] = frac
+            out[w] = full
+        return out
+
+    def forward(
+        self, strip: np.ndarray, space_px: int = WORD_GAP
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Line strip -> (log_probs [T, C], col_of_t [T]).
+
+        Emits compressed timesteps: accepted glyph-start columns (maximal
+        munch over exact matches), word-gap columns, and blank separators.
+        col_of_t maps each timestep back to its x column for word boxes.
+        """
+        H, W = strip.shape
+        assert H == CELL_H, f"strip must be {CELL_H} rows, got {H}"
+        scores = self.match_scores(strip)
+        # candidate starts: columns where some template matches >= BLANK_SCORE
+        best_frac = np.zeros(W, dtype=np.float32)
+        for w, (idxs, _f) in self.by_width.items():
+            if scores[w].size:
+                best_frac = np.maximum(best_frac, scores[w].max(axis=0))
+        col_has_ink = strip.any(axis=0)
+        cand_cols = np.flatnonzero((best_frac >= BLANK_SCORE) & col_has_ink)
+        # maximal-munch NMS: scan left-to-right, at each accepted column pick
+        # the widest exact-scoring template and skip its extent.
+        events: list[tuple[int, np.ndarray]] = []  # (col, class-frac vector)
+        taken_until = -1
+        for x in cand_cols:
+            if x <= taken_until:
+                continue
+            vec = np.zeros(self.n_classes, dtype=np.float32)
+            best_w = 0
+            for w, (idxs, _f) in self.by_width.items():
+                fr = scores[w][:, x] if scores[w].size else None
+                if fr is None:
+                    continue
+                np.maximum.at(vec, idxs, fr)
+                exact = fr >= 0.999
+                if exact.any() and w > best_w:
+                    best_w = w
+            if best_w == 0:
+                best_w = int(self.width_by_code[int(np.argmax(vec[: len(CHARSET)]))])
+            events.append((int(x), vec))
+            taken_until = int(x) + best_w - 1
+        # word gaps: runs of empty columns of length >= space_px between ink
+        gap_cols: list[int] = []
+        if col_has_ink.any():
+            first_ink = int(np.argmax(col_has_ink))
+            last_ink = W - 1 - int(np.argmax(col_has_ink[::-1]))
+            x = first_ink
+            run = 0
+            for x in range(first_ink, last_ink + 1):
+                if not col_has_ink[x]:
+                    run += 1
+                else:
+                    if run >= space_px:
+                        gap_cols.append(x - run)
+                    run = 0
+        # merge events in column order; insert a blank timestep between all
+        merged = sorted(
+            [(c, v) for c, v in events]
+            + [(c, None) for c in gap_cols]  # None marks a space event
+        , key=lambda e: e[0])
+        T = 2 * len(merged) + 1
+        logits = np.full((T, self.n_classes), ALPHA * 0.0, dtype=np.float32)
+        logits[:, self.blank] = ALPHA * BLANK_SCORE
+        col_of_t = np.zeros(T, dtype=np.int64)
+        for i, (c, v) in enumerate(merged):
+            t = 2 * i + 1
+            col_of_t[t] = c
+            if i > 0:
+                col_of_t[t - 1] = c - 1
+            if v is None:
+                logits[t, self.space_code] = ALPHA * 1.0
+            else:
+                logits[t, : len(CHARSET)] = ALPHA * v[: len(CHARSET)]
+        if len(merged) > 0:
+            col_of_t[-1] = merged[-1][0] + 1
+        # log-softmax
+        m = logits.max(axis=1, keepdims=True)
+        e = np.exp(logits - m)
+        log_probs = (logits - m) - np.log(e.sum(axis=1, keepdims=True))
+        return log_probs, col_of_t
+
+
+_NET: TemplateNet | None = None
+
+
+def get_net() -> TemplateNet:
+    """Executor-side singleton (one per python worker, like the reference's
+    per-process Tesseract instance / DawgCache, src/dict/dawg_cache.cpp)."""
+    global _NET
+    if _NET is None:
+        _NET = TemplateNet()
+    return _NET

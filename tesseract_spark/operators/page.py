@@ -1,0 +1,389 @@
+"""Page-stage analyzer: one page image -> layout hierarchy -> line strips.
+
+Pure-numpy body of the PAGE/LAYOUT pandas UDF.  Re-expresses the reference's
+SegmentPage pipeline (src/ccmain/pagesegmain.cpp:101-175) stage by stage:
+
+1. binarize            — Threshold, baseapi.cpp:1995-2067 / otsuthr.cpp
+2. connected comps     — find_components, src/textord/tordmain.cpp:209-228
+3. blob grading        — filter_blobs / filter_noise_blobs, tordmain.cpp:236-349
+4. rule & photo find   — LineFinder src/textord/linefind.cpp:674,
+                         ImageFind src/textord/imagefind.cpp:247
+5. skew estimate + deskew — compute_page_skew makerow.cpp:310-420 (here: a
+                         quantized shear model fit by projection peakiness,
+                         then exact unshear; Deskew tabfind.cpp:1287)
+6. column find         — gutter detection by x-projection (stands in for the
+                         column-set DP, colfind.cpp:548-927)
+7. row clustering      — y-projection bands per column block
+                         (assign_blobs_to_rows, makerow.cpp)
+8. baseline + x-height — mode of blob bottoms / top offsets per row
+                         (makerow.cpp compute_row_xheight family)
+9. word segmentation   — gap statistics kern vs space (to_spacing,
+                         src/textord/tospace.cpp:45-268)
+10. paragraphs         — indent/spacing model (src/ccmain/paragraphs.cpp:2317,
+                         simplified to the strong-evidence geometric pass)
+
+Output: reading-ordered regions; text rows are descaled to canonical 16-row
+strips (the analogue of scaling line images to the network input height,
+src/lstm/input.cpp:82-99) ready for the recognition stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..functions.fonts import BASELINE, CELL_H, WORD_GAP, XHEIGHT_TOP
+from ..functions.image_ops import (
+    binarize_otsu,
+    component_stats,
+    label_components,
+)
+
+# quantized shear slopes the skew estimator searches (render-side uses the
+# same grid so the fit is exact; reference analogue: gradient grid in
+# makerow.cpp compute_page_skew)
+SKEW_GRID = np.round(np.arange(-0.06, 0.0601, 0.005), 4)
+
+X_HEIGHT_CANON = BASELINE - XHEIGHT_TOP  # 8 px in the canonical cell
+
+
+@dataclass
+class Row:
+    bbox: tuple[int, int, int, int]  # l, t, r, b (top-down, half-open)
+    baseline_y: int
+    x_height: int
+    scale: int
+    strip: np.ndarray  # bool [16, W] canonical
+    strip_x0: int  # page x of strip column 0 (pre-descale coords / scale)
+    word_boxes: list[tuple[int, int, int, int]] = field(default_factory=list)
+    space_px: int = WORD_GAP
+
+
+@dataclass
+class Region:
+    kind: str  # 'text' | 'photo' | 'rule'
+    bbox: tuple[int, int, int, int]
+    block_id: int
+    rows: list[Row] = field(default_factory=list)
+    paragraphs: list[list[int]] = field(default_factory=list)  # row idx groups
+
+
+@dataclass
+class PageResult:
+    regions: list[Region] = field(default_factory=list)  # reading order
+    skew: float = 0.0
+    n_blobs: int = 0
+    n_noise: int = 0
+
+
+def _grade_blobs(stats: np.ndarray) -> np.ndarray:
+    """Grade components: 0=text, 1=noise, 2=photo, 3=rule.
+
+    filter_blobs semantics (tordmain.cpp:236-349): size percentiles relative
+    to the page's blob population, plus the rule/photo detectors
+    (linefind/imagefind analogues).
+    """
+    n = len(stats)
+    grade = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return grade
+    w = stats[:, 2] - stats[:, 0]
+    h = stats[:, 3] - stats[:, 1]
+    area = stats[:, 4]
+    density = area / np.maximum(w * h, 1)
+    # rules: very wide, thin, dense (linefind.cpp:674)
+    grade[(w >= 100) & (h <= 6) & (density >= 0.85)] = 3
+    # photos: large dense regions (imagefind.cpp:247)
+    grade[(w >= 40) & (h >= 40) & (w * h >= 3000) & (density >= 0.45)] = 2
+    # noise: tiny specks relative to the text population percentile
+    text_mask = grade == 0
+    if text_mask.any():
+        med_h = np.percentile(h[text_mask], 50)
+        grade[text_mask & ((area <= 2) | (h <= max(1, 0.2 * med_h)))] = 1
+    return grade
+
+
+def estimate_skew(stats: np.ndarray, grade: np.ndarray) -> float:
+    """Quantized shear slope maximizing baseline alignment.
+
+    Projection-peakiness search over SKEW_GRID: for each candidate slope,
+    shear-correct blob bottoms and count how many fall on the modal bins.
+    (compute_page_skew, makerow.cpp:310-420, re-expressed as a grid search.)
+    """
+    text = stats[grade == 0]
+    if len(text) < 4:
+        return 0.0
+    cx = (text[:, 0] + text[:, 2]) / 2.0
+    bottoms = text[:, 3].astype(np.float64)
+    best_slope, best_score = 0.0, -1.0
+    for s in SKEW_GRID:
+        c = bottoms - s * cx
+        c -= c.min()
+        # concentration Σh² of the 1-px histogram, max over two half-bin
+        # offsets to absorb shear rounding jitter; the true slope collapses
+        # each row's bottoms to (near) one bin.
+        score = 0.0
+        for off in (0.0, 0.5):
+            h = np.bincount(np.floor(c + off).astype(np.int64))
+            score = max(score, float((h.astype(np.float64) ** 2).sum()))
+        if score > best_score or (score == best_score and abs(s) < abs(best_slope)):
+            best_score, best_slope = score, float(s)
+    return best_slope
+
+
+def unshear(mask: np.ndarray, slope: float) -> np.ndarray:
+    """Exactly invert a render-time column shear y' = y + round(slope*x)."""
+    if slope == 0.0:
+        return mask
+    h, w = mask.shape
+    shifts = np.round(slope * np.arange(w)).astype(np.int64)
+    out = np.zeros_like(mask)
+    for x in range(w):
+        s = shifts[x]
+        if s == 0:
+            out[:, x] = mask[:, x]
+        elif s > 0:
+            out[: h - s, x] = mask[s:, x]
+        else:
+            out[-s:, x] = mask[: h + s, x]
+    return out
+
+
+def _find_gutters(stats: np.ndarray, page_w: int, min_gutter: int) -> list[int]:
+    """Column gutters: x-bands with no text ink (colfind column DP stand-in)."""
+    prof = np.zeros(page_w + 1, dtype=np.int64)
+    for l, _t, r, _b, _a in stats:
+        prof[l] += 1
+        prof[r] -= 1
+    cov = np.cumsum(prof[:-1]) > 0
+    gutters: list[int] = []
+    x = 0
+    if not cov.any():
+        return gutters
+    first, last = int(np.argmax(cov)), page_w - 1 - int(np.argmax(cov[::-1]))
+    run, run_start = 0, 0
+    for x in range(first, last + 1):
+        if not cov[x]:
+            if run == 0:
+                run_start = x
+            run += 1
+        else:
+            if run >= min_gutter:
+                gutters.append(run_start + run // 2)
+            run = 0
+    return gutters
+
+
+def _cluster_rows(stats: np.ndarray) -> list[np.ndarray]:
+    """Group blob indices into rows by y-band connectivity.
+
+    Blobs whose [top, bottom) bands overlap transitively share a row
+    (assign_blobs_to_rows semantics on a deskewed page).
+    """
+    if len(stats) == 0:
+        return []
+    order = np.argsort(stats[:, 1], kind="stable")
+    rows: list[list[int]] = []
+    cur: list[int] = []
+    cur_bottom = -1
+    for i in order:
+        t, b = int(stats[i, 1]), int(stats[i, 3])
+        if cur and t >= cur_bottom:
+            rows.append(cur)
+            cur = []
+            cur_bottom = -1
+        cur.append(int(i))
+        cur_bottom = max(cur_bottom, b)
+    if cur:
+        rows.append(cur)
+    return [np.asarray(r, dtype=np.int64) for r in rows]
+
+
+def _row_metrics(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int]:
+    """(baseline_y, x_height, scale) for one row's blobs.
+
+    baseline = modal blob bottom (descenders are the minority); x-height =
+    modal (baseline - top) of non-ascender blobs; scale snaps to the integer
+    render scale (x_height is 8*scale by construction of the fixture font).
+    """
+    bottoms = stats[idxs, 3]
+    vals, counts = np.unique(bottoms, return_counts=True)
+    baseline_y = int(vals[np.argmax(counts)])
+    rises = baseline_y - stats[idxs, 1]
+    rises = rises[rises > 0]
+    if len(rises) == 0:
+        return baseline_y, X_HEIGHT_CANON, 1
+    scale = max(1, int(round(float(np.min(rises[rises >= 3])) / X_HEIGHT_CANON)))
+    # modal rise among blobs graded as x-height (rise < 10*scale)
+    xh_rises = rises[rises <= (X_HEIGHT_CANON + 1) * scale]
+    x_height = int(np.median(xh_rises)) if len(xh_rises) else X_HEIGHT_CANON * scale
+    scale = max(1, int(round(x_height / X_HEIGHT_CANON)))
+    return baseline_y, x_height, scale
+
+
+def _descale_strip(
+    mask: np.ndarray, l: int, r: int, baseline_y: int, scale: int
+) -> np.ndarray:
+    """Extract the canonical 16-row strip for a row (input-height rescale)."""
+    h, w = mask.shape
+    top = baseline_y - BASELINE * scale
+    bot = baseline_y + (CELL_H - BASELINE) * scale
+    strip = np.zeros((CELL_H * scale, r - l), dtype=bool)
+    src_t, src_b = max(0, top), min(h, bot)
+    strip[src_t - top : src_b - top] = mask[src_t:src_b, l:r]
+    if scale > 1:
+        strip = strip[::scale, ::scale]
+    return strip
+
+
+def _word_boxes(
+    stats: np.ndarray, idxs: np.ndarray, space_px: int
+) -> list[tuple[int, int, int, int]]:
+    """Word bboxes from gap statistics (to_spacing, tospace.cpp:45-268)."""
+    order = idxs[np.argsort(stats[idxs, 0], kind="stable")]
+    boxes: list[tuple[int, int, int, int]] = []
+    cur = [order[0]]
+    for prev, nxt in zip(order[:-1], order[1:]):
+        gap = int(stats[nxt, 0] - stats[prev, 2])
+        if gap >= space_px:
+            boxes.append(_bbox_of(stats, np.asarray(cur)))
+            cur = []
+        cur.append(nxt)
+    boxes.append(_bbox_of(stats, np.asarray(cur)))
+    return boxes
+
+
+def _bbox_of(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int, int]:
+    return (
+        int(stats[idxs, 0].min()),
+        int(stats[idxs, 1].min()),
+        int(stats[idxs, 2].max()),
+        int(stats[idxs, 3].max()),
+    )
+
+
+def _paragraphs(rows: list[Row], block_left: int) -> list[list[int]]:
+    """Group row indices into paragraphs (paragraphs.cpp geometric pass).
+
+    Break on: vertical gap > 1.8× modal pitch, or a first-line indent
+    (row left >= block_left + 2×space width).
+    """
+    if not rows:
+        return []
+    if len(rows) == 1:
+        return [[0]]
+    tops = np.array([r.bbox[1] for r in rows])
+    pitches = np.diff(tops)
+    # line pitch = smallest recurring row advance; paragraph gaps are larger
+    line_pitch = float(np.min(pitches)) if len(pitches) else 0.0
+    groups: list[list[int]] = [[0]]
+    for i in range(1, len(rows)):
+        gap = tops[i] - tops[i - 1]
+        indent = rows[i].bbox[0] - block_left
+        indent_break = indent >= 2 * rows[i].space_px * 1
+        gap_break = (line_pitch > 0 and gap > 1.8 * line_pitch) or (
+            gap > 2.2 * CELL_H * rows[i].scale
+        )
+        if gap_break or indent_break:
+            groups.append([i])
+        else:
+            groups[-1].append(i)
+    return groups
+
+
+def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
+    """Full page-stage analysis of a grayscale page image."""
+    res = PageResult()
+    if gray.size == 0:
+        return res
+    ink = binarize_otsu(gray)
+    if not ink.any():  # empty-page short circuit (baseapi.cpp:770-773)
+        return res
+    labels, n = label_components(ink)
+    stats = component_stats(labels, n)
+    grade = _grade_blobs(stats)
+    res.n_blobs = int((grade == 0).sum())
+    res.n_noise = int((grade == 1).sum())
+
+    # media regions (photo/rule) leave the text pipeline here
+    media_regions: list[Region] = []
+    for kind_code, kind in ((2, "photo"), (3, "rule")):
+        for i in np.flatnonzero(grade == kind_code):
+            l, t, r, b, _a = (int(v) for v in stats[i])
+            media_regions.append(Region(kind=kind, bbox=(l, t, r, b), block_id=-1))
+
+    text_idx = np.flatnonzero(grade == 0)
+    if len(text_idx) == 0:
+        regions = sorted(media_regions, key=lambda g: (g.bbox[1], g.bbox[0]))
+        for bi, g in enumerate(regions):
+            g.block_id = bi
+        res.regions = regions
+        return res
+
+    # deskew: estimate quantized shear, unshear a text-only mask, re-extract
+    skew = estimate_skew(stats, grade)
+    res.skew = skew
+    text_mask = np.isin(labels, text_idx + 1)
+    if skew != 0.0:
+        text_mask = unshear(text_mask, skew)
+        labels, n = label_components(text_mask)
+        stats = component_stats(labels, n)
+        grade = _grade_blobs(stats)
+        text_idx = np.flatnonzero(grade == 0)
+    tstats = stats[text_idx]
+
+    # column blocks by gutter detection
+    page_w = gray.shape[1]
+    min_gutter = 4 * WORD_GAP  # wider than any word gap at render scale <= 3
+    gutters = _find_gutters(tstats, page_w, min_gutter)
+    bounds = [0] + gutters + [page_w]
+    blocks: list[np.ndarray] = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        cx = (tstats[:, 0] + tstats[:, 2]) / 2.0
+        sel = np.flatnonzero((cx >= lo) & (cx < hi))
+        if len(sel):
+            blocks.append(sel)
+
+    text_regions: list[Region] = []
+    for bsel in blocks:
+        bstats = tstats[bsel]
+        row_groups = _cluster_rows(bstats)
+        rows: list[Row] = []
+        for gidx in row_groups:
+            baseline_y, x_height, scale = _row_metrics(bstats, gidx)
+            l, t, r, b = _bbox_of(bstats, gidx)
+            space_px = WORD_GAP * scale
+            strip = _descale_strip(text_mask, l, r, baseline_y, scale)
+            rows.append(
+                Row(
+                    bbox=(l, t, r, b),
+                    baseline_y=baseline_y,
+                    x_height=x_height,
+                    scale=scale,
+                    strip=strip,
+                    strip_x0=l,
+                    word_boxes=_word_boxes(bstats, gidx, space_px),
+                    space_px=space_px,
+                )
+            )
+        block_bbox = _bbox_of(bstats, np.arange(len(bstats)))
+        region = Region(kind="text", bbox=block_bbox, block_id=-1, rows=rows)
+        region.paragraphs = _paragraphs(rows, block_bbox[0])
+        text_regions.append(region)
+
+    # reading order: columns left-to-right (block x), media interleaved by y
+    # within the overall top-down walk; single-column pages order by y.
+    if len(text_regions) > 1:
+        text_regions.sort(key=lambda g: (g.bbox[0], g.bbox[1]))
+        regions = text_regions + sorted(
+            media_regions, key=lambda g: (g.bbox[1], g.bbox[0])
+        )
+    else:
+        regions = sorted(
+            text_regions + media_regions, key=lambda g: (g.bbox[1], g.bbox[0])
+        )
+    for bi, g in enumerate(regions):
+        g.block_id = bi
+    res.regions = regions
+    return res

@@ -1,0 +1,88 @@
+"""Recognition stage: page layout -> decoded spans (pure numpy body).
+
+The per-page body of the RECOGNITION pandas UDF: for each text region the
+layout stage produced, decode every row strip with the template network +
+CTC beam search (+ optional DAWG rescoring), assemble paragraph texts in
+reading order, and interleave media sub-spans.  Mirrors
+``recog_all_words`` (src/ccmain/control.cpp:291-456) on the LSTM path
+(``LSTMRecognizeWord`` src/ccmain/linerec.cpp:229-258) plus the output walk
+(``GetUTF8Text`` src/api/baseapi.cpp:1307-1337): lines within a paragraph
+join with \\n, spans emit one per paragraph / media region.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..lstm.ctc import ctc_beam_decode
+from ..lstm.dawg import Dawg
+from ..lstm.templates import TemplateNet, get_net
+from .page import PageResult, analyze_page
+
+
+@dataclass
+class SubSpan:
+    kind: str  # 'text' | 'media'
+    text: str
+    confidence: float  # mean word conf 0..100 (MeanTextConf, baseapi.cpp:1719)
+    n_lines: int
+    n_words: int
+
+
+def recognize_page(
+    gray: np.ndarray,
+    dpi: int = 300,
+    dawg: Dawg | None = None,
+    net: TemplateNet | None = None,
+) -> tuple[list[SubSpan], PageResult]:
+    """Full single-page OCR: returns reading-ordered sub-spans + layout."""
+    net = net or get_net()
+    layout = analyze_page(gray, dpi)
+    # span reading order (resultiterator walk): single-column pages
+    # interleave paragraphs and media strictly by top y; multi-column pages
+    # emit column text blocks left-to-right, media after (layout_test.cc
+    # block-order semantics).
+    multi_col = sum(1 for g in layout.regions if g.kind == "text") > 1
+    keyed: list[tuple[tuple, SubSpan]] = []
+    for ri, region in enumerate(layout.regions):
+        if region.kind != "text":
+            y = region.bbox[1]
+            key = (1, 0, y) if multi_col else (y, 1, 0)
+            keyed.append((key, SubSpan("media", "", 0.0, 0, 0)))
+            continue
+        row_texts: list[str] = []
+        row_confs: list[float] = []
+        row_words: list[int] = []
+        for row in region.rows:
+            # space threshold in canonical (descaled) pixels
+            space_canon = max(2, row.space_px // max(1, row.scale) - 1)
+            log_probs, _cols = net.forward(row.strip, space_px=space_canon)
+            text, words, _cert = ctc_beam_decode(
+                log_probs, net.charset, net.blank, net.space_code, dawg
+            )
+            row_texts.append(text)
+            row_words.append(len(words))
+            row_confs.append(
+                float(np.mean([w.confidence for w in words])) if words else 0.0
+            )
+        for group in region.paragraphs:
+            texts = [row_texts[i] for i in group]
+            confs = [row_confs[i] for i in group if row_words[i] > 0]
+            para_y = region.rows[group[0]].bbox[1]
+            key = (0, ri, para_y) if multi_col else (para_y, 0, 0)
+            keyed.append(
+                (
+                    key,
+                    SubSpan(
+                        "text",
+                        "\n".join(texts),
+                        float(np.mean(confs)) if confs else 0.0,
+                        len(group),
+                        sum(row_words[i] for i in group),
+                    ),
+                )
+            )
+    keyed.sort(key=lambda kv: kv[0])
+    return [s for _k, s in keyed], layout
