@@ -95,7 +95,8 @@ def _grade_blobs(stats: np.ndarray) -> np.ndarray:
     # rules: very wide, thin, dense (linefind.cpp:674)
     grade[(w >= 100) & (h <= 6) & (density >= 0.85)] = 3
     # photos: large dense regions (imagefind.cpp:247)
-    grade[(w >= 40) & (h >= 40) & (w * h >= 3000) & (density >= 0.45)] = 2
+    # (largest text glyph at render scale 3 is ~48x27 ≈ 1300 px² — safe gap)
+    grade[(w >= 40) & (h >= 40) & (w * h >= 2000) & (density >= 0.45)] = 2
     # noise: tiny specks relative to the text population percentile
     text_mask = grade == 0
     if text_mask.any():

@@ -1,0 +1,207 @@
+"""The OCR extraction pipeline — Spark DataFrame plan + Arrow-batched UDFs.
+
+End-to-end job (SURVEY §7.1): explode interleaved spans, join media bytes,
+defeat compute skew with a size-bucketed + salted range partitioning, run the
+page+recognition stages in one ``mapInPandas`` (Arrow batches, zero per-row
+Python), stitch recognized sub-spans back between pass-through text spans
+with a single window, and reassemble per-document span arrays.
+
+Scale notes (100 TB / 1000 executors):
+- the only wide exchanges are (a) the media_ref equi-join (hash join; media
+  table is co-bucketable on media_ref at write time), (b) the explicit
+  range+salt repartition that balances per-task OCR compute, and (c) the
+  doc_id window+group for stitching. (b) carries only (doc_id, pos,
+  media_ref, png) — no recognition state ever shuffles.
+- OCR compute dominates; partition count should be >= 4x total cores so AQE
+  and the salt keep stragglers bounded (BASELINE.md protocol).
+- per-task metrics surface in the result rows (wall_ms, partition_id) and
+  aggregate into the lineage table (sources/lineage.py) for checkpoint
+  resume — the reference's ETEXT_DESC progress/cancel analogue
+  (include/tesseract/ocrclass.h, control.cpp:304-323).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+OCR_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("n_lines", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("wall_ms", T.DoubleType()),
+        T.StructField("partition_id", T.IntegerType()),
+    ]
+)
+
+DEFAULT_SALT = 16
+
+
+def _make_ocr_udf(dict_words: list[str] | None):
+    """Build the page+recognition mapInPandas body.
+
+    Heavy state (template net, DAWG) is constructed lazily once per python
+    worker — the executor-side singleton pattern the reference uses for
+    models/DAWGs (src/dict/dawg_cache.cpp, SURVEY §3.1 step 3).
+    """
+
+    def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        from pyspark import TaskContext
+
+        from .functions.png_codec import decode_gray_png
+        from .lstm.dawg import Dawg
+        from .lstm.templates import get_net
+        from .operators.recognize import recognize_page
+
+        net = get_net()
+        dawg = Dawg(net.charset, dict_words) if dict_words else None
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for pdf in batches:
+            rows = []
+            for doc_id, pos, ref, png, dpi in zip(
+                pdf["doc_id"], pdf["pos"], pdf["media_ref"], pdf["png"], pdf["dpi"]
+            ):
+                t0 = time.perf_counter()
+                if png is None:
+                    spans = []
+                else:
+                    img = decode_gray_png(bytes(png))
+                    spans, _layout = recognize_page(img, int(dpi), dawg, net)
+                wall = (time.perf_counter() - t0) * 1000.0
+                for sub, s in enumerate(spans):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "pos": int(pos),
+                            "sub": sub,
+                            "kind": s.kind,
+                            "text": s.text if s.kind == "text" else None,
+                            "media_ref": ref if s.kind == "media" else None,
+                            "confidence": float(s.confidence),
+                            "n_lines": int(s.n_lines),
+                            "n_words": int(s.n_words),
+                            "n_chars": len(s.text),
+                            "wall_ms": wall / max(1, len(spans)),
+                            "partition_id": pid,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in OCR_OUT_SCHEMA.fields])
+
+    return ocr_batches
+
+
+def partition_by_cost(media_rows: DataFrame, num_partitions: int, salt: int = DEFAULT_SALT) -> DataFrame:
+    """Skew defeat (BASELINE.json): size-bucketed + salted range partition.
+
+    Page-complexity cost correlates with compressed media size; bucketing by
+    log2(size) gives each task a narrow cost class, and the salt spreads each
+    class over many tasks so one hot class cannot serialize.
+    """
+    return (
+        media_rows.withColumn("cost", F.length("png").cast("long"))
+        .withColumn(
+            "size_bucket", F.floor(F.log2(F.greatest(F.col("cost"), F.lit(1)))).cast("int")
+        )
+        .withColumn("salt", F.pmod(F.crc32(F.col("media_ref")), F.lit(salt)).cast("int"))
+        .repartitionByRange(num_partitions, "size_bucket", "salt")
+    )
+
+
+def ocr_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    dict_words: list[str] | None = None,
+    num_partitions: int | None = None,
+    broadcast_media: bool | None = None,
+) -> DataFrame:
+    """documents(doc_id, spans) + media(media_ref, png, dpi) -> flat spans.
+
+    Returns (doc_id, offset, kind, text, media_ref, confidence, n_lines,
+    n_words, wall_ms, partition_id) in reading order per document.
+    """
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 4
+    exploded = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+    text_rows = exploded.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "pos",
+        F.lit(-1).cast("int").alias("sub"),
+        F.lit("text").alias("kind"),
+        "text",
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(None).cast("double").alias("confidence"),
+        F.lit(0).cast("int").alias("n_lines"),
+        F.lit(0).cast("int").alias("n_words"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.lit(0.0).alias("wall_ms"),
+        F.lit(-1).cast("int").alias("partition_id"),
+    )
+    media_side = media.select("media_ref", "png", "dpi")
+    if broadcast_media:
+        media_side = F.broadcast(media_side)
+    media_rows = (
+        exploded.filter(F.col("kind") == "media")
+        .select("doc_id", "pos", "media_ref")
+        .join(media_side, "media_ref", "left")
+    )
+    repart = partition_by_cost(media_rows, num_partitions).select(
+        "doc_id", "pos", "media_ref", "png", "dpi"
+    )
+    ocr = repart.mapInPandas(_make_ocr_udf(dict_words), schema=OCR_OUT_SCHEMA)
+    unioned = ocr.unionByName(text_rows)
+    w = Window.partitionBy("doc_id").orderBy("pos", "sub")
+    return unioned.withColumn(
+        "offset", (F.row_number().over(w) - 1).cast("int")
+    ).select(
+        "doc_id", "offset", "kind", "text", "media_ref", "confidence",
+        "n_lines", "n_words", "n_chars", "wall_ms", "partition_id",
+    )
+
+
+def assemble_spans(flat: DataFrame) -> DataFrame:
+    """Flat spans -> documents-shaped (doc_id, spans array<struct>) output."""
+    return flat.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("kind", "text", "media_ref", "offset"))
+        ).alias("spans_unordered")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(array_sort(spans_unordered, (a, b) -> a.offset - b.offset),"
+            " s -> struct(s.kind as kind, s.text as text,"
+            " s.media_ref as media_ref, s.offset as offset))"
+        ).alias("spans"),
+    )

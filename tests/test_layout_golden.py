@@ -1,0 +1,86 @@
+"""Golden page tests: composed pages -> exact span-sequence equality.
+
+The pure-numpy analogue of baseapi_test.cc golden text equality,
+layout_test.cc block ordering, paragraphs_test.cc paragraph splits, and
+pagesegmode_test.cc single-line modes — over every fixture family.
+"""
+
+import numpy as np
+import pytest
+
+from tesseract_spark.functions.compose import PageSpec, compose_page
+from tesseract_spark.fixtures import FAMILIES, make_page_spec
+from tesseract_spark.operators.page import analyze_page
+from tesseract_spark.operators.recognize import recognize_page
+
+CASES = {
+    "single_line": PageSpec(paragraphs=[["hello world"]]),
+    "single_block": PageSpec(
+        paragraphs=[["The quick brown fox", "jumps over the lazy dog"]]
+    ),
+    "multi_para": PageSpec(
+        paragraphs=[["first para line one", "line two"], ["second para"], ["third"]]
+    ),
+    "indent": PageSpec(
+        paragraphs=[["no indent start", "continued"], ["indented", "flush again"]],
+        indent_paras=(1,),
+    ),
+    "scale2": PageSpec(paragraphs=[["bigger text here", "second line"]], scale=2),
+    "scale3": PageSpec(paragraphs=[["huge glyphs"]], scale=3),
+    "skew_pos": PageSpec(paragraphs=[["skewed baseline text", "second line"]], skew=0.02),
+    "skew_neg": PageSpec(paragraphs=[["negative skew here", "line two"]], skew=-0.035),
+    "skew_scale2": PageSpec(paragraphs=[["two scale skew", "more text"]], scale=2, skew=0.03),
+    "inverted": PageSpec(paragraphs=[["white on black text"]], inverted=True),
+    "noise": PageSpec(paragraphs=[["noisy margins here", "still reads"]], noise_dots=12),
+    "two_column": PageSpec(
+        paragraphs=[["left col one", "left col two"]],
+        column2=[["right col one", "right col two"]],
+    ),
+    "mixed_media": PageSpec(
+        paragraphs=[["text before photo"], ["text after photo"]], photos=((0, 60, 50),)
+    ),
+    "rule": PageSpec(paragraphs=[["above the rule"], ["below"]], rules=(0,)),
+    "empty": PageSpec(paragraphs=[]),
+    "punct": PageSpec(paragraphs=[["Qty: 42 (net), price 3.14!"]]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_golden_span_equality(name):
+    spec = CASES[name]
+    page = compose_page(spec)
+    spans, _layout = recognize_page(page.image, spec.dpi)
+    assert [(s.kind, s.text) for s in spans] == page.golden
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_family_generator_roundtrip(family):
+    rng = np.random.default_rng(7)
+    spec = make_page_spec(family, rng)
+    page = compose_page(spec)
+    spans, _ = recognize_page(page.image, spec.dpi)
+    assert [(s.kind, s.text) for s in spans] == page.golden
+
+
+def test_skew_estimate_exact_on_grid():
+    for skew in (-0.05, -0.02, 0.0, 0.015, 0.04):
+        spec = PageSpec(paragraphs=[["exact skew recovery line", "two rows"]], skew=skew)
+        page = compose_page(spec)
+        layout = analyze_page(page.image)
+        assert layout.skew == pytest.approx(skew, abs=1e-9)
+
+
+def test_word_boxes_and_metrics():
+    spec = PageSpec(paragraphs=[["three word line"]])
+    page = compose_page(spec)
+    layout = analyze_page(page.image)
+    row = layout.regions[0].rows[0]
+    assert len(row.word_boxes) == 3
+    assert row.x_height == 8 and row.scale == 1
+    assert row.baseline_y == 12 + 12  # margin + BASELINE
+
+
+def test_empty_page_short_circuit():
+    img = np.full((64, 64), 235, dtype=np.uint8)
+    layout = analyze_page(img)
+    assert layout.regions == [] and layout.n_blobs == 0
