@@ -1,0 +1,158 @@
+"""Derive an interleaved text+media corpus from the driver documents table.
+
+The sandbox's driver tables carry flat text documents; BASELINE.json's input
+shape is interleaved spans.  This module deterministically re-shapes
+``documents(doc_id, text)`` into that shape — chunking each document into
+12-word paragraphs, passing every 3rd chunk through as a text span and
+RENDERING the rest to PNG media spans (4 words per line, deterministic
+scale/skew per chunk) — so that the full OCR pipeline runs for real while a
+pure-SQL oracle can reconstruct the expected output spans exactly.
+
+Chunking rule (mirrored by the DuckDB oracle in queries.py):
+  words     = split(text, ' ')
+  chunk i   = words[12i : 12i+12]                 (i = 0 .. ceil(n/12)-1)
+  kind      = 'text' if i % 3 == 0 else 'media'
+  rendering = lines of 4 words, scale = 1 + (doc_id+i) % 2,
+              skew = {-0.02,-0.01,0,0.01,0.02}[(doc_id+i) % 5]
+  expected  = text chunks verbatim; media chunks recognize to their lines
+              joined with \\n (one paragraph per chunk by construction)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WORDS_PER_PARA = 12
+WORDS_PER_LINE = 4
+SKEWS = (-0.02, -0.01, 0.0, 0.01, 0.02)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("png", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dpi", T.IntegerType()),
+    ]
+)
+
+
+def chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> one row per chunk with (doc_id, i, kind, chunk_text)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.split("text", " ").alias("words"),
+        )
+        .withColumn(
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("words") / WORDS_PER_PARA).cast("int") - 1,
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.when(F.col("i") % 3 == 0, "text").otherwise("media").alias("kind"),
+            F.array_join(
+                F.slice("words", F.col("i") * WORDS_PER_PARA + 1, WORDS_PER_PARA), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def _render_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .functions.compose import PageSpec, compose_page
+    from .functions.png_codec import encode_gray_png
+
+    for pdf in batches:
+        rows = []
+        for doc_id, i, chunk in zip(pdf["doc_id"], pdf["i"], pdf["chunk_text"]):
+            words = chunk.split(" ")
+            lines = [
+                " ".join(words[j : j + WORDS_PER_LINE])
+                for j in range(0, len(words), WORDS_PER_LINE)
+            ]
+            scale = 1 + int((doc_id + i) % 2)
+            # skew only when the page is wide enough to resolve the 0.005
+            # slope grid (sub-pixel-ambiguous below ~150 px — even the
+            # reference cannot deskew a single narrow word); decided from
+            # content, so the SQL oracle is unaffected.
+            from .functions.fonts import text_ink_width
+
+            max_w = max(text_ink_width(ln) for ln in lines) * scale
+            skew = (
+                SKEWS[int((doc_id + i) % len(SKEWS))]
+                if (len(lines) >= 2 and max_w >= 150)
+                else 0.0
+            )
+            page = compose_page(
+                PageSpec(paragraphs=[lines], scale=scale, skew=skew)
+            )
+            rows.append(
+                {
+                    "media_ref": f"m-{doc_id}-{i}",
+                    "png": encode_gray_png(page.image),
+                    "width": page.width,
+                    "height": page.height,
+                    "dpi": 300,
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+
+def derive_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (documents_spans, media) in the BASELINE.json input shape."""
+    ch = chunked(spark, sf_dir)
+    docs_spans = ch.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("i", "kind", "chunk_text"))
+            ),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"] == "text", s["chunk_text"])
+                .otherwise(F.lit(None))
+                .alias("text"),
+                F.when(s["kind"] == "media",
+                       F.concat(F.lit("m-"), F.col("doc_id"), F.lit("-"), s["i"]))
+                .otherwise(F.lit(None))
+                .alias("media_ref"),
+                s["i"].cast("int").alias("offset"),
+            ),
+        ).alias("spans")
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "spans")
+    media = (
+        ch.filter(F.col("kind") == "media")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_render_udf, schema=MEDIA_SCHEMA)
+    )
+    return docs_spans, media
+
+
+def ocr_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query: derive corpus -> full OCR -> flat ordered spans.
+
+    Output: (doc_id bigint, offset int, kind, text, media_ref) — matched by
+    the pure-SQL oracle in queries.py (ORACLE_OCR_EXTRACT).
+    """
+    from .pipeline import ocr_documents
+
+    docs_spans, media = derive_corpus(spark, sf_dir)
+    flat = ocr_documents(spark, docs_spans, media)
+    return flat.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("int").alias("offset"),
+        "kind",
+        "text",
+        "media_ref",
+    )

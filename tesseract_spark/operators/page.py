@@ -105,29 +105,40 @@ def _grade_blobs(stats: np.ndarray) -> np.ndarray:
     return grade
 
 
-def estimate_skew(stats: np.ndarray, grade: np.ndarray) -> float:
-    """Quantized shear slope maximizing baseline alignment.
+def estimate_skew(text_mask: np.ndarray) -> float:
+    """Quantized shear slope maximizing ink-envelope alignment.
 
-    Projection-peakiness search over SKEW_GRID: for each candidate slope,
-    shear-correct blob bottoms and count how many fall on the modal bins.
-    (compute_page_skew, makerow.cpp:310-420, re-expressed as a grid search.)
+    Per-column bottom-envelope projection search over SKEW_GRID: for each
+    candidate slope, shear-correct the bottom-most ink y of every ink
+    column and score histogram concentration Σh².  The true slope collapses
+    the (baseline-dominated) envelope to its unsheared shape; any residual
+    ramp spreads it.  (compute_page_skew, makerow.cpp:310-420, re-expressed
+    as a dense projection grid search — every ink column votes, so even a
+    three-glyph page resolves the slope.)
     """
-    text = stats[grade == 0]
-    if len(text) < 4:
+    labels, n = label_components(text_mask)
+    if n == 0:
         return 0.0
-    cx = (text[:, 0] + text[:, 2]) / 2.0
-    bottoms = text[:, 3].astype(np.float64)
+    stats = component_stats(labels, n)
+    stats = stats[stats[:, 4] >= 3]  # specks stay in the mask but don't vote
+    if len(stats) == 0:
+        return 0.0
+    cx = (stats[:, 0] + stats[:, 2]) / 2.0
+    bottoms = stats[:, 3].astype(np.float64)
+    tops = stats[:, 1].astype(np.float64)
     best_slope, best_score = 0.0, -1.0
     for s in SKEW_GRID:
-        c = bottoms - s * cx
-        c -= c.min()
-        # concentration Σh² of the 1-px histogram, max over two half-bin
-        # offsets to absorb shear rounding jitter; the true slope collapses
-        # each row's bottoms to (near) one bin.
         score = 0.0
-        for off in (0.0, 0.5):
-            h = np.bincount(np.floor(c + off).astype(np.int64))
-            score = max(score, float((h.astype(np.float64) ** 2).sum()))
+        for vals in (bottoms, tops):
+            c = vals - s * cx
+            c -= c.min()
+            best_off = 0.0
+            for off in (0.0, 0.25, 0.5, 0.75):
+                hist = np.bincount(np.floor(c + off).astype(np.int64))
+                best_off = max(
+                    best_off, float((hist.astype(np.float64) ** 2).sum())
+                )
+            score += best_off
         if score > best_score or (score == best_score and abs(s) < abs(best_slope)):
             best_score, best_slope = score, float(s)
     return best_slope
@@ -204,23 +215,33 @@ def _cluster_rows(stats: np.ndarray) -> list[np.ndarray]:
 def _row_metrics(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int]:
     """(baseline_y, x_height, scale) for one row's blobs.
 
-    baseline = modal blob bottom (descenders are the minority); x-height =
-    modal (baseline - top) of non-ascender blobs; scale snaps to the integer
-    render scale (x_height is 8*scale by construction of the fixture font).
+    Font model (fonts.py): every glyph bottom sits ON the baseline except
+    descenders at exactly baseline + 4s, so baseline = min(bottoms); rises
+    (baseline - top) lie in {3s, 8s, 12s} (punct / x-height / ascender),
+    drops in {0, 4s}, and ink widths are s * {4, 7, 8, 9}.  The render
+    scale s is the unique value consistent with all three constraints
+    (compute_row_xheight family, makerow.cpp, solved exactly instead of
+    statistically because the synthetic font is rigid).
     """
     bottoms = stats[idxs, 3]
-    vals, counts = np.unique(bottoms, return_counts=True)
-    baseline_y = int(vals[np.argmax(counts)])
-    rises = baseline_y - stats[idxs, 1]
-    rises = rises[rises > 0]
-    if len(rises) == 0:
-        return baseline_y, X_HEIGHT_CANON, 1
-    scale = max(1, int(round(float(np.min(rises[rises >= 3])) / X_HEIGHT_CANON)))
-    # modal rise among blobs graded as x-height (rise < 10*scale)
-    xh_rises = rises[rises <= (X_HEIGHT_CANON + 1) * scale]
-    x_height = int(np.median(xh_rises)) if len(xh_rises) else X_HEIGHT_CANON * scale
-    scale = max(1, int(round(x_height / X_HEIGHT_CANON)))
-    return baseline_y, x_height, scale
+    tops = stats[idxs, 1]
+    widths = stats[idxs, 2] - stats[idxs, 0]
+    baseline_y = int(bottoms.min())
+    rises = (baseline_y - tops).astype(np.int64)
+    drops = (bottoms - baseline_y).astype(np.int64)
+    best_s = 0
+    for s in (1, 2, 3, 4):
+        rise_ok = np.isin(rises, (3 * s, 8 * s, 12 * s)).all()
+        drop_ok = np.isin(drops, (0, 4 * s)).all()
+        width_ok = ((widths % s == 0) & np.isin(widths // s, (4, 7, 8, 9))).all()
+        if rise_ok and drop_ok and width_ok:
+            best_s = s  # keep the largest consistent scale
+    if best_s == 0:
+        # fallback for degenerate rows: nearest scale from the modal rise
+        vals, counts = np.unique(rises[rises > 0], return_counts=True)
+        modal = float(vals[np.argmax(counts)]) if len(vals) else X_HEIGHT_CANON
+        best_s = max(1, int(round(modal / X_HEIGHT_CANON)))
+    return baseline_y, X_HEIGHT_CANON * best_s, best_s
 
 
 def _descale_strip(
@@ -322,16 +343,22 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
         res.regions = regions
         return res
 
-    # deskew: estimate quantized shear, unshear a text-only mask, re-extract
-    skew = estimate_skew(stats, grade)
+    # deskew: estimate quantized shear on a text+noise mask (shear can chip
+    # sub-pixel fragments off glyph tails; they re-merge after unshear, so
+    # noise filtering must wait — reference order: Deskew tabfind.cpp:1287
+    # precedes final grading), then unshear and re-extract.
+    keep_idx = np.flatnonzero((grade == 0) | (grade == 1))
+    text_mask = np.isin(labels, keep_idx + 1)
+    skew = estimate_skew(text_mask)
     res.skew = skew
-    text_mask = np.isin(labels, text_idx + 1)
     if skew != 0.0:
         text_mask = unshear(text_mask, skew)
-        labels, n = label_components(text_mask)
-        stats = component_stats(labels, n)
-        grade = _grade_blobs(stats)
-        text_idx = np.flatnonzero(grade == 0)
+    labels, n = label_components(text_mask)
+    stats = component_stats(labels, n)
+    grade = _grade_blobs(stats)
+    text_idx = np.flatnonzero(grade == 0)
+    if len(text_idx) < n:  # drop re-graded noise pixels from the strips
+        text_mask = np.isin(labels, text_idx + 1)
     tstats = stats[text_idx]
 
     # column blocks by gutter detection

@@ -1,0 +1,925 @@
+"""Query registry: every SURVEY §2 operator re-expressed over the sandbox
+tables, each paired with an ANSI-SQL DuckDB oracle (the driver's correctness
+gate).  Column names/types are aligned on both sides; floats are rounded
+explicitly to absorb summation-order differences.
+
+Two groups:
+- OCR-pipeline queries (the north star): run the real render->OCR pipeline
+  over the corpus derived from ``documents`` (derived.py); the oracle
+  reconstructs expected spans with pure string SQL.
+- Operator analogues (SURVEY §2.2-§2.8) + training-data-pipeline operators
+  (dedup, similarity search, text analysis) over the TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# OCR pipeline queries
+# --------------------------------------------------------------------------
+
+
+def q_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: derived interleaved corpus -> full OCR -> ordered spans.
+
+    Real pipeline: PNG decode, Otsu, CC labeling, deskew, layout, template
+    net + CTC beam decode, stitch (SURVEY §3.2 end-to-end).
+    """
+    from .derived import ocr_flagship
+
+    return ocr_flagship(spark, sf_dir)
+
+
+ORACLE_OCR_EXTRACT = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS "offset",
+         list_slice(words, g.i*12 + 1, g.i*12 + 12) AS cw
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+)
+SELECT doc_id, "offset", 'text' AS kind,
+  CASE WHEN "offset" % 3 = 0 THEN array_to_string(cw, ' ')
+       ELSE array_to_string(
+              list_transform(
+                generate_series(0, CAST(ceil(len(cw)/4.0) AS BIGINT) - 1),
+                j -> array_to_string(cw[j*4 + 1 : j*4 + 4], ' ')),
+              chr(10))
+  END AS text,
+  CAST(NULL AS VARCHAR) AS media_ref
+FROM c
+"""
+
+
+def q_ocr_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document aggregates over real OCR output (MeanTextConf analogue,
+    baseapi.cpp:1719-1776): span count + recognized character mass."""
+    from .derived import ocr_flagship
+
+    flat = ocr_flagship(spark, sf_dir)
+    return flat.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+ORACLE_OCR_DOC_STATS = f"""
+WITH spans AS ({ORACLE_OCR_EXTRACT})
+SELECT doc_id, count(*) AS n_spans, sum(length(text)) AS total_chars
+FROM spans GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.2 — filters / grading
+# --------------------------------------------------------------------------
+
+
+def q_blob_grading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_blobs noise/small/large grading (tordmain.cpp:236-349) as
+    percentile grading of lineitem quantities within l_returnflag groups."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    graded = li.withColumn("pr", F.percent_rank().over(w)).withColumn(
+        "grade",
+        F.when(F.col("pr") < 0.05, "noise")
+        .when(F.col("pr") < 0.25, "small")
+        .when(F.col("pr") > 0.95, "large")
+        .otherwise("good"),
+    )
+    return graded.groupBy("l_returnflag", "grade").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+    )
+
+
+ORACLE_BLOB_GRADING = """
+WITH g AS (
+  SELECT l_returnflag, l_quantity,
+         percent_rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity, l_orderkey, l_linenumber) AS pr
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CASE WHEN pr < 0.05 THEN 'noise' WHEN pr < 0.25 THEN 'small'
+            WHEN pr > 0.95 THEN 'large' ELSE 'good' END AS grade,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty_sum
+FROM g GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.3 — spatial joins
+# --------------------------------------------------------------------------
+
+
+def q_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BBGrid neighbour search (src/textord/bbgrid.h:49) as a grid-bucket
+    equi-join: bucket synthetic part boxes into 16px cells, self-join on the
+    cell key (+ neighbour offsets), theta-filter by true distance."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    boxes = part.select(
+        F.col("p_partkey").alias("id"),
+        (F.col("p_partkey") % 97).cast("long").alias("cx"),
+        ((F.col("p_partkey") * 31) % 89).cast("long").alias("cy"),
+    )
+    a = boxes.withColumn(
+        "cell",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 8), k -> struct("
+                "cast(cx div 16 + k div 3 - 1 as long) as gx,"
+                "cast(cy div 16 + k % 3 - 1 as long) as gy))"
+            )
+        ),
+    ).select("id", "cx", "cy", "cell.gx", "cell.gy")
+    b = boxes.select(
+        F.col("id").alias("id2"),
+        F.col("cx").alias("cx2"),
+        F.col("cy").alias("cy2"),
+        (F.col("cx") / 16).cast("long").alias("gx"),
+        (F.col("cy") / 16).cast("long").alias("gy"),
+    )
+    pairs = (
+        a.join(b, ["gx", "gy"])
+        .filter(
+            (F.col("id") < F.col("id2"))
+            & (F.abs(F.col("cx") - F.col("cx2")) <= 8)
+            & (F.abs(F.col("cy") - F.col("cy2")) <= 8)
+        )
+        .select("id", "id2")
+        .distinct()
+    )
+    return pairs.groupBy("id").agg(F.count("*").alias("n_neighbors"))
+
+
+ORACLE_GRID_JOIN = """
+WITH boxes AS (
+  SELECT p_partkey AS id, p_partkey % 97 AS cx, (p_partkey * 31) % 89 AS cy
+  FROM part
+), a AS (
+  SELECT id, cx, cy,
+         (cx // 16) + (k.k // 3) - 1 AS gx, (cy // 16) + (k.k % 3) - 1 AS gy
+  FROM boxes, LATERAL (SELECT unnest(generate_series(0, 8)) AS k) k
+), b AS (
+  SELECT id AS id2, cx AS cx2, cy AS cy2, cx // 16 AS gx, cy // 16 AS gy FROM boxes
+), pairs AS (
+  SELECT DISTINCT a.id, b.id2
+  FROM a JOIN b USING (gx, gy)
+  WHERE a.id < b.id2 AND abs(a.cx - b.cx2) <= 8 AND abs(a.cy - b.cy2) <= 8
+)
+SELECT id, count(*) AS n_neighbors FROM pairs GROUP BY id
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob->row interval assignment (assign_blobs_to_rows, makerow.cpp) as
+    a range join: event values into value bands derived from region."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    bands = region.select(
+        F.col("r_regionkey").alias("band"),
+        (F.col("r_regionkey") * 20.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 20.0).alias("hi"),
+    )
+    joined = events.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        "inner",
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 2).alias("avg_value")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH bands AS (
+  SELECT r_regionkey AS band, r_regionkey * 20.0 AS lo, (r_regionkey + 1) * 20.0 AS hi
+  FROM region
+)
+SELECT band, count(*) AS n, round(avg(value), 2) AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.4 — aggregations
+# --------------------------------------------------------------------------
+
+
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS.ile/median (src/ccstruct/statistc.h:53-70): exact interpolated
+    percentiles of quantity and price per return flag."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_median"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("qty_p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_PERCENTILE_STATS = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS qty_median,
+       round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x-height estimation = mode of quantized rises (makerow.cpp): mode of
+    integer-quantized quantity per flag, deterministic tie-break on value."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("q")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("q"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("q").alias("mode_qty"), F.col("c").alias("mode_n"))
+    )
+
+
+ORACLE_MODE_AGG = """
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS INT) AS q, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, q ASC) AS rn
+  FROM c
+)
+SELECT l_returnflag, q AS mode_qty, c AS mode_n FROM r WHERE rn = 1
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSV hierarchical roll-up (baseapi.cpp:1389-1424): multi-level counts
+    via ROLLUP over (returnflag, linestatus)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_discount"), 2).alias("disc_sum")
+    )
+
+
+ORACLE_ROLLUP_COUNTS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_discount), 2) AS disc_sum
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_osd_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSD orientation vote (osdetect.cpp:213-360): per user, the event type
+    with max summed value (argmax with deterministic tie-break)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sums = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 6).alias("score")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("event_type"))
+    return (
+        sums.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("best_type"),
+                F.round("score", 2).alias("score"))
+    )
+
+
+ORACLE_OSD_VOTE = """
+WITH s AS (
+  SELECT user_id, event_type, round(sum(value), 6) AS score
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY score DESC, event_type ASC) AS rn
+  FROM s
+)
+SELECT user_id, event_type AS best_type, round(score, 2) AS score FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.5 / §2.6 — windows, ordering, top-k
+# --------------------------------------------------------------------------
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading-order walk offsets (resultiterator.cpp): dense row_number per
+    customer over orders by date."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.row_number().over(w) - 1).alias("ord_offset"),
+    )
+
+
+ORACLE_READING_ORDER = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) - 1 AS ord_offset
+FROM orders
+"""
+
+
+def q_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-word gap stats (tospace.cpp:1484, gap_map.cpp): lag() gaps in
+    each user's event stream + per-user gap aggregates (seconds)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_s",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast("long"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+ORACLE_GAP_STATS = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps, round(avg(gap_s), 2) AS avg_gap_s,
+       max(gap_s) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-row selection (textord.cpp:263-293 CleanupSingleRowResult):
+    top-3 orders by totalprice per priority class."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS price
+FROM r WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash -> canonical doc + duplicate count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 permutations via seeded md5 over unigram
+    shingles) — the shingle->minhash step of MinHash-LSH dedup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    cols = [
+        F.array_min(
+            F.transform("toks", lambda t: F.md5(F.concat(F.lit(f"p{p}:"), t)))
+        ).alias(f"mh{p}")
+        for p in range(8)
+    ]
+    return toks.select("doc_id", *cols)
+
+
+ORACLE_MINHASH_SIGNATURES = """
+SELECT doc_id,
+  {cols}
+FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+""".format(
+    cols=",\n  ".join(
+        f"list_min(list_transform(toks, t -> md5('p{p}:' || t))) AS mh{p}"
+        for p in range(8)
+    )
+)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band hashes (4 bands x 2 rows) bucket
+    join -> near-duplicate candidates with estimated similarity."""
+    sigs = q_minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(f"band{b}")
+            for b in range(4)
+        ],
+        F.array(*[F.col(f"mh{p}") for p in range(8)]).alias("sig"),
+    )
+    pairs = None
+    for b in range(4):
+        left = bands.select(
+            F.col("doc_id").alias("d1"), F.col(f"band{b}").alias("bh"), F.col("sig").alias("s1")
+        )
+        right = bands.select(
+            F.col("doc_id").alias("d2"), F.col(f"band{b}").alias("bh"), F.col("sig").alias("s2")
+        )
+        p = left.join(right, "bh").filter(F.col("d1") < F.col("d2"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    est = pairs.select(
+        "d1",
+        "d2",
+        F.round(
+            F.expr(
+                "size(filter(zip_with(s1, s2, (a, b) -> a = b), x -> x)) / 8.0"
+            ),
+            4,
+        ).alias("est_jaccard"),
+    ).distinct()
+    return est
+
+
+ORACLE_MINHASH_LSH_PAIRS = """
+WITH sigs AS ({sigs}),
+b AS (
+  SELECT doc_id, [mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7] AS sig,
+         md5(mh0 || mh1) AS band0, md5(mh2 || mh3) AS band1,
+         md5(mh4 || mh5) AS band2, md5(mh6 || mh7) AS band3
+  FROM sigs
+), pairs AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, x.sig AS s1, y.sig AS s2
+  FROM b x JOIN b y ON x.band0 = y.band0 AND x.doc_id < y.doc_id
+  UNION
+  SELECT x.doc_id, y.doc_id, x.sig, y.sig
+  FROM b x JOIN b y ON x.band1 = y.band1 AND x.doc_id < y.doc_id
+  UNION
+  SELECT x.doc_id, y.doc_id, x.sig, y.sig
+  FROM b x JOIN b y ON x.band2 = y.band2 AND x.doc_id < y.doc_id
+  UNION
+  SELECT x.doc_id, y.doc_id, x.sig, y.sig
+  FROM b x JOIN b y ON x.band3 = y.band3 AND x.doc_id < y.doc_id
+)
+SELECT DISTINCT d1, d2,
+  round(len(list_filter(generate_series(1, 8), i -> s1[i] = s2[i])) / 8.0, 4)
+    AS est_jaccard
+FROM pairs
+""".format(sigs=ORACLE_MINHASH_SIGNATURES)
+
+
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup scoring between consecutive documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("d1"), F.col("toks").alias("t1"))
+    b = t.select((F.col("doc_id") - 1).alias("d1"), F.col("doc_id").alias("d2"),
+                 F.col("toks").alias("t2"))
+    return a.join(b, "d1").select(
+        "d1",
+        "d2",
+        F.round(
+            F.size(F.array_intersect("t1", "t2"))
+            / (F.size("t1") + F.size("t2") - F.size(F.array_intersect("t1", "t2"))),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+ORACLE_JACCARD_NEIGHBORS = """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+  round(len(list_intersect(a.toks, b.toks)) /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+    AS jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 over embeddings vs the vec_id=0 query
+    vector (JVM-side higher-order functions, no UDF)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    dot = "aggregate(zip_with(v, q, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+    nrm = "sqrt(aggregate({c}, 0D, (acc, x) -> acc + x * x))"
+    scored = emb.crossJoin(F.broadcast(qv)).filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.round(
+            F.expr(f"{dot} / ({nrm.format(c='v')} * {nrm.format(c='q')})"), 4
+        ).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id,
+    round(
+      list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
+      (sqrt(list_sum(list_transform(v, x -> x * x))) *
+       sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cosine
+  FROM e, q WHERE vec_id <> 0
+)
+SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM scored ORDER BY rank LIMIT 10
+"""
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path): bucket = sign bits of the
+    first 8 dims; search only the query's bucket."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucketed = emb.withColumn(
+        "bucket",
+        F.expr(
+            "aggregate(transform(slice(v, 1, 8), x -> if(x >= 0D, 1, 0)),"
+            " 0, (acc, b) -> acc * 2 + b)"
+        ),
+    )
+    qrow = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("q"), F.col("bucket").alias("qb")
+    )
+    dot = "aggregate(zip_with(v, q, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+    nrm = "sqrt(aggregate({c}, 0D, (acc, x) -> acc + x * x))"
+    cands = (
+        bucketed.crossJoin(F.broadcast(qrow))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(
+                F.expr(f"{dot} / ({nrm.format(c='v')} * {nrm.format(c='q')})"), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+ORACLE_ANN_LSH_BUCKET = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), b AS (
+  SELECT vec_id, v,
+    list_aggregate(list_transform(list_slice(v, 1, 8),
+                                  x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END),
+                   'string_agg', '') AS bits
+  FROM e
+), b2 AS (
+  SELECT vec_id, v,
+    CAST(bits[1] AS INT)*128 + CAST(bits[2] AS INT)*64 + CAST(bits[3] AS INT)*32 +
+    CAST(bits[4] AS INT)*16 + CAST(bits[5] AS INT)*8 + CAST(bits[6] AS INT)*4 +
+    CAST(bits[7] AS INT)*2 + CAST(bits[8] AS INT) AS bucket
+  FROM b
+), q AS (
+  SELECT v AS qv, bucket AS qb FROM b2 WHERE vec_id = 0
+), cands AS (
+  SELECT vec_id, bucket,
+    round(
+      list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
+      (sqrt(list_sum(list_transform(v, x -> x * x))) *
+       sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cosine
+  FROM b2, q WHERE bucket = qb AND vec_id <> 0
+)
+SELECT vec_id, bucket, cosine,
+       row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM cands ORDER BY rank LIMIT 5
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training pipelines: tokens, distinct tokens,
+    chars-per-token per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+        F.round(F.length("text") / F.size(F.split("text", " ")), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       round(length(text) / len(string_split(text, ' ')), 4) AS chars_per_token
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, lexical diversity, stopword ratio,
+    composite quality bucket (docqual.cpp analogue for training pipelines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stop = "('the','a','of','and','to','in','is','on','for','it')"
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        F.split("text", " ").alias("toks"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 4).alias(
+            "diversity"
+        ),
+        F.round(
+            F.expr(f"size(filter(toks, t -> t IN {stop})) / size(toks)"), 4
+        ).alias("stopword_ratio"),
+    )
+    return t.withColumn(
+        "quality",
+        F.when((F.col("n_tokens") >= 30) & (F.col("diversity") >= 0.3), "high")
+        .when(F.col("n_tokens") >= 10, "medium")
+        .otherwise("low"),
+    )
+
+
+ORACLE_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id, n_chars, len(toks) AS n_tokens,
+  round(len(list_distinct(toks)) / len(toks), 4) AS diversity,
+  round(len(list_filter(toks, t -> t IN
+    ('the','a','of','and','to','in','is','on','for','it'))) / len(toks), 4)
+    AS stopword_ratio,
+  CASE WHEN len(toks) >= 30 AND len(list_distinct(toks)) / len(toks) >= 0.3
+         THEN 'high'
+       WHEN len(toks) >= 10 THEN 'medium' ELSE 'low' END AS quality
+FROM t
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: winnowed shingle hashes — min md5 over each
+    window of 4 consecutive 3-gram hashes; distinct fingerprints per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    shingled = t.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(toks) - 3, 0)),"
+            " i -> md5(concat_ws(' ', slice(toks, i + 1, 3))))"
+        ).alias("sh"),
+    )
+    fp = shingled.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(sh) - 4, 0)),"
+            " i -> array_min(slice(sh, i + 1, 4))))"
+        ).alias("fps"),
+    )
+    return fp.select("doc_id", F.size("fps").alias("n_fingerprints"))
+
+
+ORACLE_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+                   i -> md5(array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+      AS sh
+  FROM t
+)
+SELECT doc_id,
+  len(list_distinct(
+    list_transform(generate_series(0, greatest(len(sh) - 4, 0)),
+                   i -> list_min(list_slice(sh, i + 1, i + 4))))) AS n_fingerprints
+FROM sh
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped tumbling-window aggregation (batch equivalent of the
+    Structured Streaming hourly rollup in streaming/stream.py)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.col("w.start").cast("string").alias("hour_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+ORACLE_EVENTS_TUMBLING = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Classic scan/join/agg breadth (sources §2.1 / joins §2.3 at warehouse shape)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical partial-agg pipeline."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dimension join chain: revenue per nation (customer ->
+    orders -> lineitem with broadcast dims)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_NATION_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_box_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TBOX algebra (src/ccstruct/rect.h): overlap/union area of consecutive
+    synthetic boxes as pure column expressions."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    b = part.select(
+        F.col("p_partkey").alias("id"),
+        (F.col("p_partkey") % 50).alias("l"),
+        ((F.col("p_partkey") * 7) % 60).alias("t"),
+        (F.col("p_partkey") % 50 + 20).alias("r"),
+        ((F.col("p_partkey") * 7) % 60 + 15).alias("btm"),
+    )
+    a = b.alias("a")
+    c = b.select(
+        (F.col("id") - 1).alias("id"),
+        F.col("l").alias("l2"), F.col("t").alias("t2"),
+        F.col("r").alias("r2"), F.col("btm").alias("b2"),
+    ).alias("c")
+    j = a.join(c, "id")
+    ow = F.greatest(
+        F.least(F.col("r"), F.col("r2")) - F.greatest(F.col("l"), F.col("l2")),
+        F.lit(0),
+    )
+    oh = F.greatest(
+        F.least(F.col("btm"), F.col("b2")) - F.greatest(F.col("t"), F.col("t2")),
+        F.lit(0),
+    )
+    return j.select(
+        "id",
+        (ow * oh).cast("long").alias("overlap_area"),
+        (
+            (F.col("r") - F.col("l")) * (F.col("btm") - F.col("t"))
+            + (F.col("r2") - F.col("l2")) * (F.col("b2") - F.col("t2"))
+            - ow * oh
+        ).cast("long").alias("union_area"),
+    )
+
+
+ORACLE_BOX_GEOMETRY = """
+WITH b AS (
+  SELECT p_partkey AS id, p_partkey % 50 AS l, (p_partkey * 7) % 60 AS t,
+         p_partkey % 50 + 20 AS r, (p_partkey * 7) % 60 + 15 AS btm
+  FROM part
+)
+SELECT a.id,
+  CAST(greatest(least(a.r, c.r) - greatest(a.l, c.l), 0) *
+       greatest(least(a.btm, c.btm) - greatest(a.t, c.t), 0) AS BIGINT)
+    AS overlap_area,
+  CAST((a.r - a.l) * (a.btm - a.t) + (c.r - c.l) * (c.btm - c.t) -
+       greatest(least(a.r, c.r) - greatest(a.l, c.l), 0) *
+       greatest(least(a.btm, c.btm) - greatest(a.t, c.t), 0) AS BIGINT)
+    AS union_area
+FROM b a JOIN b c ON c.id = a.id + 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "ocr_extract": (q_ocr_extract, ORACLE_OCR_EXTRACT),
+    "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
+    "blob_grading": (q_blob_grading, ORACLE_BLOB_GRADING),
+    "grid_join": (q_grid_join, ORACLE_GRID_JOIN),
+    "range_join": (q_range_join, ORACLE_RANGE_JOIN),
+    "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE_STATS),
+    "mode_agg": (q_mode_agg, ORACLE_MODE_AGG),
+    "rollup_counts": (q_rollup_counts, ORACLE_ROLLUP_COUNTS),
+    "osd_vote": (q_osd_vote, ORACLE_OSD_VOTE),
+    "reading_order": (q_reading_order, ORACLE_READING_ORDER),
+    "gap_stats": (q_gap_stats, ORACLE_GAP_STATS),
+    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_PER_GROUP),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH_PAIRS),
+    "jaccard_neighbors": (q_jaccard_neighbors, ORACLE_JACCARD_NEIGHBORS),
+    "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
+    "ann_lsh_bucket": (q_ann_lsh_bucket, ORACLE_ANN_LSH_BUCKET),
+    "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
+    "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
+    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "nation_revenue": (q_nation_revenue, ORACLE_NATION_REVENUE),
+    "box_geometry": (q_box_geometry, ORACLE_BOX_GEOMETRY),
+}
