@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``    — flagship OCR extraction on sf0.001 (smoke check).
+- ``queries()``       — one entry per implemented operator (SURVEY.md §2):
+                        the OCR pipeline queries plus relational/training-
+                        pipeline operator analogues, all over the sandbox
+                        parquet tables.
+- ``oracle_sql()``    — matching DuckDB SQL per query (the correctness
+                        oracle); every registry entry has one.
 """
 
 from __future__ import annotations
@@ -13,26 +15,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tesseract_spark.queries import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive the interleaved text+media corpus from sf0.001
+    documents, render media spans, run the full OCR pipeline (Otsu -> CC ->
+    deskew -> layout -> template-net + CTC beam decode), stitch ordered
+    spans.  Returns the flat span DataFrame."""
+    from tesseract_spark.derived import ocr_flagship
+
+    return ocr_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for every query (same column names)."""
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

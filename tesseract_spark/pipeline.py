@@ -145,7 +145,10 @@ def ocr_documents(
     n_words, wall_ms, partition_id) in reading order per document.
     """
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 4
+        import os
+
+        env = int(os.environ.get("SPARK_GRAFT_PARTITIONS", "0"))
+        num_partitions = env or spark.sparkContext.defaultParallelism * 4
     exploded = docs.select(
         "doc_id", F.posexplode("spans").alias("pos", "span")
     ).select(

@@ -410,11 +410,17 @@ FROM documents GROUP BY 1
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 permutations via seeded md5 over unigram
-    shingles) — the shingle->minhash step of MinHash-LSH dedup."""
+    """MinHash signatures (8 permutations via seeded md5 over 3-word
+    sequence shingles) — the shingle->minhash step of MinHash-LSH dedup.
+    Sequence shingles keep random-text Jaccard (and therefore LSH candidate
+    volume) near zero, so the bucket join stays linear at corpus scale."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
+        ).alias("toks"),
     )
     cols = [
         F.array_min(
@@ -428,7 +434,14 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MINHASH_SIGNATURES = """
 SELECT doc_id,
   {cols}
-FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+FROM (
+  SELECT doc_id,
+    list_distinct(
+      list_transform(generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+                     i -> array_to_string(
+                            list_slice(string_split(text, ' '), i + 1, i + 3), ' ')))
+      AS toks
+  FROM documents)
 """.format(
     cols=",\n  ".join(
         f"list_min(list_transform(toks, t -> md5('p{p}:' || t))) AS mh{p}"
