@@ -59,6 +59,12 @@ def _beam_width(prefix_len: int) -> int:
     return K_BEAM_WIDTHS[min(prefix_len, len(K_BEAM_WIDTHS) - 1)]
 
 
+# nats; with the top-1 guard of -0.2, a dict flip needs an alternate path
+# within 2.25*0.2 + 0.085 ≈ 0.535 nats — 2.0 is far above, and just below
+# the template net's exact spike-vs-blank gap of ALPHA*(1-BLANK_SCORE)=2.4
+FAST_PATH_MARGIN = 2.0
+
+
 def ctc_beam_decode(
     log_probs: np.ndarray,
     charset: str,
@@ -70,8 +76,24 @@ def ctc_beam_decode(
 
     Returns (text, words, mean_certainty). ``space_code`` delimits words for
     DAWG probing; DAWG chars map by charset position.
+
+    Fast path: when every timestep's top-1/top-2 log-prob margin exceeds
+    FAST_PATH_MARGIN, the greedy path provably equals the beam result —
+    any deviating path loses >= margin in certainty, and dict rescoring
+    cannot flip it either because kDictRatio·cert + kCertOffset >
+    -FAST_PATH_MARGIN for near-zero best certainties.  The full dual-beam
+    search runs only on genuinely ambiguous sequences (the page-level
+    short-circuit idea of baseapi.cpp:770-773 applied to decoding).
     """
     T, C = log_probs.shape
+    if T == 0:
+        return "", [], 0.0
+    part = np.partition(log_probs, C - 2, axis=1)
+    margins = part[:, -1] - part[:, -2]
+    # margin guard + near-certain top-1 guard (so kDictRatio scaling of the
+    # best certainty can never reach an alternate path's certainty)
+    if float(margins.min()) >= FAST_PATH_MARGIN and float(part[:, -1].min()) >= -0.2:
+        return _greedy_with_words(log_probs, charset, blank, space_code, dawg)
     beams: dict[tuple, BeamEntry] = {((), -1, 0, True): BeamEntry()}
     for t in range(T):
         row = log_probs[t]
@@ -233,6 +255,38 @@ def _extract_words(
             cur_lp.append(lp)
     flush()
     return words
+
+
+def _greedy_with_words(
+    log_probs: np.ndarray,
+    charset: str,
+    blank: int,
+    space_code: int | None,
+    dawg: Dawg | None,
+) -> tuple[str, list[DecodedWord], float]:
+    """Best-path decode with word extraction — the unambiguous fast path."""
+    ids = np.argmax(log_probs, axis=1)
+    top_lp = log_probs[np.arange(len(ids)), ids]
+    prefix: list[int] = []
+    positions: list[int] = []
+    char_lp: list[float] = []
+    prev = -1
+    for t, c in enumerate(ids):
+        c = int(c)
+        if c != blank and c != prev:
+            prefix.append(c)
+            positions.append(t)
+            char_lp.append(float(top_lp[t]))
+        prev = c
+    best = BeamEntry(
+        prefix=tuple(prefix),
+        positions=tuple(positions),
+        char_log_p=tuple(char_lp),
+    )
+    text = "".join(charset[c] for c in prefix)
+    words = _extract_words(best, charset, space_code, dawg)
+    mean_cert = float(np.mean(char_lp)) if char_lp else 0.0
+    return text, words, mean_cert
 
 
 def greedy_decode(log_probs: np.ndarray, charset: str, blank: int) -> str:

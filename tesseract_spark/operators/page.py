@@ -105,23 +105,17 @@ def _grade_blobs(stats: np.ndarray) -> np.ndarray:
     return grade
 
 
-def estimate_skew(text_mask: np.ndarray) -> float:
-    """Quantized shear slope maximizing ink-envelope alignment.
+def estimate_skew(stats: np.ndarray) -> float:
+    """Quantized shear slope maximizing blob top/bottom alignment.
 
-    Per-column bottom-envelope projection search over SKEW_GRID: for each
-    candidate slope, shear-correct the bottom-most ink y of every ink
-    column and score histogram concentration Σh².  The true slope collapses
-    the (baseline-dominated) envelope to its unsheared shape; any residual
-    ramp spreads it.  (compute_page_skew, makerow.cpp:310-420, re-expressed
-    as a dense projection grid search — every ink column votes, so even a
-    three-glyph page resolves the slope.)
+    Histogram-concentration (Σh²) grid search over SKEW_GRID on shear-
+    corrected blob bottoms AND tops (both are baseline-/x-height-aligned;
+    using both disambiguates descender-heavy rows and tiny pages).
+    compute_page_skew, makerow.cpp:310-420, as a quantized grid search.
+    Takes the component stats array directly (no relabeling pass).
     """
-    labels, n = label_components(text_mask)
-    if n == 0:
-        return 0.0
-    stats = component_stats(labels, n)
     stats = stats[stats[:, 4] >= 3]  # specks stay in the mask but don't vote
-    if len(stats) == 0:
+    if len(stats) < 2:
         return 0.0
     cx = (stats[:, 0] + stats[:, 2]) / 2.0
     bottoms = stats[:, 3].astype(np.float64)
@@ -145,20 +139,24 @@ def estimate_skew(text_mask: np.ndarray) -> float:
 
 
 def unshear(mask: np.ndarray, slope: float) -> np.ndarray:
-    """Exactly invert a render-time column shear y' = y + round(slope*x)."""
+    """Exactly invert a render-time column shear y' = y + round(slope*x).
+
+    Columns sharing a shift value move together (one slice copy per distinct
+    shift — at most |slope|*W+1 of them — instead of a per-column loop).
+    """
     if slope == 0.0:
         return mask
     h, w = mask.shape
     shifts = np.round(slope * np.arange(w)).astype(np.int64)
     out = np.zeros_like(mask)
-    for x in range(w):
-        s = shifts[x]
+    for s in np.unique(shifts):
+        cols = shifts == s
         if s == 0:
-            out[:, x] = mask[:, x]
+            out[:, cols] = mask[:, cols]
         elif s > 0:
-            out[: h - s, x] = mask[s:, x]
+            out[: h - s, cols] = mask[s:, cols]
         else:
-            out[-s:, x] = mask[: h + s, x]
+            out[-s:, cols] = mask[: h + s, cols]
     return out
 
 
@@ -348,16 +346,19 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
     # noise filtering must wait — reference order: Deskew tabfind.cpp:1287
     # precedes final grading), then unshear and re-extract.
     keep_idx = np.flatnonzero((grade == 0) | (grade == 1))
-    text_mask = np.isin(labels, keep_idx + 1)
-    skew = estimate_skew(text_mask)
+    skew = estimate_skew(stats[keep_idx])
     res.skew = skew
     if skew != 0.0:
+        text_mask = np.isin(labels, keep_idx + 1)
         text_mask = unshear(text_mask, skew)
-    labels, n = label_components(text_mask)
-    stats = component_stats(labels, n)
-    grade = _grade_blobs(stats)
-    text_idx = np.flatnonzero(grade == 0)
-    if len(text_idx) < n:  # drop re-graded noise pixels from the strips
+        labels, n = label_components(text_mask)
+        stats = component_stats(labels, n)
+        grade = _grade_blobs(stats)
+        text_idx = np.flatnonzero(grade == 0)
+        if len(text_idx) < n:  # drop re-graded noise pixels from the strips
+            text_mask = np.isin(labels, text_idx + 1)
+    else:
+        # no shear: reuse the original labeling, keep text blobs only
         text_mask = np.isin(labels, text_idx + 1)
     tstats = stats[text_idx]
 

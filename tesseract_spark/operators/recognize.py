@@ -31,6 +31,23 @@ class SubSpan:
     n_words: int
 
 
+@dataclass
+class WordRec:
+    """One recognized word with its page-coordinate box — the unit of the
+    TSV/hOCR/ALTO sinks (GetTSVText level 5, baseapi.cpp:1353-1496)."""
+
+    block_num: int
+    par_num: int
+    line_num: int
+    word_num: int
+    left: int
+    top: int
+    width: int
+    height: int
+    conf: float
+    text: str
+
+
 def recognize_page(
     gray: np.ndarray,
     dpi: int = 300,
@@ -38,6 +55,18 @@ def recognize_page(
     net: TemplateNet | None = None,
 ) -> tuple[list[SubSpan], PageResult]:
     """Full single-page OCR: returns reading-ordered sub-spans + layout."""
+    spans, _words, layout = recognize_page_detail(gray, dpi, dawg, net)
+    return spans, layout
+
+
+def recognize_page_detail(
+    gray: np.ndarray,
+    dpi: int = 300,
+    dawg: Dawg | None = None,
+    net: TemplateNet | None = None,
+) -> tuple[list[SubSpan], list[WordRec], PageResult]:
+    """Like recognize_page but also returns per-word records with page
+    boxes for the TSV/hOCR/ALTO sinks."""
     net = net or get_net()
     layout = analyze_page(gray, dpi)
     # span reading order (resultiterator walk): single-column pages
@@ -46,6 +75,7 @@ def recognize_page(
     # block-order semantics).
     multi_col = sum(1 for g in layout.regions if g.kind == "text") > 1
     keyed: list[tuple[tuple, SubSpan]] = []
+    word_recs: list[WordRec] = []
     for ri, region in enumerate(layout.regions):
         if region.kind != "text":
             y = region.bbox[1]
@@ -55,6 +85,7 @@ def recognize_page(
         row_texts: list[str] = []
         row_confs: list[float] = []
         row_words: list[int] = []
+        row_decoded: list[list] = []
         for row in region.rows:
             # space threshold in canonical (descaled) pixels
             space_canon = max(2, row.space_px // max(1, row.scale) - 1)
@@ -64,10 +95,11 @@ def recognize_page(
             )
             row_texts.append(text)
             row_words.append(len(words))
+            row_decoded.append(words)
             row_confs.append(
                 float(np.mean([w.confidence for w in words])) if words else 0.0
             )
-        for group in region.paragraphs:
+        for pi, group in enumerate(region.paragraphs):
             texts = [row_texts[i] for i in group]
             confs = [row_confs[i] for i in group if row_words[i] > 0]
             para_y = region.rows[group[0]].bbox[1]
@@ -84,5 +116,30 @@ def recognize_page(
                     ),
                 )
             )
+            # word records (TSV level-5 rows): pair decode output with the
+            # layout's gap-stats word boxes (counts agree when the decoder's
+            # space segmentation matches to_spacing; fall back to row bbox).
+            for li, i in enumerate(group):
+                row = region.rows[i]
+                boxes = row.word_boxes
+                for wi, w in enumerate(row_decoded[i]):
+                    if wi < len(boxes) and len(boxes) == len(row_decoded[i]):
+                        l, t, r, b = boxes[wi]
+                    else:
+                        l, t, r, b = row.bbox
+                    word_recs.append(
+                        WordRec(
+                            block_num=ri + 1,
+                            par_num=pi + 1,
+                            line_num=li + 1,
+                            word_num=wi + 1,
+                            left=int(l),
+                            top=int(t),
+                            width=int(r - l),
+                            height=int(b - t),
+                            conf=round(float(w.confidence), 2),
+                            text=w.text,
+                        )
+                    )
     keyed.sort(key=lambda kv: kv[0])
-    return [s for _k, s in keyed], layout
+    return [s for _k, s in keyed], word_recs, layout

@@ -66,12 +66,14 @@ def test_metrics_cover_partitions(result):
     assert parts.count() >= 1
 
 
-def test_plan_has_range_partitioning_and_no_text_shuffle(spark, corpus):
+def test_plan_has_salted_exchange_and_pruned_scan(spark, corpus):
     docs = spark.read.parquet(corpus["documents"])
     media = spark.read.parquet(corpus["media"])
     flat = ocr_documents(spark, docs, media, num_partitions=8)
     plan = flat._jdf.queryExecution().executedPlan().toString().lower()
-    assert "rangepartitioning(size_bucket" in plan  # cost-balanced exchange
+    # explicit single-pass salted hash exchange feeding the OCR stage
+    assert "hashpartitioning(media_ref" in plan
+    assert "repartition_by_num" in plan
     assert "mapinpandas" in plan
     # column pruning reaches the media scan: png/dpi only, not width/height
     assert "readschema: struct<media_ref:string,png:binary,dpi:int>" in plan

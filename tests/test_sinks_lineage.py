@@ -1,0 +1,102 @@
+"""Sinks (text/TSV/hOCR/ALTO) + lineage/checkpoint-resume tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesseract_spark.operators.sinks import (
+    ocr_words,
+    to_alto,
+    to_hocr,
+    to_text,
+    to_tsv,
+)
+from tesseract_spark.pipeline import ocr_documents
+from tesseract_spark.sources.lineage import lineage_of, run_with_resume
+
+
+@pytest.fixture(scope="module")
+def dfs(spark, corpus):
+    docs = spark.read.parquet(corpus["documents"])
+    media = spark.read.parquet(corpus["media"])
+    return docs, media
+
+
+@pytest.fixture(scope="module")
+def words(spark, dfs):
+    docs, media = dfs
+    return ocr_words(spark, docs, media).cache()
+
+
+def test_words_have_valid_boxes(words):
+    bad = words.filter(
+        (F.col("width") <= 0) | (F.col("height") <= 0)
+        | (F.col("conf") < 0) | (F.col("conf") > 100) | (F.col("text") == "")
+    )
+    assert words.count() > 0 and bad.count() == 0
+
+
+def test_tsv_levels(words):
+    tsv = to_tsv(words)
+    levels = {r.level for r in tsv.select("level").distinct().collect()}
+    assert levels == {1, 2, 3, 4, 5}
+    row = tsv.filter(F.col("level") == 5).first()
+    assert len(row.tsv.split("\t")) == 12
+
+
+def test_hocr_structure(words):
+    # baseapi_test.cc:122-158 analogue: structural substrings present
+    h = to_hocr(words).first().hocr
+    for marker in ("ocr_page", "ocr_carea", "ocr_par", "ocr_line",
+                   "ocrx_word", "x_wconf", "bbox "):
+        assert marker in h
+
+
+def test_alto_structure(words):
+    a = to_alto(words).first().alto
+    for marker in ("<alto>", "<TextBlock>", "<TextLine>", "<String ", "CONTENT="):
+        assert marker in a
+
+
+def test_to_text_assembles_paragraphs(spark, dfs):
+    docs, media = dfs
+    flat = ocr_documents(spark, docs, media, num_partitions=8)
+    txt = to_text(flat)
+    assert txt.count() > 0
+    assert txt.filter(F.length("text") > 0).count() > 0
+
+
+def test_lineage_metrics(spark, dfs):
+    docs, media = dfs
+    flat = ocr_documents(spark, docs.limit(10), media, num_partitions=4)
+    lin = lineage_of(flat, "run-test").toPandas()
+    assert (lin["status"] == "complete").all()
+    assert (lin["chars_per_sec"] > 0).all()
+    hist_cols = [c for c in lin.columns if c.startswith("conf_")]
+    assert len(hist_cols) == 10
+    # histogram counts spans with words; every bucketed span is counted once
+    assert lin[hist_cols].to_numpy().sum() <= lin["n_spans"].sum()
+
+
+def test_checkpoint_resume(spark, dfs, tmp_path):
+    docs, media = dfs
+    results = str(tmp_path / "results")
+    lineage = str(tmp_path / "lineage")
+    has_media = docs.filter(
+        F.size(F.filter("spans", lambda s: s["kind"] == "media")) > 0
+    )
+    sub = has_media.limit(12).cache()
+    first = run_with_resume(
+        spark, sub.limit(5), media, results, lineage, "run-1", num_partitions=4
+    )
+    assert first["processed"] == 5 and first["skipped"] == 0
+    second = run_with_resume(
+        spark, sub, media, results, lineage, "run-2", num_partitions=4
+    )
+    assert second["skipped"] == 5 and second["processed"] == 7
+    out = spark.read.parquet(results)
+    assert out.select("doc_id").distinct().count() == 12
+    lin = spark.read.parquet(lineage)
+    assert {r.run_id for r in lin.select("run_id").distinct().collect()} == {
+        "run-1",
+        "run-2",
+    }
