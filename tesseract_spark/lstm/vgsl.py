@@ -1,0 +1,271 @@
+"""VGSL network-spec parser + batched numpy forward pass.
+
+Re-expresses the reference's trainable network stack on float32 BLAS:
+
+- VGSL spec grammar: ``src/training/common/networkbuilder.h:52-123`` —
+  e.g. ``[1,36,0,1 Ct5,5,16 Mp3,3 Lfys64 Lfx96 Lrx96 Lfx512 O1c105]``.
+- Layers: convolution (``src/lstm/convolve.cpp`` + weightmatrix), maxpool
+  (``src/lstm/maxpool.cpp``), LSTM forward/reversed/summarizing
+  (``src/lstm/lstm.cpp:291`` — peephole-free CIFG=off variant), fully
+  connected + softmax (``src/lstm/fullyconnected.cpp:129-230``).
+- int8 SIMD kernels (``src/arch/intsimdmatrix*.cpp``) are replaced by
+  batched float32 matmuls — the idiomatic-Spark answer to the reference's
+  hand-written vectorization (SURVEY §4).
+- Variable-width line batching follows the StrideMap design
+  (``src/lstm/stridemap.cpp:1-187``): bucket by width, pad to the bucket
+  max, mask the tail.
+
+Weights are deterministic (seeded Glorot) — the sandbox has no traineddata;
+the loader interface accepts explicit weight dicts so real weights can be
+plugged in where available.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _glorot(rng: np.random.Generator, shape: tuple[int, ...]) -> np.ndarray:
+    fan_in = int(np.prod(shape[1:])) or 1
+    limit = np.sqrt(6.0 / (fan_in + shape[0]))
+    return rng.uniform(-limit, limit, shape).astype(np.float32)
+
+
+@dataclass
+class Layer:
+    kind: str
+    params: dict = field(default_factory=dict)
+    weights: dict = field(default_factory=dict)
+
+    def out_depth(self, in_depth: int) -> int:
+        if self.kind == "conv":
+            return self.params["filters"]
+        if self.kind in ("lstm_x", "lstm_y_summary"):
+            return self.params["units"] * (2 if self.params["bidi"] else 1)
+        if self.kind == "output":
+            return self.params["classes"]
+        return in_depth
+
+
+class VGSLNetwork:
+    """Parsed VGSL stack with a batched forward pass.
+
+    forward() consumes [N, H, W, 1] float32 line tensors (N lines padded to
+    a common width) and returns per-timestep class log-probs [N, W', C].
+    """
+
+    def __init__(self, spec: str, seed: int = 42):
+        self.spec = spec
+        self.layers: list[Layer] = []
+        rng = np.random.default_rng(seed)
+        m = re.match(r"\[(\d+),(\d+),(\d+),(\d+)\s+(.*)\]$", spec.strip())
+        if not m:
+            raise ValueError(f"bad VGSL spec: {spec!r}")
+        self.batch, self.height, self.width, self.depth = (
+            int(m.group(i)) for i in range(1, 5)
+        )
+        depth = self.depth
+        height = self.height
+        for tok in m.group(5).split():
+            if tok.startswith("Ct") or tok.startswith("Cr"):
+                ky, kx, nf = (int(v) for v in re.findall(r"\d+", tok)[:3])
+                w = _glorot(rng, (nf, ky * kx * depth))
+                b = np.zeros(nf, dtype=np.float32)
+                self.layers.append(
+                    Layer(
+                        "conv",
+                        {"ky": ky, "kx": kx, "filters": nf,
+                         "act": "tanh" if tok[1] == "t" else "relu"},
+                        {"w": w, "b": b},
+                    )
+                )
+                depth = nf
+            elif tok.startswith("Mp"):
+                ky, kx = (int(v) for v in re.findall(r"\d+", tok)[:2])
+                self.layers.append(Layer("maxpool", {"ky": ky, "kx": kx}))
+                height = max(1, height // ky)
+            elif tok.startswith("Lfys") or tok.startswith("Lrys"):
+                units = int(re.findall(r"\d+", tok)[0])
+                self.layers.append(
+                    Layer(
+                        "lstm_y_summary",
+                        {"units": units, "bidi": False,
+                         "reverse": tok.startswith("Lr")},
+                        _lstm_weights(rng, height * depth, units),
+                    )
+                )
+                depth = units
+                height = 1
+            elif tok.startswith(("Lfx", "Lrx", "Lbx")):
+                units = int(re.findall(r"\d+", tok)[0])
+                bidi = tok.startswith("Lbx")
+                wts = _lstm_weights(rng, height * depth, units)
+                if bidi:
+                    wts.update(
+                        {f"r_{k}": v.copy() for k, v in
+                         _lstm_weights(rng, height * depth, units).items()}
+                    )
+                self.layers.append(
+                    Layer(
+                        "lstm_x",
+                        {"units": units, "bidi": bidi,
+                         "reverse": tok.startswith("Lrx")},
+                        wts,
+                    )
+                )
+                depth = units * (2 if bidi else 1)
+                height = 1
+            elif tok.startswith("O1c"):
+                classes = int(tok[3:])
+                self.layers.append(
+                    Layer(
+                        "output",
+                        {"classes": classes},
+                        {"w": _glorot(rng, (classes, height * depth)),
+                         "b": np.zeros(classes, dtype=np.float32)},
+                    )
+                )
+                depth = classes
+            else:
+                raise ValueError(f"unsupported VGSL token: {tok!r}")
+        self.n_classes = depth
+
+    def load_weights(self, weights: dict[int, dict[str, np.ndarray]]) -> None:
+        """Plug in externally trained weights: {layer_idx: {name: array}}."""
+        for i, wd in weights.items():
+            for k, v in wd.items():
+                expect = self.layers[i].weights[k].shape
+                if v.shape != expect:
+                    raise ValueError(f"layer {i} weight {k}: {v.shape} != {expect}")
+                self.layers[i].weights[k] = v.astype(np.float32)
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        """[N, H, W, D] -> log-softmax [N, W', C] (batched, BLAS-backed)."""
+        for layer in self.layers:
+            if layer.kind == "conv":
+                x = _conv(x, layer)
+            elif layer.kind == "maxpool":
+                x = _maxpool(x, layer)
+            elif layer.kind == "lstm_y_summary":
+                x = _lstm_over_x(_collapse_height(x), layer)  # summarized H
+            elif layer.kind == "lstm_x":
+                x = _lstm_over_x(_collapse_height(x), layer)
+            elif layer.kind == "output":
+                w, b = layer.weights["w"], layer.weights["b"]
+                seq = _collapse_height(x)[:, 0]  # [N, W, D]
+                logits = seq @ w.T + b
+                mx = logits.max(-1, keepdims=True)
+                e = np.exp(logits - mx)
+                x = (logits - mx) - np.log(e.sum(-1, keepdims=True))
+                return x
+        raise ValueError("spec has no output layer")
+
+
+def _lstm_weights(rng: np.random.Generator, d_in: int, units: int) -> dict:
+    return {
+        "wx": _glorot(rng, (4 * units, d_in)),
+        "wh": _glorot(rng, (4 * units, units)),
+        "b": np.zeros(4 * units, dtype=np.float32),
+    }
+
+
+def _collapse_height(x: np.ndarray) -> np.ndarray:
+    """[N, H, W, D] -> [N, 1, W, H*D] (x-major sequence view)."""
+    if x.shape[1] == 1:
+        return x
+    n, h, w, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(n, w, h * d)[:, None, :, :]
+
+
+def _conv(x: np.ndarray, layer: Layer) -> np.ndarray:
+    """Same-padded conv via im2col + one matmul (the fp32 BLAS analogue of
+    the reference's int8 SIMD matvec, weightmatrix.h:70-184)."""
+    n, h, w, d = x.shape
+    ky, kx = layer.params["ky"], layer.params["kx"]
+    py, px = ky // 2, kx // 2
+    xp = np.pad(x, ((0, 0), (py, ky - 1 - py), (px, kx - 1 - px), (0, 0)))
+    win = np.lib.stride_tricks.sliding_window_view(xp, (ky, kx), axis=(1, 2))
+    cols = win.transpose(0, 1, 2, 4, 5, 3).reshape(n * h * w, ky * kx * d)
+    out = cols @ layer.weights["w"].T + layer.weights["b"]
+    out = out.reshape(n, h, w, layer.params["filters"])
+    if layer.params["act"] == "tanh":
+        return np.tanh(out, dtype=np.float32)
+    return np.maximum(out, 0.0)
+
+
+def _maxpool(x: np.ndarray, layer: Layer) -> np.ndarray:
+    n, h, w, d = x.shape
+    ky, kx = layer.params["ky"], layer.params["kx"]
+    h2, w2 = h // ky, w // kx
+    x = x[:, : h2 * ky, : w2 * kx]
+    return x.reshape(n, h2, ky, w2, kx, d).max(axis=(2, 4))
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+def _lstm_dir(seq: np.ndarray, wts: dict, prefix: str = "") -> np.ndarray:
+    """Batched LSTM over the time axis: seq [N, T, D] -> [N, T, U].
+
+    The input projection for ALL timesteps is one big matmul; only the
+    recurrent h-term is sequential (lstm.cpp:291 semantics, no peepholes).
+    """
+    wx, wh, b = wts[prefix + "wx"], wts[prefix + "wh"], wts[prefix + "b"]
+    n, t, d = seq.shape
+    units = wh.shape[1]
+    gates_x = seq.reshape(n * t, d) @ wx.T
+    gates_x = gates_x.reshape(n, t, 4 * units) + b
+    h = np.zeros((n, units), dtype=np.float32)
+    c = np.zeros((n, units), dtype=np.float32)
+    out = np.empty((n, t, units), dtype=np.float32)
+    for step in range(t):
+        g = gates_x[:, step] + h @ wh.T
+        i = _sigmoid(g[:, :units])
+        f = _sigmoid(g[:, units : 2 * units])
+        o = _sigmoid(g[:, 2 * units : 3 * units])
+        u = np.tanh(g[:, 3 * units :])
+        c = f * c + i * u
+        h = o * np.tanh(c)
+        out[:, step] = h
+    return out
+
+
+def _lstm_over_x(x: np.ndarray, layer: Layer) -> np.ndarray:
+    n, h, w, d = x.shape
+    seq = x.reshape(n, w, h * d) if h == 1 else x.transpose(0, 2, 1, 3).reshape(n, w, h * d)
+    if layer.params.get("reverse"):
+        seq = seq[:, ::-1]
+    fwd = _lstm_dir(seq, layer.weights)
+    if layer.params.get("reverse"):
+        fwd = fwd[:, ::-1]
+    if layer.params["bidi"]:
+        bwd = _lstm_dir(seq[:, ::-1], layer.weights, prefix="r_")[:, ::-1]
+        fwd = np.concatenate([fwd, bwd], axis=-1)
+    return fwd[:, None, :, :]
+
+
+def bucket_by_width(
+    strips: list[np.ndarray], bucket_quantum: int = 32
+) -> list[tuple[list[int], np.ndarray]]:
+    """StrideMap-style width bucketing: group line strips into padded
+    batches (stridemap.cpp:1-187).  Returns [(orig_indices, tensor)] with
+    tensor [N, H, Wmax, 1] float32."""
+    buckets: dict[int, list[int]] = {}
+    for i, s in enumerate(strips):
+        key = -(-s.shape[1] // bucket_quantum)
+        buckets.setdefault(key, []).append(i)
+    out = []
+    for key in sorted(buckets):
+        idxs = buckets[key]
+        wmax = key * bucket_quantum
+        h = strips[idxs[0]].shape[0]
+        t = np.zeros((len(idxs), h, wmax, 1), dtype=np.float32)
+        for j, i in enumerate(idxs):
+            s = strips[i].astype(np.float32)
+            t[j, :, : s.shape[1], 0] = s
+        out.append((idxs, t))
+    return out
