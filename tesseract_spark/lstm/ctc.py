@@ -59,10 +59,7 @@ def _beam_width(prefix_len: int) -> int:
     return K_BEAM_WIDTHS[min(prefix_len, len(K_BEAM_WIDTHS) - 1)]
 
 
-# nats; with the top-1 guard of -0.2, a dict flip needs an alternate path
-# within 2.25*0.2 + 0.085 ≈ 0.535 nats — 2.0 is far above, and just below
-# the template net's exact spike-vs-blank gap of ALPHA*(1-BLANK_SCORE)=2.4
-FAST_PATH_MARGIN = 2.0
+TIE_EPS = 1e-3  # below this top-1/top-2 margin, treat a step as a tie
 
 
 def ctc_beam_decode(
@@ -77,23 +74,36 @@ def ctc_beam_decode(
     Returns (text, words, mean_certainty). ``space_code`` delimits words for
     DAWG probing; DAWG chars map by charset position.
 
-    Fast path: when every timestep's top-1/top-2 log-prob margin exceeds
-    FAST_PATH_MARGIN, the greedy path provably equals the beam result —
-    any deviating path loses >= margin in certainty, and dict rescoring
-    cannot flip it either because kDictRatio·cert + kCertOffset >
-    -FAST_PATH_MARGIN for near-zero best certainties.  The full dual-beam
-    search runs only on genuinely ambiguous sequences (the page-level
+    Fast path: because code transitions are unconstrained, the per-step
+    argmax path IS the global Viterbi optimum, so greedy equals the beam
+    result exactly whenever (a) no step is a near-tie, and (b) dict
+    rescoring cannot flip the outcome.  (b) holds when the greedy path is
+    already fully dict-valid, or when every alternate path is worse than
+    the flip criterion kDictRatio·|best_cert| + kCertOffset allows.  The
+    full dual-beam search runs only on genuinely ambiguous sequences (the
     short-circuit idea of baseapi.cpp:770-773 applied to decoding).
     """
     T, C = log_probs.shape
     if T == 0:
         return "", [], 0.0
     part = np.partition(log_probs, C - 2, axis=1)
-    margins = part[:, -1] - part[:, -2]
-    # margin guard + near-certain top-1 guard (so kDictRatio scaling of the
-    # best certainty can never reach an alternate path's certainty)
-    if float(margins.min()) >= FAST_PATH_MARGIN and float(part[:, -1].min()) >= -0.2:
-        return _greedy_with_words(log_probs, charset, blank, space_code, dawg)
+    min_margin = float((part[:, -1] - part[:, -2]).min())
+    if min_margin >= TIE_EPS:
+        if dawg is None:
+            return _greedy_with_words(log_probs, charset, blank, space_code, dawg)
+        # any deviating path pays >= min_margin at its deviation step, so
+        # its certainty is <= -min_margin; a dict flip needs certainty
+        # >= best_cert*kDictRatio + kCertOffset
+        best_cert = float(part[:, -1].min())
+        flip_threshold = best_cert * K_DICT_RATIO + K_CERT_OFFSET
+        if -min_margin < flip_threshold:
+            return _greedy_with_words(log_probs, charset, blank, space_code, dawg)
+        text, words, cert = _greedy_with_words(
+            log_probs, charset, blank, space_code, dawg
+        )
+        if all(w.dict_word for w in words):
+            return text, words, cert  # already dict-valid: no flip possible
+        # a rescoring flip is conceivable -> full dual-beam search
     beams: dict[tuple, BeamEntry] = {((), -1, 0, True): BeamEntry()}
     for t in range(T):
         row = log_probs[t]

@@ -47,34 +47,42 @@ class TemplateNet:
         for i, ch in enumerate(CHARSET):
             self.width_by_code[i] = self.widths[ch]
 
-    def match_scores(self, strip: np.ndarray) -> dict[int, np.ndarray]:
-        """Per-width match-fraction maps.
+    def match_scores(
+        self, strip: np.ndarray, cand_xs: np.ndarray | None = None
+    ) -> tuple[np.ndarray, dict[int, np.ndarray]]:
+        """Template match fractions at candidate start columns.
 
-        strip: bool [16, W].  Returns {width: frac [n_c_w, W]} where
-        frac[c, x] = fraction of pixels equal between template c and the
-        16×w window at x (1.0 = exact).  Computed as one matmul per width
-        group (im2col → BLAS).
+        strip: bool [16, W].  cand_xs: columns to evaluate (default: every
+        glyph-start candidate — an ink column whose left neighbour is
+        blank; every template has ink in its first column, so true starts
+        are always candidates).  Returns (cand_xs, {width: frac
+        [n_c_w, n_cand]}) with frac = fraction of equal pixels between
+        template and window (one matmul per width group — the batched
+        BLAS path replacing the reference's SIMD int8 kernels).
         """
         H, W = strip.shape
+        if cand_xs is None:
+            col_ink = strip.any(axis=0)
+            prev_blank = np.empty_like(col_ink)
+            prev_blank[0] = True
+            prev_blank[1:] = ~col_ink[:-1]
+            cand_xs = np.flatnonzero(col_ink & prev_blank)
         s = strip.astype(np.float32)
+        sp = np.pad(s, ((0, 0), (0, max(self.by_width) + 1)))  # right pad
         out: dict[int, np.ndarray] = {}
         for w, (idxs, filt) in self.by_width.items():
-            if W < w:
+            if len(cand_xs) == 0:
                 out[w] = np.zeros((len(idxs), 0), dtype=np.float32)
                 continue
-            # im2col: windows [W-w+1, 16*w]
-            wins = np.lib.stride_tricks.sliding_window_view(s, (H, w))[0]
-            wins = wins.reshape(wins.shape[0], -1)
-            # equal-pixel count = T·W + (1-T)·(1-W)
-            dot = filt @ wins.T  # [n_c, n_win]
+            cols = cand_xs[:, None] + np.arange(w)[None, :]
+            wins = sp[:, cols]  # [16, n_cand, w]
+            wins = wins.transpose(1, 0, 2).reshape(len(cand_xs), H * w)
+            dot = filt @ wins.T  # [n_c, n_cand]
             t_sum = filt.sum(axis=1, keepdims=True)
             w_sum = wins.sum(axis=1)[None, :]
             eq = 2.0 * dot - t_sum - w_sum + filt.shape[1]
-            frac = eq / filt.shape[1]
-            full = np.zeros((len(idxs), W), dtype=np.float32)
-            full[:, : frac.shape[1]] = frac
-            out[w] = full
-        return out
+            out[w] = eq / filt.shape[1]
+        return cand_xs, out
 
     def forward(
         self, strip: np.ndarray, space_px: int = WORD_GAP
@@ -87,35 +95,38 @@ class TemplateNet:
         """
         H, W = strip.shape
         assert H == CELL_H, f"strip must be {CELL_H} rows, got {H}"
-        scores = self.match_scores(strip)
-        # candidate starts: columns where some template matches >= BLANK_SCORE
-        best_frac = np.zeros(W, dtype=np.float32)
-        for w, (idxs, _f) in self.by_width.items():
-            if scores[w].size:
-                best_frac = np.maximum(best_frac, scores[w].max(axis=0))
+        cand_xs, scores = self.match_scores(strip)
         col_has_ink = strip.any(axis=0)
-        cand_cols = np.flatnonzero((best_frac >= BLANK_SCORE) & col_has_ink)
+        # keep candidates where some template matches >= BLANK_SCORE
+        if len(cand_xs):
+            best_frac = np.zeros(len(cand_xs), dtype=np.float32)
+            for w in self.by_width:
+                if scores[w].size:
+                    best_frac = np.maximum(best_frac, scores[w].max(axis=0))
+            keep = best_frac >= BLANK_SCORE
+        else:
+            keep = np.zeros(0, dtype=bool)
         # maximal-munch NMS: scan left-to-right, at each accepted column pick
         # the widest exact-scoring template and skip its extent.
         events: list[tuple[int, np.ndarray]] = []  # (col, class-frac vector)
         taken_until = -1
-        for x in cand_cols:
+        for ci in np.flatnonzero(keep):
+            x = int(cand_xs[ci])
             if x <= taken_until:
                 continue
             vec = np.zeros(self.n_classes, dtype=np.float32)
             best_w = 0
             for w, (idxs, _f) in self.by_width.items():
-                fr = scores[w][:, x] if scores[w].size else None
-                if fr is None:
+                if not scores[w].size:
                     continue
+                fr = scores[w][:, ci]
                 np.maximum.at(vec, idxs, fr)
-                exact = fr >= 0.999
-                if exact.any() and w > best_w:
+                if w > best_w and (fr >= 0.999).any():
                     best_w = w
             if best_w == 0:
                 best_w = int(self.width_by_code[int(np.argmax(vec[: len(CHARSET)]))])
-            events.append((int(x), vec))
-            taken_until = int(x) + best_w - 1
+            events.append((x, vec))
+            taken_until = x + best_w - 1
         # word gaps: runs of empty columns of length >= space_px between ink
         gap_cols: list[int] = []
         if col_has_ink.any():

@@ -348,18 +348,23 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
     keep_idx = np.flatnonzero((grade == 0) | (grade == 1))
     skew = estimate_skew(stats[keep_idx])
     res.skew = skew
+
+    def mask_of(lbl: np.ndarray, count: int, idx: np.ndarray) -> np.ndarray:
+        lut = np.zeros(count + 1, dtype=bool)
+        lut[idx + 1] = True
+        return lut[lbl]
+
     if skew != 0.0:
-        text_mask = np.isin(labels, keep_idx + 1)
-        text_mask = unshear(text_mask, skew)
+        text_mask = unshear(mask_of(labels, n, keep_idx), skew)
         labels, n = label_components(text_mask)
         stats = component_stats(labels, n)
         grade = _grade_blobs(stats)
         text_idx = np.flatnonzero(grade == 0)
         if len(text_idx) < n:  # drop re-graded noise pixels from the strips
-            text_mask = np.isin(labels, text_idx + 1)
+            text_mask = mask_of(labels, n, text_idx)
     else:
         # no shear: reuse the original labeling, keep text blobs only
-        text_mask = np.isin(labels, text_idx + 1)
+        text_mask = mask_of(labels, n, text_idx)
     tstats = stats[text_idx]
 
     # column blocks by gutter detection

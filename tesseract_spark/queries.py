@@ -451,28 +451,37 @@ FROM (
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: band hashes (4 bands x 2 rows) bucket
-    join -> near-duplicate candidates with estimated similarity."""
+    """MinHash-LSH candidate pairs: band hashes (4 bands x 2 rows) exploded
+    long-form, ONE self-equi-join on (band_idx, band_hash) -> near-duplicate
+    candidates with estimated similarity.  Single shuffle; the second join
+    side reuses the first side's exchange (ReusedExchange), instead of the
+    naive 4-join union that recomputes the signature scan 8 times."""
     sigs = q_minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(f"band{b}")
-            for b in range(4)
-        ],
         F.array(*[F.col(f"mh{p}") for p in range(8)]).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))
+                        ).alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.bh")
+    left = bands.select(
+        F.col("doc_id").alias("d1"), F.col("sig").alias("s1"), "band_idx", "bh"
     )
-    pairs = None
-    for b in range(4):
-        left = bands.select(
-            F.col("doc_id").alias("d1"), F.col(f"band{b}").alias("bh"), F.col("sig").alias("s1")
-        )
-        right = bands.select(
-            F.col("doc_id").alias("d2"), F.col(f"band{b}").alias("bh"), F.col("sig").alias("s2")
-        )
-        p = left.join(right, "bh").filter(F.col("d1") < F.col("d2"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    est = pairs.select(
+    right = bands.select(
+        F.col("doc_id").alias("d2"), F.col("sig").alias("s2"), "band_idx", "bh"
+    )
+    pairs = left.join(right, ["band_idx", "bh"]).filter(F.col("d1") < F.col("d2"))
+    return pairs.select(
         "d1",
         "d2",
         F.round(
@@ -482,7 +491,6 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("est_jaccard"),
     ).distinct()
-    return est
 
 
 ORACLE_MINHASH_LSH_PAIRS = """
@@ -905,6 +913,160 @@ FROM b a JOIN b c ON c.id = a.id + 1
 """
 
 
+def q_baseline_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares line fit (DetLineFit, src/ccstruct/detlinefit.cpp;
+    quadlsq.cpp): per-user slope/intercept of value over time via the ANSI
+    regression aggregates (the vectorized fit the baseline stage uses)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.lit(1700000000)).cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return pts.groupBy("user_id").agg(
+        F.round(F.expr("regr_slope(y, x)") * 1e6, 4).alias("slope_ppm"),
+        F.round(F.expr("regr_intercept(y, x)"), 2).alias("intercept"),
+        F.count("*").alias("n_pts"),
+    )
+
+
+ORACLE_BASELINE_FIT = """
+SELECT user_id,
+       round(regr_slope(y, x) * 1e6, 4) AS slope_ppm,
+       round(regr_intercept(y, x), 2) AS intercept,
+       count(*) AS n_pts
+FROM (
+  SELECT user_id, CAST(epoch(ts) - 1700000000 AS DOUBLE) AS x, value AS y
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: 16-bit sign-of-weighted-sum over the
+    first 4 hex digits of each token's md5 (near-dup dedup family)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    hexd = "0123456789abcdef"
+    # per token: 16 bits from 4 hex chars (4 bits each); vote +1/-1 per bit
+    bit_votes = []
+    for b in range(16):
+        ci, bi = b // 4 + 1, 3 - (b % 4)  # hex char index (1-based), bit in char
+        bit_votes.append(
+            F.expr(
+                f"aggregate(toks, 0L, (acc, t) -> acc + "
+                f"if(((instr('{hexd}', substring(md5(t), {ci}, 1)) - 1) div {2**bi}) % 2 = 1,"
+                f" 1L, -1L))"
+            ).alias(f"v{b}")
+        )
+    voted = toks.select("doc_id", *bit_votes)
+    sim = voted.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"v{b}") > 0, 2 ** (15 - b)).otherwise(0))
+            for b in range(16)
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+ORACLE_SIMHASH = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM t
+)
+SELECT doc_id,
+  CAST({recon} AS BIGINT) AS simhash
+FROM votes
+""".format(
+    votes=",\n    ".join(
+        f"list_sum(list_transform(toks, t -> CASE WHEN "
+        f"((strpos('0123456789abcdef', substring(md5(t), {b // 4 + 1}, 1)) - 1) "
+        f"// {2 ** (3 - (b % 4))}) % 2 = 1 THEN 1 ELSE -1 END)) AS v{b}"
+        for b in range(16)
+    ),
+    recon=" + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2 ** (15 - b)} ELSE 0 END)" for b in range(16)
+    ),
+)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the streaming session-window analogue,
+    SURVEY §2.9, in batch form): a new session starts after a >30-minute
+    silence; emits per-session bounds + event counts."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            > 1800
+        ).cast("int"),
+    ).withColumn(
+        "sess_id",
+        F.sum(F.coalesce("new_sess", F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return marked.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").cast("string").alias("sess_start"),
+        F.max("ts").cast("string").alias("sess_end"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN date_diff('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM m
+)
+SELECT user_id, sess_id, count(*) AS n_events,
+       CAST(min(ts) AS VARCHAR) AS sess_start,
+       CAST(max(ts) AS VARCHAR) AS sess_end
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-width histogram -> canonical widths (ComputeColumnWidths,
+    src/textord/tabfind.cpp:966-1080): bucketed width histogram of the
+    synthetic part boxes with peak flag."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    widths = part.select(((F.col("p_partkey") % 37) + 5).alias("w"))
+    hist = widths.groupBy(
+        F.floor(F.col("w") / 8).cast("int").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    total = hist.select(F.max("n").alias("mx"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "bucket", "n", (F.col("n") == F.col("mx")).alias("is_peak")
+    )
+
+
+ORACLE_WIDTH_HISTOGRAM = """
+WITH h AS (
+  SELECT CAST(((p_partkey % 37) + 5) // 8 AS INT) AS bucket, count(*) AS n
+  FROM part GROUP BY 1
+)
+SELECT bucket, n, n = (SELECT max(n) FROM h) AS is_peak FROM h
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -935,4 +1097,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "nation_revenue": (q_nation_revenue, ORACLE_NATION_REVENUE),
     "box_geometry": (q_box_geometry, ORACLE_BOX_GEOMETRY),
+    "baseline_fit": (q_baseline_fit, ORACLE_BASELINE_FIT),
+    "simhash": (q_simhash, ORACLE_SIMHASH),
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "width_histogram": (q_width_histogram, ORACLE_WIDTH_HISTOGRAM),
 }
