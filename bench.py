@@ -54,6 +54,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from tesseract_spark.queries import REGISTRY
 
+    # untimed warmup: spin up every python worker and import the engine so
+    # the first timed query doesn't absorb worker startup
+    import pandas as pd_mod
+
+    def _warm(batches):
+        import tesseract_spark.operators.recognize  # noqa: F401
+        from tesseract_spark.lstm.templates import get_net
+
+        get_net()
+        for b in batches:
+            yield pd_mod.DataFrame({"x": [len(b)]})
+
+    (
+        spark.range(cpus * 8)
+        .repartition(cpus * 4)
+        .mapInPandas(_warm, schema="x long")
+        .count()
+    )
+
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

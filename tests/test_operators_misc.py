@@ -1,0 +1,62 @@
+"""Diacritic reattachment, bidi reading order, orientation detection."""
+
+import numpy as np
+import pytest
+
+from tesseract_spark.functions.compose import PageSpec, compose_page
+from tesseract_spark.operators.bidi import resolve_directions, textline_order
+from tesseract_spark.operators.diacritics import assign_diacritics
+from tesseract_spark.operators.osd import detect_orientation
+
+
+def test_diacritics_attach_to_overlapping_word():
+    words = np.array([[10, 20, 50, 36], [60, 20, 100, 36]])
+    noise = np.array(
+        [
+            [30, 14, 33, 17],  # above word 0, gap 3 -> attach 0
+            [70, 38, 72, 40],  # below word 1, gap 2 -> attach 1
+            [30, 5, 33, 8],  # gap 12 -> too far
+            [105, 20, 108, 24],  # no horizontal overlap
+        ]
+    )
+    got = assign_diacritics(noise, words, max_gap=6)
+    assert got.tolist() == [0, 1, -1, -1]
+
+
+def test_diacritics_tie_breaks_to_closest():
+    words = np.array([[10, 20, 50, 30], [10, 40, 50, 50]])
+    dot = np.array([[20, 32, 23, 35]])  # gap 2 to word 0, gap 5 to word 1
+    assert assign_diacritics(dot, words).tolist() == [0]
+
+
+def test_bidi_ltr_paragraph_with_rtl_run():
+    # resultiterator.cpp:256-330 semantics: RTL run reversed in place
+    dirs = ["L", "L", "R", "R", "R", "L"]
+    assert textline_order(dirs, base_rtl=False) == [0, 1, 4, 3, 2, 5]
+
+
+def test_bidi_pure_rtl_line():
+    assert textline_order(["R", "R", "R"], base_rtl=True) == [2, 1, 0]
+
+
+def test_bidi_rtl_paragraph_with_ltr_embed():
+    dirs = ["R", "L", "L", "R"]
+    # rightmost run first: [3], then LTR embed in order [1,2], then [0]
+    assert textline_order(dirs, base_rtl=True) == [3, 1, 2, 0]
+
+
+def test_bidi_neutral_resolution():
+    assert resolve_directions(["L", "N", "L"], base_rtl=False) == ["L", "L", "L"]
+    assert resolve_directions(["R", "N", "L"], base_rtl=False) == ["R", "L", "L"]
+    assert resolve_directions(["N"], base_rtl=True) == ["R"]
+    assert textline_order([], base_rtl=False) == []
+
+
+@pytest.mark.parametrize("rot", [0, 90, 180, 270])
+def test_osd_detects_rotation(rot):
+    page = compose_page(
+        PageSpec(paragraphs=[["the quick brown fox", "jumps over the dog"]])
+    )
+    img = np.rot90(page.image, k=rot // 90)
+    best, scores = detect_orientation(img)
+    assert best == rot, scores
