@@ -2,9 +2,13 @@
 local[8] vs local[32]; efficiency E = T8 / (4 * T32).  Evidence for the
 north-rule two-cluster-size criterion in this single-node sandbox.
 
-Runs bench.py in subprocesses (one JVM each), pins the partition count to
->= 4x the larger core count for both runs, records per-run JSON plus the
-per-partition runtime histogram of the flagship, and writes BENCH.md.
+- bench.py runs in subprocesses (one JVM each), partition count pinned to
+  >= 4x the larger core count for both runs;
+- each level runs REPEATS times and keeps the per-query minimum (this VM
+  shows episodic CPU steal — /proc/stat steal jiffies — so single runs are
+  noisy);
+- a final pass records the flagship's per-partition compute histogram
+  (skew evidence) and writes SCALING.json + BENCH.md.
 """
 
 from __future__ import annotations
@@ -16,9 +20,10 @@ import sys
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PARTITIONS = "128"  # >= 4 x 32 cores, identical for both runs
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
 
 
-def run(cpus: int) -> dict:
+def run_once(cpus: int) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=SF_DIR,
@@ -39,16 +44,69 @@ def run(cpus: int) -> dict:
     return json.loads(line)
 
 
+def run(cpus: int) -> dict:
+    best = None
+    for _ in range(REPEATS):
+        r = run_once(cpus)
+        if best is None:
+            best = r
+        else:
+            for q, t in r["queries"].items():
+                best["queries"][q] = min(best["queries"][q], t)
+    best["value"] = round(sum(best["queries"].values()), 3)
+    best["docs_per_sec"] = round(best["n_docs"] / best["queries"]["ocr_extract"], 2)
+    return best
+
+
+def partition_histogram() -> dict:
+    """Per-partition OCR compute distribution at local[32] (skew evidence)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from tesseract_spark.derived import chunked, derive_corpus
+    from tesseract_spark.pipeline import ocr_documents
+
+    docs_spans, media = derive_corpus(spark, SF_DIR)
+    flat = ocr_documents(spark, docs_spans, media, num_partitions=int(PARTITIONS))
+    pp = (
+        flat.filter(F.col("partition_id") >= 0)
+        .groupBy("partition_id")
+        .agg(F.sum("wall_ms").alias("ms"), F.count("*").alias("n"))
+        .toPandas()
+    )
+    spark.stop()
+    q = pp["ms"].quantile
+    return {
+        "partitions": int(len(pp)),
+        "total_compute_core_s": round(float(pp["ms"].sum()) / 1000.0, 1),
+        "partition_ms_min": int(pp["ms"].min()),
+        "partition_ms_p50": int(q(0.5)),
+        "partition_ms_p90": int(q(0.9)),
+        "partition_ms_max": int(pp["ms"].max()),
+        "skew_max_over_p50": round(float(pp["ms"].max() / q(0.5)), 2),
+    }
+
+
 def main() -> None:
     r8 = run(8)
     r32 = run(32)
+    hist = partition_histogram()
     t8 = r8["queries"]["ocr_extract"]
     t32 = r32["queries"]["ocr_extract"]
     eff = t8 / (4.0 * t32)
-    tot_eff = r8["value"] / (4.0 * r32["value"])
     report = {
         "sf_dir": SF_DIR,
         "partitions": int(PARTITIONS),
+        "repeats_per_level": REPEATS,
         "run_local8": r8,
         "run_local32": r32,
         "flagship_T8_sec": t8,
@@ -56,7 +114,8 @@ def main() -> None:
         "flagship_docs_per_sec_8": r8["docs_per_sec"],
         "flagship_docs_per_sec_32": r32["docs_per_sec"],
         "scaling_efficiency_flagship": round(eff, 3),
-        "scaling_efficiency_total": round(tot_eff, 3),
+        "scaling_efficiency_total": round(r8["value"] / (4.0 * r32["value"]), 3),
+        "partition_histogram_local32": hist,
         "gate": "E >= 0.8",
         "gate_passed": eff >= 0.8,
     }

@@ -144,11 +144,34 @@ def ocr_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id bigint, offset int, kind, text, media_ref) — matched by
     the pure-SQL oracle in queries.py (ORACLE_OCR_EXTRACT).
-    """
-    from .pipeline import ocr_documents
 
-    docs_spans, media = derive_corpus(spark, sf_dir)
-    flat = ocr_documents(spark, docs_spans, media)
+    Uses the split-input pipeline core directly: text rows and media rows
+    come straight from chunked() instead of being assembled into spans
+    arrays and re-exploded (two shuffles of the small side saved); the
+    media join + salted repartition + stitch window are identical to the
+    documents-shaped path.
+    """
+    from .pipeline import ocr_from_parts
+
+    ch = chunked(spark, sf_dir).cache()
+    text_rows = ch.filter(F.col("kind") == "text").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("i").cast("int").alias("pos"),
+        F.col("chunk_text").alias("text"),
+    )
+    media_refs = ch.filter(F.col("kind") == "media").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("i").cast("int").alias("pos"),
+        F.concat(F.lit("m-"), F.col("doc_id"), F.lit("-"), F.col("i")).alias(
+            "media_ref"
+        ),
+    )
+    media = (
+        ch.filter(F.col("kind") == "media")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_render_udf, schema=MEDIA_SCHEMA)
+    )
+    flat = ocr_from_parts(spark, text_rows, media_refs, media)
     return flat.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("offset").cast("int").alias("offset"),

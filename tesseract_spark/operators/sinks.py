@@ -202,6 +202,108 @@ def to_hocr(words: DataFrame) -> DataFrame:
     )
 
 
+def to_page_xml(words: DataFrame) -> DataFrame:
+    """PRImA PAGE XML (pagerenderer.cpp:628-710): TextRegion/TextLine/Word
+    with Coords polygons and a ReadingOrder section."""
+    line_sql = """
+      concat('   <TextLine><Coords points="',
+        min(left), ',', min(top), ' ', max(left + width), ',', min(top), ' ',
+        max(left + width), ',', max(top + height), ' ', min(left), ',',
+        max(top + height), '"/>',
+        array_join(transform(array_sort(collect_list(struct(word_num, left, top,
+                                                            width, height, text))),
+          w -> concat('<Word><Coords points="', w.left, ',', w.top, ' ',
+                      w.left + w.width, ',', w.top + w.height,
+                      '"/><TextEquiv><Unicode>', w.text,
+                      '</Unicode></TextEquiv></Word>')), ''),
+        '</TextLine>')
+    """
+    lines = words.groupBy(
+        "doc_id", "media_ref", "block_num", "par_num", "line_num"
+    ).agg(F.expr(line_sql).alias("xml"))
+    regions = lines.groupBy("doc_id", "media_ref", "block_num").agg(
+        F.concat(
+            F.lit('  <TextRegion id="r'),
+            F.col("block_num"),
+            F.lit('">\n'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("par_num", "line_num", "xml"))),
+                    lambda s: s["xml"],
+                ),
+                "\n",
+            ),
+            F.lit("\n  </TextRegion>"),
+        ).alias("xml")
+    )
+    return regions.groupBy("doc_id", "media_ref").agg(
+        F.concat(
+            F.lit("<PcGts><Page>\n <ReadingOrder>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block_num", "xml"))),
+                    lambda s: F.concat(
+                        F.lit('<RegionRefIndexed index="'),
+                        (s["block_num"] - 1).cast("string"),
+                        F.lit('" regionRef="r'),
+                        s["block_num"].cast("string"),
+                        F.lit('"/>'),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</ReadingOrder>\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block_num", "xml"))),
+                    lambda s: s["xml"],
+                ),
+                "\n",
+            ),
+            F.lit("\n</Page></PcGts>"),
+        ).alias("page_xml")
+    )
+
+
+def to_box(words: DataFrame, page_heights: DataFrame | None = None) -> DataFrame:
+    """WordStr box format (wordstrboxrenderer.cpp:1-105): one line-level
+    record per text line, 'WordStr' marker + #-joined text, bottom-up y
+    (the box family's coordinate convention, SURVEY §1.1)."""
+    lines = words.groupBy("doc_id", "media_ref", "block_num", "par_num", "line_num").agg(
+        F.min("left").alias("l"),
+        F.min("top").alias("t"),
+        F.max(F.col("left") + F.col("width")).alias("r"),
+        F.max(F.col("top") + F.col("height")).alias("b"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word_num", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("line_text"),
+    )
+    if page_heights is not None:
+        lines = lines.join(page_heights, "media_ref", "left")
+        top_expr = F.col("height_px") - F.col("b")
+        bot_expr = F.col("height_px") - F.col("t")
+    else:
+        top_expr, bot_expr = F.col("t"), F.col("b")
+    return lines.select(
+        "doc_id",
+        "media_ref",
+        F.concat_ws(
+            " ",
+            F.lit("WordStr"),
+            F.col("l"),
+            top_expr,
+            F.col("r"),
+            bot_expr,
+            F.lit("0"),
+            F.concat(F.lit("#"), F.col("line_text")),
+        ).alias("box_line"),
+    )
+
+
 def to_alto(words: DataFrame) -> DataFrame:
     """ALTO XML: TextBlock/TextLine/String per media page."""
     line_sql = """

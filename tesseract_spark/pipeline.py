@@ -159,11 +159,6 @@ def ocr_documents(
     Returns (doc_id, offset, kind, text, media_ref, confidence, n_lines,
     n_words, wall_ms, partition_id) in reading order per document.
     """
-    if num_partitions is None:
-        import os
-
-        env = int(os.environ.get("SPARK_GRAFT_PARTITIONS", "0"))
-        num_partitions = env or spark.sparkContext.defaultParallelism * 4
     exploded = docs.select(
         "doc_id", F.posexplode("spans").alias("pos", "span")
     ).select(
@@ -174,6 +169,38 @@ def ocr_documents(
         F.col("span.media_ref").alias("media_ref"),
     )
     text_rows = exploded.filter(F.col("kind") == "text").select(
+        "doc_id", "pos", "text"
+    )
+    media_refs = exploded.filter(F.col("kind") == "media").select(
+        "doc_id", "pos", "media_ref"
+    )
+    return ocr_from_parts(
+        spark, text_rows, media_refs, media,
+        dict_words=dict_words, num_partitions=num_partitions,
+        broadcast_media=broadcast_media,
+    )
+
+
+def ocr_from_parts(
+    spark: SparkSession,
+    text_rows: DataFrame,
+    media_refs: DataFrame,
+    media: DataFrame,
+    dict_words: list[str] | None = None,
+    num_partitions: int | None = None,
+    broadcast_media: bool | None = None,
+) -> DataFrame:
+    """Pipeline core over pre-split inputs.
+
+    text_rows: (doc_id, pos, text) pass-through spans;
+    media_refs: (doc_id, pos, media_ref); media: (media_ref, png, dpi).
+    """
+    if num_partitions is None:
+        import os
+
+        env = int(os.environ.get("SPARK_GRAFT_PARTITIONS", "0"))
+        num_partitions = env or spark.sparkContext.defaultParallelism * 4
+    text_full = text_rows.select(
         "doc_id",
         "pos",
         F.lit(-1).cast("int").alias("sub"),
@@ -190,16 +217,12 @@ def ocr_documents(
     media_side = media.select("media_ref", "png", "dpi")
     if broadcast_media:
         media_side = F.broadcast(media_side)
-    media_rows = (
-        exploded.filter(F.col("kind") == "media")
-        .select("doc_id", "pos", "media_ref")
-        .join(media_side, "media_ref", "left")
-    )
+    media_rows = media_refs.join(media_side, "media_ref", "left")
     repart = partition_by_cost(media_rows, num_partitions).select(
         "doc_id", "pos", "media_ref", "png", "dpi"
     )
     ocr = repart.mapInPandas(_make_ocr_udf(dict_words), schema=OCR_OUT_SCHEMA)
-    unioned = ocr.unionByName(text_rows)
+    unioned = ocr.unionByName(text_full)
     w = Window.partitionBy("doc_id").orderBy("pos", "sub")
     return unioned.withColumn(
         "offset", (F.row_number().over(w) - 1).cast("int")

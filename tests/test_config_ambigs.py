@@ -1,0 +1,33 @@
+"""Config params (params.h subset), DPI clamping, ambiguity substitution."""
+
+from tesseract_spark.config import EngineConfig, clamp_dpi
+from tesseract_spark.functions.ambigs import apply_ambigs
+from tesseract_spark.lstm.dawg import Dawg
+
+
+def test_dpi_clamp_credible_range():
+    # baseapi.cpp:2004-2020
+    assert clamp_dpi(300) == 300
+    assert clamp_dpi(50) == 70
+    assert clamp_dpi(9000) == 2400
+    assert clamp_dpi(None) == 300
+    assert clamp_dpi(0) == 300
+
+
+def test_config_dpi_override():
+    assert EngineConfig().resolve_dpi(150) == 150
+    assert EngineConfig(user_defined_dpi=600).resolve_dpi(150) == 600
+
+
+def test_ambigs_fix_nondict_word():
+    d = Dawg("abcdefghijklmnopqrstuvwxyz0123456789 ", ["morning", "well", "so"])
+    assert apply_ambigs("rnorning", d) == "morning"
+    assert apply_ambigs("we1l so", d) == "well so"
+
+
+def test_ambigs_keep_dict_and_unfixable():
+    d = Dawg("abcdefghijklmnopqrstuvwxyz0123456789 ", ["corn", "morning"])
+    # 'corn' is a dict word: must NOT rewrite to 'com'
+    assert apply_ambigs("corn", d) == "corn"
+    # unfixable stays as-is
+    assert apply_ambigs("xyz123", d) == "xyz123"

@@ -100,3 +100,27 @@ def test_checkpoint_resume(spark, dfs, tmp_path):
         "run-1",
         "run-2",
     }
+
+
+def test_page_xml_structure(words):
+    from tesseract_spark.operators.sinks import to_page_xml
+
+    x = to_page_xml(words).first().page_xml
+    for marker in ("<PcGts>", "<ReadingOrder>", "RegionRefIndexed",
+                   "<TextRegion", "<TextLine>", "<Word>", "<Coords",
+                   "<TextEquiv>"):
+        assert marker in x
+
+
+def test_box_format(words, spark, corpus):
+    from tesseract_spark.operators.sinks import to_box
+
+    media = spark.read.parquet(corpus["media"]).select(
+        "media_ref", F.col("height").alias("height_px")
+    )
+    box = to_box(words, media)
+    row = box.first()
+    parts = row.box_line.split(" ")
+    assert parts[0] == "WordStr" and parts[5] == "0"
+    assert int(parts[1]) >= 0 and int(parts[3]) > int(parts[1])
+    assert "#" in row.box_line
