@@ -1067,6 +1067,90 @@ SELECT bucket, n, n = (SELECT max(n) FROM h) AS is_peak FROM h
 """
 
 
+def q_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character n-gram profile (the language-ID feature family): top-20
+    trigrams by frequency across the corpus, deterministic tie-break."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tri = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tg")
+    ).filter(F.length("tg") == 3)
+    counts = tri.groupBy("tg").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tg"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 20
+    )
+
+
+ORACLE_CHAR_TRIGRAMS = """
+WITH tri AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+                               i -> substring(text, CAST(i AS INT), 3))) AS tg
+  FROM documents
+), c AS (
+  SELECT tg, count(*) AS n FROM tri WHERE length(tg) = 3 GROUP BY tg
+)
+SELECT tg, n, row_number() OVER (ORDER BY n DESC, tg ASC) AS rank
+FROM c ORDER BY rank LIMIT 20
+"""
+
+
+def q_lang_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus quality profile (training-data curation view):
+    doc counts, token mass, mean diversity."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " "))
+        ).alias("div"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("div"), 4).alias("avg_diversity"),
+    )
+
+
+ORACLE_LANG_QUALITY_PROFILE = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       round(avg(len(list_distinct(string_split(text, ' '))) * 1.0 /
+                 len(string_split(text, ' '))), 4) AS avg_diversity
+FROM documents GROUP BY lang
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup resolution step: every doc in an LSH candidate pair maps to
+    its 1-hop canonical (min doc id among itself and its pair partners) —
+    the per-edge contraction step of clustering at scale."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    return edges.groupBy(F.col("d1").alias("doc_id")).agg(
+        F.least(F.min("d2"), F.first("d1")).alias("canonical"),
+        F.count("*").alias("n_partners"),
+    )
+
+
+ORACLE_DEDUP_CANONICAL = """
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs
+)
+SELECT d1 AS doc_id, least(min(d2), d1) AS canonical, count(*) AS n_partners
+FROM edges GROUP BY d1
+""".format(pairs=ORACLE_MINHASH_LSH_PAIRS)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1101,4 +1185,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "width_histogram": (q_width_histogram, ORACLE_WIDTH_HISTOGRAM),
+    "char_trigrams": (q_char_trigrams, ORACLE_CHAR_TRIGRAMS),
+    "lang_quality_profile": (q_lang_quality_profile, ORACLE_LANG_QUALITY_PROFILE),
+    "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
 }

@@ -60,3 +60,24 @@ def test_osd_detects_rotation(rot):
     img = np.rot90(page.image, k=rot // 90)
     best, scores = detect_orientation(img)
     assert best == rot, scores
+
+
+def test_fixed_pitch_detection():
+    from tesseract_spark.operators.pitch import detect_pitch
+
+    rng = np.random.default_rng(0)
+    fixed = np.arange(20) * 12.0 + rng.uniform(-0.5, 0.5, 20)
+    ok, pitch = detect_pitch(fixed)
+    assert ok and abs(pitch - 12.0) < 0.5
+    prop = np.cumsum(rng.uniform(6, 18, 20))
+    ok2, _ = detect_pitch(prop)
+    assert not ok2
+
+
+def test_fixed_pitch_word_segmentation():
+    from tesseract_spark.operators.pitch import segment_fixed_pitch_words
+
+    # three glyphs, 2-cell gap, two glyphs
+    centers = np.array([0.0, 12.0, 24.0, 60.0, 72.0])
+    words = segment_fixed_pitch_words(centers, pitch=12.0)
+    assert words == [[0, 1, 2], [3, 4]]
