@@ -72,11 +72,16 @@ def partition_histogram() -> dict:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    from tesseract_spark.derived import chunked, derive_corpus
+    from tesseract_spark.derived import materialize_corpus
     from tesseract_spark.pipeline import ocr_documents
 
-    docs_spans, media = derive_corpus(spark, SF_DIR)
-    flat = ocr_documents(spark, docs_spans, media, num_partitions=int(PARTITIONS))
+    docs_path, media_path = materialize_corpus(spark, SF_DIR)
+    flat = ocr_documents(
+        spark,
+        spark.read.parquet(docs_path),
+        spark.read.parquet(media_path),
+        num_partitions=int(PARTITIONS),
+    )
     pp = (
         flat.filter(F.col("partition_id") >= 0)
         .groupBy("partition_id")

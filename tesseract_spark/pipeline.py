@@ -216,11 +216,25 @@ def ocr_from_parts(
     )
     media_side = media.select("media_ref", "png", "dpi")
     if broadcast_media:
-        media_side = F.broadcast(media_side)
-    media_rows = media_refs.join(media_side, "media_ref", "left")
-    repart = partition_by_cost(media_rows, num_partitions).select(
-        "doc_id", "pos", "media_ref", "png", "dpi"
-    )
+        media_rows = media_refs.repartition(num_partitions, "media_ref").join(
+            F.broadcast(media_side), "media_ref", "left"
+        )
+    else:
+        # pre-partition BOTH sides on the salted key so the join reuses
+        # these exchanges (EnsureRequirements adds none) — the heavy png
+        # payload shuffles exactly once, and the join output is already
+        # the cost-balanced OCR partitioning (see partition_by_cost notes).
+        media_rows = (
+            media_refs.repartition(num_partitions, "media_ref")
+            .join(
+                media_side.repartition(num_partitions, "media_ref").hint(
+                    "shuffle_hash"  # avoid sort-merge's per-partition sorts
+                ),
+                "media_ref",
+                "left",
+            )
+        )
+    repart = media_rows.select("doc_id", "pos", "media_ref", "png", "dpi")
     ocr = repart.mapInPandas(_make_ocr_udf(dict_words), schema=OCR_OUT_SCHEMA)
     unioned = ocr.unionByName(text_full)
     w = Window.partitionBy("doc_id").orderBy("pos", "sub")
