@@ -34,11 +34,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..functions.fonts import BASELINE, CELL_H, WORD_GAP, XHEIGHT_TOP
-from ..functions.image_ops import (
-    binarize_otsu,
-    component_stats,
-    label_components,
-)
+from ..functions.image_ops import binarize_otsu, label_and_stats
 
 # quantized shear slopes the skew estimator searches (render-side uses the
 # same grid so the fit is exact; reference analogue: gradient grid in
@@ -320,8 +316,7 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
     ink = binarize_otsu(gray)
     if not ink.any():  # empty-page short circuit (baseapi.cpp:770-773)
         return res
-    labels, n = label_components(ink)
-    stats = component_stats(labels, n)
+    labels, n, stats = label_and_stats(ink)
     grade = _grade_blobs(stats)
     res.n_blobs = int((grade == 0).sum())
     res.n_noise = int((grade == 1).sum())
@@ -356,12 +351,14 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
 
     if skew != 0.0:
         text_mask = unshear(mask_of(labels, n, keep_idx), skew)
-        labels, n = label_components(text_mask)
-        stats = component_stats(labels, n)
+        labels, n, stats = label_and_stats(text_mask)
         grade = _grade_blobs(stats)
         text_idx = np.flatnonzero(grade == 0)
         if len(text_idx) < n:  # drop re-graded noise pixels from the strips
             text_mask = mask_of(labels, n, text_idx)
+    elif len(text_idx) == n:
+        # nothing filtered: the ink mask IS the text mask (skip a pass)
+        text_mask = ink
     else:
         # no shear: reuse the original labeling, keep text blobs only
         text_mask = mask_of(labels, n, text_idx)
