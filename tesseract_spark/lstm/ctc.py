@@ -267,6 +267,53 @@ def _extract_words(
     return words
 
 
+def resolve_fuzzy_spaces(
+    words: list[DecodedWord],
+    fuzzy_ts: frozenset[int],
+    dawg: Dawg | None,
+) -> tuple[list[DecodedWord], list[int]]:
+    """Resolve fuzzy word gaps post-decode — fix_fuzzy_spaces analogue
+    (src/ccmain/fixspace.cpp:74-214): the reference re-permutes each fuzzy
+    space with and without the gap and keeps the dictionary-preferred
+    reading.  Here a fuzzy space between two decoded words survives only
+    when BOTH sides are dictionary words and the joined form is not; with
+    no dictionary every fuzzy space joins (a space needs evidence).
+
+    Returns (resolved_words, merged_right_indices) where the indices name
+    the original word positions that merged into their left neighbour —
+    used by the caller to merge the layout's word boxes in tandem.
+    """
+    if not words:
+        return words, []
+    out: list[DecodedWord] = [words[0]]
+    merged: list[int] = []
+    for i, w in enumerate(words[1:], start=1):
+        prev = out[-1]
+        is_fuzzy = any(prev.end_t < t < w.start_t for t in fuzzy_ts)
+        keep_split = True
+        if is_fuzzy:
+            if dawg is None:
+                keep_split = False
+            else:
+                join_ok = dawg.accepts(prev.text + w.text)
+                keep_split = prev.dict_word and w.dict_word and not join_ok
+        if keep_split:
+            out.append(w)
+        else:
+            joined = prev.text + w.text
+            out[-1] = DecodedWord(
+                joined,
+                prev.start_t,
+                w.end_t,
+                min(prev.certainty, w.certainty),
+                (prev.confidence * len(prev.text) + w.confidence * len(w.text))
+                / max(1, len(joined)),
+                bool(dawg is not None and dawg.accepts(joined)),
+            )
+            merged.append(i)
+    return out, merged
+
+
 def _greedy_with_words(
     log_probs: np.ndarray,
     charset: str,

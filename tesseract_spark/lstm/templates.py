@@ -85,13 +85,23 @@ class TemplateNet:
         return cand_xs, out
 
     def forward(
-        self, strip: np.ndarray, space_px: int = WORD_GAP
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Line strip -> (log_probs [T, C], col_of_t [T]).
+        self,
+        strip: np.ndarray,
+        space_px: int = WORD_GAP,
+        fuzzy_px: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, frozenset[int]]:
+        """Line strip -> (log_probs [T, C], col_of_t [T], fuzzy_ts).
 
         Emits compressed timesteps: accepted glyph-start columns (maximal
         munch over exact matches), word-gap columns, and blank separators.
         col_of_t maps each timestep back to its x column for word boxes.
+
+        When ``fuzzy_px`` is given, gap runs in [fuzzy_px, space_px) are
+        emitted as *fuzzy* space events (tosp fuzzy band, fraction of
+        x-height — src/textord/textord.cpp:98 tosp_fuzzy_space_factor=0.6);
+        their timesteps are returned in ``fuzzy_ts`` so the caller can
+        resolve them post-decode against the dictionary, the analogue of
+        fix_fuzzy_spaces (src/ccmain/fixspace.cpp:74-214).
         """
         H, W = strip.shape
         assert H == CELL_H, f"strip must be {CELL_H} rows, got {H}"
@@ -128,7 +138,10 @@ class TemplateNet:
             events.append((x, vec))
             taken_until = x + best_w - 1
         # word gaps: runs of empty columns of length >= space_px between ink
+        # are definite spaces; runs in [fuzzy_px, space_px) are fuzzy spaces
         gap_cols: list[int] = []
+        fuzzy_cols: set[int] = set()
+        lo_px = space_px if fuzzy_px is None else min(fuzzy_px, space_px)
         if col_has_ink.any():
             first_ink = int(np.argmax(col_has_ink))
             last_ink = W - 1 - int(np.argmax(col_has_ink[::-1]))
@@ -138,8 +151,10 @@ class TemplateNet:
                 if not col_has_ink[x]:
                     run += 1
                 else:
-                    if run >= space_px:
+                    if run >= lo_px:
                         gap_cols.append(x - run)
+                        if run < space_px:
+                            fuzzy_cols.add(x - run)
                     run = 0
         # merge events in column order; insert a blank timestep between all
         merged = sorted(
@@ -150,6 +165,7 @@ class TemplateNet:
         logits = np.full((T, self.n_classes), ALPHA * 0.0, dtype=np.float32)
         logits[:, self.blank] = ALPHA * BLANK_SCORE
         col_of_t = np.zeros(T, dtype=np.int64)
+        fuzzy_ts: set[int] = set()
         for i, (c, v) in enumerate(merged):
             t = 2 * i + 1
             col_of_t[t] = c
@@ -157,6 +173,8 @@ class TemplateNet:
                 col_of_t[t - 1] = c - 1
             if v is None:
                 logits[t, self.space_code] = ALPHA * 1.0
+                if c in fuzzy_cols:
+                    fuzzy_ts.add(t)
             else:
                 logits[t, : len(CHARSET)] = ALPHA * v[: len(CHARSET)]
         if len(merged) > 0:
@@ -165,7 +183,7 @@ class TemplateNet:
         m = logits.max(axis=1, keepdims=True)
         e = np.exp(logits - m)
         log_probs = (logits - m) - np.log(e.sum(axis=1, keepdims=True))
-        return log_probs, col_of_t
+        return log_probs, col_of_t, frozenset(fuzzy_ts)
 
 
 _NET: TemplateNet | None = None

@@ -43,6 +43,16 @@ SKEW_GRID = np.round(np.arange(-0.06, 0.0601, 0.005), 4)
 
 X_HEIGHT_CANON = BASELINE - XHEIGHT_TOP  # 8 px in the canonical cell
 
+FUZZY_SP_FRACTION = 0.6  # tosp_fuzzy_space_factor (textord.cpp:98)
+
+
+def fuzzy_space_px(space_px: int) -> int:
+    """Lower edge of the fuzzy-space gap band: gaps in
+    [fuzzy_space_px, space_px) are neither definite kerns nor definite
+    spaces (to_spacing fuzzy band, src/textord/tospace.cpp) and are
+    resolved post-decode against the dictionary (fixspace.cpp:74-214)."""
+    return max(2, int(round(FUZZY_SP_FRACTION * space_px)))
+
 
 @dataclass
 class Row:
@@ -254,15 +264,21 @@ def _descale_strip(
 
 
 def _word_boxes(
-    stats: np.ndarray, idxs: np.ndarray, space_px: int
+    stats: np.ndarray, idxs: np.ndarray, space_px: int, fuzzy_px: int | None = None
 ) -> list[tuple[int, int, int, int]]:
-    """Word bboxes from gap statistics (to_spacing, tospace.cpp:45-268)."""
+    """Word bboxes from gap statistics (to_spacing, tospace.cpp:45-268).
+
+    With ``fuzzy_px`` the split threshold drops to the fuzzy band's lower
+    edge — the aggressive segmentation whose fuzzy splits the recognizer
+    later joins back (or keeps) per resolve_fuzzy_spaces, mirroring the
+    reference's fuzzy-space WERDs resolved by fix_fuzzy_spaces."""
+    split_px = space_px if fuzzy_px is None else min(fuzzy_px, space_px)
     order = idxs[np.argsort(stats[idxs, 0], kind="stable")]
     boxes: list[tuple[int, int, int, int]] = []
     cur = [order[0]]
     for prev, nxt in zip(order[:-1], order[1:]):
         gap = int(stats[nxt, 0] - stats[prev, 2])
-        if gap >= space_px:
+        if gap >= split_px:
             boxes.append(_bbox_of(stats, np.asarray(cur)))
             cur = []
         cur.append(nxt)
@@ -394,7 +410,15 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
                     scale=scale,
                     strip=strip,
                     strip_x0=l,
-                    word_boxes=_word_boxes(bstats, gidx, space_px),
+                    # aggressive split at the fuzzy band's lower edge, in
+                    # full-scale px aligned with the recognizer's canonical
+                    # threshold (fuzzy_canon * scale)
+                    word_boxes=_word_boxes(
+                        bstats,
+                        gidx,
+                        space_px,
+                        fuzzy_space_px(max(2, space_px // scale - 1)) * scale,
+                    ),
                     space_px=space_px,
                 )
             )

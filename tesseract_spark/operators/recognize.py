@@ -16,10 +16,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..lstm.ctc import ctc_beam_decode
+from ..lstm.ctc import ctc_beam_decode, resolve_fuzzy_spaces
 from ..lstm.dawg import Dawg
 from ..lstm.templates import TemplateNet, get_net
-from .page import PageResult, analyze_page
+from .page import PageResult, analyze_page, fuzzy_space_px
 
 
 @dataclass
@@ -46,6 +46,23 @@ class WordRec:
     height: int
     conf: float
     text: str
+
+
+def _merge_boxes(
+    boxes: list[tuple[int, int, int, int]], merged: list[int]
+) -> list[tuple[int, int, int, int]]:
+    """Union each merged-right box into its left neighbour so the layout's
+    word boxes track the fuzzy-space joins made by resolve_fuzzy_spaces."""
+    drop = set(merged)
+    out: list[tuple[int, int, int, int]] = []
+    for i, b in enumerate(boxes):
+        if i in drop and out:
+            p = out[-1]
+            out[-1] = (min(p[0], b[0]), min(p[1], b[1]),
+                       max(p[2], b[2]), max(p[3], b[3]))
+        else:
+            out.append(b)
+    return out
 
 
 def recognize_page(
@@ -86,13 +103,24 @@ def recognize_page_detail(
         row_confs: list[float] = []
         row_words: list[int] = []
         row_decoded: list[list] = []
+        row_merges: list[list[int]] = []
         for row in region.rows:
             # space threshold in canonical (descaled) pixels
             space_canon = max(2, row.space_px // max(1, row.scale) - 1)
-            log_probs, _cols = net.forward(row.strip, space_px=space_canon)
+            log_probs, _cols, fuzzy_ts = net.forward(
+                row.strip,
+                space_px=space_canon,
+                fuzzy_px=fuzzy_space_px(space_canon),
+            )
             text, words, _cert = ctc_beam_decode(
                 log_probs, net.charset, net.blank, net.space_code, dawg
             )
+            merged: list[int] = []
+            if fuzzy_ts:
+                words, merged = resolve_fuzzy_spaces(words, fuzzy_ts, dawg)
+                if merged:
+                    text = " ".join(w.text for w in words)
+            row_merges.append(merged)
             row_texts.append(text)
             row_words.append(len(words))
             row_decoded.append(words)
@@ -122,6 +150,10 @@ def recognize_page_detail(
             for li, i in enumerate(group):
                 row = region.rows[i]
                 boxes = row.word_boxes
+                if row_merges[i] and len(boxes) == len(row_decoded[i]) + len(
+                    row_merges[i]
+                ):
+                    boxes = _merge_boxes(boxes, row_merges[i])
                 for wi, w in enumerate(row_decoded[i]):
                     if wi < len(boxes) and len(boxes) == len(row_decoded[i]):
                         l, t, r, b = boxes[wi]

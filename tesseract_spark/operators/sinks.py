@@ -344,3 +344,198 @@ def to_alto(words: DataFrame) -> DataFrame:
             F.lit("\n</Page></Layout></alto>"),
         ).alias("alto")
     )
+
+
+def to_threshold_images(media: DataFrame) -> DataFrame:
+    """Thresholded-image export — the ``tessedit_write_images`` capture of
+    the binarized page the engine actually recognizes (baseapi.cpp:1224,
+    tesseractclass.cpp:391 "Capture the image from the IPE").
+
+    Returns (media_ref, threshold_png, fg_frac): the Otsu-binarized page
+    re-encoded as an 8-bit gray PNG (ink=0, background=255) plus the ink
+    fraction, a cheap per-page QA signal.  Pure mapInPandas over the media
+    table — no shuffle.
+    """
+
+    def udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.image_ops import binarize_otsu
+        from ..functions.png_codec import decode_gray_png, encode_gray_png
+
+        for pdf in batches:
+            refs, pngs, fracs = [], [], []
+            for ref, png in zip(pdf["media_ref"], pdf["png"]):
+                if png is None:
+                    continue
+                mask = binarize_otsu(decode_gray_png(bytes(png)))
+                img = np.where(mask, 0, 255).astype(np.uint8)
+                refs.append(ref)
+                pngs.append(encode_gray_png(img))
+                fracs.append(float(mask.mean()))
+            yield pd.DataFrame(
+                {"media_ref": refs, "threshold_png": pngs, "fg_frac": fracs}
+            )
+
+    return media.select("media_ref", "png").mapInPandas(
+        udf, schema="media_ref string, threshold_png binary, fg_frac double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Searchable PDF sink (pdfrenderer.cpp analogue)
+# ---------------------------------------------------------------------------
+
+K_CHAR_WIDTH_FRAC = 0.5  # Helvetica mean advance ~0.5 em (glue-font analogue
+#                          of kCharWidth, pdfrenderer.cpp:62)
+
+
+def _pdf_escape(text: str) -> str:
+    """Latin-1-safe PDF string literal body; non-encodable chars -> '?'."""
+    out = []
+    for ch in text:
+        if ch in "()\\":
+            out.append("\\" + ch)
+        elif 32 <= ord(ch) < 127:
+            out.append(ch)
+        else:
+            try:
+                b = ch.encode("latin-1")
+                out.append(f"\\{b[0]:03o}")
+            except UnicodeEncodeError:
+                out.append("?")
+    return "".join(out)
+
+
+def build_pdf_page(
+    words: list[dict], width_px: int, height_px: int, dpi: int
+) -> bytes:
+    """One searchable text-only PDF page from word records.
+
+    The text layer follows TessPDFRenderer::GetPDFTextObjects
+    (src/api/pdfrenderer.cpp:360-500): one text object per block rendered
+    in invisible ink (``BT 3 Tr``), absolute ``Tm`` placement at each line
+    start, per-word ``Tz`` horizontal stretch so the string advance matches
+    the word box, ``ET`` at block end.  File skeleton mirrors
+    pdfrenderer.cpp:504-996 (Catalog, Pages, Page, Contents, Font, xref
+    with byte-exact offsets).  Divergence, documented: the reference embeds
+    its CID glue font (pdf_ttf.h) and emits UTF-16BE ``<hex> TJ``; this
+    writer uses the built-in Type1 /Helvetica with WinAnsi ``(str) Tj`` —
+    adequate for a deterministic, dependency-free text layer whose words
+    remain extractable at the same positions.
+    """
+    s = 72.0 / max(1, dpi)
+    page_w, page_h = width_px * s, height_px * s
+    # content stream: group words by (block, par, line)
+    lines: dict[tuple, list[dict]] = {}
+    for w in words:
+        lines.setdefault(
+            (w["block_num"], w["par_num"], w["line_num"]), []
+        ).append(w)
+    content = []
+    cur_block = None
+    cur_fontsize = None
+    for key in sorted(lines):
+        block = key[0]
+        ws = sorted(lines[key], key=lambda w: w["word_num"])
+        if block != cur_block:
+            if cur_block is not None:
+                content.append("ET")
+            content.append("BT\n3 Tr")  # invisible ink, pdfrenderer.cpp:374
+            cur_block = block
+            cur_fontsize = None
+        line_h = max(w["height"] for w in ws)
+        fontsize = max(1, round(line_h * s))
+        if fontsize != cur_fontsize:
+            content.append(f"/f-0-0 {fontsize} Tf")
+            cur_fontsize = fontsize
+        baseline_px = max(w["top"] + w["height"] for w in ws)
+        y = page_h - baseline_px * s
+        for wi, w in enumerate(ws):
+            x = w["left"] * s
+            content.append(f"1 0 0 1 {x:.2f} {y:.2f} Tm")
+            n = max(1, len(w["text"]))
+            word_len_pts = w["width"] * s
+            stretch = 100.0 * word_len_pts / (
+                K_CHAR_WIDTH_FRAC * fontsize * n
+            )
+            content.append(f"{stretch:.2f} Tz")
+            content.append(f"({_pdf_escape(w['text'])}) Tj")
+    if cur_block is not None:
+        content.append("ET")
+    stream = "\n".join(content).encode("latin-1")
+
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs.append(
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:.2f} "
+            f"{page_h:.2f}] /Contents 4 0 R /Resources << /Font "
+            f"<< /f-0-0 5 0 R >> >> >>"
+        ).encode()
+    )
+    objs.append(
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
+    out = bytearray(b"%PDF-1.5\n%\xde\xad\xbe\xeb\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def to_pdf(words: DataFrame, page_dims: DataFrame | None = None) -> DataFrame:
+    """Searchable (text-only) PDF per media page: one row
+    (doc_id, media_ref, pdf:binary) — TessPDFRenderer with textonly_pdf
+    semantics (pdfrenderer.cpp; renderer holds no image stream).
+
+    ``page_dims``: optional (media_ref, width_px, height_px, dpi); without
+    it the page box is the word-extent hull at 300 dpi.  Grouped
+    applyInPandas per page — embarrassingly parallel, single shuffle on
+    the (doc_id, media_ref) grouping key.
+    """
+    joined = words.join(page_dims, "media_ref", "left") if page_dims is not None else words
+
+    def _iget(recs: list[dict], key: str) -> int:
+        v = recs[0].get(key)
+        try:
+            iv = int(v)
+        except (TypeError, ValueError):
+            return 0
+        return iv if iv == iv and iv > 0 else 0  # NaN/neg -> 0
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = pdf.to_dict("records")
+        w_px = _iget(recs, "width_px") or (
+            max(r["left"] + r["width"] for r in recs) + 10
+        )
+        h_px = _iget(recs, "height_px") or (
+            max(r["top"] + r["height"] for r in recs) + 10
+        )
+        dpi = _iget(recs, "dpi") or 300
+        blob = build_pdf_page(recs, w_px, h_px, dpi)
+        return pd.DataFrame(
+            {
+                "doc_id": [recs[0]["doc_id"]],
+                "media_ref": [recs[0]["media_ref"]],
+                "pdf": [blob],
+            }
+        )
+
+    return joined.groupBy("doc_id", "media_ref").applyInPandas(
+        build, schema="doc_id string, media_ref string, pdf binary"
+    )

@@ -1,0 +1,115 @@
+"""PDF sink, UNLV zone source, threshold-image export tests.
+
+Reference analogues: pdfrenderer.cpp (searchable text-only PDF),
+blread.cpp:36-71 (read_unlv_file / FullPageBlock), baseapi.cpp:1224
+(tessedit_write_images)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from tesseract_spark.functions.fonts import CELL_H, mask_to_gray, render_line
+from tesseract_spark.operators.sinks import (
+    build_pdf_page,
+    ocr_words,
+    to_pdf,
+    to_threshold_images,
+)
+from tesseract_spark.sources.zones import full_page_zone, parse_uzn, recognize_zones
+
+WORDS = [
+    dict(doc_id="d1", media_ref="m1", block_num=1, par_num=1, line_num=1,
+         word_num=1, left=10, top=20, width=40, height=16, conf=95.0, text="hello"),
+    dict(doc_id="d1", media_ref="m1", block_num=1, par_num=1, line_num=1,
+         word_num=2, left=60, top=20, width=48, height=16, conf=90.0, text="world"),
+    dict(doc_id="d1", media_ref="m1", block_num=2, par_num=1, line_num=1,
+         word_num=1, left=10, top=60, width=30, height=16, conf=88.0, text="(x)"),
+]
+
+
+def test_pdf_structure_and_xref_offsets():
+    blob = build_pdf_page(WORDS, 200, 100, 300)
+    assert blob.startswith(b"%PDF-1.5\n") and blob.rstrip().endswith(b"%%EOF")
+    # xref offsets must point at the exact "N 0 obj" byte positions
+    xref_at = int(blob.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    assert blob[xref_at : xref_at + 4] == b"xref"
+    table = blob[xref_at:].split(b"\n")[3:8]  # skip 'xref', '0 6', free entry
+    for i, entry in enumerate(table, start=1):
+        off = int(entry.split(b" ")[0])
+        assert blob[off:].startswith(b"%d 0 obj" % i)
+
+
+def test_pdf_text_layer_invisible_and_extractable():
+    blob = build_pdf_page(WORDS, 200, 100, 300)
+    body = blob.decode("latin-1")
+    assert "BT\n3 Tr" in body  # invisible ink (pdfrenderer.cpp:374)
+    texts = re.findall(r"\((.*?)\) Tj", body)
+    assert texts == ["hello", "world", r"\(x\)"]
+    assert body.count("ET") >= 2  # one text object per block
+    # word-box-matched stretch present
+    assert " Tz" in body and " Tm" in body
+
+
+def test_pdf_spark_sink(spark, corpus):
+    docs = spark.read.parquet(corpus["documents"]).limit(2)
+    media = spark.read.parquet(corpus["media"])
+    words = ocr_words(spark, docs, media)
+    out = to_pdf(words).collect()
+    assert len(out) > 0
+    for r in out:
+        assert bytes(r.pdf).startswith(b"%PDF-1.5")
+
+
+def test_parse_uzn_and_full_page():
+    txt = "10 20 100 30 Text\n5 60 80 25 Table\nnonsense line\n1 2 3 4 x"
+    zones = parse_uzn(txt)
+    # malformed third line stops the scan (tfscanf semantics, blread.cpp:53)
+    assert zones == [(10, 20, 110, 50), (5, 60, 85, 85)]
+    assert full_page_zone(640, 480) == [(0, 0, 640, 480)]
+
+
+def _two_line_page() -> np.ndarray:
+    l1, l2 = render_line("abc"), render_line("def")
+    w = max(l1.shape[1], l2.shape[1]) + 24
+    page = np.zeros((2 * CELL_H + 48, w), dtype=bool)
+    page[12 : 12 + CELL_H, 12 : 12 + l1.shape[1]] = l1
+    page[24 + CELL_H : 24 + 2 * CELL_H, 12 : 12 + l2.shape[1]] = l2
+    return mask_to_gray(page)
+
+
+def test_zones_restrict_ocr_and_number_blocks():
+    gray = _two_line_page()
+    h, w = gray.shape
+    top_zone = [(0, 0, w, CELL_H + 18)]
+    spans, words = recognize_zones(gray, top_zone)
+    assert [s.text for s in spans if s.kind == "text"] == ["abc"]
+    assert all(wd.block_num == 1 for wd in words)
+
+    both = [(0, 0, w, CELL_H + 18), (0, CELL_H + 18, w, h)]
+    spans2, words2 = recognize_zones(gray, both)
+    assert [s.text for s in spans2 if s.kind == "text"] == ["abc", "def"]
+    assert sorted({wd.block_num for wd in words2}) == [1, 2]
+    # word boxes come back in page coordinates: the 'def' word sits below
+    d = [wd for wd in words2 if wd.text == "def"][0]
+    assert d.top >= CELL_H + 18
+
+
+def test_zone_order_defines_block_order():
+    gray = _two_line_page()
+    h, w = gray.shape
+    reversed_zones = [(0, CELL_H + 18, w, h), (0, 0, w, CELL_H + 18)]
+    spans, _ = recognize_zones(gray, reversed_zones)
+    assert [s.text for s in spans if s.kind == "text"] == ["def", "abc"]
+
+
+def test_threshold_images(spark, corpus):
+    from tesseract_spark.functions.png_codec import decode_gray_png
+
+    media = spark.read.parquet(corpus["media"]).limit(3)
+    rows = to_threshold_images(media).collect()
+    assert len(rows) == 3
+    for r in rows:
+        img = decode_gray_png(bytes(r.threshold_png))
+        assert set(np.unique(img)) <= {0, 255}
+        assert 0.0 < r.fg_frac < 1.0
