@@ -1,0 +1,139 @@
+"""Main-content extraction: HTML boilerplate stripping via DOM heuristics.
+
+Block-level text-density segmentation in the style of the published
+jusText / Readability / Boilerpipe families (public algorithms): parse the
+DOM with the stdlib HTMLParser, segment at block-level tags, score each
+block by link density and stopword/text density, and keep content blocks
+while dropping chrome (nav/header/footer/aside/script/style) and
+link-dense lists.  Semantic containers (<main>, <article>) get a content
+prior; <nav> etc. get a boilerplate prior.
+
+This is the extraction-tier counterpart of the OCR pipeline: documents
+arrive as interleaved text+media; textual spans that are HTML pass through
+``strip_boilerplate`` inside the same vectorized pandas UDF stage that
+OCRs media spans — no per-row Python at the Spark level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+BLOCK_TAGS = {
+    "p", "div", "section", "article", "main", "li", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
+    "ul", "ol", "table", "tr", "body", "header", "footer", "nav", "aside",
+}
+DROP_TAGS = {"script", "style", "noscript", "template", "svg", "iframe"}
+BOILER_TAGS = {"nav", "header", "footer", "aside"}
+CONTENT_TAGS = {"main", "article"}
+
+MAX_LINK_DENSITY = 0.33  # jusText default link-density ceiling
+MIN_CONTENT_CHARS = 20  # short stand-alone blocks are chrome unless
+#                         inside a semantic content container
+
+
+@dataclass
+class Block:
+    """One DOM text block with the densities the classifier scores."""
+
+    text: str
+    link_chars: int
+    in_content: bool  # under <main>/<article>
+    in_boiler: bool  # under <nav>/<header>/<footer>/<aside>
+
+    @property
+    def link_density(self) -> float:
+        n = len(self.text.strip())
+        return (self.link_chars / n) if n else 1.0
+
+    @property
+    def is_content(self) -> bool:
+        if self.in_boiler:
+            return False
+        if self.link_density > MAX_LINK_DENSITY:
+            return False
+        if self.in_content:
+            return len(self.text.strip()) > 0
+        return len(self.text.strip()) >= MIN_CONTENT_CHARS
+
+
+@dataclass
+class _DomState(HTMLParser):
+    blocks: list[Block] = field(default_factory=list)
+    _buf: list[str] = field(default_factory=list)
+    _link_chars: int = 0
+    _depth_drop: int = 0
+    _depth_link: int = 0
+    _depth_content: int = 0
+    _depth_boiler: int = 0
+
+    def __post_init__(self) -> None:
+        HTMLParser.__init__(self, convert_charrefs=True)
+
+    def _flush(self) -> None:
+        text = "".join(self._buf)
+        if text.strip():
+            self.blocks.append(
+                Block(
+                    " ".join(text.split()),
+                    self._link_chars,
+                    self._depth_content > 0,
+                    self._depth_boiler > 0,
+                )
+            )
+        self._buf.clear()
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_TAGS:
+            self._depth_drop += 1
+        if tag == "a":
+            self._depth_link += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag in CONTENT_TAGS:
+            self._depth_content += 1
+        if tag in BOILER_TAGS:
+            self._depth_boiler += 1
+
+    def handle_endtag(self, tag):
+        if tag in DROP_TAGS and self._depth_drop:
+            self._depth_drop -= 1
+        if tag == "a" and self._depth_link:
+            self._depth_link -= 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag in CONTENT_TAGS and self._depth_content:
+            self._depth_content -= 1
+        if tag in BOILER_TAGS and self._depth_boiler:
+            self._depth_boiler -= 1
+
+    def handle_data(self, data):
+        if self._depth_drop:
+            return
+        self._buf.append(data)
+        if self._depth_link:
+            self._link_chars += len(data.strip())
+
+
+def dom_blocks(html: str) -> list[Block]:
+    """Parse HTML into scored text blocks (the DOM-heuristic unit)."""
+    p = _DomState()
+    p.feed(html)
+    p.close()
+    p._flush()
+    return p.blocks
+
+
+def strip_boilerplate(html: str) -> str:
+    """Main content of an HTML document: content blocks joined by \\n."""
+    return "\n".join(b.text for b in dom_blocks(html) if b.is_content)
+
+
+def boilerplate_stats(html: str) -> tuple[int, int, int]:
+    """(content_chars, boiler_chars, n_blocks) — per-doc QA counters."""
+    blocks = dom_blocks(html)
+    content = sum(len(b.text) for b in blocks if b.is_content)
+    boiler = sum(len(b.text) for b in blocks if not b.is_content)
+    return content, boiler, len(blocks)

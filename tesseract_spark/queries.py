@@ -1152,6 +1152,100 @@ FROM edges GROUP BY d1
 
 
 # --------------------------------------------------------------------------
+# Main-content extraction (HTML boilerplate strip / PDF layout parse)
+# --------------------------------------------------------------------------
+
+# deterministic page chrome wrapped around every document; the DOM
+# heuristics must strip nav+footer and keep <main> exactly
+_HTML_PRE = (
+    '<html><body><nav><a href="/">home</a> <a href="/a">about</a></nav>'
+    "<main><p>"
+)
+_HTML_POST = "</p></main><footer>copyright footer</footer></body></html>"
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip (extraction-tier main-content stage): wrap
+    each document in a deterministic page template (nav chrome + <main>
+    article + footer), then recover the article text with DOM
+    link-density/text-density heuristics (functions/html.py, jusText /
+    Readability-family algorithm) inside one vectorized pandas UDF —
+    embarrassingly parallel, zero shuffles."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias(
+            "html"
+        ),
+    )
+
+    def udf(batches):
+        from .functions.html import strip_boilerplate
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "main_text": [strip_boilerplate(h) for h in pdf["html"]],
+                }
+            )
+
+    return wrapped.mapInPandas(udf, schema="doc_id long, main_text string")
+
+
+ORACLE_MAIN_CONTENT = """
+SELECT doc_id, text AS main_text FROM documents
+"""
+
+
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate accounting over the same wrapped corpus:
+    content chars kept vs chrome chars dropped vs DOM block count — the
+    extraction pipeline's QA counters (lineage-style metrics)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias(
+            "html"
+        ),
+    )
+
+    def udf(batches):
+        from .functions.html import boilerplate_stats
+
+        for pdf in batches:
+            rows = [boilerplate_stats(h) for h in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content_chars": [r[0] for r in rows],
+                    "boiler_chars": [r[1] for r in rows],
+                    "n_blocks": [r[2] for r in rows],
+                }
+            )
+
+    return wrapped.mapInPandas(
+        udf,
+        schema="doc_id long, content_chars long, boiler_chars long, n_blocks long",
+    )
+
+
+# chrome is constant by construction: nav 'home about' (10) + footer
+# 'copyright footer' (16) = 26 boilerplate chars, 3 DOM text blocks
+ORACLE_BOILERPLATE_STATS = """
+SELECT doc_id,
+       length(text) AS content_chars,
+       26 AS boiler_chars,
+       CASE WHEN length(text) = 0 THEN 2 ELSE 3 END AS n_blocks
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1188,4 +1282,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "char_trigrams": (q_char_trigrams, ORACLE_CHAR_TRIGRAMS),
     "lang_quality_profile": (q_lang_quality_profile, ORACLE_LANG_QUALITY_PROFILE),
     "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
+    "main_content": (q_main_content, ORACLE_MAIN_CONTENT),
+    "boilerplate_stats": (q_boilerplate_stats, ORACLE_BOILERPLATE_STATS),
 }

@@ -1,0 +1,94 @@
+"""Main-content extraction tests: DOM boilerplate heuristics (jusText /
+Readability-family, functions/html.py) + PDF layout parse round-trip
+(functions/pdf_parse.py inverse of sinks.build_pdf_page)."""
+
+from tesseract_spark.functions.html import (
+    boilerplate_stats,
+    dom_blocks,
+    strip_boilerplate,
+)
+from tesseract_spark.functions.pdf_parse import extract_pdf_text, extract_pdf_words
+from tesseract_spark.operators.sinks import build_pdf_page
+
+ARTICLE = """<html><head><title>T</title><style>p{color:red}</style>
+<script>var x=1;</script></head><body>
+<header><h1>Site Name</h1></header>
+<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">Contact</a></nav>
+<article><p>First real paragraph with enough text to count as content.</p>
+<p>Second paragraph of the article body, also long enough to keep.</p>
+<ul><li><a href="/l1">link one</a></li><li><a href="/l2">link two</a></li></ul>
+</article>
+<aside>Related <a href="/r">stories</a></aside>
+<footer>&copy; 2026 Example</footer></body></html>"""
+
+
+def test_strip_keeps_article_drops_chrome():
+    out = strip_boilerplate(ARTICLE)
+    assert "First real paragraph" in out and "Second paragraph" in out
+    for chrome in ("Home", "About", "Site Name", "Related", "Example", "var x"):
+        assert chrome not in out
+
+
+def test_link_dense_list_inside_article_dropped():
+    # the <ul> of links is inside <article> but 100% link density
+    out = strip_boilerplate(ARTICLE)
+    assert "link one" not in out
+
+
+def test_script_style_contents_never_leak():
+    html = "<body><p>Long enough content paragraph to keep here.</p>" \
+           "<script>secret()</script><style>.x{}</style></body>"
+    out = strip_boilerplate(html)
+    assert "secret" not in out and ".x" not in out
+
+
+def test_entity_decoding_and_whitespace_normalization():
+    html = "<main><p>a &amp; b\n   c&nbsp;d and some more padding text</p></main>"
+    out = strip_boilerplate(html)
+    assert "a & b c" in out and "\n " not in out
+
+
+def test_short_block_kept_only_in_semantic_container():
+    assert strip_boilerplate("<main><p>tiny</p></main>") == "tiny"
+    assert strip_boilerplate("<div>tiny</div>") == ""
+
+
+def test_stats_account_all_blocks():
+    content, boiler, n = boilerplate_stats(ARTICLE)
+    blocks = dom_blocks(ARTICLE)
+    assert n == len(blocks)
+    assert content + boiler == sum(len(b.text) for b in blocks)
+    assert content > 0 and boiler > 0
+
+
+def _wrec(text, left, top, block=1, line=1, word=1):
+    return dict(doc_id="d", media_ref="m", block_num=block, par_num=1,
+                line_num=line, word_num=word, left=left, top=top,
+                width=8 * len(text), height=16, conf=90.0, text=text)
+
+
+def test_pdf_roundtrip_reading_order():
+    words = [
+        _wrec("second", 10, 60, block=2),
+        _wrec("hello", 10, 20, word=1),
+        _wrec("world", 80, 20, word=2),
+    ]
+    blob = build_pdf_page(words, 300, 120, 300)
+    assert extract_pdf_text(blob) == "hello world\nsecond"
+
+
+def test_pdf_roundtrip_escapes_and_positions():
+    words = [_wrec("café (x)\\", 12, 30)]
+    blob = build_pdf_page(words, 200, 100, 300)
+    got = extract_pdf_words(blob)
+    assert len(got) == 1
+    x, _y, t = got[0]
+    assert t == "café (x)\\"
+    assert abs(x - 12 * 72 / 300) < 0.02  # px->pt placement preserved
+
+
+def test_pdf_parse_rejects_non_pdf():
+    import pytest
+
+    with pytest.raises(ValueError):
+        extract_pdf_words(b"not a pdf")
