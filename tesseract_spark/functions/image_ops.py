@@ -13,8 +13,9 @@ follow the reference:
 - Sauvola: ``src/ccmain/thresholder.cpp:210-246`` — ``t = m·(1+k·(s/128−1))``.
 - Connected components: the reference chain-codes outlines
   (``src/textord/edgblob.cpp:347``, ``scanedg.cpp:61``); we use an equivalent
-  run-based two-pass labeling with union-find, which yields identical
-  4/8-connected components without the chain-code detour.
+  vectorized run-graph labeling (searchsorted adjacency + min-label
+  propagation), which yields identical 4/8-connected components without
+  the chain-code detour.
 - Stroke width: distance-transform stats per blob
   (``src/textord/tordmain.cpp:60-152`` ``SetBlobStrokeWidth``) — approximated
   with horizontal/vertical run-length medians, which is what the reference's
@@ -133,106 +134,105 @@ def label_and_stats(mask: np.ndarray, connectivity: int = 8):
     during labeling — no separate full-image pixel pass (the np.nonzero
     route costs ~16 bytes of traffic per ink pixel; runs are ~100x fewer).
     """
-    labels, n, runs = _label_runs(mask, connectivity)
-    stats = np.zeros((n, 5), dtype=np.int64)
-    if n:
-        stats[:, 0] = mask.shape[1]
-        stats[:, 1] = mask.shape[0]
-        for y, s, e, lab in runs:
-            row = stats[lab - 1]
-            if s < row[0]:
-                row[0] = s
-            if y < row[1]:
-                row[1] = y
-            if e > row[2]:
-                row[2] = e
-            if y + 1 > row[3]:
-                row[3] = y + 1
-            row[4] += e - s
-    return labels, n, stats
+    return _label_vectorized(mask, connectivity)
 
 
 def label_components(mask: np.ndarray, connectivity: int = 8):
-    """Two-pass run-based connected-component labeling with union-find.
+    """Run-based connected-component labeling, fully vectorized.
 
     Equivalent output to the reference's outline tracer
     (edgblob.cpp:347 extract_edges -> C_BLOBs) for solid glyphs.
     Returns (labels [H,W] with 0=background, n_components).
     """
-    labels, n, _runs = _label_runs(mask, connectivity)
+    labels, n, _stats = _label_vectorized(mask, connectivity)
     return labels, n
 
 
-def _label_runs(mask: np.ndarray, connectivity: int = 8):
+def _label_vectorized(mask: np.ndarray, connectivity: int = 8):
+    """Vectorized run-graph labeling: extract all row runs in one numpy
+    pass, find run-adjacency edges with searchsorted, resolve components
+    by min-label propagation with pointer jumping (no per-pixel or
+    per-run Python in the hot loops).
+
+    Component ids are numbered by first appearance in scan order
+    (top-down, left-right) — identical to the sequential two-pass
+    union-find this replaces, so golden CC tests are unchanged.
+    """
     h, w = mask.shape
     labels = np.zeros((h, w), dtype=np.int16)
-    parent: list[int] = [0]  # parent[i] for union-find; 0 unused
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    next_label = 1
-    prev_runs: list[tuple[int, int, int]] = []  # (start, end, label) of row y-1
-    all_runs: list[tuple[int, int, int, int]] = []  # (y, start, end, raw_label)
+    # pad one background column so runs cannot span row boundaries
+    m = np.zeros((h, w + 1), dtype=bool)
+    m[:, :w] = mask
+    flat = m.ravel()
+    d = np.diff(flat.view(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if flat[0]:
+        starts = np.concatenate(([0], starts))
+    R = len(starts)
+    if R == 0:
+        return labels, 0, np.zeros((0, 5), dtype=np.int64)
+    stride = w + 1
+    ys = starts // stride
+    s = starts - ys * stride
+    e = ends - ys * stride
     pad = 1 if connectivity == 8 else 0
-    for y in range(h):
-        row = mask[y]
-        if not row.any():
-            prev_runs = []
-            continue
-        d = np.diff(row.astype(np.int8))
-        starts = list(np.flatnonzero(d == 1) + 1)
-        ends = list(np.flatnonzero(d == -1) + 1)
-        if row[0]:
-            starts.insert(0, 0)
-        if row[-1]:
-            ends.append(w)
-        cur_runs: list[tuple[int, int, int]] = []
-        pi = 0
-        for s, e in zip(starts, ends):
-            lab = 0
-            # advance prev-run pointer; overlap test with 8-conn diagonal pad
-            while pi < len(prev_runs) and prev_runs[pi][1] + pad <= s:
-                pi += 1
-            pj = pi
-            while pj < len(prev_runs) and prev_runs[pj][0] < e + pad:
-                plab = prev_runs[pj][2]
-                if lab == 0:
-                    lab = plab
-                else:
-                    union(lab, plab)
-                pj += 1
-            if lab == 0:
-                lab = next_label
-                parent.append(lab)
-                next_label += 1
-            labels[y, s:e] = lab
-            cur_runs.append((s, e, lab))
-            all_runs.append((y, s, e, lab))
-        prev_runs = cur_runs
-    # flatten labels
-    remap = np.zeros(next_label, dtype=np.int16)
-    n = 0
-    for i in range(1, next_label):
-        r = find(i)
-        if remap[r] == 0:
-            n += 1
-            remap[r] = n
-        remap[i] = remap[r]
-    if next_label > 1:
-        labels = remap[labels]
-    runs = [(y, s, e, int(remap[lab])) for y, s, e, lab in all_runs]
-    return labels, n, runs
+    # adjacency with the previous row: run i overlaps prev-row run j iff
+    # s_j < e_i + pad and e_j + pad > s_i; runs are globally sorted by
+    # (row, start), so two searchsorteds over row-keyed coordinates give
+    # each run's candidate range, clamped to the previous row's block
+    W = w + 2  # row key stride; fits any coordinate in [0, w+1]
+    key_s = ys.astype(np.int64) * W + s
+    key_e = ys.astype(np.int64) * W + e
+    row_blocks = np.searchsorted(ys, np.arange(h + 1))
+    prev_y = np.maximum(ys - 1, 0)
+    lo = np.searchsorted(key_e, prev_y * W + np.maximum(s - pad, 0), side="right")
+    hi = np.searchsorted(key_s, prev_y * W + np.minimum(e + pad, W - 1), side="left")
+    blk_lo = row_blocks[prev_y]
+    blk_hi = row_blocks[ys]  # first run of own row = end of prev row block
+    lo = np.clip(lo, blk_lo, blk_hi)
+    hi = np.clip(hi, blk_lo, blk_hi)
+    cnt = np.where(ys > 0, np.maximum(hi - lo, 0), 0)
+    E = int(cnt.sum())
+    lbl = np.arange(R, dtype=np.int64)
+    if E:
+        ei = np.repeat(np.arange(R), cnt)
+        off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ej = np.repeat(lo, cnt) + np.arange(E) - off
+        # min-label propagation + pointer jumping until fixed point
+        while True:
+            mn = np.minimum(lbl[ei], lbl[ej])
+            new = lbl.copy()
+            np.minimum.at(new, ei, mn)
+            np.minimum.at(new, ej, mn)
+            new = new[new]
+            if np.array_equal(new, lbl):
+                break
+            lbl = new
+    # number components by first appearance (ascending root run index)
+    roots, comp0 = np.unique(lbl, return_inverse=True)
+    n = len(roots)
+    comp = (comp0 + 1).astype(np.int16)
+    # paint labels: scatter run extents into the flat image
+    lens = e - s
+    total = int(lens.sum())
+    pos = np.repeat(starts, lens) + (
+        np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    )
+    lab_flat = np.zeros(h * stride, dtype=np.int16)
+    lab_flat[pos] = np.repeat(comp, lens)
+    labels = lab_flat.reshape(h, stride)[:, :w]
+    # per-component stats from runs
+    stats = np.zeros((n, 5), dtype=np.int64)
+    cid = comp0
+    stats[:, 0] = w
+    stats[:, 1] = h
+    np.minimum.at(stats[:, 0], cid, s)
+    np.minimum.at(stats[:, 1], cid, ys)
+    np.maximum.at(stats[:, 2], cid, e)
+    np.maximum.at(stats[:, 3], cid, ys + 1)
+    np.add.at(stats[:, 4], cid, lens)
+    return labels, n, stats
 
 
 def component_stats(labels: np.ndarray, n: int) -> np.ndarray:

@@ -132,12 +132,25 @@ def estimate_skew(stats: np.ndarray) -> float:
         for vals in (bottoms, tops):
             c = vals - s * cx
             c -= c.min()
+            # one quarter-resolution histogram serves all 4 offsets:
+            # floor(c + r/4) == m  <=>  floor(4c) in [4m - r, 4m + 3 - r],
+            # so each offset's histogram is a 4-bin strided sum of h4
+            # (shifted left by r; pad 4 leading zeros to absorb r > 0)
+            h4 = np.bincount((c * 4.0).astype(np.int64))
+            L = len(h4)
+            nb = L // 4 + 2  # output bins cover all m with mass
+            padded = np.zeros(4 + 4 * nb + 4, dtype=np.float64)
+            padded[4 : 4 + L] = h4
             best_off = 0.0
-            for off in (0.0, 0.25, 0.5, 0.75):
-                hist = np.bincount(np.floor(c + off).astype(np.int64))
-                best_off = max(
-                    best_off, float((hist.astype(np.float64) ** 2).sum())
+            for r in range(4):
+                base = 4 - r
+                hist = (
+                    padded[base : base + 4 * nb : 4]
+                    + padded[base + 1 : base + 1 + 4 * nb : 4]
+                    + padded[base + 2 : base + 2 + 4 * nb : 4]
+                    + padded[base + 3 : base + 3 + 4 * nb : 4]
                 )
+                best_off = max(best_off, float((hist * hist).sum()))
             score += best_off
         if score > best_score or (score == best_score and abs(s) < abs(best_slope)):
             best_score, best_slope = score, float(s)
@@ -235,10 +248,22 @@ def _row_metrics(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int]:
     drops = (bottoms - baseline_y).astype(np.int64)
     best_s = 0
     for s in (1, 2, 3, 4):
-        rise_ok = np.isin(rises, (3 * s, 8 * s, 12 * s)).all()
-        drop_ok = np.isin(drops, (0, 4 * s)).all()
-        width_ok = ((widths % s == 0) & np.isin(widths // s, (4, 7, 8, 9))).all()
-        if rise_ok and drop_ok and width_ok:
+        # direct comparisons beat np.isin here (tiny allowed sets, no
+        # temp per-call sort/unique) — this runs per text row
+        drop_ok = ((drops == 0) | (drops == 4 * s)).all()
+        if not drop_ok:
+            continue
+        rise_ok = (
+            (rises == 3 * s) | (rises == 8 * s) | (rises == 12 * s)
+        ).all()
+        if not rise_ok:
+            continue
+        ws = widths // s
+        width_ok = (
+            (widths % s == 0)
+            & ((ws == 4) | (ws == 7) | (ws == 8) | (ws == 9))
+        ).all()
+        if width_ok:
             best_s = s  # keep the largest consistent scale
     if best_s == 0:
         # fallback for degenerate rows: nearest scale from the modal rise
