@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "nation_revenue",
     "rollup_counts",
     "fingerprint",
+    "main_content",
 ]
 
 

@@ -53,6 +53,7 @@ class DecodedWord:
     certainty: float
     confidence: float  # 0..100, mean exp(char log-probs), like tesseract conf
     dict_word: bool
+    char_ts: tuple[int, ...] = ()  # per-character emission timesteps
 
 
 def _beam_width(prefix_len: int) -> int:
@@ -189,8 +190,18 @@ def ctc_beam_decode(
     if dawg is not None:
         # dict rescoring: a dict-valid path whose certainty is within
         # kDictRatio of the best wins (lstmrecognizer.cpp:46-48 semantics).
+        # a dict path must explain at least as many characters as the best
+        # free path — the reference rescores alternative readings of the
+        # SAME blobs (it never prefers "skip the blob entirely" as a word)
         best_dict = next(
-            (b for b in final if b.dict_ok and _word_complete(b, dawg)), None
+            (
+                b
+                for b in final
+                if b.dict_ok
+                and _word_complete(b, dawg)
+                and len(b.prefix) >= len(best.prefix)
+            ),
+            None,
         )
         if (
             best_dict is not None
@@ -249,7 +260,8 @@ def _extract_words(
         is_dict = bool(dawg is not None and dawg.accepts(text))
         words.append(
             DecodedWord(
-                text, cur_pos[0], cur_pos[-1], float(min(cur_lp)), conf, is_dict
+                text, cur_pos[0], cur_pos[-1], float(min(cur_lp)), conf,
+                is_dict, tuple(cur_pos),
             )
         )
         cur.clear()
@@ -309,6 +321,7 @@ def resolve_fuzzy_spaces(
                 (prev.confidence * len(prev.text) + w.confidence * len(w.text))
                 / max(1, len(joined)),
                 bool(dawg is not None and dawg.accepts(joined)),
+                prev.char_ts + w.char_ts,
             )
             merged.append(i)
     return out, merged

@@ -23,6 +23,14 @@ from ..functions.fonts import CELL_H, CHARSET, WORD_GAP, get_font
 
 BLANK_SCORE = 0.9  # match fraction a true glyph must beat
 ALPHA = 24.0  # logit sharpness
+K_SOFT_GATE = 0.75  # min static frac for a soft (dict-arbitrated) event
+SOFT_EVENT_SCORE = BLANK_SCORE - 0.003  # loses to blank in greedy decode,
+#   but close enough that the kDictRatio/kCertOffset flip criterion
+#   (lstmrecognizer.cpp:46-48) lets the dictionary beam take the char —
+#   the classifier proposes, the language model decides, as in the
+#   reference's rating-based choice among classifier outputs
+K_ADAPT_ACCEPT_SCORE = BLANK_SCORE + 0.05  # adapted-template hits decode
+#   decisively (a learned within-page bitmap is strong evidence)
 
 
 class TemplateNet:
@@ -89,8 +97,18 @@ class TemplateNet:
         strip: np.ndarray,
         space_px: int = WORD_GAP,
         fuzzy_px: int | None = None,
-    ) -> tuple[np.ndarray, np.ndarray, frozenset[int]]:
-        """Line strip -> (log_probs [T, C], col_of_t [T], fuzzy_ts).
+        adapted=None,
+        soft: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray, frozenset[int], np.ndarray]:
+        """Line strip -> (log_probs [T, C], col_of_t [T], fuzzy_ts,
+        dropped_xs).
+
+        ``dropped_xs`` lists candidate glyph-start columns whose ink
+        cleared no static template (damaged glyphs) — the trigger for the
+        adaptive second pass.  With ``adapted`` (an
+        adaptive.AdaptiveTemplates), such columns are rescued by matching
+        against the page's learned bitmaps (AdaptiveClassifier,
+        src/classify/adaptmatch.cpp:202-234) before being dropped.
 
         Emits compressed timesteps: accepted glyph-start columns (maximal
         munch over exact matches), word-gap columns, and blank separators.
@@ -117,12 +135,49 @@ class TemplateNet:
         else:
             keep = np.zeros(0, dtype=bool)
         # maximal-munch NMS: scan left-to-right, at each accepted column pick
-        # the widest exact-scoring template and skip its extent.
+        # the widest exact-scoring template and skip its extent.  Candidates
+        # failing the static gate either get rescued by the page's adapted
+        # templates or are reported in dropped_xs.
         events: list[tuple[int, np.ndarray]] = []  # (col, class-frac vector)
+        dropped: list[int] = []
         taken_until = -1
-        for ci in np.flatnonzero(keep):
+        for ci in range(len(cand_xs)):
             x = int(cand_xs[ci])
             if x <= taken_until:
+                continue
+            if not keep[ci]:
+                if adapted is not None:
+                    hit = adapted.match(strip, x)
+                    if hit is not None:
+                        code, _frac, w = hit
+                        vec = np.zeros(self.n_classes, dtype=np.float32)
+                        vec[code] = K_ADAPT_ACCEPT_SCORE
+                        events.append((x, vec))
+                        taken_until = x + w - 1
+                        continue
+                if soft:
+                    # near-miss statics become a dict-arbitrated event:
+                    # every code above K_SOFT_GATE gets SOFT_EVENT_SCORE,
+                    # blank still wins greedily (char drops without a
+                    # dictionary), but a DAWG continuation can flip it
+                    vec = np.zeros(self.n_classes, dtype=np.float32)
+                    best_w, best_fr = 0, -1.0
+                    for w, (idxs, _f) in self.by_width.items():
+                        if not scores[w].size:
+                            continue
+                        fr = scores[w][:, ci]
+                        ok = fr >= K_SOFT_GATE
+                        if ok.any():
+                            vec[idxs[ok]] = SOFT_EVENT_SCORE
+                            m = float(fr[ok].max())
+                            if m > best_fr:
+                                best_fr, best_w = m, w
+                    if best_w:
+                        events.append((x, vec))
+                        taken_until = x + best_w - 1
+                        dropped.append(x)
+                        continue
+                dropped.append(x)
                 continue
             vec = np.zeros(self.n_classes, dtype=np.float32)
             best_w = 0
@@ -183,7 +238,12 @@ class TemplateNet:
         m = logits.max(axis=1, keepdims=True)
         e = np.exp(logits - m)
         log_probs = (logits - m) - np.log(e.sum(axis=1, keepdims=True))
-        return log_probs, col_of_t, frozenset(fuzzy_ts)
+        return (
+            log_probs,
+            col_of_t,
+            frozenset(fuzzy_ts),
+            np.asarray(dropped, dtype=np.int64),
+        )
 
 
 _NET: TemplateNet | None = None

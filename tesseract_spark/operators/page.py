@@ -229,6 +229,30 @@ def _cluster_rows(stats: np.ndarray) -> list[np.ndarray]:
     return [np.asarray(r, dtype=np.int64) for r in rows]
 
 
+def _merge_x_overlap_boxes(stats: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+    """Union blobs whose x-ranges overlap into glyph boxes [l, t, r, b].
+
+    Fragments of a broken/damaged character stack over the same columns;
+    the reference re-associates them during blob organization
+    (textord blob merging for broken CJK/damaged chars, tordmain.cpp) —
+    without this, a fragment's bottom above the baseline corrupts the
+    min-of-bottoms baseline anchor.
+    """
+    order = idxs[np.argsort(stats[idxs, 0], kind="stable")]
+    boxes: list[list[int]] = []
+    for i in order:
+        l, t, r, b = (int(stats[i, 0]), int(stats[i, 1]),
+                      int(stats[i, 2]), int(stats[i, 3]))
+        if boxes and l < boxes[-1][2]:  # x-overlap with previous glyph box
+            m = boxes[-1]
+            m[1] = min(m[1], t)
+            m[2] = max(m[2], r)
+            m[3] = max(m[3], b)
+        else:
+            boxes.append([l, t, r, b])
+    return np.asarray(boxes, dtype=np.int64)
+
+
 def _row_metrics(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int]:
     """(baseline_y, x_height, scale) for one row's blobs.
 
@@ -240,10 +264,23 @@ def _row_metrics(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int]:
     (compute_row_xheight family, makerow.cpp, solved exactly instead of
     statistically because the synthetic font is rigid).
     """
-    bottoms = stats[idxs, 3]
-    tops = stats[idxs, 1]
-    widths = stats[idxs, 2] - stats[idxs, 0]
-    baseline_y = int(bottoms.min())
+    gboxes = _merge_x_overlap_boxes(stats, idxs)
+    bottoms = gboxes[:, 3]
+    tops = gboxes[:, 1]
+    widths = gboxes[:, 2] - gboxes[:, 0]
+    # baseline election: in the font model every bottom is baseline or
+    # baseline + 4s (descender).  min(bottoms) is corrupted by a damaged
+    # glyph whose bottom fragment the noise filter shaved, so vote: the
+    # candidate consistent with the most glyph bottoms wins (smallest on
+    # ties).  Mirrors the consensus nature of the reference's baseline
+    # fit (makerow.cpp LMS over many blobs, not a single extremum).
+    baseline_y, best_n = int(bottoms.min()), -1
+    for b in np.unique(bottoms):
+        d = bottoms - b
+        ok = (d == 0) | ((d > 0) & (d % 4 == 0) & (d // 4 <= 4))
+        n = int(ok.sum())
+        if n > best_n:
+            baseline_y, best_n = int(b), n
     rises = (baseline_y - tops).astype(np.int64)
     drops = (bottoms - baseline_y).astype(np.int64)
     best_s = 0

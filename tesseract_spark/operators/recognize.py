@@ -76,20 +76,98 @@ def recognize_page(
     return spans, layout
 
 
+def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
+    """Decode one layout row: (text, words, merged, dropped_xs, col_of_t)."""
+    space_canon = max(2, row.space_px // max(1, row.scale) - 1)
+    log_probs, col_of_t, fuzzy_ts, dropped = net.forward(
+        row.strip,
+        space_px=space_canon,
+        fuzzy_px=fuzzy_space_px(space_canon),
+        adapted=adapted,
+        soft=dawg is not None,
+    )
+    text, words, _cert = ctc_beam_decode(
+        log_probs, net.charset, net.blank, net.space_code, dawg
+    )
+    merged: list[int] = []
+    if fuzzy_ts:
+        words, merged = resolve_fuzzy_spaces(words, fuzzy_ts, dawg)
+        if merged:
+            text = " ".join(w.text for w in words)
+    return text, words, merged, dropped, col_of_t
+
+
+def _harvest_adaptable(adapted, net: TemplateNet, row, words, col_of_t) -> None:
+    """LearnWord over this row's adaptable words (AdaptableWord gate,
+    adaptmatch.cpp:811-829): dictionary-accepted, high-confidence,
+    bounded length."""
+    from ..lstm.adaptive import (
+        K_ADAPTABLE_MIN_CONF,
+        MAX_ADAPTABLE_WERD_SIZE,
+        harvest_word,
+    )
+
+    code_of = {ch: i for i, ch in enumerate(net.charset)}
+    for w in words:
+        if (
+            not w.dict_word
+            or w.confidence < K_ADAPTABLE_MIN_CONF
+            or not (0 < len(w.text) <= MAX_ADAPTABLE_WERD_SIZE)
+            or len(w.char_ts) != len(w.text)
+        ):
+            continue
+        chars = [
+            (code_of[ch], int(col_of_t[t]))
+            for ch, t in zip(w.text, w.char_ts)
+            if ch in code_of
+        ]
+        harvest_word(adapted, row.strip, chars, net.width_by_code)
+
+
 def recognize_page_detail(
     gray: np.ndarray,
     dpi: int = 300,
     dawg: Dawg | None = None,
     net: TemplateNet | None = None,
+    adapt: bool = True,
 ) -> tuple[list[SubSpan], list[WordRec], PageResult]:
     """Like recognize_page but also returns per-word records with page
-    boxes for the TSV/hOCR/ALTO sinks."""
+    boxes for the TSV/hOCR/ALTO sinks.
+
+    Two recognition passes when a dictionary is present (recog_all_words
+    pass 1/pass 2, src/ccmain/control.cpp:291-456): pass 1 decodes every
+    row and learns adapted glyph templates from unambiguous dictionary
+    words; pass 2 re-decodes only the rows whose static match dropped ink,
+    rescuing damaged glyphs via the adapted templates."""
     net = net or get_net()
     layout = analyze_page(gray, dpi)
-    # span reading order (resultiterator walk): single-column pages
-    # interleave paragraphs and media strictly by top y; multi-column pages
-    # emit column text blocks left-to-right, media after (layout_test.cc
-    # block-order semantics).
+    # ---- pass 1: decode all rows, harvest adaptable words ----------------
+    adapted = None
+    if adapt and dawg is not None:
+        from ..lstm.adaptive import AdaptiveTemplates
+
+        adapted = AdaptiveTemplates()
+    decoded: dict[tuple[int, int], tuple] = {}  # (region, row) -> result
+    retry: list[tuple[int, int]] = []
+    for ri, region in enumerate(layout.regions):
+        if region.kind != "text":
+            continue
+        for i, row in enumerate(region.rows):
+            res = _decode_row(net, row, dawg)
+            decoded[(ri, i)] = res
+            if adapted is not None:
+                _harvest_adaptable(adapted, net, row, res[1], res[4])
+                if len(res[3]):
+                    retry.append((ri, i))
+    # ---- pass 2: adaptive re-decode of rows with dropped ink -------------
+    if adapted is not None and adapted.n_learned:
+        for ri, i in retry:
+            row = layout.regions[ri].rows[i]
+            decoded[(ri, i)] = _decode_row(net, row, dawg, adapted=adapted)
+    # ---- assembly (resultiterator walk) ----------------------------------
+    # span reading order: single-column pages interleave paragraphs and
+    # media strictly by top y; multi-column pages emit column text blocks
+    # left-to-right, media after (layout_test.cc block-order semantics).
     multi_col = sum(1 for g in layout.regions if g.kind == "text") > 1
     keyed: list[tuple[tuple, SubSpan]] = []
     word_recs: list[WordRec] = []
@@ -104,22 +182,8 @@ def recognize_page_detail(
         row_words: list[int] = []
         row_decoded: list[list] = []
         row_merges: list[list[int]] = []
-        for row in region.rows:
-            # space threshold in canonical (descaled) pixels
-            space_canon = max(2, row.space_px // max(1, row.scale) - 1)
-            log_probs, _cols, fuzzy_ts = net.forward(
-                row.strip,
-                space_px=space_canon,
-                fuzzy_px=fuzzy_space_px(space_canon),
-            )
-            text, words, _cert = ctc_beam_decode(
-                log_probs, net.charset, net.blank, net.space_code, dawg
-            )
-            merged: list[int] = []
-            if fuzzy_ts:
-                words, merged = resolve_fuzzy_spaces(words, fuzzy_ts, dawg)
-                if merged:
-                    text = " ".join(w.text for w in words)
+        for i, row in enumerate(region.rows):
+            text, words, merged, _dropped, _cols = decoded[(ri, i)]
             row_merges.append(merged)
             row_texts.append(text)
             row_words.append(len(words))

@@ -1,0 +1,123 @@
+"""Adaptive classifier tests: soft dict-arbitrated events + within-page
+glyph adaptation (AdaptiveClassifier / LearnWord / AdaptToChar,
+src/classify/adaptmatch.cpp:202-440; two-pass recognition like
+recog_all_words pass 1/2, src/ccmain/control.cpp:291-456)."""
+
+import numpy as np
+
+from tesseract_spark.functions.fonts import CELL_H, get_font, mask_to_gray
+from tesseract_spark.lstm.dawg import Dawg
+from tesseract_spark.lstm.templates import get_net
+from tesseract_spark.operators.recognize import recognize_page
+
+# enough damage to fail the static exact gate (BLANK_SCORE = 0.9 of
+# glyph cell pixels) but stay above the soft gate (0.75): clear interior
+# ink only, so the glyph bbox (baseline/x-height anchors) is preserved
+# and no stray specks appear for the noise filter to shave
+N_DAMAGE_PX = 16
+
+
+def _damaged_glyph(ch: str, seed: int = 4) -> np.ndarray:
+    """The font glyph with N_DAMAGE_PX interior ink pixels cleared."""
+    g = get_font()[ch].copy()
+    ys, xs = np.nonzero(g)
+    keep = (ys > ys.min()) & (ys < ys.max()) & (xs > xs.min()) & (xs < xs.max())
+    iy, ix = ys[keep], xs[keep]
+    rng = np.random.default_rng(seed)
+    sel = rng.choice(len(iy), size=min(N_DAMAGE_PX, len(iy)), replace=False)
+    g[iy[sel], ix[sel]] = False
+    return g
+
+
+def _line_mask(glyphs: list[np.ndarray], gap: int = 1) -> np.ndarray:
+    cols = []
+    for i, g in enumerate(glyphs):
+        cols.append(g)
+        if i + 1 < len(glyphs):
+            cols.append(np.zeros((CELL_H, gap), dtype=bool))
+    return np.hstack(cols)
+
+
+def _page(lines: list[np.ndarray], vgap: int = 8) -> np.ndarray:
+    w = max(ln.shape[1] for ln in lines) + 24
+    h = sum(ln.shape[0] for ln in lines) + vgap * (len(lines) - 1) + 24
+    page = np.zeros((h, w), dtype=bool)
+    y = 12
+    for ln in lines:
+        page[y : y + ln.shape[0], 12 : 12 + ln.shape[1]] = ln
+        y += ln.shape[0] + vgap
+    return mask_to_gray(page)
+
+
+def _word(text: str, damage: dict[int, np.ndarray] | None = None):
+    font = get_font()
+    return _line_mask(
+        [
+            (damage or {}).get(i, font[ch])
+            for i, ch in enumerate(text)
+        ]
+    )
+
+
+def _texts(spans):
+    return [s.text for s in spans if s.kind == "text"]
+
+
+def test_static_gate_drops_damaged_glyph_without_dict():
+    bad_w = _damaged_glyph("w")
+    gray = _page([_word("wind", {0: bad_w})])
+    spans, _ = recognize_page(gray)
+    assert _texts(spans) == ["ind"]  # 'w' fails the exact gate and drops
+
+
+def test_soft_event_lets_dictionary_recover_damaged_glyph():
+    bad_w = _damaged_glyph("w")
+    gray = _page([_word("wind", {0: bad_w})])
+    dawg = Dawg(get_net().charset, ["wind"])
+    spans, _ = recognize_page(gray, dawg=dawg)
+    assert _texts(spans) == ["wind"]
+
+
+def test_adaptation_rescues_non_dict_word_via_learned_glyph():
+    # line 1: 'wind' with damaged w -> dictionary recovers it (pass 1)
+    # and the damaged bitmap is learned; line 2: 'wq' is NOT a dict word,
+    # same damaged w -> only the adapted template can rescue it (pass 2)
+    bad_w = _damaged_glyph("w")
+    gray = _page(
+        [
+            _word("wind", {0: bad_w}),
+            _word("wq", {0: bad_w}),
+        ]
+    )
+    dawg = Dawg(get_net().charset, ["wind"])
+    spans, _ = recognize_page(gray, dawg=dawg)
+    assert _texts(spans) == ["wind\nwq"]
+    # without adaptation both lines lose the damaged glyph in line 2
+    from tesseract_spark.operators.recognize import recognize_page_detail
+
+    spans_na, _w, _l = recognize_page_detail(gray, dawg=dawg, adapt=False)
+    assert _texts(spans_na) == ["wind\nq"]
+
+
+def test_clean_pages_identical_with_and_without_adaptation():
+    gray = _page([_word("wind"), _word("torch")])
+    dawg = Dawg(get_net().charset, ["wind", "torch"])
+    from tesseract_spark.operators.recognize import recognize_page_detail
+
+    a, _, _ = recognize_page_detail(gray, dawg=dawg, adapt=True)
+    b, _, _ = recognize_page_detail(gray, dawg=dawg, adapt=False)
+    assert _texts(a) == _texts(b) == ["wind\ntorch"]
+
+
+def test_adaptive_templates_dedup_and_match():
+    from tesseract_spark.lstm.adaptive import AdaptiveTemplates
+
+    at = AdaptiveTemplates()
+    g = get_font()["a"]
+    at.learn(0, g)
+    at.learn(0, g)  # duplicate bitmap: NumTimesSeen++, no new proto
+    assert at.n_learned == 1
+    strip = np.zeros((CELL_H, g.shape[1] + 4), dtype=bool)
+    strip[:, : g.shape[1]] = g
+    hit = at.match(strip, 0)
+    assert hit is not None and hit[0] == 0 and hit[1] == 1.0
