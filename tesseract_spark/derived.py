@@ -225,3 +225,79 @@ def ocr_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "media_ref",
     )
+
+
+def materialize_corpus_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 64,
+    cache_root: str = "/root/repo/.bench_corpus",
+) -> tuple[str, str]:
+    """Bucketed variant of materialize_corpus: the media table is written
+    as a catalog table bucketed on media_ref, so the production join reads
+    it shuffle-free (the png payload never moves; see
+    pipeline.ocr_from_parts media_prebucketed).  Returns
+    (documents_path, media_table_name)."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    docs_path, media_path = materialize_corpus(spark, sf_dir, cache_root)
+    table = f"tess_media_bkt_{tag}_{n_buckets}"
+    loc = f"{cache_root}/{CORPUS_VERSION}-{tag}-bkt{n_buckets}"
+    if not os.path.exists(f"{loc}/_BUCKETED"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            spark.read.parquet(media_path)
+            .write.bucketBy(n_buckets, "media_ref")
+            .sortBy("media_ref")
+            .option("path", f"{loc}/media")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+        with open(f"{loc}/_BUCKETED", "w") as f:
+            f.write(table)
+    elif table not in [t.name for t in spark.catalog.listTables()]:
+        # session catalog lost the table (new session, default in-memory
+        # catalog): re-register the external location
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.catalog.createTable(table, path=f"{loc}/media")
+        # createTable loses bucket metadata; rewrite registration via SQL
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(
+            f"CREATE TABLE {table} (media_ref STRING, png BINARY, width INT, "
+            f"height INT, dpi INT) USING parquet "
+            f"OPTIONS (path '{loc}/media') "
+            f"CLUSTERED BY (media_ref) SORTED BY (media_ref) "
+            f"INTO {n_buckets} BUCKETS"
+        )
+    return docs_path, table
+
+
+def ocr_production_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ocr_production over the bucketed media table: identical results,
+    one fewer exchange — the heavy png side is read in bucket layout."""
+    from .pipeline import ocr_from_parts
+
+    docs_path, table = materialize_corpus_bucketed(spark, sf_dir)
+    docs = spark.read.parquet(docs_path)
+    media = spark.table(table)
+    media_rows = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).filter(F.col("span.kind") == "media").select(
+        "doc_id", "pos", F.col("span.media_ref").alias("media_ref")
+    )
+    text_rows = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).filter(F.col("span.kind") == "text").select(
+        "doc_id", "pos", F.col("span.text").alias("text")
+    )
+    flat = ocr_from_parts(
+        spark, text_rows, media_rows, media, media_prebucketed=True
+    )
+    return flat.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset").cast("int").alias("offset"),
+        "kind",
+        "text",
+        "media_ref",
+    )

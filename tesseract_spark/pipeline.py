@@ -189,11 +189,20 @@ def ocr_from_parts(
     dict_words: list[str] | None = None,
     num_partitions: int | None = None,
     broadcast_media: bool | None = None,
+    media_prebucketed: bool = False,
 ) -> DataFrame:
     """Pipeline core over pre-split inputs.
 
     text_rows: (doc_id, pos, text) pass-through spans;
     media_refs: (doc_id, pos, media_ref); media: (media_ref, png, dpi).
+
+    ``media_prebucketed``: the media table is a bucketed catalog table on
+    media_ref — the scan itself satisfies the join's distribution, so the
+    heavy png payload NEVER shuffles; only the light (doc_id, pos,
+    media_ref) refs exchange into the bucket layout.  This is the
+    100TB-scale shape: the multi-TB image bytes stay where they were
+    written, and per-query network traffic is proportional to the span
+    index, not the corpus.
     """
     if num_partitions is None:
         import os
@@ -215,7 +224,14 @@ def ocr_from_parts(
         F.lit(-1).cast("int").alias("partition_id"),
     )
     media_side = media.select("media_ref", "png", "dpi")
-    if broadcast_media:
+    if media_prebucketed:
+        # no manual repartition on either side: EnsureRequirements sees the
+        # bucketed scan's HashPartitioning(media_ref, n_buckets) and adds
+        # exactly one exchange, on the refs side
+        media_rows = media_refs.join(
+            media_side.hint("shuffle_hash"), "media_ref", "left"
+        )
+    elif broadcast_media:
         media_rows = media_refs.repartition(num_partitions, "media_ref").join(
             F.broadcast(media_side), "media_ref", "left"
         )

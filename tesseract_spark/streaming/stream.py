@@ -102,3 +102,130 @@ def stream_event_counts(
     )
     q.awaitTermination()
     return spark.table("event_counts")
+
+
+def stream_assemble_documents(
+    spark: SparkSession,
+    spans_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "assembled_docs",
+    max_files_per_trigger: int = 1,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Custom stateful operator: incremental document assembly.
+
+    Span fragments of a document arrive across micro-batches (the
+    streaming analogue of the reference's multipage progressive output:
+    TessResultRenderer BeginDocument/AddImage/EndDocument,
+    src/api/renderer.cpp:92-135, where a document is complete only after
+    every page has been appended).  Per-document state accumulates
+    (pos, kind, text) fragments via ``applyInPandasWithState``; when the
+    declared span count is reached the assembled, position-ordered
+    document is emitted exactly once and its state is dropped.
+
+    Input rows: (doc_id string, pos int, kind string, text string,
+    n_spans int) — ``n_spans`` is the document's total span count
+    (repeated on each fragment; the page count a multipage container
+    header declares).
+
+    Sinks: with ``out_dir`` the query appends completed documents to
+    parquet via foreachBatch and RESUMES from the checkpoint across runs
+    (per-group state survives restarts — the checkpoint-resumable story
+    of BASELINE.json applied to streaming state); without it, a memory
+    sink for ad-hoc inspection (memory sinks cannot recover a
+    checkpoint, so pass a fresh checkpoint_dir per run in that mode).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_spans", T.IntegerType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n_spans", T.IntegerType()),
+            T.StructField("n_text", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("pos", T.ArrayType(T.IntegerType())),
+            T.StructField("kind", T.ArrayType(T.StringType())),
+            T.StructField("text", T.ArrayType(T.StringType())),
+            T.StructField("n", T.IntegerType()),
+        ]
+    )
+
+    def assemble(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            pos, kind, text, n = state.get
+            pos, kind, text = list(pos), list(kind), list(text)
+        else:
+            pos, kind, text, n = [], [], [], -1
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                pos.append(int(r.pos))
+                kind.append(str(r.kind))
+                text.append("" if r.text is None else str(r.text))
+                if r.n_spans is not None and int(r.n_spans) > 0:
+                    n = int(r.n_spans)
+        if 0 < n <= len(pos):
+            order = sorted(range(len(pos)), key=lambda i: pos[i])
+            doc = "\n".join(text[i] for i in order if kind[i] == "text")
+            n_text = sum(1 for i in order if kind[i] == "text")
+            state.remove()  # EndDocument: emit once, drop state
+            yield pd.DataFrame(
+                {
+                    "doc_id": [key[0]],
+                    "n_spans": [n],
+                    "n_text": [n_text],
+                    "text": [doc],
+                }
+            )
+        else:
+            state.update((pos, kind, text, n))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(spans_dir)
+    )
+    assembled = stream.groupBy("doc_id").applyInPandasWithState(
+        assemble,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    if out_dir is not None:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            assembled.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+    q = (
+        assembled.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -77,3 +77,18 @@ def test_plan_has_salted_exchange_and_pruned_scan(spark, corpus):
     assert "mapinpandas" in plan
     # column pruning reaches the media scan: png/dpi only, not width/height
     assert "readschema: struct<media_ref:string,png:binary,dpi:int>" in plan
+
+
+def test_bucketed_media_join_identical_and_shuffle_free(spark):
+    """ocr_production_bucketed: identical output, and the bucketed media
+    scan satisfies the join distribution (no exchange above the png
+    side — the 100TB-scale shape where the payload never shuffles)."""
+    from tesseract_spark.derived import ocr_production, ocr_production_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, ocr_production(spark, sf).collect()))
+    bdf = ocr_production_bucketed(spark, sf)
+    b = sorted(map(tuple, bdf.collect()))
+    assert a == b
+    plan = bdf._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan

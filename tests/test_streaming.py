@@ -45,3 +45,76 @@ def test_stream_event_counts_matches_batch(spark, tmp_path):
     assert got.shape == exp.shape
     assert (got["n"].values == exp["n"].values).all()
     assert (got["h"].values == exp["h"].values).all()
+
+
+def test_stateful_document_assembly(spark, tmp_path):
+    """applyInPandasWithState: fragments arrive across micro-batches; a
+    document is emitted exactly once, only when all its spans arrived
+    (renderer BeginDocument/AddImage/EndDocument semantics)."""
+    from tesseract_spark.streaming.stream import stream_assemble_documents
+
+    rows1 = [  # first wave: d1 complete, d2 partial
+        ("d1", 0, "text", "alpha", 2),
+        ("d1", 1, "text", "beta", 2),
+        ("d2", 2, "text", "last", 3),
+        ("d2", 0, "text", "first", 3),
+    ]
+    rows2 = [  # second wave completes d2 (media span, out of order)
+        ("d2", 1, "media", None, 3),
+    ]
+    schema = "doc_id string, pos int, kind string, text string, n_spans int"
+    spans_dir = str(tmp_path / "spans_stream")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(spans_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(spans_dir)
+    res = stream_assemble_documents(
+        spark, spans_dir, str(tmp_path / "cp_assemble"), query_name="asm1"
+    )
+    got = {r.doc_id: r for r in res.collect()}
+    assert set(got) == {"d1", "d2"}
+    assert got["d1"].text == "alpha\nbeta" and got["d1"].n_text == 2
+    # d2: media span at pos 1 elided from text, order restored
+    assert got["d2"].text == "first\nlast" and got["d2"].n_text == 2
+    assert got["d2"].n_spans == 3
+
+
+def test_stateful_assembly_incomplete_doc_not_emitted(spark, tmp_path):
+    from tesseract_spark.streaming.stream import stream_assemble_documents
+
+    rows = [("dX", 0, "text", "only", 5)]  # 1 of 5 spans present
+    schema = "doc_id string, pos int, kind string, text string, n_spans int"
+    spans_dir = str(tmp_path / "spans_stream2")
+    spark.createDataFrame(rows, schema).write.parquet(spans_dir)
+    res = stream_assemble_documents(
+        spark, spans_dir, str(tmp_path / "cp_assemble2"), query_name="asm2"
+    )
+    assert res.count() == 0
+
+
+def test_stateful_assembly_resumes_state_across_runs(spark, tmp_path):
+    """Durable mode (foreachBatch parquet): per-doc state survives query
+    restarts via the checkpoint; completion in a later run emits exactly
+    once and re-runs emit nothing."""
+    from tesseract_spark.streaming.stream import stream_assemble_documents
+
+    schema = "doc_id string, pos int, kind string, text string, n_spans int"
+    spans_dir = str(tmp_path / "spans3")
+    cp = str(tmp_path / "cp3")
+    out = str(tmp_path / "out3")
+    spark.createDataFrame(
+        [("dA", 0, "text", "one", 2)], schema
+    ).coalesce(1).write.mode("append").parquet(spans_dir)
+    res = stream_assemble_documents(spark, spans_dir, cp, out_dir=out)
+    assert res.count() == 0  # incomplete, state persisted
+    spark.createDataFrame(
+        [("dA", 1, "text", "two", 2)], schema
+    ).coalesce(1).write.mode("append").parquet(spans_dir)
+    res = stream_assemble_documents(spark, spans_dir, cp, out_dir=out)
+    rows = res.collect()
+    assert len(rows) == 1 and rows[0].text == "one\ntwo"
+    # idempotent re-run: checkpoint sees no new files
+    res = stream_assemble_documents(spark, spans_dir, cp, out_dir=out)
+    assert res.count() == 1
