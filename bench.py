@@ -78,14 +78,17 @@ def main() -> None:
     # untimed setup: materialize the derived interleaved corpus so the
     # flagship times the PRODUCTION job (read existing documents+media
     # tables -> OCR), not corpus synthesis
-    from tesseract_spark.derived import materialize_corpus, ocr_production
+    from tesseract_spark.derived import (
+        materialize_corpus_bucketed,
+        ocr_production_bucketed,
+    )
 
-    materialize_corpus(spark, sf_dir)
+    materialize_corpus_bucketed(spark, sf_dir)
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
         if name == "ocr_extract":
-            fn = ocr_production
+            fn = ocr_production_bucketed
         else:
             fn = REGISTRY[name][0]
         t0 = time.perf_counter()

@@ -44,18 +44,32 @@ def run_once(cpus: int) -> dict:
     return json.loads(line)
 
 
-def run(cpus: int) -> dict:
-    best = None
-    for _ in range(REPEATS):
-        r = run_once(cpus)
-        if best is None:
-            best = r
-        else:
-            for q, t in r["queries"].items():
-                best["queries"][q] = min(best["queries"][q], t)
-    best["value"] = round(sum(best["queries"].values()), 3)
-    best["docs_per_sec"] = round(best["n_docs"] / best["queries"]["ocr_extract"], 2)
+def _merge_best(best: dict | None, r: dict) -> dict:
+    if best is None:
+        return r
+    for q, t in r["queries"].items():
+        best["queries"][q] = min(best["queries"][q], t)
     return best
+
+
+def run_all_interleaved(levels: list[int]) -> dict[int, dict]:
+    """Round-robin the parallelism levels across repeats (2,8,32, 2,8,32,
+    ...) so every level samples the same wall-clock window.  This VM's
+    throughput drifts by up to ~1.5x on a minutes-to-hours timescale
+    (episodic steal / bandwidth contention); sequential per-level repeats
+    can capture one level entirely inside a slow phase and corrupt the
+    efficiency ratio (observed: E(2->8)=0.61 from a sequential run whose
+    local[2] hit a fast phase, vs 0.85+ measured back-to-back)."""
+    best: dict[int, dict | None] = {c: None for c in levels}
+    for _ in range(REPEATS):
+        for cpus in levels:
+            best[cpus] = _merge_best(best[cpus], run_once(cpus))
+    out: dict[int, dict] = {}
+    for cpus, b in best.items():
+        b["value"] = round(sum(b["queries"].values()), 3)
+        b["docs_per_sec"] = round(b["n_docs"] / b["queries"]["ocr_extract"], 2)
+        out[cpus] = b
+    return out
 
 
 def partition_histogram() -> dict:
@@ -109,9 +123,8 @@ def main() -> None:
     # pair keeps per-core bandwidth roughly constant — the faithful proxy
     # for the cluster criterion; the 8->32 pair is reported alongside as
     # the bandwidth-bound single-box reference.
-    r2 = run(2)
-    r8 = run(8)
-    r32 = run(32)
+    runs = run_all_interleaved([2, 8, 32])
+    r2, r8, r32 = runs[2], runs[8], runs[32]
     hist = partition_histogram()
     t2 = r2["queries"]["ocr_extract"]
     t8 = r8["queries"]["ocr_extract"]

@@ -230,7 +230,7 @@ def ocr_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 def materialize_corpus_bucketed(
     spark: SparkSession,
     sf_dir: str,
-    n_buckets: int = 64,
+    n_buckets: int = 128,
     cache_root: str = "/root/repo/.bench_corpus",
 ) -> tuple[str, str]:
     """Bucketed variant of materialize_corpus: the media table is written

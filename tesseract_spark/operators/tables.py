@@ -1,0 +1,150 @@
+"""Table-region detection — the column-alignment half of the reference's
+table finder (src/textord/tablefind.cpp: column partitions whose cells
+align across rows become table candidates; TableFinder::LocateTables).
+
+The signal here is the same the reference uses, re-expressed over the
+layout stage's word boxes: a run of >= MIN_TABLE_ROWS consecutive rows
+where (a) every row splits into the same number >= 2 of words, and
+(b) each word column's left edges agree within ALIGN_TOL px across the
+rows.  Detected regions are reported as (top-row index, bottom-row
+index, column lefts) so callers can tag blocks PT_TABLE-style.
+
+Spark shape: runs inside the page UDF on layout output — no extra
+passes over pixels, no shuffles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+MIN_TABLE_ROWS = 3
+MIN_TABLE_COLS = 2
+ALIGN_TOL = 2  # px tolerance for column-edge agreement
+
+
+@dataclass
+class TableRegion:
+    row_start: int  # index into the region's rows (inclusive)
+    row_end: int  # inclusive
+    col_lefts: list[int]  # representative left edge per column
+    bbox: tuple[int, int, int, int]
+
+
+def _row_signature(word_boxes) -> list[int] | None:
+    """Column lefts of one row, or None if not table-shaped."""
+    if len(word_boxes) < MIN_TABLE_COLS:
+        return None
+    return [int(b[0]) for b in word_boxes]
+
+
+def _aligned(sig_a: list[int], sig_b: list[int]) -> bool:
+    return len(sig_a) == len(sig_b) and all(
+        abs(a - b) <= ALIGN_TOL for a, b in zip(sig_a, sig_b)
+    )
+
+
+def detect_tables(rows) -> list[TableRegion]:
+    """Find maximal runs of column-aligned rows in one text region.
+
+    ``rows``: the layout Row list (each with .word_boxes and .bbox).
+    """
+    sigs = [_row_signature(r.word_boxes) for r in rows]
+    out: list[TableRegion] = []
+    i = 0
+    while i < len(rows):
+        if sigs[i] is None:
+            i += 1
+            continue
+        j = i
+        while (
+            j + 1 < len(rows)
+            and sigs[j + 1] is not None
+            and _aligned(sigs[i], sigs[j + 1])
+        ):
+            j += 1
+        if j - i + 1 >= MIN_TABLE_ROWS:
+            group = rows[i : j + 1]
+            ls = np.array([r.bbox[0] for r in group])
+            ts = np.array([r.bbox[1] for r in group])
+            rs = np.array([r.bbox[2] for r in group])
+            bs = np.array([r.bbox[3] for r in group])
+            # representative lefts: median per column across the run
+            cols = [
+                int(np.median([sigs[k][c] for k in range(i, j + 1)]))
+                for c in range(len(sigs[i]))
+            ]
+            out.append(
+                TableRegion(
+                    row_start=i,
+                    row_end=j,
+                    col_lefts=cols,
+                    bbox=(
+                        int(ls.min()),
+                        int(ts.min()),
+                        int(rs.max()),
+                        int(bs.max()),
+                    ),
+                )
+            )
+            i = j + 1
+        else:
+            i += 1
+    return out
+
+
+def detect_column_partition_tables(regions) -> list[TableRegion]:
+    """Cross-region detection: a wide-guttered table is segmented into one
+    page COLUMN per table column by the layout stage; the table signal is
+    then >= 2 adjacent text regions whose rows align vertically (the
+    reference's actual mechanism — aligned ColPartitions,
+    tablefind.cpp TableFinder::LocateTables)."""
+    texts = [r for r in regions if r.kind == "text"]
+    if len(texts) < MIN_TABLE_COLS:
+        return []
+    texts = sorted(texts, key=lambda r: r.bbox[0])
+    base = texts[0]
+    tops = [row.bbox[1] for row in base.rows]
+    if len(tops) < MIN_TABLE_ROWS:
+        return []
+    for reg in texts:
+        if len(reg.rows) != len(tops):
+            return []
+        if any(
+            abs(row.bbox[1] - t) > ALIGN_TOL
+            for row, t in zip(reg.rows, tops)
+        ):
+            return []
+        # discriminator vs prose columns: table cells are single word
+        # boxes; a prose column's rows carry full multi-word lines
+        if any(len(row.word_boxes) != 1 for row in reg.rows):
+            return []
+    ls = min(r.bbox[0] for r in texts)
+    ts = min(r.bbox[1] for r in texts)
+    rs = max(r.bbox[2] for r in texts)
+    bs = max(r.bbox[3] for r in texts)
+    return [
+        TableRegion(
+            row_start=0,
+            row_end=len(tops) - 1,
+            col_lefts=[int(r.bbox[0]) for r in texts],
+            bbox=(int(ls), int(ts), int(rs), int(bs)),
+        )
+    ]
+
+
+def detect_page_tables(gray: np.ndarray, dpi: int = 300) -> list[TableRegion]:
+    """Full-page convenience: layout then per-region + cross-region table
+    detection, bboxes in page coordinates."""
+    from .page import analyze_page
+
+    layout = analyze_page(gray, dpi)
+    found: list[TableRegion] = []
+    for region in layout.regions:
+        if region.kind != "text":
+            continue
+        found.extend(detect_tables(region.rows))
+    if not found:
+        found.extend(detect_column_partition_tables(layout.regions))
+    return found

@@ -1306,6 +1306,105 @@ FROM documents
 """
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained trigram language identification (training-pipeline
+    language-ID op): build per-language trigram profiles from the labeled
+    corpus (top-20 trigrams per lang ranked by LIFT — the language-
+    conditional share of the trigram's global frequency, the
+    distinctiveness ranking of the Cavnar-Trenkle n-gram family —
+    deterministic tie-break), classify every document by distinct-trigram
+    overlap with each profile, report per-language accuracy.  Small
+    shuffles only (profile agg + score agg); the profile side is
+    broadcast-sized by construction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tg"),
+    ).filter(F.length("tg") == 3)
+    lc = tri.groupBy("lang", "tg").agg(F.count("*").alias("n"))
+    tot = lc.groupBy("tg").agg(F.sum("n").alias("nt"))
+    prof_w = Window.partitionBy("lang").orderBy(
+        F.desc("lift"), F.desc("n"), F.asc("tg")
+    )
+    profiles = (
+        lc.join(tot, "tg")
+        .filter(F.col("n") >= 3)
+        .withColumn("lift", F.col("n") * 1.0 / F.col("nt"))
+        .withColumn("r", F.row_number().over(prof_w))
+        .filter(F.col("r") <= 20)
+        .select(F.col("lang").alias("plang"), "tg")
+    )
+    doc_tris = tri.select("doc_id", "lang", "tg").distinct()
+    scores = (
+        doc_tris.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    pick_w = Window.partitionBy("doc_id").orderBy(
+        F.desc("overlap"), F.asc("plang")
+    )
+    pred = (
+        scores.withColumn("r", F.row_number().over(pick_w))
+        .filter(F.col("r") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("pred_lang"))
+    )
+    return pred.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("lang") == F.col("pred_lang")).cast("int")).alias(
+            "n_correct"
+        ),
+        F.round(
+            F.avg((F.col("lang") == F.col("pred_lang")).cast("double")), 4
+        ).alias("accuracy"),
+    )
+
+
+ORACLE_LANG_ID = """
+WITH tri AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+                               i -> substring(text, CAST(i AS INT), 3))) AS tg
+  FROM documents
+), tri3 AS (
+  SELECT * FROM tri WHERE length(tg) = 3
+), lc AS (
+  SELECT lang, tg, count(*) AS n FROM tri3 GROUP BY 1, 2
+), tot AS (
+  SELECT tg, sum(n) AS nt FROM lc GROUP BY 1
+), profiles AS (
+  SELECT lang AS plang, tg FROM (
+    SELECT lang, tg, row_number() OVER (PARTITION BY lang
+             ORDER BY n * 1.0 / nt DESC, n DESC, tg ASC) AS r
+    FROM lc JOIN tot USING (tg) WHERE n >= 3)
+  WHERE r <= 20
+), doc_tris AS (
+  SELECT DISTINCT doc_id, lang, tg FROM tri3
+), scores AS (
+  SELECT d.doc_id, d.lang, p.plang, count(*) AS overlap
+  FROM doc_tris d JOIN profiles p USING (tg)
+  GROUP BY 1, 2, 3
+), pred AS (
+  SELECT doc_id, lang, plang AS pred_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY overlap DESC, plang ASC) AS r
+    FROM scores)
+  WHERE r = 1
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(avg(CASE WHEN lang = pred_lang THEN 1.0 ELSE 0.0 END), 4)
+         AS accuracy
+FROM pred GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1345,4 +1444,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
     "main_content": (q_main_content, ORACLE_MAIN_CONTENT),
     "boilerplate_stats": (q_boilerplate_stats, ORACLE_BOILERPLATE_STATS),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
 }

@@ -1,0 +1,98 @@
+"""Table-region detection tests (tablefind.cpp LocateTables analogue)."""
+
+import numpy as np
+
+from tesseract_spark.functions.fonts import CELL_H, get_font, mask_to_gray, render_line
+from tesseract_spark.operators.tables import detect_page_tables
+
+
+def _cell_row(words: list[str], col_xs: list[int], width: int) -> np.ndarray:
+    row = np.zeros((CELL_H, width), dtype=bool)
+    for w, x in zip(words, col_xs):
+        m = render_line(w)
+        row[:, x : x + m.shape[1]] = m
+    return row
+
+
+def _page(rows: list[np.ndarray], vgap: int = 6) -> np.ndarray:
+    w = max(r.shape[1] for r in rows) + 24
+    h = len(rows) * (CELL_H + vgap) + 24
+    page = np.zeros((h, w), dtype=bool)
+    y = 12
+    for r in rows:
+        page[y : y + CELL_H, 12 : 12 + r.shape[1]] = r
+        y += CELL_H + vgap
+    return mask_to_gray(page)
+
+
+def test_detects_aligned_table():
+    cols = [0, 30, 60]  # 11px gutters: word gaps, below the column-split gutter
+    rows = [
+        _cell_row(["ab", "cd", "ef"], cols, 100),
+        _cell_row(["gh", "ij", "kl"], cols, 100),
+        _cell_row(["mn", "op", "qr"], cols, 100),
+        _cell_row(["st", "uv", "wx"], cols, 100),
+    ]
+    tables = detect_page_tables(_page(rows))
+    assert len(tables) == 1
+    t = tables[0]
+    assert t.row_end - t.row_start + 1 == 4
+    assert len(t.col_lefts) == 3
+    # columns spaced like the layout (page x = 12 + col offset)
+    d = np.diff(t.col_lefts)
+    assert (abs(d - 30) <= 2).all()
+
+
+def test_prose_is_not_a_table():
+    # different-width words shift the column lefts row to row
+    rows = [
+        render_line("a bb ccc"),
+        render_line("dddd e ff"),
+        render_line("g hhhh ii"),
+        render_line("jj kk llll"),
+    ]
+    padded = []
+    w = max(r.shape[1] for r in rows)
+    for r in rows:
+        p = np.zeros((CELL_H, w), dtype=bool)
+        p[:, : r.shape[1]] = r
+        padded.append(p)
+    assert detect_page_tables(_page(padded)) == []
+
+
+def test_short_run_below_min_rows_ignored():
+    cols = [0, 30]
+    rows = [
+        _cell_row(["ab", "cd"], cols, 70),
+        _cell_row(["ef", "gh"], cols, 70),  # only 2 aligned rows
+        render_line("prose line here"),
+    ]
+    w = max(r.shape[1] for r in rows)
+    padded = []
+    for r in rows:
+        p = np.zeros((CELL_H, w), dtype=bool)
+        p[:, : r.shape[1]] = r
+        padded.append(p)
+    assert detect_page_tables(_page(padded)) == []
+
+
+def test_wide_gutter_table_found_as_column_partitions():
+    """A table whose gutters exceed the page-column threshold splits into
+    one layout region per column; the cross-region detector (aligned
+    ColPartitions, tablefind.cpp) still finds it."""
+    cols = [0, 40, 80]  # 21px gutters -> column split at scale 1? (24 needed)
+    rows = [_cell_row(["ab", "cd", "ef"], [0, 45, 90], 130) for _ in range(3)]
+    tables = detect_page_tables(_page(rows))
+    assert len(tables) == 1
+    assert len(tables[0].col_lefts) == 3
+
+
+def test_two_column_prose_is_not_a_cross_region_table():
+    from tesseract_spark.fixtures import make_page_spec
+    from tesseract_spark.functions.compose import compose_page
+
+    rng = np.random.default_rng(11)
+    page = compose_page(make_page_spec("two_column", rng))
+    # prose columns: multi-word rows must not be claimed as a table
+    for t in detect_page_tables(page.image):
+        assert False, f"false positive: {t}"
