@@ -123,35 +123,35 @@ def estimate_skew(stats: np.ndarray) -> float:
     stats = stats[stats[:, 4] >= 3]  # specks stay in the mask but don't vote
     if len(stats) < 2:
         return 0.0
-    cx = (stats[:, 0] + stats[:, 2]) / 2.0
-    bottoms = stats[:, 3].astype(np.float64)
-    tops = stats[:, 1].astype(np.float64)
+    lefts = stats[:, 0].astype(np.int64)
+    rights = stats[:, 2].astype(np.int64) - 1
+    bottoms = stats[:, 3].astype(np.int64)
+    tops = stats[:, 1].astype(np.int64)
     best_slope, best_score = 0.0, -1.0
     for s in SKEW_GRID:
+        # discrete shear model matching the page exactly: every column
+        # moved by round(s*x), so a flat-bottomed glyph's bbox bottom
+        # shifts by round(s*x) at its steeper edge (right edge for s>0,
+        # left for s<0) and its top by the opposite edge.  Subtracting
+        # the integer edge shift re-aligns bottoms/tops EXACTLY at the
+        # true slope — integer histogram concentration is decisive where
+        # the old continuous-center model could land one grid step off
+        # on sparse scale-1 pages.  Verified exact on the full grid for
+        # |s| <= 0.05 at scales 1-2; beyond ~0.055 (3+ degrees) glyphs
+        # shear internally (column shifts differ across one glyph's
+        # width) and recovery can land one step off — outside the
+        # corpus envelope (+-0.02) and the reference's small-skew
+        # assumption (makerow.cpp textord_skew_lag).
+        if s >= 0:
+            b_edge, t_edge = rights, lefts
+        else:
+            b_edge, t_edge = lefts, rights
         score = 0.0
-        for vals in (bottoms, tops):
-            c = vals - s * cx
+        for vals, edge in ((bottoms, b_edge), (tops, t_edge)):
+            c = vals - np.round(s * edge).astype(np.int64)
             c -= c.min()
-            # one quarter-resolution histogram serves all 4 offsets:
-            # floor(c + r/4) == m  <=>  floor(4c) in [4m - r, 4m + 3 - r],
-            # so each offset's histogram is a 4-bin strided sum of h4
-            # (shifted left by r; pad 4 leading zeros to absorb r > 0)
-            h4 = np.bincount((c * 4.0).astype(np.int64))
-            L = len(h4)
-            nb = L // 4 + 2  # output bins cover all m with mass
-            padded = np.zeros(4 + 4 * nb + 4, dtype=np.float64)
-            padded[4 : 4 + L] = h4
-            best_off = 0.0
-            for r in range(4):
-                base = 4 - r
-                hist = (
-                    padded[base : base + 4 * nb : 4]
-                    + padded[base + 1 : base + 1 + 4 * nb : 4]
-                    + padded[base + 2 : base + 2 + 4 * nb : 4]
-                    + padded[base + 3 : base + 3 + 4 * nb : 4]
-                )
-                best_off = max(best_off, float((hist * hist).sum()))
-            score += best_off
+            hist = np.bincount(c)
+            score += float((hist.astype(np.float64) ** 2).sum())
         if score > best_score or (score == best_score and abs(s) < abs(best_slope)):
             best_score, best_slope = score, float(s)
     return best_slope

@@ -71,7 +71,7 @@ def q_ocr_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_OCR_DOC_STATS = f"""
 WITH spans AS ({ORACLE_OCR_EXTRACT})
-SELECT doc_id, count(*) AS n_spans, sum(length(text)) AS total_chars
+SELECT doc_id, count(*) AS n_spans, CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM spans GROUP BY doc_id
 """
 
@@ -986,7 +986,7 @@ def q_baseline_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("y"),
     )
     return pts.groupBy("user_id").agg(
-        F.round(F.expr("regr_slope(y, x)") * 1e6, 4).alias("slope_ppm"),
+        F.round(F.expr("regr_slope(y, x)") * 1e6, 2).alias("slope_ppm"),
         F.round(F.expr("regr_intercept(y, x)"), 2).alias("intercept"),
         F.count("*").alias("n_pts"),
     )
@@ -994,7 +994,7 @@ def q_baseline_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BASELINE_FIT = """
 SELECT user_id,
-       round(regr_slope(y, x) * 1e6, 4) AS slope_ppm,
+       round(regr_slope(y, x) * 1e6, 2) AS slope_ppm,
        round(regr_intercept(y, x), 2) AS intercept,
        count(*) AS n_pts
 FROM (
@@ -1093,8 +1093,8 @@ WITH m AS (
   FROM events
 ), s AS (
   SELECT user_id, ts,
-    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS sess_id
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
   FROM m
 )
 SELECT user_id, sess_id, count(*) AS n_events,
@@ -1181,7 +1181,7 @@ def q_lang_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LANG_QUALITY_PROFILE = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(avg(len(list_distinct(string_split(text, ' '))) * 1.0 /
                  len(string_split(text, ' '))), 4) AS avg_diversity
 FROM documents GROUP BY lang

@@ -84,3 +84,29 @@ def test_empty_page_short_circuit():
     img = np.full((64, 64), 235, dtype=np.uint8)
     layout = analyze_page(img)
     assert layout.regions == [] and layout.n_blobs == 0
+
+
+def test_exact_slope_recovery_across_corpus_grid():
+    """The discrete-shear skew estimator recovers every corpus-envelope
+    grid slope exactly at both render scales (the continuous-center model
+    it replaced missed by one step on sparse scale-1 pages, dropping
+    narrow glyphs after deskew — found via flagship oracle mismatch)."""
+    import numpy as np
+
+    from tesseract_spark.functions.compose import PageSpec, compose_page
+    from tesseract_spark.functions.image_ops import binarize_otsu, label_and_stats
+    from tesseract_spark.operators.page import estimate_skew
+    from tesseract_spark.operators.recognize import recognize_page
+
+    lines = ["big table a a", "big sort data data", "query a key a"]
+    for s in (-0.03, -0.02, -0.01, 0.0, 0.01, 0.02, 0.03):
+        for scale in (1, 2):
+            page = compose_page(
+                PageSpec(paragraphs=[lines], scale=scale, skew=s)
+            )
+            stats = label_and_stats(binarize_otsu(page.image))[2]
+            assert estimate_skew(stats) == s, (s, scale)
+        spans, _ = recognize_page(
+            compose_page(PageSpec(paragraphs=[lines], scale=1, skew=s)).image
+        )
+        assert [t.text for t in spans] == ["\n".join(lines)], s
