@@ -1212,6 +1212,167 @@ FROM edges GROUP BY d1
 """.format(pairs=ORACLE_MINHASH_LSH_PAIRS)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the LSH
+    candidate graph by iterative min-label propagation (the HashToMin /
+    large-star-small-star family of published CC-at-scale algorithms):
+    each round every node takes the minimum label among itself and its
+    neighbours; iterate to convergence (cluster diameters are tiny by LSH
+    construction, so rounds ~ O(log d)).  localCheckpoint truncates the
+    growing lineage each round — the documented pattern for iterative
+    DataFrame algorithms.  Output: (doc_id, cluster_id, cluster_size)."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("d1").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(20):  # >= log2(max diameter); LSH clusters are shallow
+        nbr_min = (
+            edges.join(labels, edges.d2 == labels.node)
+            .groupBy(F.col("d1").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs
+),
+reach(node, r) AS (
+  SELECT d1, d1 FROM edges
+  UNION
+  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.node = e.d2
+),
+lbl AS (
+  SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size
+FROM lbl
+""".format(pairs=ORACLE_MINHASH_LSH_PAIRS)
+
+
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label evaluation over the embedding table (training-pipeline
+    quality op): every vector's 10 nearest cosine neighbours vote on its
+    label (majority, ties to the smaller label); report per-label
+    accuracy.  Brute-force O(n^2 d) with a broadcast right side — the
+    EVAL harness; production retrieval uses the sign-LSH bucket path
+    (q_ann_lsh_bucket).  Cosines rounded to 4 decimals before ranking so
+    the neighbour sets are stable across engines."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    nbr = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+    )
+    dot = "aggregate(zip_with(v, nv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+    nrm = "sqrt(aggregate({c}, 0D, (acc, x) -> acc + x * x))"
+    pairs = (
+        emb.crossJoin(F.broadcast(nbr))
+        .filter(F.col("vec_id") != F.col("nid"))
+        .select(
+            "vec_id",
+            "label",
+            "nid",
+            "nlabel",
+            F.round(
+                F.expr(f"{dot} / ({nrm.format(c='v')} * {nrm.format(c='nv')})"),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nid"))
+    top = pairs.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 10)
+    votes = top.groupBy("vec_id", "label", "nlabel").agg(
+        F.count("*").alias("n")
+    )
+    pick_w = Window.partitionBy("vec_id").orderBy(F.desc("n"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(pick_w))
+        .filter(F.col("pr") == 1)
+        .select("vec_id", "label", F.col("nlabel").alias("pred"))
+    )
+    return pred.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((F.col("label") == F.col("pred")).cast("int")).alias("n_correct"),
+        F.round(
+            F.avg((F.col("label") == F.col("pred")).cast("double")), 4
+        ).alias("accuracy"),
+    )
+
+
+ORACLE_KNN_LABEL_ACCURACY = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id, a.label, b.vec_id AS nid, b.label AS nlabel,
+    round(
+      list_sum(list_transform(generate_series(1, len(a.v)),
+                              i -> a.v[i] * b.v[i])) /
+      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cosine
+  FROM e a, e b WHERE a.vec_id <> b.vec_id
+), top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cosine DESC, nid ASC) AS r
+    FROM pairs) WHERE r <= 10
+), votes AS (
+  SELECT vec_id, label, nlabel, count(*) AS n
+  FROM top GROUP BY 1, 2, 3
+), pred AS (
+  SELECT vec_id, label, nlabel AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY n DESC, nlabel ASC) AS pr
+    FROM votes) WHERE pr = 1
+)
+SELECT label, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(avg(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END), 4)
+         AS accuracy
+FROM pred GROUP BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Main-content extraction (HTML boilerplate strip / PDF layout parse)
 # --------------------------------------------------------------------------
@@ -1445,4 +1606,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "main_content": (q_main_content, ORACLE_MAIN_CONTENT),
     "boilerplate_stats": (q_boilerplate_stats, ORACLE_BOILERPLATE_STATS),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "knn_label_accuracy": (q_knn_label_accuracy, ORACLE_KNN_LABEL_ACCURACY),
 }
