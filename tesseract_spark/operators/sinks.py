@@ -539,3 +539,50 @@ def to_pdf(words: DataFrame, page_dims: DataFrame | None = None) -> DataFrame:
     return joined.groupBy("doc_id", "media_ref").applyInPandas(
         build, schema="doc_id string, media_ref string, pdf binary"
     )
+
+
+K_UNLV_REJECT = "~"  # kUNLVReject (baseapi.cpp:1575)
+K_UNLV_SUSPECT = "^"  # kUNLVSuspect (set_unlv_suspects marks)
+K_REJECT_CONF = 50.0  # words below: tilde-crunched (CR_LOOSE analogue)
+K_SUSPECT_CONF = 80.0  # words below: suspect-marked
+
+
+def to_unlv(words: DataFrame) -> DataFrame:
+    """GetUNLVText (baseapi.cpp:1546-1625): reading-ordered Latin-1 text
+    where rejected (tilde-crunched) words collapse to a single '~' and
+    suspect words carry a leading '^'; lines join with \\n.
+
+    The reference crunches per-word via unlv_crunch_mode and marks
+    per-char suspects; this engine's confidence is word-level, so the
+    word is the marking unit (documented divergence)."""
+    marked = words.withColumn(
+        "unlv_word",
+        F.when(F.col("conf") < K_REJECT_CONF, F.lit(K_UNLV_REJECT)).when(
+            F.col("conf") < K_SUSPECT_CONF,
+            F.concat(F.lit(K_UNLV_SUSPECT), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    lines = marked.groupBy(
+        "doc_id", "media_ref", "block_num", "par_num", "line_num"
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word_num", "unlv_word"))),
+                lambda s: s["unlv_word"],
+            ),
+            " ",
+        ).alias("line_text")
+    )
+    return lines.groupBy("doc_id", "media_ref").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("block_num", "par_num", "line_num", "line_text")
+                    )
+                ),
+                lambda s: s["line_text"],
+            ),
+            "\n",
+        ).alias("unlv")
+    )

@@ -83,3 +83,20 @@ def recognize_zones(
                 )
             )
     return all_spans, all_words
+
+
+def recognize_rect(
+    gray: np.ndarray,
+    left: int,
+    top: int,
+    width: int,
+    height: int,
+    dpi: int = 300,
+    dawg=None,
+):
+    """Sub-rectangle OCR — SetRectangle (baseapi.cpp:619-631): restrict
+    recognition to one region of an already-set image.  A single-zone
+    special case of the .uzn path."""
+    return recognize_zones(
+        gray, [(left, top, left + width, top + height)], dpi, dawg
+    )
