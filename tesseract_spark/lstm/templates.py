@@ -125,15 +125,30 @@ class TemplateNet:
         assert H == CELL_H, f"strip must be {CELL_H} rows, got {H}"
         cand_xs, scores = self.match_scores(strip)
         col_has_ink = strip.any(axis=0)
-        # keep candidates where some template matches >= BLANK_SCORE
-        if len(cand_xs):
-            best_frac = np.zeros(len(cand_xs), dtype=np.float32)
-            for w in self.by_width:
-                if scores[w].size:
-                    best_frac = np.maximum(best_frac, scores[w].max(axis=0))
-            keep = best_frac >= BLANK_SCORE
-        else:
-            keep = np.zeros(0, dtype=bool)
+        n_cand = len(cand_xs)
+        # per-candidate class-score matrix + widest-exact widths, built in
+        # one vectorized pass per width group (hoisted out of the NMS loop)
+        vec_all = np.zeros((self.n_classes, n_cand), dtype=np.float32)
+        widest_exact = np.zeros(n_cand, dtype=np.int64)
+        for w, (idxs, _f) in self.by_width.items():
+            if not scores[w].size:
+                continue
+            vec_all[idxs, :] = np.maximum(vec_all[idxs, :], scores[w])
+            exact = (scores[w] >= 0.999).any(axis=0)
+            widest_exact = np.where(
+                exact & (w > widest_exact), w, widest_exact
+            )
+        best_frac = (
+            vec_all[: len(CHARSET)].max(axis=0)
+            if n_cand
+            else np.zeros(0, dtype=np.float32)
+        )
+        keep = best_frac >= BLANK_SCORE
+        best_codes = (
+            vec_all[: len(CHARSET)].argmax(axis=0)
+            if n_cand
+            else np.zeros(0, dtype=np.int64)
+        )
         # maximal-munch NMS: scan left-to-right, at each accepted column pick
         # the widest exact-scoring template and skip its extent.  Candidates
         # failing the static gate either get rescued by the page's adapted
@@ -141,7 +156,7 @@ class TemplateNet:
         events: list[tuple[int, np.ndarray]] = []  # (col, class-frac vector)
         dropped: list[int] = []
         taken_until = -1
-        for ci in range(len(cand_xs)):
+        for ci in range(n_cand):
             x = int(cand_xs[ci])
             if x <= taken_until:
                 continue
@@ -160,19 +175,15 @@ class TemplateNet:
                     # every code above K_SOFT_GATE gets SOFT_EVENT_SCORE,
                     # blank still wins greedily (char drops without a
                     # dictionary), but a DAWG continuation can flip it
-                    vec = np.zeros(self.n_classes, dtype=np.float32)
-                    best_w, best_fr = 0, -1.0
-                    for w, (idxs, _f) in self.by_width.items():
-                        if not scores[w].size:
-                            continue
-                        fr = scores[w][:, ci]
-                        ok = fr >= K_SOFT_GATE
-                        if ok.any():
-                            vec[idxs[ok]] = SOFT_EVENT_SCORE
-                            m = float(fr[ok].max())
-                            if m > best_fr:
-                                best_fr, best_w = m, w
-                    if best_w:
+                    col = vec_all[: len(CHARSET), ci]
+                    ok = col >= K_SOFT_GATE
+                    if ok.any():
+                        vec = np.zeros(self.n_classes, dtype=np.float32)
+                        vec[: len(CHARSET)][ok] = SOFT_EVENT_SCORE
+                        qual = np.where(ok, col, -1.0)
+                        best_w = int(
+                            self.width_by_code[int(np.argmax(qual))]
+                        )
                         events.append((x, vec))
                         taken_until = x + best_w - 1
                         dropped.append(x)
@@ -180,16 +191,10 @@ class TemplateNet:
                 dropped.append(x)
                 continue
             vec = np.zeros(self.n_classes, dtype=np.float32)
-            best_w = 0
-            for w, (idxs, _f) in self.by_width.items():
-                if not scores[w].size:
-                    continue
-                fr = scores[w][:, ci]
-                np.maximum.at(vec, idxs, fr)
-                if w > best_w and (fr >= 0.999).any():
-                    best_w = w
-            if best_w == 0:
-                best_w = int(self.width_by_code[int(np.argmax(vec[: len(CHARSET)]))])
+            vec[: len(CHARSET)] = vec_all[: len(CHARSET), ci]
+            best_w = int(widest_exact[ci]) or int(
+                self.width_by_code[int(best_codes[ci])]
+            )
             events.append((x, vec))
             taken_until = x + best_w - 1
         # word gaps: runs of empty columns of length >= space_px between ink
