@@ -144,6 +144,20 @@ def to_tsv(words: DataFrame) -> DataFrame:
               "word_num", "level")
 
 
+
+
+def _xml_escape_sql(expr: str) -> str:
+    """SQL fragment escaping XML specials in a string expression — the
+    charset includes apostrophe and double-quote, which would break
+    attribute values (the reference escapes via HOcrEscape,
+    baseapi.cpp:2240-2270)."""
+    e = f"replace({expr}, '&', '&amp;')"
+    e = f"replace({e}, '<', '&lt;')"
+    e = f"replace({e}, '>', '&gt;')"
+    e = f'replace({e}, \'"\', \'&quot;\')'
+    e = f"replace({e}, \"'\", '&apos;')"
+    return e
+
 def to_hocr(words: DataFrame) -> DataFrame:
     """GetHOCRText: one XHTML fragment per media page."""
     line_sql = """
@@ -155,9 +169,10 @@ def to_hocr(words: DataFrame) -> DataFrame:
           w -> concat('<span class="ocrx_word" title="bbox ', w.left, ' ', w.top,
                       ' ', w.left + w.width, ' ', w.top + w.height,
                       '; x_wconf ', cast(round(w.conf, 0) as int), '">',
-                      w.text, '</span>')), ' '),
+                      {esc}, '</span>')), ' '),
         '</span>')
     """
+    line_sql = line_sql.format(esc=_xml_escape_sql("w.text"))
     lines = words.groupBy(
         "doc_id", "media_ref", "block_num", "par_num", "line_num"
     ).agg(F.expr(line_sql).alias("html"))
@@ -214,10 +229,11 @@ def to_page_xml(words: DataFrame) -> DataFrame:
                                                             width, height, text))),
           w -> concat('<Word><Coords points="', w.left, ',', w.top, ' ',
                       w.left + w.width, ',', w.top + w.height,
-                      '"/><TextEquiv><Unicode>', w.text,
+                      '"/><TextEquiv><Unicode>', {esc},
                       '</Unicode></TextEquiv></Word>')), ''),
         '</TextLine>')
     """
+    line_sql = line_sql.format(esc=_xml_escape_sql("w.text"))
     lines = words.groupBy(
         "doc_id", "media_ref", "block_num", "par_num", "line_num"
     ).agg(F.expr(line_sql).alias("xml"))
@@ -312,9 +328,10 @@ def to_alto(words: DataFrame) -> DataFrame:
                                                             width, height, text))),
           w -> concat('<String HPOS="', w.left, '" VPOS="', w.top,
                       '" WIDTH="', w.width, '" HEIGHT="', w.height,
-                      '" CONTENT="', w.text, '"/>')), ''),
+                      '" CONTENT="', {esc}, '"/>')), ''),
         '</TextLine>')
     """
+    line_sql = line_sql.format(esc=_xml_escape_sql("w.text"))
     lines = words.groupBy(
         "doc_id", "media_ref", "block_num", "par_num", "line_num"
     ).agg(F.expr(line_sql).alias("xml"))

@@ -124,3 +124,29 @@ def test_box_format(words, spark, corpus):
     assert parts[0] == "WordStr" and parts[5] == "0"
     assert int(parts[1]) >= 0 and int(parts[3]) > int(parts[1])
     assert "#" in row.box_line
+
+
+def test_xml_sinks_escape_quotes(spark):
+    """The charset includes ' and \" — attribute values (ALTO CONTENT) and
+    element text must be XML-escaped (HOcrEscape, baseapi.cpp:2240)."""
+    import xml.etree.ElementTree as ET
+
+    from tesseract_spark.operators.sinks import to_alto, to_hocr, to_page_xml
+
+    rows = [
+        ("d", "m", 1, 1, 1, 1, 0, 0, 10, 10, 95.0, 'say "hi"'),
+        ("d", "m", 1, 1, 1, 2, 20, 0, 10, 10, 95.0, "it's<&>fine"),
+    ]
+    words = spark.createDataFrame(
+        rows,
+        "doc_id string, media_ref string, block_num int, par_num int,"
+        " line_num int, word_num int, left int, top int, width int,"
+        " height int, conf double, text string",
+    )
+    alto = to_alto(words).first().alto
+    ET.fromstring(alto)  # must parse
+    assert "&quot;hi&quot;" in alto and "&apos;" in alto
+    page = to_page_xml(words).first().page_xml
+    ET.fromstring(page.split("?>")[-1]) if "?>" in page else ET.fromstring(page)
+    hocr = to_hocr(words).first().hocr
+    assert "&lt;" in hocr and "&amp;" in hocr
