@@ -52,9 +52,12 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ):
             if png is None:
                 continue
-            _spans, words, _layout = recognize_page_detail(
-                decode_gray_png(bytes(png)), int(dpi)
-            )
+            try:
+                _spans, words, _layout = recognize_page_detail(
+                    decode_gray_png(bytes(png)), int(dpi)
+                )
+            except Exception:
+                continue  # per-page isolation (control.cpp:314-322 semantics)
             for w in words:
                 rows.append(
                     {
@@ -385,7 +388,10 @@ def to_threshold_images(media: DataFrame) -> DataFrame:
             for ref, png in zip(pdf["media_ref"], pdf["png"]):
                 if png is None:
                     continue
-                mask = binarize_otsu(decode_gray_png(bytes(png)))
+                try:
+                    mask = binarize_otsu(decode_gray_png(bytes(png)))
+                except Exception:
+                    continue  # per-page isolation
                 img = np.where(mask, 0, 255).astype(np.uint8)
                 refs.append(ref)
                 pngs.append(encode_gray_png(img))

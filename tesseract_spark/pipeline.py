@@ -89,8 +89,34 @@ def _make_ocr_udf(dict_words: list[str] | None):
                 if png is None:
                     spans = []
                 else:
-                    img = decode_gray_png(bytes(png))
-                    spans, _layout = recognize_page(img, int(dpi), dawg, net)
+                    # per-page error isolation: a corrupt image must not
+                    # kill the job — emit an empty media span and keep
+                    # going, the reference's degraded-continuation
+                    # semantics (per-page deadline fakes remaining words
+                    # and the run continues, src/ccmain/control.cpp:314-322);
+                    # n_chars = -1 marks the failure for lineage/QA
+                    try:
+                        img = decode_gray_png(bytes(png))
+                        spans, _layout = recognize_page(img, int(dpi), dawg, net)
+                    except Exception:
+                        wall = (time.perf_counter() - t0) * 1000.0
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "pos": int(pos),
+                                "sub": 0,
+                                "kind": "media",
+                                "text": None,
+                                "media_ref": ref,
+                                "confidence": 0.0,
+                                "n_lines": 0,
+                                "n_words": 0,
+                                "n_chars": -1,
+                                "wall_ms": wall,
+                                "partition_id": pid,
+                            }
+                        )
+                        continue
                 wall = (time.perf_counter() - t0) * 1000.0
                 for sub, s in enumerate(spans):
                     rows.append(

@@ -92,3 +92,39 @@ def test_bucketed_media_join_identical_and_shuffle_free(spark):
     assert a == b
     plan = bdf._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan
+
+
+def test_corrupt_media_isolated_not_fatal(spark):
+    """A corrupt/truncated image must not kill the job: the page emits an
+    empty media span with n_chars = -1 (per-page degraded continuation,
+    control.cpp:314-322 semantics) and every other page still OCRs."""
+    import numpy as np
+
+    from tesseract_spark.functions.fonts import CELL_H, mask_to_gray, render_line
+    from tesseract_spark.functions.png_codec import encode_gray_png
+    from tesseract_spark.pipeline import ocr_documents
+
+    line = render_line("fine page")
+    page = np.zeros((CELL_H + 24, line.shape[1] + 24), dtype=bool)
+    page[12 : 12 + CELL_H, 12 : 12 + line.shape[1]] = line
+    good = encode_gray_png(mask_to_gray(page))
+    docs = spark.createDataFrame(
+        [
+            ("ok", [("media", None, "m-ok", 0)]),
+            ("bad", [("media", None, "m-bad", 0)]),
+        ],
+        "doc_id string, spans array<struct<kind string, text string,"
+        " media_ref string, offset int>>",
+    )
+    media = spark.createDataFrame(
+        [
+            ("m-ok", bytearray(good), 300),
+            ("m-bad", bytearray(b"\x89PNG not really a png at all"), 300),
+        ],
+        "media_ref string, png binary, dpi int",
+    )
+    flat = ocr_documents(spark, docs, media).collect()
+    by_doc = {r.doc_id: r for r in flat}
+    assert by_doc["bad"].n_chars == -1 and by_doc["bad"].kind == "media"
+    ok_spans = [r for r in flat if r.doc_id == "ok"]
+    assert len(ok_spans) == 1 and ok_spans[0].n_chars >= 0
