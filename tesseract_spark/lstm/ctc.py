@@ -148,7 +148,9 @@ def ctc_beam_decode(
                     if space_code is not None and code == space_code:
                         # word boundary: previous word must be dict-complete
                         if e.dawg_node == 0:
-                            dict_ok = not e.prefix or False
+                            # empty in-progress word: ok only at start of
+                            # line (consecutive spaces invalidate)
+                            dict_ok = not e.prefix
                         dict_ok = dict_ok and _word_complete(e, dawg)
                         dawg_node = 0
                     else:

@@ -51,18 +51,9 @@ class Dawg:
                     trie[node][code] = nxt
                 node = nxt
             ends[node] = True
-        # squish: merge identical subtrees bottom-up (hash-consing)
-        sig_cache: dict[int, tuple] = {}
-
-        def signature(n: int) -> tuple:
-            if n in sig_cache:
-                return sig_cache[n]
-            sig = (ends[n],) + tuple(
-                (c, signature(ch)) for c, ch in sorted(trie[n].items())
-            )
-            sig_cache[n] = sig
-            return sig
-
+        # squish: merge identical subtrees bottom-up (hash-consing on the
+        # one-level signature of remapped children — children canonize
+        # first, so equal signatures mean equal subtrees)
         canon: dict[tuple, int] = {}
         remap: dict[int, int] = {}
 

@@ -64,6 +64,11 @@ class Row:
     strip_x0: int  # page x of strip column 0 (pre-descale coords / scale)
     word_boxes: list[tuple[int, int, int, int]] = field(default_factory=list)
     space_px: int = WORD_GAP
+    # descender-ambiguous rows (all rises 12s, drops 0: indistinguishable
+    # between all-ascender and all-descender from bboxes alone) carry the
+    # strip of the alternative baseline hypothesis; the recognizer tries
+    # it when the primary decodes empty
+    alt_strip: np.ndarray | None = None
 
 
 @dataclass
@@ -253,7 +258,9 @@ def _merge_x_overlap_boxes(stats: np.ndarray, idxs: np.ndarray) -> np.ndarray:
     return np.asarray(boxes, dtype=np.int64)
 
 
-def _row_metrics(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int]:
+def _row_metrics(
+    stats: np.ndarray, idxs: np.ndarray
+) -> tuple[int, int, int, bool]:
     """(baseline_y, x_height, scale) for one row's blobs.
 
     Font model (fonts.py): every glyph bottom sits ON the baseline except
@@ -307,7 +314,17 @@ def _row_metrics(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int]:
         vals, counts = np.unique(rises[rises > 0], return_counts=True)
         modal = float(vals[np.argmax(counts)]) if len(vals) else X_HEIGHT_CANON
         best_s = max(1, int(round(modal / X_HEIGHT_CANON)))
-    return baseline_y, X_HEIGHT_CANON * best_s, best_s
+    # baseline ambiguity: a row whose glyphs ALL show rise 12s / drop 0 is
+    # either all-ascenders on the elected baseline or all-descenders on a
+    # baseline 4s higher — bboxes cannot distinguish (both satisfy the font
+    # model); flag it so recognition can test the alternative
+    s_fin = best_s if best_s else 1
+    ambiguous = bool(
+        len(bottoms) > 0
+        and (drops == 0).all()
+        and (rises == 12 * s_fin).all()
+    )
+    return baseline_y, X_HEIGHT_CANON * best_s, best_s, ambiguous
 
 
 def _descale_strip(
@@ -399,7 +416,9 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
     res.n_blobs = int((grade == 0).sum())
     res.n_noise = int((grade == 1).sum())
 
-    # media regions (photo/rule) leave the text pipeline here
+    # media regions (photo/rule) leave the text pipeline here; bboxes are
+    # transformed into the deskewed frame below so they share the text
+    # regions' coordinate system (reading order + sink bboxes)
     media_regions: list[Region] = []
     for kind_code, kind in ((2, "photo"), (3, "rule")):
         for i in np.flatnonzero(grade == kind_code):
@@ -428,6 +447,15 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
         return lut[lbl]
 
     if skew != 0.0:
+        # move media bboxes into the deskewed frame: each column's pixels
+        # shift up by round(skew*x), so the region's new vertical extent is
+        # bounded by the shifts at its two x edges
+        for g in media_regions:
+            l, t, r, b = g.bbox
+            sh_l = int(round(skew * l))
+            sh_r = int(round(skew * max(l, r - 1)))
+            lo, hi = min(sh_l, sh_r), max(sh_l, sh_r)
+            g.bbox = (l, t - hi, r, b - lo)
         text_mask = unshear(mask_of(labels, n, keep_idx), skew)
         labels, n, stats = label_and_stats(text_mask)
         grade = _grade_blobs(stats)
@@ -460,10 +488,15 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
         row_groups = _cluster_rows(bstats)
         rows: list[Row] = []
         for gidx in row_groups:
-            baseline_y, x_height, scale = _row_metrics(bstats, gidx)
+            baseline_y, x_height, scale, ambiguous = _row_metrics(bstats, gidx)
             l, t, r, b = _bbox_of(bstats, gidx)
             space_px = WORD_GAP * scale
             strip = _descale_strip(text_mask, l, r, baseline_y, scale)
+            alt_strip = (
+                _descale_strip(text_mask, l, r, baseline_y - 4 * scale, scale)
+                if ambiguous
+                else None
+            )
             rows.append(
                 Row(
                     bbox=(l, t, r, b),
@@ -482,6 +515,7 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
                         fuzzy_space_px(max(2, space_px // scale - 1)) * scale,
                     ),
                     space_px=space_px,
+                    alt_strip=alt_strip,
                 )
             )
         block_bbox = _bbox_of(bstats, np.arange(len(bstats)))

