@@ -159,7 +159,7 @@ def _label_vectorized(mask: np.ndarray, connectivity: int = 8):
     union-find this replaces, so golden CC tests are unchanged.
     """
     h, w = mask.shape
-    labels = np.zeros((h, w), dtype=np.int16)
+    labels = np.zeros((h, w), dtype=np.int16)  # widened below if n > int16
     # pad one background column so runs cannot span row boundaries
     m = np.zeros((h, w + 1), dtype=bool)
     m[:, :w] = mask
@@ -212,14 +212,18 @@ def _label_vectorized(mask: np.ndarray, connectivity: int = 8):
     # number components by first appearance (ascending root run index)
     roots, comp0 = np.unique(lbl, return_inverse=True)
     n = len(roots)
-    comp = (comp0 + 1).astype(np.int16)
+    # label dtype: int16 covers ordinary pages; a speck-storm page can
+    # exceed 32767 components, which would silently WRAP and attribute
+    # pixels to wrong components downstream — widen to int32 when needed
+    lab_dtype = np.int16 if n < np.iinfo(np.int16).max else np.int32
+    comp = (comp0 + 1).astype(lab_dtype)
     # paint labels: scatter run extents into the flat image
     lens = e - s
     total = int(lens.sum())
     pos = np.repeat(starts, lens) + (
         np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
     )
-    lab_flat = np.zeros(h * stride, dtype=np.int16)
+    lab_flat = np.zeros(h * stride, dtype=lab_dtype)
     lab_flat[pos] = np.repeat(comp, lens)
     labels = lab_flat.reshape(h, stride)[:, :w]
     # per-component stats from runs

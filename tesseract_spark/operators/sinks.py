@@ -302,7 +302,10 @@ def to_box(words: DataFrame, page_heights: DataFrame | None = None) -> DataFrame
         ).alias("line_text"),
     )
     if page_heights is not None:
-        lines = lines.join(page_heights, "media_ref", "left")
+        # inner join: a media_ref missing from page_heights cannot be
+        # y-flipped; a left join would leave NULL coords that concat_ws
+        # silently drops, emitting malformed box records
+        lines = lines.join(page_heights, "media_ref", "inner")
         top_expr = F.col("height_px") - F.col("b")
         bot_expr = F.col("height_px") - F.col("t")
     else:

@@ -257,8 +257,10 @@ def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-height estimation = mode of quantized rises (makerow.cpp): mode of
     integer-quantized quantity per flag, deterministic tie-break on value."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # floor() on both engines: Spark's double->int cast truncates while
+    # DuckDB's CAST rounds — pin the quantization semantics explicitly
     counts = li.groupBy(
-        "l_returnflag", F.col("l_quantity").cast("int").alias("q")
+        "l_returnflag", F.floor("l_quantity").cast("int").alias("q")
     ).agg(F.count("*").alias("c"))
     w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("q"))
     return (
@@ -270,7 +272,7 @@ def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MODE_AGG = """
 WITH c AS (
-  SELECT l_returnflag, CAST(l_quantity AS INT) AS q, count(*) AS c
+  SELECT l_returnflag, CAST(floor(l_quantity) AS INT) AS q, count(*) AS c
   FROM lineitem GROUP BY 1, 2
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, q ASC) AS rn
@@ -613,6 +615,21 @@ FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
 
+
+
+# shared cosine fragments (Spark SQL): one definition serves the three ANN
+# queries so numeric tweaks cannot silently drift between them
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (a, b) -> a * b), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def _norm_expr(c: str) -> str:
+    return f"sqrt(aggregate({c}, 0D, (acc, x) -> acc + x * x))"
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 over embeddings vs the vec_id=0 query
     vector (JVM-side higher-order functions, no UDF)."""
@@ -620,12 +637,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
-    dot = "aggregate(zip_with(v, q, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
-    nrm = "sqrt(aggregate({c}, 0D, (acc, x) -> acc + x * x))"
+    dot = _dot_expr("v", "q")
     scored = emb.crossJoin(F.broadcast(qv)).filter(F.col("vec_id") != 0).select(
         "vec_id",
         F.round(
-            F.expr(f"{dot} / ({nrm.format(c='v')} * {nrm.format(c='q')})"), 4
+            F.expr(f"{dot} / ({_norm_expr('v')} * {_norm_expr('q')})"), 4
         ).alias("cosine"),
     )
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -669,8 +685,7 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("q"), F.col("bucket").alias("qb")
     )
-    dot = "aggregate(zip_with(v, q, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
-    nrm = "sqrt(aggregate({c}, 0D, (acc, x) -> acc + x * x))"
+    dot = _dot_expr("v", "q")
     cands = (
         bucketed.crossJoin(F.broadcast(qrow))
         .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0))
@@ -678,7 +693,7 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "bucket",
             F.round(
-                F.expr(f"{dot} / ({nrm.format(c='v')} * {nrm.format(c='q')})"), 4
+                F.expr(f"{dot} / ({_norm_expr('v')} * {_norm_expr('q')})"), 4
             ).alias("cosine"),
         )
     )
@@ -1218,9 +1233,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star-small-star family of published CC-at-scale algorithms):
     each round every node takes the minimum label among itself and its
     neighbours; iterate to convergence (cluster diameters are tiny by LSH
-    construction, so rounds ~ O(log d)).  localCheckpoint truncates the
-    growing lineage each round — the documented pattern for iterative
-    DataFrame algorithms.  Output: (doc_id, cluster_id, cluster_size)."""
+    construction).  Each round takes the min over (own label, neighbour
+    labels, label-of-label) — the label-of-label self-join is the
+    pointer-jumping step that makes convergence O(log diameter), so the
+    round cap is a formality (2^cap-long chains).  localCheckpoint
+    truncates the growing lineage each round — the documented pattern
+    for iterative DataFrame algorithms.  Output:
+    (doc_id, cluster_id, cluster_size)."""
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
     edges = pairs.unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
@@ -1229,18 +1248,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("d1").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
     ).localCheckpoint()
-    for _ in range(20):  # >= log2(max diameter); LSH clusters are shallow
+    for _ in range(20):  # pointer jumping: handles diameters up to 2^20
         nbr_min = (
             edges.join(labels, edges.d2 == labels.node)
             .groupBy(F.col("d1").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        lbl_of_lbl = labels.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
         new_labels = (
             labels.join(nbr_min, "node", "left")
+            .join(lbl_of_lbl, "lbl", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                    F.col("lbl"),
+                    F.coalesce("nbr_lbl", F.col("lbl")),
+                    F.coalesce("lbl2", F.col("lbl")),
                 ).alias("lbl"),
             )
             .localCheckpoint()
@@ -1301,8 +1326,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("nlabel"),
         F.col("v").alias("nv"),
     )
-    dot = "aggregate(zip_with(v, nv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"
-    nrm = "sqrt(aggregate({c}, 0D, (acc, x) -> acc + x * x))"
+    dot = _dot_expr("v", "nv")
     pairs = (
         emb.crossJoin(F.broadcast(nbr))
         .filter(F.col("vec_id") != F.col("nid"))
@@ -1312,7 +1336,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nid",
             "nlabel",
             F.round(
-                F.expr(f"{dot} / ({nrm.format(c='v')} * {nrm.format(c='nv')})"),
+                F.expr(f"{dot} / ({_norm_expr('v')} * {_norm_expr('nv')})"),
                 4,
             ).alias("cosine"),
         )

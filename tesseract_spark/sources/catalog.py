@@ -30,9 +30,28 @@ def overwrite_table(df: DataFrame, identifier: str) -> None:
 
 
 def read_table(spark: SparkSession, identifier: str) -> DataFrame | None:
+    """Returns None ONLY when the table/path does not exist.
+
+    Any other failure (corrupt footer, permission blip, concurrent
+    writer) propagates: treating it as "absent" would make
+    run_with_resume reprocess everything and append duplicates —
+    resumability must fail loudly rather than silently double-write.
+    """
+    from pyspark.errors import AnalysisException
+
     try:
         if is_path(identifier):
             return spark.read.parquet(identifier)
         return spark.read.table(identifier)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        cond = getattr(e, "getErrorClass", lambda: None)() or ""
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in cond
+            or "TABLE_OR_VIEW_NOT_FOUND" in cond
+            or "PATH_NOT_FOUND" in msg
+            or "TABLE_OR_VIEW_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+        ):
+            return None
+        raise

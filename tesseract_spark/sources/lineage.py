@@ -19,24 +19,33 @@ from . import catalog
 
 
 def lineage_of(flat: DataFrame, run_id: str) -> DataFrame:
-    """Aggregate per-partition lineage from the flat OCR span output."""
+    """Aggregate per-partition lineage from the flat OCR span output.
+
+    Failed pages (n_chars = -1 degraded markers) are surfaced in their
+    own n_failed counter and EXCLUDED from the char/throughput/confidence
+    stats — otherwise the QA metrics would misreport exactly the pages
+    they exist to expose (negative char sums, phantom conf_0_10 mass)."""
     ocr_rows = flat.filter(F.col("partition_id") >= 0)
+    ok = F.col("n_chars") >= 0
     return ocr_rows.groupBy("partition_id").agg(
         F.lit(run_id).alias("run_id"),
         F.count_distinct("doc_id").alias("n_docs"),
-        F.count("*").alias("n_spans"),
-        F.sum("n_lines").alias("n_lines"),
-        F.sum("n_chars").alias("n_chars"),
+        F.sum(ok.cast("long")).alias("n_spans"),
+        F.sum((~ok).cast("long")).alias("n_failed"),
+        F.sum(F.when(ok, F.col("n_lines")).otherwise(0)).alias("n_lines"),
+        F.sum(F.when(ok, F.col("n_chars")).otherwise(0)).alias("n_chars"),
         F.round(F.sum("wall_ms") / 1000.0, 3).alias("wall_s"),
         F.round(
-            F.sum("n_chars") / F.greatest(F.sum("wall_ms") / 1000.0, F.lit(1e-9)),
+            F.sum(F.when(ok, F.col("n_chars")).otherwise(0))
+            / F.greatest(F.sum("wall_ms") / 1000.0, F.lit(1e-9)),
             1,
         ).alias("chars_per_sec"),
         # confidence histogram: counts in 10 deciles (0-10, 10-20, ... 90-100)
         *[
             F.sum(
                 F.when(
-                    (F.col("confidence") >= b * 10)
+                    ok
+                    & (F.col("confidence") >= b * 10)
                     & (F.col("confidence") < (b + 1) * 10 + (1 if b == 9 else 0)),
                     1,
                 ).otherwise(0)

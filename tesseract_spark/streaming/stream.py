@@ -7,8 +7,10 @@ ETEXT_DESC progress monitor.  Here:
 - ``stream_ocr``: file-source stream over the documents table; each
   micro-batch runs the full batch pipeline via ``foreachBatch`` and appends
   to the results table — ``availableNow`` gives run-to-completion semantics
-  with checkpointed exactly-once file progress (the resumability story of
-  BASELINE.json, expressed with Spark's own checkpoint mechanism).
+  with checkpointed file progress, and per-batch_id overwrite directories
+  make the output idempotent under micro-batch replay (the resumability
+  story of BASELINE.json, expressed with Spark's own checkpoint
+  mechanism).
 - ``stream_event_counts``: watermarked tumbling-window aggregation (the
   late-data-tolerant rollup pattern) over an event stream.
 """
@@ -54,7 +56,11 @@ def stream_ocr(
             spark, batch_df, media, dict_words=dict_words,
             num_partitions=num_partitions,
         )
-        flat.write.mode("append").parquet(out_dir)
+        # idempotent per-batch output: a driver failure between the write
+        # commit and the checkpoint commit replays the batch, and the
+        # overwrite of the same batch_id directory absorbs the replay
+        # (plain append would duplicate rows — at-least-once output)
+        flat.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(process)
@@ -173,10 +179,14 @@ def stream_assemble_documents(
             pos, kind, text, n = [], [], [], -1
         for pdf in pdfs:
             for r in pdf.itertuples():
+                # nullable ints arrive as NaN through pandas — a bad
+                # fragment must not kill every document's assembly
+                if pd.isna(r.pos) or pd.isna(r.kind):
+                    continue
                 pos.append(int(r.pos))
                 kind.append(str(r.kind))
-                text.append("" if r.text is None else str(r.text))
-                if r.n_spans is not None and int(r.n_spans) > 0:
+                text.append("" if pd.isna(r.text) else str(r.text))
+                if not pd.isna(r.n_spans) and int(r.n_spans) > 0:
                     n = int(r.n_spans)
         if 0 < n <= len(pos):
             order = sorted(range(len(pos)), key=lambda i: pos[i])
@@ -218,6 +228,10 @@ def stream_assemble_documents(
             .start()
         )
         q.awaitTermination()
+        import os
+
+        if not os.path.exists(out_dir):  # zero batches ever emitted
+            return spark.createDataFrame([], out_schema)
         return spark.read.parquet(out_dir)
     q = (
         assembled.writeStream.format("memory")
