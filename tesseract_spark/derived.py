@@ -48,7 +48,10 @@ def chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.split("text", " ").alias("words"),
+            # NULL text would make size(words) = -1 and sequence(0, -1)
+            # the DESCENDING [0, -1], injecting a bogus i=-1 chunk whose
+            # NULL chunk_text crashes the render UDF
+            F.split(F.coalesce("text", F.lit("")), " ").alias("words"),
         )
         .withColumn(
             "i",
@@ -72,6 +75,7 @@ def chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _render_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .functions.compose import PageSpec, compose_page
+    from .functions.fonts import text_ink_width
     from .functions.png_codec import encode_gray_png
 
     for pdf in batches:
@@ -87,8 +91,6 @@ def _render_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # slope grid (sub-pixel-ambiguous below ~150 px — even the
             # reference cannot deskew a single narrow word); decided from
             # content, so the SQL oracle is unaffected.
-            from .functions.fonts import text_ink_width
-
             max_w = max(text_ink_width(ln) for ln in lines) * scale
             skew = (
                 SKEWS[int((doc_id + i) % len(SKEWS))]
@@ -112,7 +114,7 @@ def _render_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def derive_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Returns (documents_spans, media) in the BASELINE.json input shape."""
-    ch = chunked(spark, sf_dir)
+    ch = chunked(spark, sf_dir).cache()  # consumed twice (spans agg + render)
     docs_spans = ch.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(
@@ -259,9 +261,6 @@ def materialize_corpus_bucketed(
     elif table not in [t.name for t in spark.catalog.listTables()]:
         # session catalog lost the table (new session, default in-memory
         # catalog): re-register the external location
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.catalog.createTable(table, path=f"{loc}/media")
-        # createTable loses bucket metadata; rewrite registration via SQL
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(
             f"CREATE TABLE {table} (media_ref STRING, png BINARY, width INT, "

@@ -46,23 +46,28 @@ def remove_enclosing_circle(ink: np.ndarray) -> np.ndarray | None:
     a candidate only after the count rises then falls, and breaks on the
     first plateau — which misses 1-px rings (gone at the first erosion,
     never saved) and thick rings (count plateaus before the drop, early
-    break).  Here every erosion step is scored and the global minimum
-    count wins, provided it improves on the un-eroded count; like the
-    reference, a circle-free image "will most likely get badly mangled"
-    (pagesegmain.cpp:58) — recognize_circle_word falls back to the raw
-    image when the cleaned one yields nothing.
+    break).  Here a step is saved whenever it strictly improves on the
+    best count so far (plateaus before any save keep scanning), and the
+    scan STOPS at the first non-improving step after a save — continuing
+    past it would let over-erosion that clips whole glyphs produce a
+    strictly smaller count and win.  Like the reference, a circle-free
+    image "will most likely get badly mangled" (pagesegmain.cpp:58) —
+    recognize_circle_word falls back to the raw image when the cleaned
+    one yields nothing.
     """
     inside = ~_exterior(ink)
     _l, initial = label_components(ink & inside)
     best: np.ndarray | None = None
     best_count = initial
-    for _i in range(1, K_MAX_CIRCLE_EROSIONS):
+    for _i in range(1, K_MAX_CIRCLE_EROSIONS + 1):
         inside = _erode3(inside)
         t = ink & inside
         _l, count = label_components(t)
         if 0 < count < best_count:
             best_count = count
             best = t.copy()
+        elif best is not None:
+            break  # passed the best (ring gone; further erosion clips glyphs)
     return best
 
 

@@ -319,10 +319,13 @@ def _row_metrics(
     # baseline 4s higher — bboxes cannot distinguish (both satisfy the font
     # model); flag it so recognition can test the alternative
     s_fin = best_s if best_s else 1
+    # tolerance of 2px absorbs noise-filter shaving on damaged glyphs —
+    # a row is ambiguous when NO glyph shows descender drop and every
+    # glyph spans (close to) full ascender height
     ambiguous = bool(
         len(bottoms) > 0
         and (drops == 0).all()
-        and (rises == 12 * s_fin).all()
+        and (rises >= 12 * s_fin - 2).all()
     )
     return baseline_y, X_HEIGHT_CANON * best_s, best_s, ambiguous
 

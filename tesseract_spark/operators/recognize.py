@@ -77,7 +77,8 @@ def recognize_page(
 
 
 def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
-    """Decode one layout row: (text, words, merged, dropped_xs, col_of_t).
+    """Decode one layout row:
+    (text, words, merged, dropped_xs, col_of_t, used_strip).
 
     A baseline-ambiguous row (page.Row.alt_strip) decodes BOTH baseline
     hypotheses — the all-ascender and all-descender readings the bbox
@@ -105,24 +106,23 @@ def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
                 text = " ".join(w.text for w in words)
         return text, words, merged, dropped, col_of_t
 
-    res = _decode(row.strip)
+    res = _decode(row.strip) + (row.strip,)
     if getattr(row, "alt_strip", None) is not None:
-        alt = _decode(row.alt_strip)
-
-        def score(r):
-            words = r[1]
-            n_chars = sum(len(w.text) for w in words)
-            conf = (
-                sum(w.confidence for w in words) / len(words) if words else 0.0
-            )
-            return (n_chars, conf)
-
-        if score(alt) > score(res):
+        alt = _decode(row.alt_strip) + (row.alt_strip,)
+        if _decode_score(alt) > _decode_score(res):
             return alt
     return res
 
 
-def _harvest_adaptable(adapted, net: TemplateNet, row, words, col_of_t) -> None:
+def _decode_score(r):
+    """(chars explained, mean confidence) — the hypothesis arbiter."""
+    words = r[1]
+    n_chars = sum(len(w.text) for w in words)
+    conf = sum(w.confidence for w in words) / len(words) if words else 0.0
+    return (n_chars, conf)
+
+
+def _harvest_adaptable(adapted, net: TemplateNet, strip, words, col_of_t) -> None:
     """LearnWord over this row's adaptable words (AdaptableWord gate,
     adaptmatch.cpp:811-829): dictionary-accepted, high-confidence,
     bounded length."""
@@ -146,7 +146,7 @@ def _harvest_adaptable(adapted, net: TemplateNet, row, words, col_of_t) -> None:
             for ch, t in zip(w.text, w.char_ts)
             if ch in code_of
         ]
-        harvest_word(adapted, row.strip, chars, net.width_by_code)
+        harvest_word(adapted, strip, chars, net.width_by_code)
 
 
 def recognize_page_detail(
@@ -181,14 +181,21 @@ def recognize_page_detail(
             res = _decode_row(net, row, dawg)
             decoded[(ri, i)] = res
             if adapted is not None:
-                _harvest_adaptable(adapted, net, row, res[1], res[4])
+                # crop learned bitmaps from the strip that actually decoded
+                # (the alt-baseline strip when that hypothesis won)
+                _harvest_adaptable(adapted, net, res[5], res[1], res[4])
                 if len(res[3]):
                     retry.append((ri, i))
     # ---- pass 2: adaptive re-decode of rows with dropped ink -------------
     if adapted is not None and adapted.n_learned:
         for ri, i in retry:
             row = layout.regions[ri].rows[i]
-            decoded[(ri, i)] = _decode_row(net, row, dawg, adapted=adapted)
+            redo = _decode_row(net, row, dawg, adapted=adapted)
+            # keep the re-decode only if it explains the row better: a
+            # false-positive adapted match must not override a correct
+            # pass-1 (e.g. dictionary-arbitrated) reading
+            if _decode_score(redo) > _decode_score(decoded[(ri, i)]):
+                decoded[(ri, i)] = redo
     # ---- assembly (resultiterator walk) ----------------------------------
     # span reading order: single-column pages interleave paragraphs and
     # media strictly by top y; multi-column pages emit column text blocks
@@ -208,7 +215,7 @@ def recognize_page_detail(
         row_decoded: list[list] = []
         row_merges: list[list[int]] = []
         for i, row in enumerate(region.rows):
-            text, words, merged, _dropped, _cols = decoded[(ri, i)]
+            text, words, merged, _dropped, _cols, _strip = decoded[(ri, i)]
             row_merges.append(merged)
             row_texts.append(text)
             row_words.append(len(words))

@@ -100,38 +100,58 @@ def detect_column_partition_tables(regions) -> list[TableRegion]:
     then >= 2 adjacent text regions whose rows align vertically (the
     reference's actual mechanism — aligned ColPartitions,
     tablefind.cpp TableFinder::LocateTables)."""
-    texts = [r for r in regions if r.kind == "text"]
+    texts = sorted(
+        (r for r in regions if r.kind == "text"), key=lambda r: r.bbox[0]
+    )
     if len(texts) < MIN_TABLE_COLS:
         return []
-    texts = sorted(texts, key=lambda r: r.bbox[0])
-    base = texts[0]
-    tops = [row.bbox[1] for row in base.rows]
-    if len(tops) < MIN_TABLE_ROWS:
-        return []
-    for reg in texts:
-        if len(reg.rows) != len(tops):
-            return []
-        if any(
-            abs(row.bbox[1] - t) > ALIGN_TOL
-            for row, t in zip(reg.rows, tops)
-        ):
-            return []
-        # discriminator vs prose columns: table cells are single word
-        # boxes; a prose column's rows carry full multi-word lines
-        if any(len(row.word_boxes) != 1 for row in reg.rows):
-            return []
-    ls = min(r.bbox[0] for r in texts)
-    ts = min(r.bbox[1] for r in texts)
-    rs = max(r.bbox[2] for r in texts)
-    bs = max(r.bbox[3] for r in texts)
-    return [
-        TableRegion(
-            row_start=0,
-            row_end=len(tops) - 1,
-            col_lefts=[int(r.bbox[0]) for r in texts],
-            bbox=(int(ls), int(ts), int(rs), int(bs)),
+
+    def table_column(reg) -> bool:
+        # a table column: enough single-word rows (prose columns carry
+        # multi-word lines)
+        return len(reg.rows) >= MIN_TABLE_ROWS and all(
+            len(row.word_boxes) == 1 for row in reg.rows
         )
-    ]
+
+    def aligned_pair(a, b) -> bool:
+        return len(a.rows) == len(b.rows) and all(
+            abs(ra.bbox[1] - rb.bbox[1]) <= ALIGN_TOL
+            for ra, rb in zip(a.rows, b.rows)
+        )
+
+    # maximal runs of ADJACENT table-shaped columns with matching row
+    # grids — a prose sidebar region breaks a run but does not veto the
+    # table (the documented >= MIN_TABLE_COLS adjacent-partitions signal)
+    out: list[TableRegion] = []
+    i = 0
+    while i < len(texts):
+        if not table_column(texts[i]):
+            i += 1
+            continue
+        j = i
+        while (
+            j + 1 < len(texts)
+            and table_column(texts[j + 1])
+            and aligned_pair(texts[i], texts[j + 1])
+        ):
+            j += 1
+        if j - i + 1 >= MIN_TABLE_COLS:
+            run = texts[i : j + 1]
+            out.append(
+                TableRegion(
+                    row_start=0,
+                    row_end=len(run[0].rows) - 1,
+                    col_lefts=[int(r.bbox[0]) for r in run],
+                    bbox=(
+                        int(min(r.bbox[0] for r in run)),
+                        int(min(r.bbox[1] for r in run)),
+                        int(max(r.bbox[2] for r in run)),
+                        int(max(r.bbox[3] for r in run)),
+                    ),
+                )
+            )
+        i = j + 1
+    return out
 
 
 def detect_page_tables(gray: np.ndarray, dpi: int = 300) -> list[TableRegion]:

@@ -121,3 +121,24 @@ def test_adaptive_templates_dedup_and_match():
     strip[:, : g.shape[1]] = g
     hit = at.match(strip, 0)
     assert hit is not None and hit[0] == 0 and hit[1] == 1.0
+
+
+def test_harvest_uses_winning_strip_registration():
+    """When the alt-baseline hypothesis wins, harvested templates must be
+    cropped from the ALT strip — cropping from the primary strip stores
+    bitmaps shifted 4 canonical rows (dictionary-confirmed garbage)."""
+    from tesseract_spark.lstm.adaptive import AdaptiveTemplates
+    from tesseract_spark.operators.page import analyze_page
+    from tesseract_spark.operators.recognize import _decode_row, _harvest_adaptable
+
+    net = get_net()
+    dawg = Dawg(net.charset, ["gyp"])
+    lay = analyze_page(_page([_word("gyp")]), 300)
+    row = lay.regions[0].rows[0]
+    res = _decode_row(net, row, dawg)
+    assert res[0] == "gyp" and res[5] is row.alt_strip  # alt hypothesis won
+    at = AdaptiveTemplates()
+    _harvest_adaptable(at, net, res[5], res[1], res[4])
+    g = at.protos[net.charset.index("g")][0]
+    font_g = get_font()["g"]
+    assert g.shape == font_g.shape and (g == font_g).all()

@@ -96,3 +96,23 @@ def test_two_column_prose_is_not_a_cross_region_table():
     # prose columns: multi-word rows must not be claimed as a table
     for t in detect_page_tables(page.image):
         assert False, f"false positive: {t}"
+
+
+def test_cross_region_table_with_prose_sidebar():
+    """A prose region elsewhere on the page must not veto the detection
+    of two adjacent aligned table columns."""
+    cols2 = [0, 45]
+    rows = []
+    for a, b in (("ab", "cd"), ("ef", "gh"), ("ij", "kl")):
+        rows.append(_cell_row([a, b], cols2, 130))
+    # append a prose block far below (own rows, multi-word lines)
+    prose = [render_line("some prose words here") for _ in range(2)]
+    w = max(max(r.shape[1] for r in rows), max(p.shape[1] for p in prose))
+    padded = []
+    for r in rows + prose:
+        p = np.zeros((CELL_H, w), dtype=bool)
+        p[:, : r.shape[1]] = r
+        padded.append(p)
+    tables = detect_page_tables(_page(padded, vgap=6))
+    # the table (2 aligned single-cell columns) is still found
+    assert any(len(t.col_lefts) == 2 for t in tables)
