@@ -116,20 +116,17 @@ def main() -> None:
     n_docs = duckdb.sql(
         f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
     ).fetchone()[0]
+    # SAME-SESSION interleaved best-of only: pairing minima accumulated
+    # across historical sessions would mix time windows and reintroduce the
+    # cross-window drift bias the interleaved protocol exists to avoid
+    # (round-1 ADVICE).  Every wall below comes from this invocation.
     best = {1: float("inf"), 4: float("inf")}
-    # accumulate best-of across invocations too: this VM's slow phases can
-    # cover a whole multi-repeat run (BENCH.md variance note), so the
-    # recorded walls are the per-level minima over ALL repeats ever run
-    # for this sf_dir (each wall is still one honest end-to-end submit)
-    prev_path = os.path.join(HERE, "SUBMIT_SCALING.json")
-    if os.path.exists(prev_path):
-        prev = json.load(open(prev_path))
-        if prev.get("sf_dir") == SF_DIR and "bucketed" in prev.get("job", "bucketed"):
-            best[1] = prev.get("flagship_T_1exec_sec", best[1])
-            best[4] = prev.get("flagship_T_4exec_sec", best[4])
+    walls: dict[int, list[float]] = {1: [], 4: []}
     for _ in range(REPEATS):  # interleave levels (VM drift, BENCH.md)
         for n_exec in (1, 4):
-            best[n_exec] = min(best[n_exec], run_once(n_exec, zip_path, job_path))
+            w = run_once(n_exec, zip_path, job_path)
+            walls[n_exec].append(round(w, 3))
+            best[n_exec] = min(best[n_exec], w)
     t1, t4 = best[1], best[4]
     eff = t1 / (4.0 * t4)
     report = {
@@ -138,6 +135,9 @@ def main() -> None:
         f"local-cluster[E,{CORES_PER_EXEC},{EXEC_MEM_MB}] (separate executor JVMs)",
         "sf_dir": SF_DIR,
         "n_docs": int(n_docs),
+        "protocol": "same-session interleaved best-of (no cross-session minima)",
+        "walls_1exec_sec": walls[1],
+        "walls_4exec_sec": walls[4],
         "flagship_T_1exec_sec": round(t1, 3),
         "flagship_T_4exec_sec": round(t4, 3),
         "docs_per_sec_1exec": round(n_docs / t1, 2),

@@ -57,7 +57,28 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     decode_gray_png(bytes(png)), int(dpi)
                 )
             except Exception:
-                continue  # per-page isolation (control.cpp:314-322 semantics)
+                # per-page isolation (control.cpp:314-322 semantics): emit a
+                # degraded marker row (conf=-1, word_num=-1) so failed pages
+                # stay distinguishable from pages with no words — matching
+                # the pipeline's n_chars=-1 accounting instead of silently
+                # dropping the page from the word-level sinks.
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_ref": ref,
+                        "block_num": -1,
+                        "par_num": -1,
+                        "line_num": -1,
+                        "word_num": -1,
+                        "left": 0,
+                        "top": 0,
+                        "width": 0,
+                        "height": 0,
+                        "conf": -1.0,
+                        "text": "",
+                    }
+                )
+                continue
             for w in words:
                 rows.append(
                     {
@@ -103,10 +124,18 @@ def to_text(flat_spans: DataFrame) -> DataFrame:
     )
 
 
+def _ok_words(words: DataFrame) -> DataFrame:
+    """Drop the conf=-1/word_num=-1 degraded page markers before
+    formatting: the markers exist for failure accounting (lineage / QA),
+    not for the rendered sinks."""
+    return words.filter(F.col("word_num") >= 0)
+
+
 def to_tsv(words: DataFrame) -> DataFrame:
     """GetTSVText: word rows (level 5) unioned with roll-up rows for line
     (4), para (3), block (2) and page (1), formatted as the 12-column TSV
     line the reference emits."""
+    words = _ok_words(words)
     w5 = words.select(
         F.lit(5).alias("level"), "doc_id", "media_ref",
         "block_num", "par_num", "line_num", "word_num",
@@ -163,6 +192,7 @@ def _xml_escape_sql(expr: str) -> str:
 
 def to_hocr(words: DataFrame) -> DataFrame:
     """GetHOCRText: one XHTML fragment per media page."""
+    words = _ok_words(words)
     line_sql = """
       concat(
         '   <span class="ocr_line" title="bbox ', min(left), ' ', min(top), ' ',
@@ -223,6 +253,7 @@ def to_hocr(words: DataFrame) -> DataFrame:
 def to_page_xml(words: DataFrame) -> DataFrame:
     """PRImA PAGE XML (pagerenderer.cpp:628-710): TextRegion/TextLine/Word
     with Coords polygons and a ReadingOrder section."""
+    words = _ok_words(words)
     line_sql = """
       concat('   <TextLine><Coords points="',
         min(left), ',', min(top), ' ', max(left + width), ',', min(top), ' ',
@@ -288,6 +319,7 @@ def to_box(words: DataFrame, page_heights: DataFrame | None = None) -> DataFrame
     """WordStr box format (wordstrboxrenderer.cpp:1-105): one line-level
     record per text line, 'WordStr' marker + #-joined text, bottom-up y
     (the box family's coordinate convention, SURVEY §1.1)."""
+    words = _ok_words(words)
     lines = words.groupBy("doc_id", "media_ref", "block_num", "par_num", "line_num").agg(
         F.min("left").alias("l"),
         F.min("top").alias("t"),
@@ -328,6 +360,7 @@ def to_box(words: DataFrame, page_heights: DataFrame | None = None) -> DataFrame
 
 def to_alto(words: DataFrame) -> DataFrame:
     """ALTO XML: TextBlock/TextLine/String per media page."""
+    words = _ok_words(words)
     line_sql = """
       concat('  <TextLine>',
         array_join(transform(array_sort(collect_list(struct(word_num, left, top,
@@ -394,7 +427,12 @@ def to_threshold_images(media: DataFrame) -> DataFrame:
                 try:
                     mask = binarize_otsu(decode_gray_png(bytes(png)))
                 except Exception:
-                    continue  # per-page isolation
+                    # degraded marker (NULL png, fg_frac=-1) instead of a
+                    # silent drop — mirrors the pipeline's failure accounting
+                    refs.append(ref)
+                    pngs.append(None)
+                    fracs.append(-1.0)
+                    continue
                 img = np.where(mask, 0, 255).astype(np.uint8)
                 refs.append(ref)
                 pngs.append(encode_gray_png(img))
@@ -534,6 +572,7 @@ def to_pdf(words: DataFrame, page_dims: DataFrame | None = None) -> DataFrame:
     applyInPandas per page — embarrassingly parallel, single shuffle on
     the (doc_id, media_ref) grouping key.
     """
+    words = _ok_words(words)
     joined = words.join(page_dims, "media_ref", "left") if page_dims is not None else words
 
     def _iget(recs: list[dict], key: str) -> int:
@@ -581,7 +620,7 @@ def to_unlv(words: DataFrame) -> DataFrame:
     The reference crunches per-word via unlv_crunch_mode and marks
     per-char suspects; this engine's confidence is word-level, so the
     word is the marking unit (documented divergence)."""
-    marked = words.withColumn(
+    marked = _ok_words(words).withColumn(
         "unlv_word",
         F.when(F.col("conf") < K_REJECT_CONF, F.lit(K_UNLV_REJECT)).when(
             F.col("conf") < K_SUSPECT_CONF,

@@ -644,10 +644,13 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{dot} / ({_norm_expr('v')} * {_norm_expr('q')})"), 4
         ).alias("cosine"),
     )
+    # Distributed top-k: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition heap + merge on the driver) instead of funnelling every
+    # scored row through one global-window partition. The rank window then
+    # runs over only the 10 surviving rows.
+    top = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 10
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 ORACLE_ANN_COSINE_TOPK = """
@@ -697,8 +700,12 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    # Same TakeOrderedAndProject shape as q_ann_cosine_topk: even though the
+    # single probed bucket is small today, at 100x a hot bucket must not
+    # serialize through one window partition.
+    top = cands.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(5)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 ORACLE_ANN_LSH_BUCKET = """
@@ -1156,10 +1163,13 @@ def q_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tg")
     ).filter(F.length("tg") == 3)
     counts = tri.groupBy("tg").agg(F.count("*").alias("n"))
+    # Distributed top-k (TakeOrderedAndProject): at web scale the distinct
+    # trigram cardinality is millions of rows; a global row_number window
+    # would single-partition all of them. limit() keeps the selection
+    # per-partition-heap + driver merge; rank is computed over 20 rows.
+    top = counts.orderBy(F.desc("n"), F.asc("tg")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("tg"))
-    return counts.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 20
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 ORACLE_CHAR_TRIGRAMS = """
@@ -1422,9 +1432,11 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     wrapped = docs.select(
         "doc_id",
-        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias(
-            "html"
-        ),
+        F.concat(
+            F.lit(_HTML_PRE),
+            F.coalesce(F.col("text"), F.lit("")),  # NULL text -> empty article
+            F.lit(_HTML_POST),
+        ).alias("html"),
     )
 
     def udf(batches):
@@ -1455,9 +1467,11 @@ def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     wrapped = docs.select(
         "doc_id",
-        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias(
-            "html"
-        ),
+        F.concat(
+            F.lit(_HTML_PRE),
+            F.coalesce(F.col("text"), F.lit("")),  # NULL text -> empty article
+            F.lit(_HTML_POST),
+        ).alias("html"),
     )
 
     def udf(batches):

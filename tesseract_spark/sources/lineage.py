@@ -34,10 +34,15 @@ def lineage_of(flat: DataFrame, run_id: str) -> DataFrame:
         F.sum((~ok).cast("long")).alias("n_failed"),
         F.sum(F.when(ok, F.col("n_lines")).otherwise(0)).alias("n_lines"),
         F.sum(F.when(ok, F.col("n_chars")).otherwise(0)).alias("n_chars"),
-        F.round(F.sum("wall_ms") / 1000.0, 3).alias("wall_s"),
+        F.round(
+            F.sum(F.when(ok, F.col("wall_ms")).otherwise(0)) / 1000.0, 3
+        ).alias("wall_s"),
         F.round(
             F.sum(F.when(ok, F.col("n_chars")).otherwise(0))
-            / F.greatest(F.sum("wall_ms") / 1000.0, F.lit(1e-9)),
+            / F.greatest(
+                F.sum(F.when(ok, F.col("wall_ms")).otherwise(0)) / 1000.0,
+                F.lit(1e-9),
+            ),
             1,
         ).alias("chars_per_sec"),
         # confidence histogram: counts in 10 deciles (0-10, 10-20, ... 90-100)

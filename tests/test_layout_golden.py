@@ -129,18 +129,43 @@ def test_all_descender_row_recovered_via_alt_baseline():
 
 def test_skewed_page_media_bbox_in_deskewed_frame():
     """Media regions on a skewed page report bboxes in the same (deskewed)
-    frame as text regions — reading order stays consistent."""
-    import numpy as np
-
-    from tesseract_spark.fixtures import make_page_spec
-    from tesseract_spark.functions.compose import compose_page
+    frame as text regions: render the SAME text+photo page flat and
+    skewed; the skewed page's photo bbox, after analyze_page's deskew
+    transform, must match the flat layout's photo bbox within the shear
+    rounding tolerance (exercises the skew!=0 media-bbox branch in
+    page.analyze_page)."""
+    from tesseract_spark.functions.compose import PageSpec, compose_page
     from tesseract_spark.operators.page import analyze_page
 
-    rng = np.random.default_rng(5)
-    # mixed_media family renders text + photo; force a skewed variant via
-    # the skewed family then verify photo bbox transform on a synthetic
-    spec = make_page_spec("mixed_media", rng)
-    page = compose_page(spec)
-    lay0 = analyze_page(page.image)
-    kinds = [g.kind for g in lay0.regions]
-    assert "photo" in kinds  # fixture sanity
+    lines = ["big table a a", "big sort data data", "query a key a"]
+    spec_flat = PageSpec(paragraphs=[lines], photos=((0, 60, 48),), skew=0.0)
+    lay_flat = analyze_page(compose_page(spec_flat).image)
+    flat_photos = [g for g in lay_flat.regions if g.kind == "photo"]
+    flat_texts = [g for g in lay_flat.regions if g.kind == "text"]
+    assert len(flat_photos) == 1 and len(flat_texts) == 1  # fixture sanity
+
+    def rel(photo, text):
+        # photo bbox relative to the text region of the SAME layout —
+        # frame-offset-free, so it compares across render canvases
+        pl, pt, pr, pb = photo.bbox
+        tl, tt, _tr, _tb = text.bbox
+        return (pl - tl, pt - tt, pr - tl, pb - tt)
+
+    flat_rel = rel(flat_photos[0], flat_texts[0])
+    for s in (-0.02, 0.02):
+        spec_skew = PageSpec(paragraphs=[lines], photos=((0, 60, 48),), skew=s)
+        lay_skew = analyze_page(compose_page(spec_skew).image)
+        assert lay_skew.skew == s
+        skew_photos = [g for g in lay_skew.regions if g.kind == "photo"]
+        skew_texts = [g for g in lay_skew.regions if g.kind == "text"]
+        assert len(skew_photos) == 1 and len(skew_texts) == 1
+        skew_rel = rel(skew_photos[0], skew_texts[0])
+        # x extents untouched by a vertical shear; y extents agree with the
+        # flat frame within 2px (per-column integer shift rounding)
+        assert skew_rel[0] == flat_rel[0] and skew_rel[2] == flat_rel[2], s
+        assert abs(skew_rel[1] - flat_rel[1]) <= 2, (s, skew_rel, flat_rel)
+        assert abs(skew_rel[3] - flat_rel[3]) <= 2, (s, skew_rel, flat_rel)
+        # reading order (text before photo) unchanged by the skew
+        assert [g.kind for g in lay_skew.regions] == [
+            g.kind for g in lay_flat.regions
+        ], s
