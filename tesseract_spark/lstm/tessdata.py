@@ -1,0 +1,876 @@
+"""traineddata (tessdata) container + LSTM model serialization.
+
+Implements the reference's on-disk model format so the engine can
+serialize its own VGSL nets into real ``*.traineddata`` files and load
+them back (and, structurally, load reference-produced files):
+
+- Container: ``src/ccutil/tessdatamanager.cpp:110-167`` (LoadMemBuffer) /
+  ``:188-230`` (Serialize): uint32 LE entry count, int64 absolute offsets
+  (-1 = absent), concatenated section payloads.  Section ids follow the
+  ``TessdataType`` enum (``src/ccutil/tessdatamanager.h:58-85``).
+- LSTM section: ``LSTMRecognizer::Serialize/DeSerialize``
+  (``src/lstm/lstmrecognizer.cpp:93-178``): network tree, optional
+  embedded unicharset, network spec string, training counters, null char,
+  adam/lr/momentum scalars, optional recoder.
+- Network tree: ``Network::Serialize`` (``src/lstm/network.cpp:155-189``)
+  — int8 NT_NONE marker + type-name string (the forward-compatible name
+  encoding), training/backprop flags, network_flags, ni, no, num_weights,
+  layer name; plumbing layers (Series/Parallel/Reversed,
+  ``src/lstm/plumbing.cpp``) recurse with a uint32 child count.
+- WeightMatrix: ``src/lstm/weightmatrix.cpp:238-330`` — uint8 mode
+  (kDoubleFlag=128 | kInt8Flag=1 | kAdamFlag=4), then either a float
+  GENERIC_2D_ARRAY<double> (uint32 dim1, uint32 dim2, double empty,
+  row-major doubles) or an int8 array + per-output double scales.
+- Unicharset: text format (``UNICHARSET::save_to_string``,
+  ``src/ccutil/unicharset.cpp:718-756``): size line, then one line per
+  unichar.
+- Recoder: ``UnicharCompress::Serialize`` (``unicharcompress.cpp``) — a
+  TFile vector of RecodedCharID (int8 self_normalized, uint32 length,
+  int32 codes[length], ``unicharcompress.h:75-118``).
+
+All multi-byte values little-endian (the reference detects and swaps
+big-endian files; we write native LE like every shipped traineddata).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# TessdataType (tessdatamanager.h:58-85) — only the ids this engine uses.
+TESSDATA_LANG_CONFIG = 0
+TESSDATA_UNICHARSET = 1
+TESSDATA_LSTM = 17
+TESSDATA_LSTM_PUNC_DAWG = 18
+TESSDATA_LSTM_SYSTEM_DAWG = 19
+TESSDATA_LSTM_NUMBER_DAWG = 20
+TESSDATA_LSTM_UNICHARSET = 21
+TESSDATA_LSTM_RECODER = 22
+TESSDATA_VERSION = 23
+TESSDATA_NUM_ENTRIES = 24
+
+# TrainingFlags (lstmrecognizer.h:44-47)
+TF_INT_MODE = 1
+TF_COMPRESS_UNICHARSET = 64
+
+# NetworkType serialization names (network.cpp:60-75, kTypeNames) — the
+# on-disk encoding is the NAME, making layer-type ids reorderable.
+NT_NAMES = [
+    "Invalid", "Input", "Convolve", "Maxpool", "Parallel", "Replicated",
+    "ParBidiLSTM", "DepParUDLSTM", "Par2dLSTM", "Series", "Reconfig",
+    "RTLReversed", "TTBReversed", "XYTranspose", "LSTM", "SummLSTM",
+    "Logistic", "LinLogistic", "LinTanh", "Tanh", "Relu", "Linear",
+    "Softmax", "SoftmaxNoCTC", "LSTMSoftmax", "LSTMBinarySoftmax",
+    "TensorFlow",
+]
+NT_ID = {n: i for i, n in enumerate(NT_NAMES)}
+
+_K_INT8_FLAG = 1
+_K_ADAM_FLAG = 4
+_K_DOUBLE_FLAG = 128
+
+
+# ---------------------------------------------------------------------------
+# TFile-style little-endian reader/writer (serialis.h semantics)
+# ---------------------------------------------------------------------------
+
+
+class Writer:
+    def __init__(self) -> None:
+        self.buf = io.BytesIO()
+
+    def raw(self, b: bytes) -> None:
+        self.buf.write(b)
+
+    def u8(self, v: int) -> None:
+        self.buf.write(struct.pack("<B", v))
+
+    def i8(self, v: int) -> None:
+        self.buf.write(struct.pack("<b", v))
+
+    def u32(self, v: int) -> None:
+        self.buf.write(struct.pack("<I", v))
+
+    def i32(self, v: int) -> None:
+        self.buf.write(struct.pack("<i", v))
+
+    def i64(self, v: int) -> None:
+        self.buf.write(struct.pack("<q", v))
+
+    def f32(self, v: float) -> None:
+        self.buf.write(struct.pack("<f", v))
+
+    def f64(self, v: float) -> None:
+        self.buf.write(struct.pack("<d", v))
+
+    def string(self, s: str) -> None:
+        b = s.encode("utf-8")
+        self.u32(len(b))
+        self.raw(b)
+
+    def getvalue(self) -> bytes:
+        return self.buf.getvalue()
+
+
+class Reader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def raw(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        if len(b) != n:
+            raise ValueError("tessdata: truncated stream")
+        self.pos += n
+        return b
+
+    def u8(self) -> int:
+        return struct.unpack("<B", self.raw(1))[0]
+
+    def i8(self) -> int:
+        return struct.unpack("<b", self.raw(1))[0]
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.raw(4))[0]
+
+    def i32(self) -> int:
+        return struct.unpack("<i", self.raw(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack("<q", self.raw(8))[0]
+
+    def f32(self) -> float:
+        return struct.unpack("<f", self.raw(4))[0]
+
+    def f64(self) -> float:
+        return struct.unpack("<d", self.raw(8))[0]
+
+    def string(self) -> str:
+        return self.raw(self.u32()).decode("utf-8")
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.data)
+
+
+# ---------------------------------------------------------------------------
+# Container (tessdatamanager.cpp:110-167 read, :188-230 write)
+# ---------------------------------------------------------------------------
+
+
+def write_container(entries: dict[int, bytes]) -> bytes:
+    """Pack section payloads into the traineddata container layout."""
+    num = TESSDATA_NUM_ENTRIES
+    header = 4 + 8 * num
+    offsets = [-1] * num
+    body = b""
+    off = header
+    for i in range(num):
+        payload = entries.get(i)
+        if payload:
+            offsets[i] = off
+            body += payload
+            off += len(payload)
+    w = Writer()
+    w.u32(num)
+    for o in offsets:
+        w.i64(o)
+    w.raw(body)
+    return w.getvalue()
+
+
+def read_container(data: bytes) -> dict[int, bytes]:
+    """Unpack a traineddata container into {section_id: payload}."""
+    r = Reader(data)
+    num = r.u32()
+    if num > 100:  # kMaxNumTessdataEntries sanity (big-endian would swap)
+        raise ValueError("tessdata: implausible entry count (endianness?)")
+    offsets = [r.i64() for _ in range(num)]
+    out: dict[int, bytes] = {}
+    size = len(data)
+    for i in range(num):
+        if offsets[i] < 0:
+            continue
+        end = size
+        for j in range(i + 1, num):
+            if offsets[j] >= 0:
+                end = offsets[j]
+                break
+        out[i] = data[offsets[i] : end]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Unicharset (text format, unicharset.cpp:718-756)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Unicharset:
+    """Minimal unicharset: id <-> UTF-8 plus the properties hex field.
+
+    The reference stores per-char metrics (top/bottom/width stats) the
+    LSTM path never reads; we persist the properties word and NULL-row
+    convention faithfully and default the metrics."""
+
+    chars: list[str] = field(default_factory=list)
+    properties: list[int] = field(default_factory=list)
+
+    @classmethod
+    def from_charset(cls, charset: str) -> "Unicharset":
+        u = cls()
+        for ch in charset:
+            props = 0
+            if ch.isalpha():
+                props |= 0x1  # ISALPHA
+                if ch.islower():
+                    props |= 0x2
+                if ch.isupper():
+                    props |= 0x4
+            if ch.isdigit():
+                props |= 0x8
+            if not ch.isalnum() and not ch.isspace():
+                props |= 0x10  # ISPUNCTUATION
+            u.chars.append(ch)
+            u.properties.append(props)
+        return u
+
+    def id_of(self, ch: str) -> int:
+        return self.chars.index(ch)
+
+    def __len__(self) -> int:
+        return len(self.chars)
+
+    def save(self) -> bytes:
+        lines = [f"{len(self.chars)}\n"]
+        for ch, props in zip(self.chars, self.properties):
+            if ch == " ":
+                # space serializes as the NULL row (save_to_string's
+                # strcmp(id_to_unichar(id), " ") == 0 branch)
+                lines.append(f"NULL {props:x} NULL 0\n")
+            else:
+                lines.append(
+                    f"{ch} {props:x} 0,255,0,255,0,0,0,0,0,0 NULL 0 0 0 {ch}\n"
+                )
+        return "".join(lines).encode("utf-8")
+
+    @classmethod
+    def load(cls, data: bytes) -> "Unicharset":
+        text = data.decode("utf-8")
+        lines = text.splitlines()
+        n = int(lines[0].strip())
+        u = cls()
+        for ln in lines[1 : 1 + n]:
+            fields = ln.split(" ")
+            ch = fields[0]
+            if ch == "NULL":
+                ch = " "
+            u.chars.append(ch)
+            u.properties.append(int(fields[1], 16) if len(fields) > 1 else 0)
+        return u
+
+
+# ---------------------------------------------------------------------------
+# Recoder (UnicharCompress, unicharcompress.h:34-118 / .cpp)
+# ---------------------------------------------------------------------------
+
+K_MAX_CODE_LEN = 9  # unicharcompress.h kMaxCodeLen
+
+
+@dataclass
+class RecodedCharID:
+    self_normalized: int
+    codes: list[int]
+
+    def write(self, w: Writer) -> None:
+        w.i8(self.self_normalized)
+        w.u32(len(self.codes))
+        for c in self.codes:
+            w.i32(c)
+
+    @classmethod
+    def read(cls, r: Reader) -> "RecodedCharID":
+        sn = r.i8()
+        length = r.u32()
+        if length > K_MAX_CODE_LEN:
+            raise ValueError(f"recoder: code length {length} > kMaxCodeLen")
+        return cls(sn, [r.i32() for _ in range(length)])
+
+
+class UnicharCompress:
+    """Unichar -> short code-sequence recoder (RecodedCharID table).
+
+    Carries the two behaviors the LSTM decode path needs:
+    - pass-through (Latin, ``SetupPassThrough`` lstmrecognizer.cpp:205):
+      every unichar maps to its own single code;
+    - real compression (CJK/Indic): multi-code sequences decoded with a
+      prefix-trie walk (the inverse of ``EncodeUnichar``).
+    """
+
+    def __init__(self, encoder: list[RecodedCharID] | None = None) -> None:
+        self.encoder: list[RecodedCharID] = encoder or []
+        self._decoder: dict[tuple[int, ...], int] = {}
+        self._prefixes: set[tuple[int, ...]] = set()
+        self.code_range = 0
+        if encoder:
+            self._setup_decoder()
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def pass_through(cls, n_unichars: int) -> "UnicharCompress":
+        enc = [RecodedCharID(1, [u]) for u in range(n_unichars)]
+        return cls(enc)
+
+    def _setup_decoder(self) -> None:
+        self._decoder.clear()
+        self._prefixes.clear()
+        self.code_range = 0
+        for uid, rc in enumerate(self.encoder):
+            if not rc.codes:
+                continue
+            key = tuple(rc.codes)
+            if key not in self._decoder:  # first (master) entry wins
+                self._decoder[key] = uid
+            for plen in range(1, len(key)):
+                self._prefixes.add(key[:plen])
+            self.code_range = max(self.code_range, max(rc.codes) + 1)
+
+    # -- codec ------------------------------------------------------------
+    def encode_unichar(self, uid: int) -> list[int]:
+        return list(self.encoder[uid].codes)
+
+    def decode_codes(self, codes: list[int]) -> list[int]:
+        """Greedy longest-match decode of a flat code stream back to
+        unichar ids (the RecodeBeamSearch walk's terminal mapping)."""
+        out: list[int] = []
+        i = 0
+        n = len(codes)
+        while i < n:
+            match_len = 0
+            match_uid = -1
+            for ln in range(1, min(K_MAX_CODE_LEN, n - i) + 1):
+                key = tuple(codes[i : i + ln])
+                if key in self._decoder:
+                    match_len, match_uid = ln, self._decoder[key]
+                if key not in self._prefixes and key not in self._decoder:
+                    break
+            if match_uid < 0:  # undecodable code: skip one (defensive)
+                i += 1
+                continue
+            out.append(match_uid)
+            i += match_len
+        return out
+
+    # -- serialization ----------------------------------------------------
+    def write(self, w: Writer) -> None:
+        w.u32(len(self.encoder))
+        for rc in self.encoder:
+            rc.write(w)
+
+    @classmethod
+    def read(cls, r: Reader) -> "UnicharCompress":
+        n = r.u32()
+        if n > 50_000_000:
+            raise ValueError("recoder: implausible encoder size")
+        return cls([RecodedCharID.read(r) for _ in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# WeightMatrix (weightmatrix.cpp:238-330)
+# ---------------------------------------------------------------------------
+
+
+def write_weight_matrix(w: Writer, mat: np.ndarray) -> None:
+    """Float-mode WeightMatrix: mode byte + GENERIC_2D_ARRAY<double>."""
+    w.u8(_K_DOUBLE_FLAG)
+    w.u32(mat.shape[0])
+    w.u32(mat.shape[1])
+    w.f64(0.0)  # empty_ sentinel of GENERIC_2D_ARRAY
+    w.raw(np.ascontiguousarray(mat, dtype="<f8").tobytes())
+
+
+def read_weight_matrix(r: Reader) -> np.ndarray:
+    """Reads float OR int8 mode (int8: wi_ array + per-row double scales,
+    de-quantized to float32 exactly as MatrixDotVector would apply them)."""
+    mode = r.u8()
+    int_mode = bool(mode & _K_INT8_FLAG)
+    use_adam = bool(mode & _K_ADAM_FLAG)
+    if not (mode & _K_DOUBLE_FLAG):
+        raise ValueError("tessdata: pre-double weight format unsupported")
+    if int_mode:
+        d1, d2 = r.u32(), r.u32()
+        _empty = r.i8()
+        wi = np.frombuffer(r.raw(d1 * d2), dtype=np.int8).reshape(d1, d2)
+        n_scales = r.u32()
+        scales = np.frombuffer(r.raw(8 * n_scales), dtype="<f8") / 127.0
+        mat = wi.astype(np.float64) * scales[:d1, None]
+        return mat.astype(np.float32)
+    d1, d2 = r.u32(), r.u32()
+    _empty = r.f64()
+    mat = np.frombuffer(r.raw(8 * d1 * d2), dtype="<f8").reshape(d1, d2)
+    if use_adam:
+        # training checkpoints carry updates_ (+ dw_sq_sum_) only when
+        # serialized with training=true; inference files do not.
+        pass
+    return mat.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Network tree <-> VGSLNetwork
+# ---------------------------------------------------------------------------
+
+
+def _write_network_header(
+    w: Writer, type_name: str, ni: int, no: int, name: str, num_weights: int = 0
+) -> None:
+    """Network::Serialize common prefix (network.cpp:155-189)."""
+    w.i8(0)  # NT_NONE marker -> type follows as a name string
+    w.string(type_name)
+    w.i8(0)  # training_ = TS_DISABLED
+    w.i8(0)  # needs_to_backprop_
+    w.i32(0)  # network_flags_
+    w.i32(ni)
+    w.i32(no)
+    w.i32(num_weights)
+    w.string(name)
+
+
+def _read_network_header(r: Reader) -> dict:
+    marker = r.i8()
+    if marker == 0:
+        type_name = r.string()
+        if type_name not in NT_ID:
+            raise ValueError(f"tessdata: unknown layer type {type_name!r}")
+    else:
+        # old files store the raw enum id byte
+        if not 0 <= marker < len(NT_NAMES):
+            raise ValueError(f"tessdata: bad layer type id {marker}")
+        type_name = NT_NAMES[marker]
+    hdr = {
+        "type": type_name,
+        "training": r.i8(),
+        "backprop": r.i8(),
+        "flags": r.i32(),
+        "ni": r.i32(),
+        "no": r.i32(),
+        "num_weights": r.i32(),
+        "name": r.string(),
+    }
+    return hdr
+
+
+def _fc_matrix(wx: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[no, ni] weights + [no] bias -> reference [no, ni+1] (bias last)."""
+    return np.concatenate([wx, b[:, None]], axis=1)
+
+
+def _split_fc(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return mat[:, :-1], mat[:, -1]
+
+
+# our gate slice order (vgsl._lstm_dir): i, f, o, u in one stacked matrix;
+# reference serializes per-gate WeightMatrices in WT order CI(u), GI(i),
+# GF1(f), GO(o) (lstm.h:32-40), each [ns, ni+ns+1]
+_GATE_ORDER = ("u", "i", "f", "o")  # CI, GI, GF1, GO
+_GATE_SLICE = {"i": 0, "f": 1, "o": 2, "u": 3}
+
+
+def _write_lstm_weights(w: Writer, wts: dict, prefix: str = "") -> None:
+    wx, wh, b = wts[prefix + "wx"], wts[prefix + "wh"], wts[prefix + "b"]
+    units = wh.shape[1]
+    for g in _GATE_ORDER:
+        s = _GATE_SLICE[g]
+        gw = np.concatenate(
+            [
+                wx[s * units : (s + 1) * units],
+                wh[s * units : (s + 1) * units],
+                b[s * units : (s + 1) * units, None],
+            ],
+            axis=1,
+        )
+        write_weight_matrix(w, gw)
+
+
+def _read_lstm_weights(r: Reader, ni: int, units: int) -> dict:
+    wx = np.zeros((4 * units, ni), dtype=np.float32)
+    wh = np.zeros((4 * units, units), dtype=np.float32)
+    b = np.zeros(4 * units, dtype=np.float32)
+    for g in _GATE_ORDER:
+        gw = read_weight_matrix(r)
+        if gw.shape != (units, ni + units + 1):
+            raise ValueError(
+                f"tessdata: LSTM gate shape {gw.shape} != {(units, ni + units + 1)}"
+            )
+        s = _GATE_SLICE[g]
+        wx[s * units : (s + 1) * units] = gw[:, :ni]
+        wh[s * units : (s + 1) * units] = gw[:, ni : ni + units]
+        b[s * units : (s + 1) * units] = gw[:, -1]
+    return {"wx": wx, "wh": wh, "b": b}
+
+
+def _conv_ref_perm(ky: int, kx: int, d: int) -> np.ndarray:
+    """Permutation mapping our im2col feature order ((y*kx+x)*d+c,
+    vgsl._conv) to the reference Convolve gather order ((x*ky+y)*ni+c,
+    convolve.cpp Forward)."""
+    idx = np.arange(ky * kx * d).reshape(ky, kx, d)
+    return idx.transpose(1, 0, 2).ravel()  # -> x-major
+
+
+def serialize_network(net) -> bytes:
+    """VGSLNetwork -> reference network-tree bytes (a Series stack).
+
+    Layer mapping (networkbuilder.h:52-123 semantics):
+      conv       -> Convolve (window gather) + Tanh/Relu FullyConnected
+      maxpool    -> Maxpool
+      lstm_x     -> LSTM | RTLReversed[LSTM] | ParBidiLSTM[LSTM, RTLReversed[LSTM]]
+      lstm_y_summary -> SummLSTM
+      output     -> Softmax FullyConnected
+    """
+    w = Writer()
+    # the Series root
+    depth = net.depth
+    height = net.height
+    n_layers = 0
+    body = Writer()
+
+    def emit_input() -> None:
+        nonlocal n_layers
+        _write_network_header(body, "Input", depth, depth, "Input")
+        # StaticShape (static_shape.h:91-95): batch,h,w,depth,loss_type
+        body.i32(net.batch)
+        body.i32(net.height)
+        body.i32(net.width)
+        body.i32(net.depth)
+        body.i32(0)
+        n_layers += 1
+
+    emit_input()
+    for layer in net.layers:
+        if layer.kind == "conv":
+            ky, kx = layer.params["ky"], layer.params["kx"]
+            if ky % 2 == 0 or kx % 2 == 0:
+                raise ValueError("reference Convolve kernels are odd-sized")
+            nf = layer.params["filters"]
+            ni = depth
+            gathered = ky * kx * ni
+            _write_network_header(body, "Convolve", ni, gathered, "Convolve")
+            body.i32(kx // 2)  # half_x_
+            body.i32(ky // 2)  # half_y_
+            n_layers += 1
+            act = "Tanh" if layer.params["act"] == "tanh" else "Relu"
+            _write_network_header(body, act, gathered, nf, act)
+            perm = _conv_ref_perm(ky, kx, ni)
+            wmat = layer.weights["w"][:, perm]
+            write_weight_matrix(body, _fc_matrix(wmat, layer.weights["b"]))
+            n_layers += 1
+            depth = nf
+        elif layer.kind == "maxpool":
+            ky, kx = layer.params["ky"], layer.params["kx"]
+            _write_network_header(body, "Maxpool", depth, depth, "Maxpool")
+            body.i32(kx)  # x_scale_ (Reconfig::Serialize)
+            body.i32(ky)  # y_scale_
+            n_layers += 1
+            height = max(1, height // ky)
+        elif layer.kind in ("lstm_x", "lstm_y_summary"):
+            units = layer.params["units"]
+            ni = height * depth
+            na = ni + units
+            summ = layer.kind == "lstm_y_summary"
+            tname = "SummLSTM" if summ else "LSTM"
+
+            def emit_lstm(prefix: str) -> None:
+                _write_network_header(body, tname, ni, units, tname)
+                body.i32(na)  # na_
+                _write_lstm_weights(body, layer.weights, prefix)
+
+            if layer.params.get("bidi"):
+                # ParBidiLSTM { LSTM, RTLReversed { LSTM } }
+                _write_network_header(
+                    body, "ParBidiLSTM", ni, 2 * units, "ParBidiLSTM"
+                )
+                body.u32(2)
+                emit_lstm("")
+                _write_network_header(body, "RTLReversed", ni, units, "RTLReversed")
+                body.u32(1)
+                emit_lstm("r_")
+                depth = 2 * units
+            elif layer.params.get("reverse") and not summ:
+                _write_network_header(body, "RTLReversed", ni, units, "RTLReversed")
+                body.u32(1)
+                emit_lstm("")
+                depth = units
+            else:
+                emit_lstm("")
+                depth = units
+            n_layers += 1
+            height = 1
+        elif layer.kind == "output":
+            classes = layer.params["classes"]
+            ni = height * depth
+            _write_network_header(body, "Softmax", ni, classes, "Output")
+            write_weight_matrix(
+                body, _fc_matrix(layer.weights["w"], layer.weights["b"])
+            )
+            n_layers += 1
+            depth = classes
+        else:  # pragma: no cover
+            raise ValueError(f"unserializable layer {layer.kind}")
+
+    _write_network_header(w, "Series", net.depth, depth, "Series")
+    w.u32(n_layers)
+    w.raw(body.getvalue())
+    return w.getvalue()
+
+
+def deserialize_network(r: Reader, spec: str):
+    """Reference network-tree bytes + VGSL spec -> VGSLNetwork with the
+    serialized weights installed (LSTMRecognizer stores the spec in
+    network_str_, so the architecture never has to be inferred)."""
+    from .vgsl import VGSLNetwork
+
+    net = VGSLNetwork(spec)
+    hdr = _read_network_header(r)
+    if hdr["type"] != "Series":
+        raise ValueError(f"tessdata: expected Series root, got {hdr['type']}")
+    n_children = r.u32()
+    li = 0  # index into net.layers
+    read = 0
+    while read < n_children:
+        child = _read_network_header(r)
+        read += 1
+        t = child["type"]
+        if t == "Input":
+            for _ in range(5):
+                r.i32()  # StaticShape
+        elif t == "Convolve":
+            half_x, half_y = r.i32(), r.i32()
+            fc = _read_network_header(r)
+            read += 1
+            if fc["type"] not in ("Tanh", "Relu"):
+                raise ValueError(f"tessdata: conv FC has type {fc['type']}")
+            mat = read_weight_matrix(r)
+            wmat, b = _split_fc(mat)
+            layer = net.layers[li]
+            assert layer.kind == "conv", (li, layer.kind)
+            ky, kx = layer.params["ky"], layer.params["kx"]
+            assert (kx // 2, ky // 2) == (half_x, half_y)
+            d = wmat.shape[1] // (ky * kx)
+            perm = _conv_ref_perm(ky, kx, d)
+            inv = np.argsort(perm)
+            layer.weights["w"] = wmat[:, inv].astype(np.float32)
+            layer.weights["b"] = b.astype(np.float32)
+            li += 1
+        elif t == "Maxpool":
+            r.i32(), r.i32()
+            assert net.layers[li].kind == "maxpool"
+            li += 1
+        elif t in ("LSTM", "SummLSTM"):
+            na = r.i32()
+            layer = net.layers[li]
+            units = layer.params["units"]
+            ni = na - units
+            layer.weights.update(_read_lstm_weights(r, ni, units))
+            li += 1
+        elif t == "RTLReversed":
+            n_sub = r.u32()
+            assert n_sub == 1
+            sub = _read_network_header(r)
+            na = r.i32()
+            layer = net.layers[li]
+            units = layer.params["units"]
+            layer.weights.update(_read_lstm_weights(r, na - units, units))
+            li += 1
+        elif t == "ParBidiLSTM":
+            n_sub = r.u32()
+            assert n_sub == 2
+            layer = net.layers[li]
+            units = layer.params["units"]
+            fwd_hdr = _read_network_header(r)
+            na = r.i32()
+            layer.weights.update(_read_lstm_weights(r, na - units, units))
+            rev_hdr = _read_network_header(r)
+            assert rev_hdr["type"] == "RTLReversed"
+            assert r.u32() == 1
+            sub = _read_network_header(r)
+            na = r.i32()
+            rw = _read_lstm_weights(r, na - units, units)
+            layer.weights.update({f"r_{k}": v for k, v in rw.items()})
+            li += 1
+        elif t == "Softmax":
+            mat = read_weight_matrix(r)
+            wmat, b = _split_fc(mat)
+            layer = net.layers[li]
+            assert layer.kind == "output"
+            layer.weights["w"] = wmat.astype(np.float32)
+            layer.weights["b"] = b.astype(np.float32)
+            li += 1
+        else:
+            raise ValueError(f"tessdata: unsupported layer type {t}")
+    return net
+
+
+# ---------------------------------------------------------------------------
+# LSTM section (LSTMRecognizer::Serialize, lstmrecognizer.cpp:93-130)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LstmModel:
+    """A loaded LSTM recognizer: network + charset + recoder + scalars."""
+
+    net: object  # VGSLNetwork
+    unicharset: Unicharset
+    recoder: UnicharCompress
+    null_char: int
+    spec: str
+    adam_beta: float = 0.999
+    learning_rate: float = 0.001
+    momentum: float = 0.5
+
+    @property
+    def charset(self) -> str:
+        return "".join(self.unicharset.chars)
+
+
+def write_lstm_section(model: LstmModel) -> bytes:
+    w = Writer()
+    w.raw(serialize_network(model.net))
+    # charsets embedded (no separate TESSDATA_LSTM_UNICHARSET/RECODER
+    # components -> include_charsets = true on both sides)
+    w.raw(model.unicharset.save())
+    w.string(model.spec)  # network_str_
+    w.i32(TF_COMPRESS_UNICHARSET)  # training_flags_ (recoding on)
+    w.i32(0)  # training_iteration_
+    w.i32(0)  # sample_iteration_
+    w.i32(model.null_char)
+    w.f32(model.adam_beta)
+    w.f32(model.learning_rate)
+    w.f32(model.momentum)
+    model.recoder.write(w)
+    return w.getvalue()
+
+
+def read_lstm_section(data: bytes) -> LstmModel:
+    r = Reader(data)
+    # network tree comes first but needs the spec (read later) to rebuild;
+    # remember the span and parse after the tail fields.
+    net_start = r.pos
+    _skip_network(r)
+    net_end = r.pos
+    unicharset = _read_embedded_unicharset(r)
+    spec = r.string()
+    training_flags = r.i32()
+    r.i32()  # training_iteration_
+    r.i32()  # sample_iteration_
+    null_char = r.i32()
+    adam_beta = r.f32()
+    lr = r.f32()
+    momentum = r.f32()
+    if training_flags & TF_COMPRESS_UNICHARSET:
+        recoder = UnicharCompress.read(r)
+    else:
+        recoder = UnicharCompress.pass_through(len(unicharset))
+    net = deserialize_network(Reader(data[net_start:net_end]), spec)
+    return LstmModel(
+        net=net,
+        unicharset=unicharset,
+        recoder=recoder,
+        null_char=null_char,
+        spec=spec,
+        adam_beta=adam_beta,
+        learning_rate=lr,
+        momentum=momentum,
+    )
+
+
+def _skip_network(r: Reader) -> None:
+    """Advance the reader past one serialized network (recursively)."""
+    hdr = _read_network_header(r)
+    t = hdr["type"]
+    if t == "Input":
+        for _ in range(5):
+            r.i32()
+    elif t == "Convolve":
+        r.i32(), r.i32()
+    elif t in ("Maxpool", "Reconfig"):
+        r.i32(), r.i32()
+    elif t in ("LSTM", "SummLSTM", "LSTMSoftmax", "LSTMBinarySoftmax"):
+        r.i32()  # na_
+        for _ in range(4):
+            _skip_weight_matrix(r)
+        if t in ("LSTMSoftmax", "LSTMBinarySoftmax"):
+            _skip_network(r)
+    elif t in (
+        "Series", "Parallel", "Replicated", "ParBidiLSTM", "DepParUDLSTM",
+        "Par2dLSTM", "RTLReversed", "TTBReversed", "XYTranspose",
+    ):
+        n = r.u32()
+        for _ in range(n):
+            _skip_network(r)
+    elif t in (
+        "Tanh", "Relu", "Softmax", "SoftmaxNoCTC", "Logistic",
+        "LinLogistic", "LinTanh", "Linear",
+    ):
+        _skip_weight_matrix(r)
+    else:
+        raise ValueError(f"tessdata: cannot skip layer type {t}")
+
+
+def _skip_weight_matrix(r: Reader) -> None:
+    mode = r.u8()
+    int_mode = bool(mode & _K_INT8_FLAG)
+    if not (mode & _K_DOUBLE_FLAG):
+        raise ValueError("tessdata: pre-double weight format unsupported")
+    d1, d2 = r.u32(), r.u32()
+    if int_mode:
+        r.i8()
+        r.raw(d1 * d2)
+        n = r.u32()
+        r.raw(8 * n)
+    else:
+        r.f64()
+        r.raw(8 * d1 * d2)
+
+
+def _read_embedded_unicharset(r: Reader) -> Unicharset:
+    """The unicharset rides embedded as raw text lines (save_to_file on a
+    TFile writes the text with NO length prefix); parse exactly
+    1 + size lines off the stream."""
+    # first line: size
+    line_end = r.data.index(b"\n", r.pos)
+    n = int(r.data[r.pos : line_end].strip())
+    pos = line_end + 1
+    for _ in range(n):
+        pos = r.data.index(b"\n", pos) + 1
+    text = r.data[r.pos : pos]
+    r.pos = pos
+    return Unicharset.load(text)
+
+
+# ---------------------------------------------------------------------------
+# Top level traineddata save/load
+# ---------------------------------------------------------------------------
+
+
+def save_traineddata(model: LstmModel, version: str = "5.5.3-spark") -> bytes:
+    entries = {
+        TESSDATA_LSTM: write_lstm_section(model),
+        TESSDATA_VERSION: version.encode("utf-8"),
+    }
+    return write_container(entries)
+
+
+def load_traineddata(data: bytes) -> LstmModel:
+    entries = read_container(data)
+    if TESSDATA_LSTM not in entries:
+        raise ValueError("traineddata has no LSTM section")
+    model = read_lstm_section(entries[TESSDATA_LSTM])
+    # separate unicharset/recoder components override the embedded ones
+    # (LoadCharsets path, lstmrecognizer.cpp:181-196)
+    if TESSDATA_LSTM_UNICHARSET in entries:
+        model.unicharset = Unicharset.load(entries[TESSDATA_LSTM_UNICHARSET])
+    if TESSDATA_LSTM_RECODER in entries:
+        model.recoder = UnicharCompress.read(Reader(entries[TESSDATA_LSTM_RECODER]))
+    return model

@@ -149,6 +149,69 @@ def _harvest_adaptable(adapted, net: TemplateNet, strip, words, col_of_t) -> Non
         harvest_word(adapted, strip, chars, net.width_by_code)
 
 
+def recognize_page_vgsl(
+    gray: np.ndarray, dpi: int = 300, model=None
+) -> tuple[list[SubSpan], PageResult]:
+    """recognize_page on the VGSL engine: same layout stage, but every row
+    strip is decoded by the tessdata-loaded VGSL conv stack (batched
+    width-bucketed forward + greedy CTC + recoder) instead of the
+    template bank — the OEM_LSTM_ONLY switch of the reference
+    (LSTMRecognizer::RecognizeLine, src/lstm/lstmrecognizer.cpp:247-291).
+
+    Baseline-ambiguous rows decode both hypotheses (alt_strip) and keep
+    whichever explains more characters, as the template path does."""
+    from ..lstm.fixture_model import decode_strips, get_vgsl_model
+
+    model = model or get_vgsl_model()
+    layout = analyze_page(gray, dpi)
+    # gather all strips (and alt hypotheses) into ONE batched decode
+    jobs: list[tuple[int, int, int]] = []  # (region, row, 0=main|1=alt)
+    strips: list[np.ndarray] = []
+    for ri, region in enumerate(layout.regions):
+        if region.kind != "text":
+            continue
+        for i, row in enumerate(region.rows):
+            jobs.append((ri, i, 0))
+            strips.append(row.strip)
+            if getattr(row, "alt_strip", None) is not None:
+                jobs.append((ri, i, 1))
+                strips.append(row.alt_strip)
+    texts = decode_strips(model, strips)
+    decoded: dict[tuple[int, int], str] = {}
+    for (ri, i, alt), text in zip(jobs, texts):
+        cur = decoded.get((ri, i))
+        # hypothesis arbiter: more characters explained wins (ties: main)
+        if cur is None or len(text) > len(cur):
+            decoded[(ri, i)] = text
+    multi_col = sum(1 for g in layout.regions if g.kind == "text") > 1
+    keyed: list[tuple[tuple, SubSpan]] = []
+    for ri, region in enumerate(layout.regions):
+        if region.kind != "text":
+            y = region.bbox[1]
+            key = (1, 0, y) if multi_col else (y, 1, 0)
+            keyed.append((key, SubSpan("media", "", 0.0, 0, 0)))
+            continue
+        for group in region.paragraphs:
+            texts_g = [decoded.get((ri, i), "") for i in group]
+            para_y = region.rows[group[0]].bbox[1]
+            key = (0, ri, para_y) if multi_col else (para_y, 0, 0)
+            n_words = sum(len(t.split()) for t in texts_g if t)
+            keyed.append(
+                (
+                    key,
+                    SubSpan(
+                        "text",
+                        "\n".join(texts_g),
+                        100.0 if n_words else 0.0,
+                        len(group),
+                        n_words,
+                    ),
+                )
+            )
+    keyed.sort(key=lambda kv: kv[0])
+    return [s for _k, s in keyed], layout
+
+
 def recognize_page_detail(
     gray: np.ndarray,
     dpi: int = 300,

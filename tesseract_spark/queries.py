@@ -57,6 +57,94 @@ FROM c
 """
 
 
+def q_ocr_vgsl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship on the VGSL engine (OEM_LSTM_ONLY switch): identical
+    derived corpus and span contract as ocr_extract, but every media page
+    is decoded by the tessdata-loaded VGSL conv stack — tessdata container
+    parse, network deserialization, unicharset + recoder, batched forward,
+    greedy CTC (lstm/tessdata.py, lstm/fixture_model.py; reference chain
+    tessdatamanager.cpp + lstmrecognizer.cpp:75-291).
+
+    Render + decode run in ONE mapInPandas over the chunk rows — zero
+    shuffles before the final stitch-free union (each chunk row is already
+    a complete span).  The executor-side model singleton loads the
+    serialized traineddata once per worker (DawgCache-style sharing).
+    """
+    import pandas as pd
+
+    from .derived import WORDS_PER_LINE, chunked
+
+    ch = chunked(spark, sf_dir)
+    text_rows = ch.filter(F.col("kind") == "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("i").cast("int").alias("offset"),
+        F.lit("text").alias("kind"),
+        F.col("chunk_text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+
+    def udf(batches):
+        from .derived import SKEWS
+        from .functions.compose import PageSpec, compose_page
+        from .functions.fonts import text_ink_width
+        from .lstm.fixture_model import get_vgsl_model
+        from .operators.recognize import recognize_page_vgsl
+
+        model = get_vgsl_model()
+        for pdf in batches:
+            rows = []
+            for doc_id, i, chunk in zip(
+                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
+            ):
+                words = chunk.split(" ")
+                lines = [
+                    " ".join(words[j : j + WORDS_PER_LINE])
+                    for j in range(0, len(words), WORDS_PER_LINE)
+                ]
+                scale = 1 + int((doc_id + i) % 2)
+                max_w = max(text_ink_width(ln) for ln in lines) * scale
+                skew = (
+                    SKEWS[int((doc_id + i) % len(SKEWS))]
+                    if (len(lines) >= 2 and max_w >= 150)
+                    else 0.0
+                )
+                page = compose_page(
+                    PageSpec(paragraphs=[lines], scale=scale, skew=skew)
+                )
+                spans, _ = recognize_page_vgsl(page.image, model=model)
+                text = "\n".join(s.text for s in spans if s.kind == "text")
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "offset": int(i),
+                        "kind": "text",
+                        "text": text,
+                        "media_ref": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "offset", "kind", "text", "media_ref"],
+            )
+
+    media_rows = (
+        ch.filter(F.col("kind") == "media")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            udf,
+            schema="doc_id long, offset int, kind string, text string, "
+            "media_ref string",
+        )
+    )
+    return text_rows.unionByName(media_rows)
+
+
+# identical span contract to the template-engine flagship: the engines
+# must agree on every fixture page (BasicLSTMTest's "same gold text"
+# contract, unittest/baseapi_test.cc:208-224)
+ORACLE_OCR_VGSL_EXTRACT = ORACLE_OCR_EXTRACT
+
+
 def q_ocr_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document aggregates over real OCR output (MeanTextConf analogue,
     baseapi.cpp:1719-1776): span count + recognized character mass."""
@@ -1610,6 +1698,7 @@ FROM pred GROUP BY lang
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocr_extract": (q_ocr_extract, ORACLE_OCR_EXTRACT),
+    "ocr_vgsl_extract": (q_ocr_vgsl_extract, ORACLE_OCR_VGSL_EXTRACT),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
     "blob_grading": (q_blob_grading, ORACLE_BLOB_GRADING),
     "grid_join": (q_grid_join, ORACLE_GRID_JOIN),

@@ -1,0 +1,199 @@
+"""tessdata container / network serialization / recoder / VGSL engine.
+
+Reference contracts:
+- container layout: src/ccutil/tessdatamanager.cpp:110-167 (uint32 count,
+  int64 offsets, -1 = absent);
+- LSTM section: src/lstm/lstmrecognizer.cpp:93-178;
+- network tree: src/lstm/network.cpp:155-189 + plumbing.cpp;
+- weights: src/lstm/weightmatrix.cpp:238-330 (double + int8 modes);
+- recoder: src/ccutil/unicharcompress.h:75-118;
+- end-to-end: unittest/baseapi_test.cc:208-224 (BasicLSTMTest — load a
+  traineddata, OCR a fixture, compare text exactly).
+"""
+
+import numpy as np
+import pytest
+
+from tesseract_spark.lstm import tessdata as td
+from tesseract_spark.lstm.fixture_model import (
+    build_fixture_model,
+    decode_strips,
+    fixture_traineddata_bytes,
+)
+from tesseract_spark.lstm.vgsl import VGSLNetwork
+
+
+def test_container_roundtrip_with_absent_sections():
+    entries = {
+        td.TESSDATA_LSTM: b"\x01\x02\x03network",
+        td.TESSDATA_VERSION: b"5.5.3-test",
+        td.TESSDATA_LSTM_RECODER: b"rc",
+    }
+    blob = td.write_container(entries)
+    back = td.read_container(blob)
+    assert back == entries
+    # header structure: uint32 count then int64 offsets, -1 where absent
+    import struct
+
+    n = struct.unpack("<I", blob[:4])[0]
+    assert n == td.TESSDATA_NUM_ENTRIES
+    offs = struct.unpack(f"<{n}q", blob[4 : 4 + 8 * n])
+    assert offs[td.TESSDATA_UNICHARSET] == -1
+    assert offs[td.TESSDATA_LSTM] == 4 + 8 * n
+
+
+def test_container_rejects_garbage():
+    with pytest.raises(ValueError):
+        td.read_container(b"\xff\xff\xff\xff" + b"\x00" * 64)
+
+
+def test_unicharset_roundtrip():
+    u = td.Unicharset.from_charset("abZ9,? ")
+    blob = u.save()
+    back = td.Unicharset.load(blob)
+    assert back.chars == u.chars
+    assert back.properties == u.properties
+    # the space row uses the reference's NULL convention
+    assert b"NULL" in blob
+
+
+def test_recoder_passthrough_and_serialize():
+    rc = td.UnicharCompress.pass_through(5)
+    assert rc.encode_unichar(3) == [3]
+    assert rc.decode_codes([0, 4, 2]) == [0, 4, 2]
+    w = td.Writer()
+    rc.write(w)
+    back = td.UnicharCompress.read(td.Reader(w.getvalue()))
+    assert [e.codes for e in back.encoder] == [[i] for i in range(5)]
+
+
+def test_recoder_multicode_decode():
+    """CJK-style compression: unichars map to multi-code sequences; the
+    decoder must do greedy longest-match over the flat code stream
+    (including codes that are prefixes of longer codes)."""
+    enc = [
+        td.RecodedCharID(1, [0]),        # uid 0 -> [0]
+        td.RecodedCharID(1, [1, 2]),     # uid 1 -> [1,2]
+        td.RecodedCharID(1, [1, 2, 3]),  # uid 2 -> [1,2,3] (extends uid 1)
+        td.RecodedCharID(1, [4, 0]),     # uid 3 -> [4,0]
+    ]
+    rc = td.UnicharCompress(enc)
+    assert rc.code_range == 5
+    assert rc.decode_codes([0]) == [0]
+    assert rc.decode_codes([1, 2, 3]) == [2]  # longest match wins
+    assert rc.decode_codes([1, 2, 0]) == [1, 0]
+    assert rc.decode_codes([4, 0, 1, 2]) == [3, 1]
+    # round-trip through serialization
+    w = td.Writer()
+    rc.write(w)
+    back = td.UnicharCompress.read(td.Reader(w.getvalue()))
+    assert back.decode_codes([1, 2, 3, 4, 0]) == [2, 3]
+
+
+def test_weight_matrix_float_roundtrip():
+    m = np.arange(12, dtype=np.float32).reshape(3, 4) / 7.0
+    w = td.Writer()
+    td.write_weight_matrix(w, m)
+    back = td.read_weight_matrix(td.Reader(w.getvalue()))
+    np.testing.assert_allclose(back, m, rtol=1e-6)
+
+
+def test_weight_matrix_int8_read():
+    """int8 (tessdata_fast) weights: wi_ int8 array + per-output double
+    scales stored premultiplied by INT8_MAX (weightmatrix.cpp:246-260)."""
+    w = td.Writer()
+    w.u8(128 | 1)  # kDoubleFlag | kInt8Flag
+    wi = np.array([[127, -127], [64, 0]], dtype=np.int8)
+    w.u32(2)
+    w.u32(2)
+    w.i8(0)  # empty_
+    w.raw(wi.tobytes())
+    w.u32(2)
+    w.f64(2.0 * 127)  # scale row 0 = 2.0 (written * INT8_MAX)
+    w.f64(0.5 * 127)
+    back = td.read_weight_matrix(td.Reader(w.getvalue()))
+    np.testing.assert_allclose(
+        back, [[254.0, -254.0], [32.0, 0.0]], rtol=1e-6
+    )
+
+
+def test_network_tree_roundtrip_all_layer_kinds():
+    """Serialize a VGSL net exercising conv/maxpool/Lbx/Lrx/Lfys/output,
+    deserialize, and require bitwise-equal forward output."""
+    spec = "[1,8,0,1 Ct3,3,4 Mp2,2 Lfys6 Lbx5 Lrx4 O1c7]"
+    net = VGSLNetwork(spec, seed=11)
+    blob = td.serialize_network(net)
+    net2 = td.deserialize_network(td.Reader(blob), spec)
+    x = np.random.default_rng(3).random((2, 8, 24, 1)).astype(np.float32)
+    np.testing.assert_array_equal(net.forward(x), net2.forward(x))
+
+
+def test_lstm_gate_mapping_is_lossless():
+    """Gate weights survive the CI/GI/GF1/GO split-and-merge exactly."""
+    spec = "[1,4,0,1 Lfx3 O1c5]"
+    net = VGSLNetwork(spec, seed=7)
+    blob = td.serialize_network(net)
+    net2 = td.deserialize_network(td.Reader(blob), spec)
+    for k in ("wx", "wh", "b"):
+        np.testing.assert_array_equal(
+            net.layers[0].weights[k], net2.layers[0].weights[k]
+        )
+
+
+def test_traineddata_basic_lstm_contract():
+    """BasicLSTMTest analogue: serialize the fixture model to a real
+    traineddata container, load it back, OCR fixture lines, compare
+    exactly (baseapi_test.cc:208-224)."""
+    from tesseract_spark.functions.fonts import render_line
+    from tesseract_spark.lstm.tessdata import load_traineddata
+
+    blob = fixture_traineddata_bytes()
+    model = load_traineddata(blob)
+    # structural checks on the container
+    entries = td.read_container(blob)
+    assert td.TESSDATA_LSTM in entries and td.TESSDATA_VERSION in entries
+    assert entries[td.TESSDATA_VERSION].startswith(b"5.5")
+    texts = ["The quick brown fox", "jumps over 13 lazy dogs!", "a b c"]
+    got = decode_strips(model, [render_line(t) for t in texts])
+    assert got == texts
+    # spec survives (network_str_ field)
+    assert model.spec.startswith("[1,1,0,16 Ct1,1,")
+    assert model.null_char == len(model.charset)
+
+
+def test_traineddata_separate_charset_components():
+    """A container with separate LSTM_UNICHARSET / LSTM_RECODER sections
+    overrides the embedded ones (LoadCharsets, lstmrecognizer.cpp:181)."""
+    model = build_fixture_model()
+    blob = td.save_traineddata(model)
+    entries = td.read_container(blob)
+    alt = td.Unicharset.from_charset(model.charset)
+    rc_w = td.Writer()
+    model.recoder.write(rc_w)
+    entries[td.TESSDATA_LSTM_UNICHARSET] = alt.save()
+    entries[td.TESSDATA_LSTM_RECODER] = rc_w.getvalue()
+    model2 = td.load_traineddata(td.write_container(entries))
+    assert model2.charset == model.charset
+
+
+def test_vgsl_engine_page_parity_with_template_engine():
+    """The two engines must produce identical span text on fixture pages
+    (the OEM parity the reference asserts between its engines on clean
+    scans)."""
+    from tesseract_spark.functions.compose import PageSpec, compose_page
+    from tesseract_spark.operators.recognize import (
+        recognize_page,
+        recognize_page_vgsl,
+    )
+
+    lines = ["big table a a", "big sort data data", "query a key a"]
+    for scale in (1, 2):
+        for skew in (0.0, -0.02):
+            page = compose_page(
+                PageSpec(paragraphs=[lines], scale=scale, skew=skew)
+            )
+            t_spans, _ = recognize_page(page.image)
+            v_spans, _ = recognize_page_vgsl(page.image)
+            assert [s.text for s in t_spans if s.kind == "text"] == [
+                s.text for s in v_spans if s.kind == "text"
+            ], (scale, skew)
