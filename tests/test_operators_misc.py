@@ -81,3 +81,46 @@ def test_fixed_pitch_word_segmentation():
     centers = np.array([0.0, 12.0, 24.0, 60.0, 72.0])
     words = segment_fixed_pitch_words(centers, pitch=12.0)
     assert words == [[0, 1, 2], [3, 4]]
+
+
+def test_knn_lsh_join_recall_vs_brute():
+    """The multi-table sign-LSH kNN join must retrieve >= the documented
+    fraction of the brute-force top-10 neighbour sets (the recall contract
+    of q_knn_lsh_join; brute path = q_knn_label_accuracy's pair ranking)."""
+    import duckdb
+
+    from tesseract_spark.queries import (
+        K_KNN_LSH_DOC_RECALL,
+        ORACLE_KNN_LSH_JOIN,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    brute = con.execute(
+        """
+        WITH e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        pairs AS (SELECT a.vec_id, b.vec_id AS nid,
+          round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                        i -> a.v[i] * b.v[i])) /
+            (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cosine
+          FROM e a, e b WHERE a.vec_id <> b.vec_id)
+        SELECT vec_id, nid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cosine DESC, nid) AS r FROM pairs)
+        WHERE r <= 10
+        """
+    ).fetchdf()
+    lsh = con.execute(
+        ORACLE_KNN_LSH_JOIN.split("), votes AS")[0]
+        + ") SELECT vec_id, nid FROM top"
+    ).fetchdf()
+    bs = set(map(tuple, brute.values))
+    ls = set(map(tuple, lsh.values))
+    recall = len(bs & ls) / len(bs)
+    assert recall >= K_KNN_LSH_DOC_RECALL, recall
