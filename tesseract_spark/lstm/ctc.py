@@ -371,3 +371,46 @@ def greedy_decode(log_probs: np.ndarray, charset: str, blank: int) -> str:
             out.append(charset[int(i)])
         prev = int(i)
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Repeated-character word fixup (fix_rep_char, control.cpp:352-355,1673-1699)
+# ---------------------------------------------------------------------------
+
+K_REP_MIN_LEN = 4  # shortest word treated as a leader/repeat candidate
+K_REP_DOMINANT_FRAC = 0.75  # dominant-char share that flags W_REP_CHAR
+
+
+def fix_rep_char(word: DecodedWord) -> DecodedWord:
+    """Repeated-character word correction (Tesseract::fix_rep_char,
+    src/ccmain/control.cpp:1673-1699): for a word flagged as a character
+    repeat (leader dots/dashes — here detected by a dominant char owning
+    >= 75% of positions in a non-dictionary word), find the most frequent
+    character and rewrite every position to it (CorrectRepcharChoices
+    semantics: keep boxes/timesteps, correct the classifications)."""
+    text = word.text
+    if len(text) < K_REP_MIN_LEN or word.dict_word:
+        return word
+    from collections import Counter
+
+    counts = Counter(text)
+    ch, n = counts.most_common(1)[0]
+    if n < max(3, int(np.ceil(K_REP_DOMINANT_FRAC * len(text)))):
+        return word
+    if n == len(text):
+        return word  # already uniform
+    return DecodedWord(
+        text=ch * len(text),
+        start_t=word.start_t,
+        end_t=word.end_t,
+        certainty=word.certainty,
+        confidence=word.confidence,
+        dict_word=word.dict_word,
+        char_ts=word.char_ts,
+    )
+
+
+def fix_rep_chars(words: list[DecodedWord]) -> tuple[list[DecodedWord], bool]:
+    """Apply fix_rep_char across a row's words; returns (words, changed)."""
+    out = [fix_rep_char(w) for w in words]
+    return out, any(a.text != b.text for a, b in zip(out, words))

@@ -136,3 +136,164 @@ class Dawg:
                     out.append(w)
                 stack.append((nxt, w))
         return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# User-patterns DAWG (Trie::read_pattern_list, src/dict/trie.cpp:390-460)
+# ---------------------------------------------------------------------------
+
+# character-class escapes (Trie::character_class_to_pattern,
+# src/dict/trie.cpp:372-388): \c alpha, \d digit, \n alphanumeric,
+# \p punctuation, \a lower, \A upper; \* = repeat previous unit;
+# \\ = literal backslash.
+_CLASS_TESTS = {
+    "c": str.isalpha,
+    "d": str.isdigit,
+    "n": str.isalnum,
+    "p": lambda ch: not ch.isalnum() and not ch.isspace(),
+    "a": str.islower,
+    "A": str.isupper,
+}
+
+
+class PatternDawg:
+    """User-patterns dictionary: patterns with character classes and
+    repetition, probed through the same (node, code) -> (next, end)
+    interface as the word DAWG so the beam treats both uniformly
+    (Dict::Load user-patterns path, src/dict/dict.cpp).
+
+    Matching runs a lazily-determinized NFA: a node id names a SET of
+    (pattern, position) states; transitions consume one charset code.
+    Repetition (\\*) self-loops the position after its first match — the
+    same shape as the self-loop edge the reference trie inserts.
+    """
+
+    def __init__(self, charset: str, patterns: list[str]):
+        self.charset = charset
+        self.patterns: list[tuple[list, list[bool]]] = []
+        for pat in patterns:
+            units, reps = self._parse(pat)
+            if units:
+                self.patterns.append((units, reps))
+        # unit matchers are precomputed per charset code
+        self._unit_match: list[np.ndarray] = []
+        start = frozenset(
+            (pi, 0) for pi in range(len(self.patterns))
+        )
+        self._states: list[frozenset] = [start]
+        self._state_id: dict[frozenset, int] = {start: 0}
+        self._trans: dict[tuple[int, int], tuple[int, bool]] = {}
+
+    @staticmethod
+    def _parse(pat: str) -> tuple[list, list[bool]]:
+        units: list = []  # str literal | ('class', letter)
+        reps: list[bool] = []
+        i = 0
+        while i < len(pat):
+            ch = pat[i]
+            if ch == "\\" and i + 1 < len(pat):
+                nxt = pat[i + 1]
+                if nxt == "\\":
+                    units.append("\\")
+                    reps.append(False)
+                    i += 2
+                elif nxt == "*":
+                    if reps:
+                        reps[-1] = True
+                    i += 2
+                elif nxt in _CLASS_TESTS:
+                    units.append(("class", nxt))
+                    reps.append(False)
+                    i += 2
+                else:
+                    return [], []  # invalid escape: reject pattern
+            else:
+                units.append(ch)
+                reps.append(False)
+                i += 1
+        return units, reps
+
+    def _matches(self, unit, ch: str) -> bool:
+        if isinstance(unit, tuple):
+            return _CLASS_TESTS[unit[1]](ch)
+        return unit == ch
+
+    def step(self, node: int, code: int) -> tuple[int, bool]:
+        key = (node, code)
+        hit = self._trans.get(key)
+        if hit is not None:
+            return hit
+        ch = self.charset[code]
+        nxt: set[tuple[int, int]] = set()
+        for pi, pos in self._states[node]:
+            units, reps = self.patterns[pi]
+            if pos < len(units) and self._matches(units[pos], ch):
+                nxt.add((pi, pos + 1))
+            # self-loop: re-match the previous unit when it repeats
+            if pos > 0 and reps[pos - 1] and self._matches(units[pos - 1], ch):
+                nxt.add((pi, pos))
+        if not nxt:
+            self._trans[key] = (-1, False)
+            return -1, False
+        fs = frozenset(nxt)
+        sid = self._state_id.get(fs)
+        if sid is None:
+            sid = len(self._states)
+            self._states.append(fs)
+            self._state_id[fs] = sid
+        end = any(pos == len(self.patterns[pi][0]) for pi, pos in fs)
+        self._trans[key] = (sid, end)
+        return sid, end
+
+    def accepts(self, word: str) -> bool:
+        node, end = 0, False
+        for ch in word:
+            code = self.charset.find(ch)
+            if code < 0:
+                return False
+            node, end = self.step(node, code)
+            if node < 0:
+                return False
+        return end
+
+
+class CombinedDawg:
+    """Word DAWG + pattern DAWG probed in parallel (the reference's
+    multi-dawg DawgArgs: a letter is okay if ANY loaded dawg continues,
+    a word complete if ANY dawg ends there — dict.cpp:407 over
+    active_dawgs).  Node ids index memoized (word_node, pattern_node)
+    pairs; -1 marks a dead component."""
+
+    def __init__(self, word_dawg: Dawg | None, pattern_dawg: PatternDawg | None):
+        self.word = word_dawg
+        self.pattern = pattern_dawg
+        self.charset = (word_dawg or pattern_dawg).charset
+        self._pairs: list[tuple[int, int]] = [(0, 0)]
+        self._pair_id: dict[tuple[int, int], int] = {(0, 0): 0}
+
+    def step(self, node: int, code: int) -> tuple[int, bool]:
+        wn, pn = self._pairs[node]
+        w2, wend = (self.word.step(wn, code) if self.word is not None and wn >= 0
+                    else (-1, False))
+        p2, pend = (self.pattern.step(pn, code) if self.pattern is not None and pn >= 0
+                    else (-1, False))
+        if w2 < 0 and p2 < 0:
+            return -1, False
+        pair = (w2, p2)
+        sid = self._pair_id.get(pair)
+        if sid is None:
+            sid = len(self._pairs)
+            self._pairs.append(pair)
+            self._pair_id[pair] = sid
+        return sid, wend or pend
+
+    def accepts(self, word: str) -> bool:
+        node, end = 0, False
+        for ch in word:
+            code = self.charset.find(ch)
+            if code < 0:
+                return False
+            node, end = self.step(node, code)
+            if node < 0:
+                return False
+        return end

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..lstm.ctc import ctc_beam_decode, resolve_fuzzy_spaces
+from ..lstm.ctc import ctc_beam_decode, fix_rep_chars, resolve_fuzzy_spaces
 from ..lstm.dawg import Dawg
 from ..lstm.templates import TemplateNet, get_net
 from .page import PageResult, analyze_page, fuzzy_space_px
@@ -104,6 +104,11 @@ def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
             words, merged = resolve_fuzzy_spaces(words, fuzzy_ts, dawg)
             if merged:
                 text = " ".join(w.text for w in words)
+        # pass-1 post-processing: repeated-char word fixup
+        # (control.cpp:352-355 applies fix_rep_char after pass 1)
+        words, rep_changed = fix_rep_chars(words)
+        if rep_changed:
+            text = " ".join(w.text for w in words)
         return text, words, merged, dropped, col_of_t
 
     res = _decode(row.strip) + (row.strip,)

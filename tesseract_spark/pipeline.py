@@ -58,7 +58,7 @@ OCR_OUT_SCHEMA = T.StructType(
 DEFAULT_SALT = 16
 
 
-def _make_ocr_udf(dict_words: list[str] | None):
+def _make_ocr_udf(dict_words: list[str] | None, dict_patterns: list[str] | None = None):
     """Build the page+recognition mapInPandas body.
 
     Heavy state (template net, DAWG) is constructed lazily once per python
@@ -72,12 +72,22 @@ def _make_ocr_udf(dict_words: list[str] | None):
         from pyspark import TaskContext
 
         from .functions.png_codec import decode_gray_png
-        from .lstm.dawg import Dawg
+        from .lstm.dawg import CombinedDawg, Dawg, PatternDawg
         from .lstm.templates import get_net
         from .operators.recognize import recognize_page
 
         net = get_net()
-        dawg = Dawg(net.charset, dict_words) if dict_words else None
+        dawg = None
+        if dict_words or dict_patterns:
+            # user words + user patterns probe as parallel dawgs
+            # (Dict::Load user-words/user-patterns, src/dict/dict.cpp)
+            wd = Dawg(net.charset, dict_words) if dict_words else None
+            pdw = (
+                PatternDawg(net.charset, dict_patterns)
+                if dict_patterns
+                else None
+            )
+            dawg = CombinedDawg(wd, pdw) if pdw is not None else wd
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
         for pdf in batches:
@@ -168,6 +178,7 @@ def ocr_documents(
     dict_words: list[str] | None = None,
     num_partitions: int | None = None,
     broadcast_media: bool | None = None,
+    dict_patterns: list[str] | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) + media(media_ref, png, dpi) -> flat spans.
 
@@ -192,7 +203,7 @@ def ocr_documents(
     return ocr_from_parts(
         spark, text_rows, media_refs, media,
         dict_words=dict_words, num_partitions=num_partitions,
-        broadcast_media=broadcast_media,
+        broadcast_media=broadcast_media, dict_patterns=dict_patterns,
     )
 
 
@@ -205,6 +216,7 @@ def ocr_from_parts(
     num_partitions: int | None = None,
     broadcast_media: bool | None = None,
     media_prebucketed: bool = False,
+    dict_patterns: list[str] | None = None,
 ) -> DataFrame:
     """Pipeline core over pre-split inputs.
 
@@ -274,7 +286,9 @@ def ocr_from_parts(
             )
         )
     repart = media_rows.select("doc_id", "pos", "media_ref", "png", "dpi")
-    ocr = repart.mapInPandas(_make_ocr_udf(dict_words), schema=OCR_OUT_SCHEMA)
+    ocr = repart.mapInPandas(
+        _make_ocr_udf(dict_words, dict_patterns), schema=OCR_OUT_SCHEMA
+    )
     unioned = ocr.unionByName(text_full)
     w = Window.partitionBy("doc_id").orderBy("pos", "sub")
     return unioned.withColumn(

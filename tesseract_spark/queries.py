@@ -386,18 +386,35 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def q_osd_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OSD orientation vote (osdetect.cpp:213-360): per user, the event type
-    with max summed value (argmax with deterministic tie-break)."""
+    """OSD orientation + script vote (osdetect.cpp:213-360, 357-530): per
+    user, the event type with max summed value (argmax, deterministic
+    tie-break), plus the update_best_script confidence over the top two
+    candidates: (first/second - 1) / (kScriptAcceptRatio - 1), 2.0 when
+    there is no runner-up (osdetect.cpp:97-98)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     sums = ev.groupBy("user_id", "event_type").agg(
         F.round(F.sum("value"), 6).alias("score")
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("event_type"))
-    return (
-        sums.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("best_type"),
-                F.round("score", 2).alias("score"))
+    ranked = sums.withColumn("rn", F.row_number().over(w))
+    first = ranked.filter(F.col("rn") == 1).select(
+        "user_id", F.col("event_type").alias("best_type"), "score"
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        "user_id", F.col("score").alias("second_score")
+    )
+    return first.join(second, "user_id", "left").select(
+        "user_id",
+        "best_type",
+        F.round("score", 2).alias("score"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("second_score"), F.lit(0.0)) == 0.0, F.lit(2.0)
+            ).otherwise(
+                (F.col("score") / F.col("second_score") - 1.0) / (1.3 - 1.0)
+            ),
+            2,
+        ).alias("sconf"),
     )
 
 
@@ -409,8 +426,16 @@ WITH s AS (
   SELECT *, row_number() OVER (PARTITION BY user_id
                                ORDER BY score DESC, event_type ASC) AS rn
   FROM s
+), f AS (
+  SELECT user_id, event_type AS best_type, score FROM r WHERE rn = 1
+), snd AS (
+  SELECT user_id, score AS second_score FROM r WHERE rn = 2
 )
-SELECT user_id, event_type AS best_type, round(score, 2) AS score FROM r WHERE rn = 1
+SELECT f.user_id, f.best_type, round(f.score, 2) AS score,
+       round(CASE WHEN COALESCE(snd.second_score, 0) = 0 THEN 2.0
+                  ELSE (f.score / snd.second_score - 1.0) / (1.3 - 1.0)
+             END, 2) AS sconf
+FROM f LEFT JOIN snd ON f.user_id = snd.user_id
 """
 
 

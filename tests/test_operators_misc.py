@@ -124,3 +124,61 @@ def test_knn_lsh_join_recall_vs_brute():
     ls = set(map(tuple, lsh.values))
     recall = len(bs & ls) / len(bs)
     assert recall >= K_KNN_LSH_DOC_RECALL, recall
+
+
+def test_script_detection_latin_page():
+    """ScriptDetector (osdetect.cpp:357-530): a letters page votes Latin
+    with max confidence; a digits-only page yields no non-Common
+    evidence (digits are script Common, skipped by update_best_script)."""
+    from tesseract_spark.operators.osd import detect_script, get_osd_text
+
+    page = compose_page(
+        PageSpec(paragraphs=[["the quick brown fox", "jumps over the dog"]])
+    )
+    script, conf = detect_script(page.image)
+    assert script == "Latin" and conf == 2.0
+    osd = get_osd_text(page.image, page_number=3)
+    assert "Page number: 3" in osd
+    assert "Orientation in degrees: 0" in osd
+    assert "Script: Latin" in osd
+    assert "Script confidence: 2.00" in osd
+    digits = compose_page(PageSpec(paragraphs=[["0123 456 789 01"]]))
+    script_d, conf_d = detect_script(digits.image)
+    assert conf_d == 0.0  # no script evidence from Common-only blobs
+
+
+def test_script_vote_mechanics():
+    """The vote core: unambiguous blobs vote +1 for their top script;
+    a runner-up within kNonAmbiguousMargin voids the blob's vote; the
+    confidence is (first/second - 1)/(ratio - 1) with 2.0 uncontested
+    (osdetect.cpp:78-99, 455-510)."""
+    from tesseract_spark.operators.osd import best_script, script_vote
+
+    votes = script_vote(
+        [
+            [("Latin", -1.0), ("Han", -5.0)],   # clear Latin vote
+            [("Latin", -1.0), ("Han", -1.5)],   # ambiguous (margin 1.0): no vote
+            [("Han", -0.5), ("Latin", -9.0)],   # clear Han vote
+            [("Latin", -2.0)],                  # single choice: Latin
+        ]
+    )
+    assert votes == {"Latin": 2.0, "Han": 1.0}
+    script, conf = best_script(votes)
+    assert script == "Latin"
+    assert conf == round((2.0 / 1.0 - 1.0) / 0.3, 2)
+    assert best_script({"Latin": 3.0}) == ("Latin", 2.0)
+    assert best_script({"Common": 9.0}) == ("Latin", 0.0)
+
+
+def test_osd_rotated_page_script_stable():
+    """Script detection deskews through the orientation result first:
+    the same Latin verdict at every rotation."""
+    from tesseract_spark.operators.osd import detect_script
+
+    page = compose_page(
+        PageSpec(paragraphs=[["the quick brown fox", "jumps over the dog"]])
+    )
+    for rot in (0, 90, 180, 270):
+        img = np.rot90(page.image, k=rot // 90)
+        script, conf = detect_script(img)
+        assert (script, conf) == ("Latin", 2.0), rot
