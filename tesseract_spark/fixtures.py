@@ -77,12 +77,27 @@ def make_page_spec(family: str, rng: np.random.Generator) -> PageSpec:
         return PageSpec(paragraphs=[_lines(rng, 2)], scale=2)
     if family == "sparse_text":
         return PageSpec(paragraphs=[[_words(rng, 1)], [_words(rng, 1)]])
+    if family == "pullout":
+        # full-width heading over a two-column body; the heading must
+        # CROSS the inter-column gutter for the column-DP case to fire
+        from .functions.compose import GUTTER, MARGIN
+        from .functions.fonts import text_ink_width
+
+        col1 = _lines(rng, 2, wpl=2)
+        col2 = _lines(rng, 2, wpl=2)
+        w1 = max(text_ink_width(ln) for ln in col1)
+        need = MARGIN + w1 + GUTTER + 20
+        head = _words(rng, 6)
+        while text_ink_width(head) <= need:
+            head += " " + _words(rng, 1)
+        return PageSpec(paragraphs=[col1], column2=[col2], pullout_lines=[head])
     raise ValueError(f"unknown family {family}")
 
 
 FAMILIES = (
     "single_line single_block multi_para two_column skewed mixed_media "
-    "noise_diacritics inverted dict_words empty_page fixed_pitch sparse_text"
+    "noise_diacritics inverted dict_words empty_page fixed_pitch sparse_text "
+    "pullout"
 ).split()
 
 SPAN_FIELDS = [

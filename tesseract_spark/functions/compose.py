@@ -36,6 +36,10 @@ class PageSpec:
     photos: tuple[tuple[int, int, int], ...] = ()  # (after_para, w, h)
     rules: tuple[int, ...] = ()  # after_para indexes
     dpi: int = 300
+    # full-width pullout heading above a two-column body: its lines span
+    # the gutter, so only the strip-banded column DP can place it
+    # (a whole-page x-projection sees no gutter at all)
+    pullout_lines: list[str] | None = None
 
 
 @dataclass
@@ -88,15 +92,35 @@ def _photo_mask(w: int, h: int) -> np.ndarray:
 
 def compose_page(spec: PageSpec) -> ComposedPage:
     s = spec.scale
+    elems: list[dict] = []
+    y_body = 0
+    pull_w = 0
+    if spec.pullout_lines:
+        y = MARGIN * s
+        plines = []
+        for text in spec.pullout_lines:
+            plines.append((MARGIN * s, y, text))
+            pull_w = max(pull_w, text_ink_width(text, s))
+            y += PITCH * s
+        elems.append({"kind": "text", "lines": plines, "para": -1, "pullout": True})
+        y_body = y + PARA_GAP * s - MARGIN * s
     col1, w1, y1 = _column_elements(spec, spec.paragraphs, MARGIN * s)
-    elems = list(col1)
-    total_w = MARGIN * s + w1
+    if y_body:
+        for e in col1:
+            e["lines"] = [(x, y + y_body, t) for x, y, t in e["lines"]]
+        y1 += y_body
+    elems += col1
+    total_w = MARGIN * s + max(w1, pull_w)
     total_h = y1
     if spec.column2:
         x2 = MARGIN * s + w1 + GUTTER * s
         col2, w2, y2 = _column_elements(spec, spec.column2, x2)
+        if y_body:
+            for e in col2:
+                e["lines"] = [(x, y + y_body, t) for x, y, t in e["lines"]]
+            y2 += y_body
         elems += col2
-        total_w = x2 + w2
+        total_w = max(total_w, x2 + w2)
         total_h = max(total_h, y2)
     W = total_w + MARGIN * s
     H = total_h + MARGIN * s
@@ -148,6 +172,8 @@ def _elem_order(e: dict, spec: PageSpec) -> tuple:
     if e["kind"] == "text":
         x = min(l[0] for l in e["lines"])
         y = min(l[1] for l in e["lines"])
+        if e.get("pullout"):
+            x = -1  # a top pullout band reads before either column
     elif "photo" in e:
         x, y = e["photo"][0], e["photo"][1]
     else:

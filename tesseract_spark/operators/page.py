@@ -209,6 +209,97 @@ def _find_gutters(stats: np.ndarray, page_w: int, min_gutter: int) -> list[int]:
     return gutters
 
 
+def _column_sets(
+    stats: np.ndarray, page_w: int, min_gutter: int
+) -> tuple[list[np.ndarray], list[int]]:
+    """Strip-banded column-set selection (colfind.cpp:548-927 DP,
+    tabfind.cpp:938-1080 column evaluation, re-expressed).
+
+    Row strips (y-band clusters) each vote a gutter signature; gutter
+    clusters are ACCEPTED when supported by more strips than cross them
+    (ImproveColumnCandidates' best-coverage choice).  Strips whose ink
+    crosses an accepted gutter become full-width pullout bands; the rest
+    split at the accepted gutters.  Returns (blocks, run_of): blob-index
+    arrays per text block, in run-major reading order, plus each block's
+    run index (vertical band) so callers order pullouts between the
+    column bands above and below them.
+    """
+    strips = _cluster_rows(stats)
+    strips.sort(key=lambda g: int(stats[g, 1].min()))
+
+    def compatible(sub: np.ndarray, gx: int) -> bool:
+        """True if the strip does NOT cross gutter x: it lies entirely
+        on one side, or has a gutter-sized coverage hole there.  The
+        granularity is the strip's x-coverage (ColPartition-level, not
+        single blobs: a gutter falling inside a word gap of a
+        full-width line must still count as crossed)."""
+        if sub[:, 2].max() <= gx or sub[:, 0].min() >= gx:
+            return True
+        iv = sorted((int(l), int(r)) for l, r, in zip(sub[:, 0], sub[:, 2]))
+        cov_end = iv[0][1]
+        for l, r in iv[1:]:
+            if l - cov_end >= min_gutter and cov_end <= gx <= l:
+                return True
+            cov_end = max(cov_end, r)
+        return False
+
+    # gutter clusters across strips (1-D linkage within min_gutter)
+    votes: list[tuple[int, int]] = []  # (x, strip_idx)
+    for si, g in enumerate(strips):
+        for x in _find_gutters(stats[g], page_w, min_gutter):
+            votes.append((x, si))
+    clusters: list[list[tuple[int, int]]] = []
+    for x, si in sorted(votes):
+        if clusters and x - clusters[-1][-1][0] <= min_gutter:
+            clusters[-1].append((x, si))
+        else:
+            clusters.append([(x, si)])
+    accepted: list[int] = []
+    for cl in clusters:
+        gx = int(round(sum(x for x, _ in cl) / len(cl)))
+        # coverage-weighted vote (ImproveColumnCandidates scores a
+        # candidate by how much good text it covers, colfind.cpp:595-668):
+        # weigh each strip by blob count so a narrow aligned table cannot
+        # out-vote prose that flows across the gutter
+        sup_strips = {si for _x, si in cl}
+        support = sum(len(strips[si]) for si in sup_strips)
+        crossing = sum(
+            len(g) for g in strips if not compatible(stats[g], gx)
+        )
+        if support > crossing:
+            accepted.append(gx)
+    if not accepted:
+        return [np.arange(len(stats))] if len(stats) else [], [0]
+    # assign strips: 'cols' unless the strip crosses an accepted gutter
+    assign: list[bool] = [
+        any(not compatible(stats[g], gx) for gx in accepted) for g in strips
+    ]
+    # merge consecutive same-assignment strips into runs; emit blocks
+    bounds = [0] + accepted + [page_w]
+    blocks: list[np.ndarray] = []
+    run_of: list[int] = []
+    run_idx = -1
+    i = 0
+    while i < len(strips):
+        j = i
+        while j < len(strips) and assign[j] == assign[i]:
+            j += 1
+        run_idx += 1
+        members = np.concatenate([strips[k] for k in range(i, j)])
+        if assign[i]:
+            blocks.append(members)
+            run_of.append(run_idx)
+        else:
+            cx = (stats[members, 0] + stats[members, 2]) / 2.0
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                sel = members[(cx >= lo) & (cx < hi)]
+                if len(sel):
+                    blocks.append(sel)
+                    run_of.append(run_idx)
+        i = j
+    return blocks, run_of
+
+
 def _cluster_rows(stats: np.ndarray) -> list[np.ndarray]:
     """Group blob indices into rows by y-band connectivity.
 
@@ -473,17 +564,15 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
         text_mask = mask_of(labels, n, text_idx)
     tstats = stats[text_idx]
 
-    # column blocks by gutter detection
+    # column blocks by strip-banded column-set selection (the column-set
+    # DP of colfind.cpp:548-927 re-expressed): instead of one whole-page
+    # x-projection (which a full-width pullout destroys), each row strip
+    # votes with its own gutter signature; a gutter cluster is accepted
+    # when more strips support it than cross it, and strips whose ink
+    # crosses an accepted gutter become full-width pullout blocks.
     page_w = gray.shape[1]
     min_gutter = 4 * WORD_GAP  # wider than any word gap at render scale <= 3
-    gutters = _find_gutters(tstats, page_w, min_gutter)
-    bounds = [0] + gutters + [page_w]
-    blocks: list[np.ndarray] = []
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        cx = (tstats[:, 0] + tstats[:, 2]) / 2.0
-        sel = np.flatnonzero((cx >= lo) & (cx < hi))
-        if len(sel):
-            blocks.append(sel)
+    blocks, runs_of = _column_sets(tstats, page_w, min_gutter)
 
     text_regions: list[Region] = []
     for bsel in blocks:
@@ -526,11 +615,17 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
         region.paragraphs = _paragraphs(rows, block_bbox[0])
         text_regions.append(region)
 
-    # reading order: columns left-to-right (block x), media interleaved by y
-    # within the overall top-down walk; single-column pages order by y.
+    # reading order: run-major (vertical bands top-down), columns
+    # left-to-right inside a run — a pullout between column bands reads
+    # after the band above it and before the one below (the reference's
+    # block ordering after the column DP, layout_test.cc semantics).
+    # Media: after text on multi-column pages, interleaved by y otherwise.
     if len(text_regions) > 1:
-        text_regions.sort(key=lambda g: (g.bbox[0], g.bbox[1]))
-        regions = text_regions + sorted(
+        order = sorted(
+            range(len(text_regions)),
+            key=lambda i: (runs_of[i], text_regions[i].bbox[0]),
+        )
+        regions = [text_regions[i] for i in order] + sorted(
             media_regions, key=lambda g: (g.bbox[1], g.bbox[0])
         )
     else:

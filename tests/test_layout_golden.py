@@ -169,3 +169,60 @@ def test_skewed_page_media_bbox_in_deskewed_frame():
         assert [g.kind for g in lay_skew.regions] == [
             g.kind for g in lay_flat.regions
         ], s
+
+
+def test_two_column_with_pullout_golden():
+    """Column-set selection survives a full-width pullout heading
+    (colfind.cpp:548-927 column DP; layout_test.cc:191-214 analogue):
+    the whole-page x-projection sees NO gutter on this page — only the
+    strip-banded vote finds the two-column body."""
+    from tesseract_spark.functions.compose import PageSpec, compose_page
+    from tesseract_spark.operators.recognize import recognize_page
+
+    for scale in (1, 2):
+        spec = PageSpec(
+            paragraphs=[["table a key", "sort by data"]],
+            column2=[["query the rows", "scan all keys"]],
+            pullout_lines=["big headline spanning both columns wide"],
+            scale=scale,
+        )
+        page = compose_page(spec)
+        spans, layout = recognize_page(page.image)
+        texts = [g for g in layout.regions if g.kind == "text"]
+        assert len(texts) == 3, [g.bbox for g in texts]
+        # reading order: pullout band, then column 1, column 2
+        want = [t for k, t in page.golden if k == "text"]
+        got = [s.text for s in spans if s.kind == "text"]
+        assert got == want, (scale, got)
+
+
+def test_mid_page_pullout_run_order():
+    """A pullout BETWEEN column bands reads after the band above and
+    before the band below (run-major block order, the case the round-1
+    gutter projection could not represent)."""
+    import numpy as np
+
+    from tesseract_spark.functions.fonts import mask_to_gray, render_line
+    from tesseract_spark.operators.recognize import recognize_page
+
+    rows = [
+        ("left one", 12, 12), ("right one", 200, 12),
+        ("left two", 12, 34), ("right two", 200, 34),
+        ("a wide pullout caption across the gutter", 12, 64),
+        ("left three", 12, 94), ("right three", 200, 94),
+        ("left four", 12, 116), ("right four", 200, 116),
+    ]
+    W, H = 360, 150
+    mask = np.zeros((H, W), dtype=bool)
+    for text, x, y in rows:
+        lm = render_line(text)
+        mask[y : y + lm.shape[0], x : x + lm.shape[1]] |= lm
+    spans, layout = recognize_page(mask_to_gray(mask))
+    got = [s.text for s in spans if s.kind == "text"]
+    assert got == [
+        "left one\nleft two",
+        "right one\nright two",
+        "a wide pullout caption across the gutter",
+        "left three\nleft four",
+        "right three\nright four",
+    ], got
