@@ -472,7 +472,11 @@ def _pdf_escape(text: str) -> str:
 
 
 def build_pdf_page(
-    words: list[dict], width_px: int, height_px: int, dpi: int
+    words: list[dict],
+    width_px: int,
+    height_px: int,
+    dpi: int,
+    image: "np.ndarray | None" = None,
 ) -> bytes:
     """One searchable text-only PDF page from word records.
 
@@ -487,6 +491,11 @@ def build_pdf_page(
     writer uses the built-in Type1 /Helvetica with WinAnsi ``(str) Tj`` —
     adequate for a deterministic, dependency-free text layer whose words
     remain extractable at the same positions.
+
+    ``image``: optional gray uint8 page raster — embedded as a
+    FlateDecode DeviceGray Image XObject drawn to fill the MediaBox
+    under the invisible text (imageToPDFObj, pdfrenderer.cpp:503-700;
+    without it the sink matches the reference's textonly_pdf mode).
     """
     s = 72.0 / max(1, dpi)
     page_w, page_h = width_px * s, height_px * s
@@ -527,8 +536,16 @@ def build_pdf_page(
             content.append(f"({_pdf_escape(w['text'])}) Tj")
     if cur_block is not None:
         content.append("ET")
+    if image is not None:
+        # paint the raster first so the invisible text sits above it
+        content.insert(
+            0, f"q\n{page_w:.2f} 0 0 {page_h:.2f} 0 0 cm\n/im-0 Do\nQ"
+        )
     stream = "\n".join(content).encode("latin-1")
 
+    xobj = ""
+    if image is not None:
+        xobj = " /XObject << /im-0 6 0 R >>"
     objs: list[bytes] = []
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
@@ -536,7 +553,7 @@ def build_pdf_page(
         (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:.2f} "
             f"{page_h:.2f}] /Contents 4 0 R /Resources << /Font "
-            f"<< /f-0-0 5 0 R >> >> >>"
+            f"<< /f-0-0 5 0 R >>{xobj} >> >>"
         ).encode()
     )
     objs.append(
@@ -546,6 +563,23 @@ def build_pdf_page(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )
+    if image is not None:
+        import zlib
+
+        import numpy as np
+
+        arr = np.ascontiguousarray(image, dtype=np.uint8)
+        data = zlib.compress(arr.tobytes(), 6)
+        objs.append(
+            (
+                f"<< /Type /XObject /Subtype /Image /Width {arr.shape[1]} "
+                f"/Height {arr.shape[0]} /ColorSpace /DeviceGray "
+                f"/BitsPerComponent 8 /Filter /FlateDecode "
+                f"/Length {len(data)} >>\nstream\n"
+            ).encode()
+            + data
+            + b"\nendstream"
+        )
     out = bytearray(b"%PDF-1.5\n%\xde\xad\xbe\xeb\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
@@ -562,18 +596,31 @@ def build_pdf_page(
     return bytes(out)
 
 
-def to_pdf(words: DataFrame, page_dims: DataFrame | None = None) -> DataFrame:
-    """Searchable (text-only) PDF per media page: one row
-    (doc_id, media_ref, pdf:binary) — TessPDFRenderer with textonly_pdf
-    semantics (pdfrenderer.cpp; renderer holds no image stream).
+def to_pdf(
+    words: DataFrame,
+    page_dims: DataFrame | None = None,
+    images: DataFrame | None = None,
+) -> DataFrame:
+    """Searchable PDF per media page: one row (doc_id, media_ref,
+    pdf:binary) — TessPDFRenderer semantics (pdfrenderer.cpp).
 
     ``page_dims``: optional (media_ref, width_px, height_px, dpi); without
-    it the page box is the word-extent hull at 300 dpi.  Grouped
+    it the page box is the word-extent hull at 300 dpi.
+    ``images``: optional (media_ref, png) — embeds each page's raster
+    under the invisible text layer (the non-textonly mode,
+    pdfrenderer.cpp:503-700); omitted = textonly_pdf.  Grouped
     applyInPandas per page — embarrassingly parallel, single shuffle on
-    the (doc_id, media_ref) grouping key.
+    the (doc_id, media_ref) grouping key; the png payload joins
+    bucket-locally when the media table is bucketed on media_ref.
     """
     words = _ok_words(words)
     joined = words.join(page_dims, "media_ref", "left") if page_dims is not None else words
+    if images is not None:
+        joined = joined.join(
+            images.select("media_ref", F.col("png").alias("_page_png")),
+            "media_ref",
+            "left",
+        )
 
     def _iget(recs: list[dict], key: str) -> int:
         v = recs[0].get(key)
@@ -592,7 +639,16 @@ def to_pdf(words: DataFrame, page_dims: DataFrame | None = None) -> DataFrame:
             max(r["top"] + r["height"] for r in recs) + 10
         )
         dpi = _iget(recs, "dpi") or 300
-        blob = build_pdf_page(recs, w_px, h_px, dpi)
+        img = None
+        png = recs[0].get("_page_png")
+        if png is not None and not (isinstance(png, float)):
+            from ..functions.png_codec import decode_gray_png
+
+            try:
+                img = decode_gray_png(bytes(png))
+            except Exception:
+                img = None  # degraded: fall back to text-only page
+        blob = build_pdf_page(recs, w_px, h_px, dpi, image=img)
         return pd.DataFrame(
             {
                 "doc_id": [recs[0]["doc_id"]],

@@ -113,3 +113,45 @@ def test_threshold_images(spark, corpus):
         img = decode_gray_png(bytes(r.threshold_png))
         assert set(np.unique(img)) <= {0, 255}
         assert 0.0 < r.fg_frac < 1.0
+
+
+def test_pdf_image_layer_roundtrip(spark, corpus):
+    """The non-textonly PDF embeds the page raster as a FlateDecode
+    DeviceGray XObject under the invisible text (pdfrenderer.cpp:503-700);
+    the text layer still round-trips exactly and the image stream decodes
+    back to the original raster."""
+    import re
+    import zlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.functions.pdf_parse import extract_pdf_words
+    from tesseract_spark.functions.png_codec import decode_gray_png
+    from tesseract_spark.operators.sinks import ocr_words, to_pdf
+
+    docs = spark.read.parquet(corpus["documents"])
+    media = spark.read.parquet(corpus["media"])
+    words = ocr_words(spark, docs, media).cache()
+    some_ref = words.limit(1).collect()[0].media_ref
+    w1 = words.filter(F.col("media_ref") == some_ref)
+    plain = to_pdf(w1).collect()[0].pdf
+    withimg = to_pdf(w1, images=media).collect()[0].pdf
+    # text layers identical
+    assert extract_pdf_words(bytes(withimg)) == extract_pdf_words(bytes(plain))
+    assert len(extract_pdf_words(bytes(withimg))) > 0
+    # image stream present and decodes to the original page raster
+    m = re.search(
+        rb"/Subtype /Image /Width (\d+) /Height (\d+) /ColorSpace /DeviceGray"
+        rb" /BitsPerComponent 8 /Filter /FlateDecode /Length (\d+) >>\nstream\n",
+        bytes(withimg),
+    )
+    assert m, "no image XObject in PDF"
+    w, h, ln = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    data = bytes(withimg)[m.end() : m.end() + ln]
+    arr = np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w)
+    png = media.filter(F.col("media_ref") == some_ref).collect()[0].png
+    np.testing.assert_array_equal(arr, decode_gray_png(bytes(png)))
+    # the content stream paints the image before the text objects
+    assert b"/im-0 Do" in bytes(withimg)
+    assert b"/im-0" not in bytes(plain)

@@ -1,0 +1,81 @@
+"""Vertical-text layout groundwork (pagesegmain.cpp:272-413 vertical
+check; cjkpitch.cpp fixed-pitch cell segmentation)."""
+
+import numpy as np
+
+from tesseract_spark.functions.compose import PageSpec, compose_page
+from tesseract_spark.functions.fonts import get_font, mask_to_gray
+from tesseract_spark.functions.image_ops import binarize_otsu, label_and_stats
+from tesseract_spark.operators.vertical import (
+    cjk_pitch_cells,
+    is_vertical_page,
+    recognize_page_auto,
+    recognize_vertical_page,
+)
+
+
+def compose_vertical(columns, pitch=18, colspace=26):
+    """Upright glyphs stacked top-to-bottom, columns right-to-left —
+    the CJK vertical layout rendered with the fixture font."""
+    font = get_font()
+    H = 24 + pitch * max(len(c) for c in columns)
+    W = 24 + colspace * len(columns)
+    mask = np.zeros((H, W), dtype=bool)
+    for ci, text in enumerate(columns):
+        x = W - 12 - 10 - ci * colspace
+        y = 12
+        for ch in text:
+            g = font[ch]
+            mask[y : y + g.shape[0], x : x + g.shape[1]] |= g
+            y += pitch
+    return mask_to_gray(mask)
+
+
+def test_vertical_detection_and_decode():
+    for cols in (["table", "sort", "key"], ["query", "band"], ["jump", "dog"]):
+        gray = compose_vertical(cols)
+        stats = label_and_stats(binarize_otsu(gray))[2]
+        assert is_vertical_page(stats), cols
+        assert recognize_vertical_page(gray) == cols
+
+
+def test_horizontal_pages_not_misdetected():
+    for spec in (
+        PageSpec(paragraphs=[["hello world", "more text"]]),
+        PageSpec(paragraphs=[["a b c"]]),
+        PageSpec(paragraphs=[["left col", "two lines"]], column2=[["right col", "here too"]]),
+    ):
+        page = compose_page(spec)
+        stats = label_and_stats(binarize_otsu(page.image))[2]
+        assert not is_vertical_page(stats)
+
+
+def test_cjk_pitch_cells_merge_multi_component_glyphs():
+    """Components inside one pitch slot merge into a single cell (the
+    FPChar grid snap of cjkpitch.cpp): an 'i'-like dot+body pair stays
+    one glyph."""
+    tops = np.array([10, 12, 28, 46, 47])  # cells at 10, 28, 46 + strays
+    bottoms = tops + 8
+    pitch, cells = cjk_pitch_cells(tops, bottoms)
+    assert 16 <= pitch <= 20
+    assert [sorted(c) for c in cells] == [[0, 1], [2], [3, 4]]
+
+
+def test_vertical_with_dotted_glyphs():
+    """'i'/'j' split into dot+body components; the pitch grid keeps each
+    in one cell so the column decodes exactly."""
+    cols = [["inn", "jig"], ["win", "fix"]]
+    for c in cols:
+        gray = compose_vertical(c)
+        assert recognize_vertical_page(gray) == c
+
+
+def test_recognize_page_auto_routes_both_ways():
+    gray_v = compose_vertical(["table", "key"])
+    spans_v, layout_v = recognize_page_auto(gray_v)
+    assert layout_v is None
+    assert [s.text for s in spans_v] == ["table", "key"]
+    page = compose_page(PageSpec(paragraphs=[["hello world", "more text"]]))
+    spans_h, layout_h = recognize_page_auto(page.image)
+    assert layout_h is not None
+    assert [(s.kind, s.text) for s in spans_h] == page.golden
