@@ -164,6 +164,54 @@ FROM spans GROUP BY doc_id
 """
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-quality statistics (docqual.cpp:51-210 + the pass-4 gate,
+    control.cpp:663-681) over REAL word-level OCR output on the derived
+    corpus: per document, character mass, reject mass, char quality and
+    the good_quality_doc page-gate tally.  On the clean fixture corpus
+    every page decodes at full confidence, so the oracle reconstructs
+    the exact char counts from the chunking rule (rejects provably 0)."""
+    from .derived import derive_corpus
+    from .operators.docqual import doc_quality_stats
+    from .operators.sinks import ocr_words
+
+    docs, media = derive_corpus(spark, sf_dir)
+    words = ocr_words(spark, docs, media)
+    stats = doc_quality_stats(words)
+    return stats.groupBy("doc_id").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("char_count").alias("char_count"),
+        F.sum("rej_count").alias("rej_count"),
+        F.sum("char_quality").alias("char_quality"),
+        F.sum(F.col("good_quality_doc").cast("long")).alias("good_pages"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_pages", "char_count", "rej_count", "char_quality", "good_pages",
+    )
+
+
+ORACLE_DOC_QUALITY = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS i,
+         array_to_string(list_slice(words, g.i*12 + 1, g.i*12 + 12), ' ') AS chunk
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+), media AS (
+  SELECT doc_id, length(replace(chunk, ' ', '')) AS chars
+  FROM c WHERE i % 3 <> 0
+)
+SELECT doc_id, count(*) AS n_pages,
+       CAST(sum(chars) AS BIGINT) AS char_count,
+       CAST(0 AS BIGINT) AS rej_count,
+       CAST(sum(chars) AS BIGINT) AS char_quality,
+       count(*) AS good_pages
+FROM media GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # SURVEY §2.2 — filters / grading
 # --------------------------------------------------------------------------
@@ -1863,6 +1911,7 @@ FROM pred GROUP BY lang
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocr_extract": (q_ocr_extract, ORACLE_OCR_EXTRACT),
     "ocr_vgsl_extract": (q_ocr_vgsl_extract, ORACLE_OCR_VGSL_EXTRACT),
+    "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
     "blob_grading": (q_blob_grading, ORACLE_BLOB_GRADING),
     "grid_join": (q_grid_join, ORACLE_GRID_JOIN),
