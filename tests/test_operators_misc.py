@@ -182,3 +182,48 @@ def test_osd_rotated_page_script_stable():
         img = np.rot90(page.image, k=rot // 90)
         script, conf = detect_script(img)
         assert (script, conf) == ("Latin", 2.0), rot
+
+
+def test_tab_vectors_two_column_page():
+    """Two columns yield four tab stops: each column's aligned left and
+    right edges with clean gutters outside them (FindInitialTabVectors,
+    tabfind.cpp:512; evaluation/sort :938-1080)."""
+    from tesseract_spark.functions.image_ops import binarize_otsu, label_and_stats
+    from tesseract_spark.operators.tabs import find_tab_vectors
+
+    page = compose_page(
+        PageSpec(
+            paragraphs=[["left col one", "left col two", "left col xyz"]],
+            column2=[["right col one", "right col two", "right col abc"]],
+        )
+    )
+    stats = label_and_stats(binarize_otsu(page.image))[2]
+    vs = find_tab_vectors(stats)
+    kinds = [v.kind for v in vs]
+    assert kinds == ["left", "right", "left", "right"], vs
+    # left tabs at the two column origins (margin 12, column 2 start)
+    assert abs(vs[0].x - 12) <= 2
+    assert vs[2].x > vs[1].x  # column 2 starts right of column 1's end
+    assert all(v.n_blobs >= 3 for v in vs)
+
+
+def test_tab_vectors_ragged_right():
+    """A ragged-right column keeps its left tab but yields no right tab
+    (right edges unaligned) — the ragged case EvaluateTabs distinguishes."""
+    import numpy as np
+
+    from tesseract_spark.functions.fonts import render_line
+    from tesseract_spark.functions.image_ops import binarize_otsu, label_and_stats
+    from tesseract_spark.operators.tabs import find_tab_vectors
+    from tesseract_spark.functions.fonts import mask_to_gray
+
+    lines = ["short", "much longer line", "mid size"]
+    W = 220
+    mask = np.zeros((110, W), dtype=bool)
+    for i, t in enumerate(lines):
+        lm = render_line(t)
+        mask[12 + i * 22 : 12 + i * 22 + lm.shape[0], 12 : 12 + lm.shape[1]] |= lm
+    stats = label_and_stats(binarize_otsu(mask_to_gray(mask)))[2]
+    vs = find_tab_vectors(stats)
+    assert any(v.kind == "left" and abs(v.x - 12) <= 2 for v in vs)
+    assert not any(v.kind == "right" for v in vs)
