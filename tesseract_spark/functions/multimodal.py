@@ -1,0 +1,129 @@
+"""Multimodal binary columns: audio/video payload plumbing + features.
+
+Training-data pipelines treat non-text media as opaque ``binary``
+columns with typed metadata, decoded and featurized inside Arrow-batched
+UDFs (the same shape as this engine's PNG path).  This container has no
+audio/video codec libraries, so the CODECS here are deterministic
+engine-defined containers (clearly marked; swap for soundfile/pyav in a
+real deployment) — everything downstream of decode is REAL:
+numpy DSP (RMS energy, zero crossings, framing), real frame sampling,
+and real nearest-neighbour image resize, all vectorized.
+
+Container formats (little-endian):
+- audio: ``AUD0`` | u32 sample_rate | u32 n_samples | int16 samples
+- video: ``VID0`` | u32 n_frames | per frame: u32 h | u32 w | u8 pixels
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+AUDIO_MAGIC = b"AUD0"
+VIDEO_MAGIC = b"VID0"
+
+
+# ---------------------------------------------------------------------------
+# codecs (deterministic engine containers — the stubbed decode boundary)
+# ---------------------------------------------------------------------------
+
+
+def encode_audio(samples: np.ndarray, rate: int) -> bytes:
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    return AUDIO_MAGIC + struct.pack("<II", rate, len(s)) + s.tobytes()
+
+
+def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
+    if blob[:4] != AUDIO_MAGIC:
+        raise ValueError("not an AUD0 payload")
+    rate, n = struct.unpack("<II", blob[4:12])
+    samples = np.frombuffer(blob, dtype="<i2", count=n, offset=12)
+    return rate, samples
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    out = bytearray(VIDEO_MAGIC + struct.pack("<I", len(frames)))
+    for f in frames:
+        a = np.ascontiguousarray(f, dtype=np.uint8)
+        out += struct.pack("<II", a.shape[0], a.shape[1]) + a.tobytes()
+    return bytes(out)
+
+
+def decode_video(blob: bytes) -> list[np.ndarray]:
+    if blob[:4] != VIDEO_MAGIC:
+        raise ValueError("not a VID0 payload")
+    (n,) = struct.unpack("<I", blob[4:8])
+    frames = []
+    off = 8
+    for _ in range(n):
+        h, w = struct.unpack("<II", blob[off : off + 8])
+        off += 8
+        frames.append(
+            np.frombuffer(blob, dtype=np.uint8, count=h * w, offset=off)
+            .reshape(h, w)
+        )
+        off += h * w
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# real feature extraction (numpy, vectorized)
+# ---------------------------------------------------------------------------
+
+
+def audio_features(samples: np.ndarray, rate: int) -> dict:
+    """Duration, RMS amplitude, zero-crossing count — the basic audio
+    quality/energy features a curation pipeline keys on."""
+    x = samples.astype(np.float64)
+    n = len(x)
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return {
+        "n_samples": n,
+        "duration_s": round(n / rate, 4),
+        "rms": round(float(np.sqrt(np.mean(x * x))) if n else 0.0, 4),
+        "zero_crossings": zc,
+    }
+
+
+def sample_frames(frames: list[np.ndarray], stride: int) -> list[tuple[int, np.ndarray]]:
+    """Every stride-th frame with its original index (frame sampling)."""
+    return [(i, f) for i, f in enumerate(frames) if i % stride == 0]
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize (vectorized index gather)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture payload synthesis (fixture-side inverse)
+# ---------------------------------------------------------------------------
+
+
+def make_fixture_audio(doc_id: int, rate: int = 8000, seconds: float = 0.5) -> bytes:
+    """Square wave with doc-dependent frequency: half-period
+    h = rate // (2 * freq) samples, amplitude 1000 — every feature is
+    analytically known, so a SQL oracle can verify the full decode ->
+    DSP path."""
+    n = int(rate * seconds)
+    freq = 50 + doc_id % 100
+    h = max(1, rate // (2 * freq))
+    i = np.arange(n)
+    samples = (((i // h) % 2) * 2 - 1) * 1000
+    return encode_audio(samples.astype(np.int16), rate)
+
+
+def make_fixture_video(doc_id: int) -> bytes:
+    """2 + doc_id % 6 frames of 8x8 constant-intensity pixels
+    (value = 10*k + doc_id % 50 for frame k) — sampled-frame means are
+    analytic."""
+    n = 2 + doc_id % 6
+    frames = [
+        np.full((8, 8), (10 * k + doc_id % 50) % 256, dtype=np.uint8)
+        for k in range(n)
+    ]
+    return encode_video(frames)

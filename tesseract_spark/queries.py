@@ -1707,6 +1707,206 @@ FROM pred GROUP BY label
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio column: opaque binary payloads decoded and
+    featurized inside one mapInPandas (functions/multimodal.py).  The
+    payloads are deterministic square waves synthesized per doc (the
+    codec boundary is the engine container — the sandbox has no audio
+    libs), so every feature the REAL numpy DSP computes (duration, RMS,
+    zero crossings) is analytically known to the SQL oracle.
+    Embarrassingly parallel: zero shuffles."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def udf(batches):
+        from .functions.multimodal import (
+            audio_features,
+            decode_audio,
+            make_fixture_audio,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                blob = make_fixture_audio(int(doc_id))
+                rate, samples = decode_audio(blob)
+                f = audio_features(samples, rate)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": f["n_samples"],
+                        "duration_s": f["duration_s"],
+                        "rms": f["rms"],
+                        "zero_crossings": f["zero_crossings"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "duration_s", "rms", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        udf,
+        schema="doc_id long, n_samples long, duration_s double, rms double, "
+        "zero_crossings long",
+    )
+
+
+ORACLE_AUDIO_FEATURES = """
+SELECT doc_id,
+       CAST(4000 AS BIGINT) AS n_samples,
+       0.5 AS duration_s,
+       1000.0 AS rms,
+       CAST(3999 // greatest(1, 8000 // (2 * (50 + doc_id % 100))) AS BIGINT)
+         AS zero_crossings
+FROM documents
+"""
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video column: frame-sample every 2nd frame of each
+    doc's deterministic video payload and report per-frame mean
+    intensity (decode -> sample_frames -> numpy mean inside one
+    mapInPandas; frame container is the engine codec)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def udf(batches):
+        from .functions.multimodal import (
+            decode_video,
+            make_fixture_video,
+            sample_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                frames = decode_video(make_fixture_video(int(doc_id)))
+                for idx, frame in sample_frames(frames, stride=2):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "mean_px": round(float(frame.mean()), 2),
+                            "n_frames": len(frames),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "mean_px", "n_frames"]
+            )
+
+    return docs.mapInPandas(
+        udf,
+        schema="doc_id long, frame_idx int, mean_px double, n_frames int",
+    )
+
+
+ORACLE_VIDEO_FRAME_SAMPLE = """
+WITH f AS (
+  SELECT doc_id, CAST(g.k AS INT) AS frame_idx,
+         CAST(2 + doc_id % 6 AS INT) AS n_frames
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(0, CAST(1 + doc_id % 6 AS BIGINT))) AS k
+  ) g
+)
+SELECT doc_id, frame_idx,
+       round(CAST(10 * frame_idx + doc_id % 50 AS DOUBLE), 2) AS mean_px,
+       n_frames
+FROM f WHERE frame_idx % 2 = 0
+"""
+
+
+K_EMBED_DUP_COS = 0.35  # near-dup cosine threshold on the fixture vectors
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the embedding member of the
+    dedup family): candidate pairs from the same multi-table sign-LSH
+    buckets as q_knn_lsh_join, kept when cosine >= threshold.
+
+    Scale shape: one equi-join on the (table, bucket) key + pair dedup —
+    no all-pairs product; the candidate fraction is the LSH collision
+    rate, and at production scale the per-table bit width grows with
+    log2(n) to hold it down."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nt, nb = K_KNN_LSH_TABLES, K_KNN_LSH_BITS
+
+    def bucket_expr(t: int):
+        return F.expr(
+            f"aggregate(transform(slice(v, {t * nb + 1}, {nb}),"
+            " x -> if(x >= 0D, 1, 0)), 0, (acc, b) -> acc * 2 + b)"
+        )
+
+    keyed = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), bucket_expr(t).alias("bucket"))
+                    for t in range(nt)
+                ]
+            )
+        ).alias("k"),
+    ).select("vec_id", "v", "k.t", "k.bucket")
+    other = keyed.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nv"),
+        F.col("t").alias("nt"),
+        F.col("bucket").alias("nbucket"),
+    )
+    dot = _dot_expr("v", "nv")
+    pairs = (
+        keyed.join(
+            other,
+            (keyed["t"] == other["nt"]) & (keyed["bucket"] == other["nbucket"]),
+        )
+        .filter(F.col("vec_id") < F.col("nid"))  # unordered pairs once
+        .select(
+            F.col("vec_id").alias("d1"),
+            F.col("nid").alias("d2"),
+            F.round(
+                F.expr(f"{dot} / ({_norm_expr('v')} * {_norm_expr('nv')})"), 4
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.col("cosine") >= K_EMBED_DUP_COS)
+    )
+    return pairs
+
+
+ORACLE_EMBED_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), keyed AS (
+  SELECT vec_id, v, t,
+    CAST(list_sum(list_transform(generate_series(1, 4),
+      i -> CASE WHEN v[t * 4 + i] >= 0 THEN (1 << CAST(4 - i AS INT))
+           ELSE 0 END)) AS INT) AS bucket
+  FROM e, LATERAL (
+    SELECT unnest(generate_series(0, 15)) AS t
+  ) tables
+), pairs AS (
+  SELECT DISTINCT p.vec_id AS d1, d.vec_id AS d2,
+    round(
+      list_sum(list_transform(generate_series(1, len(p.v)),
+                              i -> p.v[i] * d.v[i])) /
+      (sqrt(list_sum(list_transform(p.v, x -> x * x))) *
+       sqrt(list_sum(list_transform(d.v, x -> x * x)))), 4) AS cosine
+  FROM keyed p JOIN keyed d
+    ON d.t = p.t AND d.bucket = p.bucket AND p.vec_id < d.vec_id
+)
+SELECT d1, d2, cosine FROM pairs WHERE cosine >= 0.35
+"""
+
+
 # --------------------------------------------------------------------------
 # Main-content extraction (HTML boilerplate strip / PDF layout parse)
 # --------------------------------------------------------------------------
@@ -1949,4 +2149,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "knn_label_accuracy": (q_knn_label_accuracy, ORACLE_KNN_LABEL_ACCURACY),
     "knn_lsh_join": (q_knn_lsh_join, ORACLE_KNN_LSH_JOIN),
+    "embed_near_dup": (q_embed_near_dup, ORACLE_EMBED_NEAR_DUP),
+    "audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
+    "video_frame_sample": (q_video_frame_sample, ORACLE_VIDEO_FRAME_SAMPLE),
 }
