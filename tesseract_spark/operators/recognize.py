@@ -223,6 +223,7 @@ def recognize_page_detail(
     dawg: Dawg | None = None,
     net: TemplateNet | None = None,
     adapt: bool = True,
+    carry_adapted=None,
 ) -> tuple[list[SubSpan], list[WordRec], PageResult]:
     """Like recognize_page but also returns per-word records with page
     boxes for the TSV/hOCR/ALTO sinks.
@@ -231,15 +232,23 @@ def recognize_page_detail(
     pass 1/pass 2, src/ccmain/control.cpp:291-456): pass 1 decodes every
     row and learns adapted glyph templates from unambiguous dictionary
     words; pass 2 re-decodes only the rows whose static match dropped ink,
-    rescuing damaged glyphs via the adapted templates."""
+    rescuing damaged glyphs via the adapted templates.
+
+    ``carry_adapted``: an AdaptiveTemplates carried in from earlier pages
+    of the same document (cross-page carryover, the reference's
+    SwitchAdaptiveClassifier continuity, control.cpp:306-322) — templates
+    learned here accumulate into it for subsequent pages."""
     net = net or get_net()
     layout = analyze_page(gray, dpi)
     # ---- pass 1: decode all rows, harvest adaptable words ----------------
     adapted = None
     if adapt and dawg is not None:
-        from ..lstm.adaptive import AdaptiveTemplates
+        if carry_adapted is not None:
+            adapted = carry_adapted
+        else:
+            from ..lstm.adaptive import AdaptiveTemplates
 
-        adapted = AdaptiveTemplates()
+            adapted = AdaptiveTemplates()
     decoded: dict[tuple[int, int], tuple] = {}  # (region, row) -> result
     retry: list[tuple[int, int]] = []
     for ri, region in enumerate(layout.regions):

@@ -58,7 +58,11 @@ OCR_OUT_SCHEMA = T.StructType(
 DEFAULT_SALT = 16
 
 
-def _make_ocr_udf(dict_words: list[str] | None, dict_patterns: list[str] | None = None):
+def _make_ocr_udf(
+    dict_words: list[str] | None,
+    dict_patterns: list[str] | None = None,
+    adapt_carryover: bool = False,
+):
     """Build the page+recognition mapInPandas body.
 
     Heavy state (template net, DAWG) is constructed lazily once per python
@@ -74,7 +78,7 @@ def _make_ocr_udf(dict_words: list[str] | None, dict_patterns: list[str] | None 
         from .functions.png_codec import decode_gray_png
         from .lstm.dawg import CombinedDawg, Dawg, PatternDawg
         from .lstm.templates import get_net
-        from .operators.recognize import recognize_page
+        from .operators.recognize import recognize_page, recognize_page_detail
 
         net = get_net()
         dawg = None
@@ -90,6 +94,12 @@ def _make_ocr_udf(dict_words: list[str] | None, dict_patterns: list[str] | None 
             dawg = CombinedDawg(wd, pdw) if pdw is not None else wd
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
+        # cross-page adaptive carryover (SwitchAdaptiveClassifier
+        # continuity, control.cpp:306-322): with doc-local partitioning
+        # (adapt_carryover mode) pages of one document arrive
+        # consecutively and share learned glyph templates
+        carry_doc = None
+        carry_templates = None
         for pdf in batches:
             rows = []
             for doc_id, pos, ref, png, dpi in zip(
@@ -127,7 +137,20 @@ def _make_ocr_udf(dict_words: list[str] | None, dict_patterns: list[str] | None 
                     # n_chars = -1 marks the failure for lineage/QA
                     try:
                         img = decode_gray_png(bytes(png))
-                        spans, _layout = recognize_page(img, int(dpi), dawg, net)
+                        if adapt_carryover and dawg is not None:
+                            if doc_id != carry_doc:
+                                from .lstm.adaptive import AdaptiveTemplates
+
+                                carry_doc = doc_id
+                                carry_templates = AdaptiveTemplates()
+                            spans, _words, _layout = recognize_page_detail(
+                                img, int(dpi), dawg, net,
+                                carry_adapted=carry_templates,
+                            )
+                        else:
+                            spans, _layout = recognize_page(
+                                img, int(dpi), dawg, net
+                            )
                     except Exception:
                         wall = (time.perf_counter() - t0) * 1000.0
                         rows.append(
@@ -179,6 +202,7 @@ def ocr_documents(
     num_partitions: int | None = None,
     broadcast_media: bool | None = None,
     dict_patterns: list[str] | None = None,
+    adapt_carryover: bool = False,
 ) -> DataFrame:
     """documents(doc_id, spans) + media(media_ref, png, dpi) -> flat spans.
 
@@ -204,6 +228,7 @@ def ocr_documents(
         spark, text_rows, media_refs, media,
         dict_words=dict_words, num_partitions=num_partitions,
         broadcast_media=broadcast_media, dict_patterns=dict_patterns,
+        adapt_carryover=adapt_carryover,
     )
 
 
@@ -217,11 +242,19 @@ def ocr_from_parts(
     broadcast_media: bool | None = None,
     media_prebucketed: bool = False,
     dict_patterns: list[str] | None = None,
+    adapt_carryover: bool = False,
 ) -> DataFrame:
     """Pipeline core over pre-split inputs.
 
     text_rows: (doc_id, pos, text) pass-through spans;
     media_refs: (doc_id, pos, media_ref); media: (media_ref, png, dpi).
+
+    ``adapt_carryover``: partition/sort media rows by (doc_id, pos) so
+    pages of one document land consecutively in one task and share
+    adapted glyph templates (the reference's cross-page adaptive
+    classifier continuity).  Trade-off, documented: doc-keyed placement
+    gives up the media_ref hash's page-level skew defeat, so reserve it
+    for corpora whose per-document page counts are bounded.
 
     ``media_prebucketed``: the media table is a bucketed catalog table on
     media_ref — the scan itself satisfies the join's distribution, so the
@@ -286,8 +319,13 @@ def ocr_from_parts(
             )
         )
     repart = media_rows.select("doc_id", "pos", "media_ref", "png", "dpi")
+    if adapt_carryover:
+        repart = repart.repartition(num_partitions, "doc_id").sortWithinPartitions(
+            "doc_id", "pos"
+        )
     ocr = repart.mapInPandas(
-        _make_ocr_udf(dict_words, dict_patterns), schema=OCR_OUT_SCHEMA
+        _make_ocr_udf(dict_words, dict_patterns, adapt_carryover),
+        schema=OCR_OUT_SCHEMA,
     )
     unioned = ocr.unionByName(text_full)
     w = Window.partitionBy("doc_id").orderBy("pos", "sub")

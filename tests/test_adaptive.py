@@ -142,3 +142,70 @@ def test_harvest_uses_winning_strip_registration():
     g = at.protos[net.charset.index("g")][0]
     font_g = get_font()["g"]
     assert g.shape == font_g.shape and (g == font_g).all()
+
+
+def test_cross_page_adaptive_carryover_unit():
+    """Templates learned on page 1 rescue a damaged non-dict word on a
+    SEPARATE page 2 when the AdaptiveTemplates instance carries over
+    (SwitchAdaptiveClassifier continuity, control.cpp:306-322)."""
+    from tesseract_spark.lstm.adaptive import AdaptiveTemplates
+    from tesseract_spark.operators.recognize import recognize_page_detail
+
+    bad_w = _damaged_glyph("w")
+    page1 = _page([_word("wind", {0: bad_w})])  # dict recovers + learns
+    page2 = _page([_word("wq", {0: bad_w})])  # non-dict: needs carryover
+    dawg = Dawg(get_net().charset, ["wind"])
+    # without carryover page 2 drops the damaged glyph
+    alone, _, _ = recognize_page_detail(page2, dawg=dawg)
+    assert _texts(alone) == ["q"]
+    carry = AdaptiveTemplates()
+    s1, _, _ = recognize_page_detail(page1, dawg=dawg, carry_adapted=carry)
+    assert _texts(s1) == ["wind"]
+    assert carry.n_learned > 0
+    s2, _, _ = recognize_page_detail(page2, dawg=dawg, carry_adapted=carry)
+    assert _texts(s2) == ["wq"]
+
+
+def test_cross_page_adaptive_carryover_pipeline(spark):
+    """End-to-end through ocr_documents(adapt_carryover=True): a two-page
+    document where page 2's damaged non-dict word is only readable with
+    page-1 templates."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.functions.png_codec import encode_gray_png
+    from tesseract_spark.pipeline import ocr_documents
+
+    bad_w = _damaged_glyph("w")
+    png1 = encode_gray_png(_page([_word("wind", {0: bad_w})]))
+    png2 = encode_gray_png(_page([_word("wq", {0: bad_w})]))
+    docs = spark.createDataFrame(
+        [("d1", [("media", None, "m1", 0), ("media", None, "m2", 1)])],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>",
+    )
+    media = spark.createDataFrame(
+        [("m1", bytearray(png1), 300), ("m2", bytearray(png2), 300)],
+        "media_ref string, png binary, dpi int",
+    )
+    flat = ocr_documents(
+        spark, docs, media, dict_words=["wind"], adapt_carryover=True,
+        num_partitions=2,
+    )
+    texts = [
+        r.text
+        for r in flat.filter(F.col("kind") == "text")
+        .orderBy("offset")
+        .collect()
+    ]
+    assert texts == ["wind", "wq"]
+    # without carryover the second page loses the glyph
+    flat_nc = ocr_documents(
+        spark, docs, media, dict_words=["wind"], num_partitions=2
+    )
+    texts_nc = [
+        r.text
+        for r in flat_nc.filter(F.col("kind") == "text")
+        .orderBy("offset")
+        .collect()
+    ]
+    assert texts_nc == ["wind", "q"]
