@@ -73,33 +73,41 @@ def chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _render_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from .functions.compose import PageSpec, compose_page
+def chunk_page_spec(doc_id: int, i: int, chunk: str):
+    """THE corpus render rule: chunk text -> PageSpec.  Single source of
+    truth shared by the corpus renderer and every engine variant that
+    re-renders chunks (q_ocr_vgsl_extract) — the DuckDB oracles mirror
+    exactly this rule, so it must never fork."""
+    from .functions.compose import PageSpec
     from .functions.fonts import text_ink_width
+
+    words = chunk.split(" ")
+    lines = [
+        " ".join(words[j : j + WORDS_PER_LINE])
+        for j in range(0, len(words), WORDS_PER_LINE)
+    ]
+    scale = 1 + int((doc_id + i) % 2)
+    # skew only when the page is wide enough to resolve the 0.005
+    # slope grid (sub-pixel-ambiguous below ~150 px — even the
+    # reference cannot deskew a single narrow word); decided from
+    # content, so the SQL oracle is unaffected.
+    max_w = max(text_ink_width(ln) for ln in lines) * scale
+    skew = (
+        SKEWS[int((doc_id + i) % len(SKEWS))]
+        if (len(lines) >= 2 and max_w >= 150)
+        else 0.0
+    )
+    return PageSpec(paragraphs=[lines], scale=scale, skew=skew)
+
+
+def _render_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .functions.compose import compose_page
     from .functions.png_codec import encode_gray_png
 
     for pdf in batches:
         rows = []
         for doc_id, i, chunk in zip(pdf["doc_id"], pdf["i"], pdf["chunk_text"]):
-            words = chunk.split(" ")
-            lines = [
-                " ".join(words[j : j + WORDS_PER_LINE])
-                for j in range(0, len(words), WORDS_PER_LINE)
-            ]
-            scale = 1 + int((doc_id + i) % 2)
-            # skew only when the page is wide enough to resolve the 0.005
-            # slope grid (sub-pixel-ambiguous below ~150 px — even the
-            # reference cannot deskew a single narrow word); decided from
-            # content, so the SQL oracle is unaffected.
-            max_w = max(text_ink_width(ln) for ln in lines) * scale
-            skew = (
-                SKEWS[int((doc_id + i) % len(SKEWS))]
-                if (len(lines) >= 2 and max_w >= 150)
-                else 0.0
-            )
-            page = compose_page(
-                PageSpec(paragraphs=[lines], scale=scale, skew=skew)
-            )
+            page = compose_page(chunk_page_spec(int(doc_id), int(i), chunk))
             rows.append(
                 {
                     "media_ref": f"m-{doc_id}-{i}",

@@ -79,6 +79,20 @@ def _column_elements(
     return elems, max_w, y
 
 
+def _shift_elements(elems: list[dict], dy: int) -> None:
+    """Move a column's elements down by dy — text lines AND media
+    (photo/rule) coordinates, so a pullout heading never overlaps them."""
+    for e in elems:
+        if e["kind"] == "text":
+            e["lines"] = [(x, y + dy, t) for x, y, t in e["lines"]]
+        elif "photo" in e:
+            x, y, w, h = e["photo"]
+            e["photo"] = (x, y + dy, w, h)
+        else:
+            x, y = e["rule"]
+            e["rule"] = (x, y + dy)
+
+
 def _photo_mask(w: int, h: int) -> np.ndarray:
     """Connected dense texture: solid 2px ring + 2x2 checkerboard interior
     (single 8-connected component, density ~0.5 — imagefind-detectable)."""
@@ -106,8 +120,7 @@ def compose_page(spec: PageSpec) -> ComposedPage:
         y_body = y + PARA_GAP * s - MARGIN * s
     col1, w1, y1 = _column_elements(spec, spec.paragraphs, MARGIN * s)
     if y_body:
-        for e in col1:
-            e["lines"] = [(x, y + y_body, t) for x, y, t in e["lines"]]
+        _shift_elements(col1, y_body)
         y1 += y_body
     elems += col1
     total_w = MARGIN * s + max(w1, pull_w)
@@ -116,8 +129,7 @@ def compose_page(spec: PageSpec) -> ComposedPage:
         x2 = MARGIN * s + w1 + GUTTER * s
         col2, w2, y2 = _column_elements(spec, spec.column2, x2)
         if y_body:
-            for e in col2:
-                e["lines"] = [(x, y + y_body, t) for x, y, t in e["lines"]]
+            _shift_elements(col2, y_body)
             y2 += y_body
         elems += col2
         total_w = max(total_w, x2 + w2)

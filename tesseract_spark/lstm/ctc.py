@@ -381,13 +381,22 @@ K_REP_MIN_LEN = 4  # shortest word treated as a leader/repeat candidate
 K_REP_DOMINANT_FRAC = 0.75  # dominant-char share that flags W_REP_CHAR
 
 
+def _is_leader_char(ch: str) -> bool:
+    """Leader/fill characters — the glyphs tospace's W_REP_CHAR flag
+    targets (dot/dash/underscore fills between text and page numbers)."""
+    return ch in ".-_~*="
+
+
 def fix_rep_char(word: DecodedWord) -> DecodedWord:
     """Repeated-character word correction (Tesseract::fix_rep_char,
-    src/ccmain/control.cpp:1673-1699): for a word flagged as a character
-    repeat (leader dots/dashes — here detected by a dominant char owning
-    >= 75% of positions in a non-dictionary word), find the most frequent
-    character and rewrite every position to it (CorrectRepcharChoices
-    semantics: keep boxes/timesteps, correct the classifications)."""
+    src/ccmain/control.cpp:1673-1699) for words carrying the W_REP_CHAR
+    signature.  The reference flags such words during word segmentation
+    (leader dots/dashes at regular pitch); a post-hoc character-frequency
+    test alone would corrupt legitimate words ('loll', 'sass'), so the
+    gate here additionally requires the dominant character to be a
+    LEADER glyph: non-dict word, length >= 4, and >= 75% of positions
+    held by one fill character.  Matching positions rewrite to it
+    (CorrectRepcharChoices: keep boxes/timesteps, correct classes)."""
     text = word.text
     if len(text) < K_REP_MIN_LEN or word.dict_word:
         return word
@@ -395,6 +404,8 @@ def fix_rep_char(word: DecodedWord) -> DecodedWord:
 
     counts = Counter(text)
     ch, n = counts.most_common(1)[0]
+    if not _is_leader_char(ch):
+        return word
     if n < max(3, int(np.ceil(K_REP_DOMINANT_FRAC * len(text)))):
         return word
     if n == len(text):

@@ -175,8 +175,6 @@ class PatternDawg:
             units, reps = self._parse(pat)
             if units:
                 self.patterns.append((units, reps))
-        # unit matchers are precomputed per charset code
-        self._unit_match: list[np.ndarray] = []
         start = frozenset(
             (pi, 0) for pi in range(len(self.patterns))
         )

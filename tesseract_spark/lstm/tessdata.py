@@ -169,7 +169,9 @@ def write_container(entries: dict[int, bytes]) -> bytes:
     off = header
     for i in range(num):
         payload = entries.get(i)
-        if payload:
+        # present-but-empty sections keep their offset entry — the
+        # reference container distinguishes empty from absent
+        if payload is not None:
             offsets[i] = off
             body += payload
             off += len(payload)
@@ -797,8 +799,12 @@ def _skip_network(r: Reader) -> None:
     elif t in ("Maxpool", "Reconfig"):
         r.i32(), r.i32()
     elif t in ("LSTM", "SummLSTM", "LSTMSoftmax", "LSTMBinarySoftmax"):
-        r.i32()  # na_
-        for _ in range(4):
+        na = r.i32()
+        # 2-D LSTMs carry a fifth (GFS) gate matrix: is_2d iff
+        # na - nf == ni + 2*ns (lstm.cpp DeSerialize); nf = 0 for NT_LSTM
+        # and ns == no from the header
+        is_2d = na == hdr["ni"] + 2 * hdr["no"] and t in ("LSTM", "SummLSTM")
+        for _ in range(5 if is_2d else 4):
             _skip_weight_matrix(r)
         if t in ("LSTMSoftmax", "LSTMBinarySoftmax"):
             _skip_network(r)

@@ -114,12 +114,18 @@ def best_script(scores: dict[str, float]) -> tuple[str, float]:
     return ranked[0][0], round(float(conf), 2)
 
 
-def detect_script(gray: np.ndarray) -> tuple[str, float]:
+def detect_script(
+    gray: np.ndarray, rot: int | None = None
+) -> tuple[str, float]:
     """Page-level script detection at the upright orientation: each
     candidate glyph's ranked template matches become (script, certainty)
-    choices (certainty = 20*(frac-1), the reference's [-20,0] range)."""
+    choices (certainty = 20*(frac-1), the reference's [-20,0] range).
+
+    ``rot``: pass a pre-computed orientation to skip re-detection (the
+    OSD sink computes it once for both halves of the report)."""
     net = get_net()
-    rot, _scores = detect_orientation(gray)
+    if rot is None:
+        rot, _scores = detect_orientation(gray)
     img = np.rot90(gray, k=rot // 90)
     layout = analyze_page(img)
     blob_choices: list[list[tuple[str, float]]] = []
@@ -154,7 +160,7 @@ def get_osd_text(gray: np.ndarray, page_number: int = 0) -> str:
     orient_conf = (
         round(ranked[0] / max(ranked[1], 1e-9), 2) if len(ranked) > 1 else 2.0
     )
-    script, script_conf = detect_script(gray)
+    script, script_conf = detect_script(gray, rot=rot)
     orient_deg = rot
     rotate = (360 - orient_deg) % 360
     return (

@@ -72,7 +72,7 @@ def q_ocr_vgsl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    from .derived import WORDS_PER_LINE, chunked
+    from .derived import chunked
 
     ch = chunked(spark, sf_dir)
     text_rows = ch.filter(F.col("kind") == "text").select(
@@ -84,9 +84,8 @@ def q_ocr_vgsl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def udf(batches):
-        from .derived import SKEWS
-        from .functions.compose import PageSpec, compose_page
-        from .functions.fonts import text_ink_width
+        from .derived import chunk_page_spec
+        from .functions.compose import compose_page
         from .lstm.fixture_model import get_vgsl_model
         from .operators.recognize import recognize_page_vgsl
 
@@ -96,21 +95,9 @@ def q_ocr_vgsl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, i, chunk in zip(
                 pdf["doc_id"], pdf["i"], pdf["chunk_text"]
             ):
-                words = chunk.split(" ")
-                lines = [
-                    " ".join(words[j : j + WORDS_PER_LINE])
-                    for j in range(0, len(words), WORDS_PER_LINE)
-                ]
-                scale = 1 + int((doc_id + i) % 2)
-                max_w = max(text_ink_width(ln) for ln in lines) * scale
-                skew = (
-                    SKEWS[int((doc_id + i) % len(SKEWS))]
-                    if (len(lines) >= 2 and max_w >= 150)
-                    else 0.0
-                )
-                page = compose_page(
-                    PageSpec(paragraphs=[lines], scale=scale, skew=skew)
-                )
+                # the SAME render rule as the corpus (single source of
+                # truth: derived.chunk_page_spec)
+                page = compose_page(chunk_page_spec(int(doc_id), int(i), chunk))
                 spans, _ = recognize_page_vgsl(page.image, model=model)
                 text = "\n".join(s.text for s in spans if s.kind == "text")
                 rows.append(

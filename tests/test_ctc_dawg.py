@@ -206,6 +206,12 @@ def test_fix_rep_char_leader_correction():
         DecodedWord("a.", 0, 1, 0, 90, False),
         DecodedWord("beekeeper", 0, 9, 0, 90, False),
         DecodedWord("aaab", 0, 4, 0, 90, True),  # dict word: protected
+        # W_REP_CHAR gate: only LEADER-char repeats qualify — legitimate
+        # words with a dominant alpha/digit char must never be rewritten
+        DecodedWord("loll", 0, 4, 0, 90, False),
+        DecodedWord("sass", 0, 4, 0, 90, False),
+        DecodedWord("1111-", 0, 5, 0, 90, False),
+        DecodedWord("mmmm", 0, 4, 0, 90, False),
     ]
     for k in keep:
         assert fix_rep_char(k).text == k.text

@@ -226,3 +226,23 @@ def test_mid_page_pullout_run_order():
         "left three\nleft four",
         "right three\nright four",
     ], got
+
+
+def test_pullout_with_media_elements():
+    """A pullout heading combined with photos/rules must shift the media
+    coordinates down with the text (regression: the y-shift used to
+    crash on media elements)."""
+    spec = PageSpec(
+        paragraphs=[["table a key", "sort by data"]],
+        column2=[["query the rows", "scan all keys"]],
+        pullout_lines=["big headline spanning both columns wide"],
+        photos=((0, 60, 48),),
+    )
+    page = compose_page(spec)
+    spans, layout = recognize_page(page.image)
+    kinds = [g.kind for g in layout.regions]
+    assert "photo" in kinds
+    # the photo sits below the pullout band, not overlapping it
+    photo = next(g for g in layout.regions if g.kind == "photo")
+    pull = next(g for g in layout.regions if g.kind == "text")
+    assert photo.bbox[1] > pull.bbox[3]
