@@ -358,6 +358,80 @@ def to_box(words: DataFrame, page_heights: DataFrame | None = None) -> DataFrame
     )
 
 
+def to_box_chars(
+    words: DataFrame, page_heights: DataFrame | None = None
+) -> DataFrame:
+    """Per-SYMBOL box records — GetBoxText (baseapi.cpp:1497-1545): one
+    ``char left bottom right top page`` line per recognized character,
+    bottom-up y.  Spaces would make illegal box lines, so word internals
+    only (the reference substitutes kTesseractReject for spaces; words
+    here never contain one).
+
+    Character x-extents come from the engine's own font advance model:
+    each word box splits at the known per-glyph advances (glyph width +
+    1px kern), scaled to the word box — exact for this engine because
+    the renderer uses the same advances.  Pure column expressions + one
+    posexplode; no UDF."""
+    from ..functions.fonts import KERN, get_font
+
+    words = _ok_words(words).filter(F.length("text") > 0)
+    font = get_font()
+    # advance table as a map literal column: char -> glyph width (px)
+    wmap = F.create_map(
+        *[
+            x
+            for ch, g in sorted(font.items())
+            for x in (F.lit(ch), F.lit(int(g.shape[1])))
+        ]
+    )
+    chars = (
+        words.withColumn("chs", F.split("text", ""))
+        .withColumn(
+            "adv",
+            F.transform(
+                F.col("chs"),
+                lambda c: F.coalesce(F.element_at(wmap, c), F.lit(7)),
+            ),
+        )
+        .select(
+            "doc_id", "media_ref", "top", "height", "left", "width",
+            F.size("chs").alias("n"),
+            "adv",
+            F.posexplode("chs").alias("ci", "ch"),
+        )
+    )
+    total = F.expr(f"aggregate(adv, 0, (a, x) -> a + x) + ({KERN}) * (n - 1)")
+    prefix = F.expr(
+        f"aggregate(slice(adv, 1, ci), 0, (a, x) -> a + x) + ({KERN}) * ci"
+    )
+    scale = F.col("width") / F.greatest(total, F.lit(1))
+    l_expr = (F.col("left") + prefix * scale).cast("int")
+    r_expr = (
+        F.col("left") + (prefix + F.expr("adv[ci]")) * scale
+    ).cast("int")
+    out = chars.select(
+        "doc_id", "media_ref", "ch",
+        l_expr.alias("l"),
+        F.col("top").alias("t"),
+        r_expr.alias("r"),
+        (F.col("top") + F.col("height")).alias("b"),
+    )
+    if page_heights is not None:
+        out = out.join(page_heights, "media_ref", "inner")
+        top_expr = F.col("height_px") - F.col("b")
+        bot_expr = F.col("height_px") - F.col("t")
+    else:
+        top_expr, bot_expr = F.col("t"), F.col("b")
+    return out.select(
+        "doc_id",
+        "media_ref",
+        F.concat_ws(
+            " ", F.col("ch"), F.col("l"), top_expr, F.col("r"), bot_expr,
+            F.lit("0"),
+        ).alias("box_line"),
+    )
+
+
 def to_alto(words: DataFrame) -> DataFrame:
     """ALTO XML: TextBlock/TextLine/String per media page."""
     words = _ok_words(words)

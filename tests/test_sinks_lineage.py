@@ -150,3 +150,44 @@ def test_xml_sinks_escape_quotes(spark):
     ET.fromstring(page.split("?>")[-1]) if "?>" in page else ET.fromstring(page)
     hocr = to_hocr(words).first().hocr
     assert "&lt;" in hocr and "&amp;" in hocr
+
+
+def test_box_chars_symbol_records(spark, corpus):
+    """GetBoxText analogue: per-symbol boxes split the word box at the
+    font's own advances — on this engine's renderer the recovered char
+    boxes match the glyph advances exactly."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.functions.fonts import KERN, glyph_width
+    from tesseract_spark.operators.sinks import ocr_words, to_box_chars
+
+    docs = spark.read.parquet(corpus["documents"])
+    media = spark.read.parquet(corpus["media"])
+    words = ocr_words(spark, docs, media).cache()
+    boxes = to_box_chars(words)
+    some = words.filter(
+        (F.length("text") >= 3) & (F.col("word_num") >= 1)
+    ).limit(1).collect()[0]
+    recs = [
+        r.box_line.split(" ")
+        for r in boxes.filter(
+            (F.col("doc_id") == some.doc_id)
+            & (F.col("media_ref") == some.media_ref)
+        ).collect()
+    ]
+    # reconstruct this word's char boxes: chars in order at its y-band
+    mine = [r for r in recs if int(r[2]) == some.top and
+            some.left <= int(r[1]) < some.left + some.width]
+    text = "".join(r[0] for r in mine)
+    assert some.text in text  # the word's chars all present, in order
+    # char boxes partition the word: first starts at word left, widths
+    # follow the font advances (scale 1 words)
+    w_adv = sum(glyph_width(c) for c in some.text) + KERN * (len(some.text) - 1)
+    if some.width == w_adv:  # scale-1 exact case
+        sub = [r for r in mine if r[0] in some.text]
+        first = next(r for r in sub if int(r[1]) == some.left)
+        assert int(first[3]) - int(first[1]) == glyph_width(first[0])
+    # every line has 6 fields and integer coords
+    for r in recs:
+        assert len(r) == 6 and r[5] == "0"
+        int(r[1]), int(r[2]), int(r[3]), int(r[4])
