@@ -15,9 +15,13 @@ and harvests bitmaps from adaptable words; pass 2 re-decodes rows whose
 static template match dropped ink, scoring dropped candidate columns
 against the adapted bitmaps with a tolerance threshold (the analogue of
 matcher_good_threshold = 0.125 rating distance, classify.cpp:86 — here a
-minimum equal-pixel fraction).  State lives per page inside one pandas-UDF
-call — nothing shuffles, mirroring the reference's per-Tesseract-instance
-AdaptedTemplates lifetime (ResetAdaptiveClassifier between documents).
+minimum equal-pixel fraction).  State lives inside one pandas-UDF call —
+nothing shuffles.  Lifetime: per page by default; with the pipeline's
+``adapt_carryover`` option one AdaptiveTemplates instance spans all pages
+of a document (SwitchAdaptiveClassifier continuity) and templates are
+capped at K_MAX_ADAPTED_PROTOS, the analogue of the reference's bounded
+adapted-config count (MAX_NUM_CONFIGS), so matching cost stays bounded
+over long documents.
 """
 
 from __future__ import annotations
@@ -35,6 +39,8 @@ K_ADAPTABLE_MIN_CONF = 20.0  # floor confidence for harvesting: a word
 #   adjust-factor check); this floor only rejects junk
 K_SUFFICIENT_EXAMPLES = 1  # bitmaps usable immediately within the page
 #   (temp configs are live before becoming permanent, adaptmatch.cpp:2143)
+K_MAX_ADAPTED_PROTOS = 64  # total template cap (MAX_NUM_CONFIGS role):
+#   bounds per-column match cost on long carryover documents
 
 
 class AdaptiveTemplates:
@@ -47,7 +53,7 @@ class AdaptiveTemplates:
 
     def learn(self, code: int, bitmap: np.ndarray) -> None:
         """AdaptToChar: add one glyph bitmap as a temporary template."""
-        if not bitmap.any():
+        if not bitmap.any() or self.n_learned >= K_MAX_ADAPTED_PROTOS:
             return
         got = self.protos.setdefault(code, [])
         for p in got:

@@ -42,13 +42,20 @@ class TabVector:
 
 
 def _edge_clusters(edges: np.ndarray, tol: int) -> list[np.ndarray]:
+    """Anchor clustering: every member within tol of the cluster's FIRST
+    (leftmost) edge.  Chained linkage would let a staircase of edges
+    (each step <= tol, total spread unbounded) masquerade as one aligned
+    line; anchoring bounds the spread at tol, like the reference's
+    tolerance around the fitted tab line."""
     order = np.argsort(edges, kind="stable")
     groups: list[list[int]] = []
+    anchor = None
     for i in order:
-        if groups and edges[i] - edges[groups[-1][-1]] <= tol:
+        if groups and anchor is not None and edges[i] - anchor <= tol:
             groups[-1].append(int(i))
         else:
             groups.append([int(i)])
+            anchor = edges[i]
     return [np.asarray(g) for g in groups]
 
 
@@ -69,12 +76,15 @@ def find_tab_vectors(stats: np.ndarray) -> list[TabVector]:
                 continue
             x = int(round(float(sub[:, col].mean())))
             y0, y1 = int(sub[:, 1].min()), int(sub[:, 3].max())
-            # gutter check: no OTHER blob's ink inside the outside band
-            # over this vector's y-span
+            # gutter check over the vector's y-span, measured OUTSIDE the
+            # cluster's own extreme edge so members cannot self-shadow
+            # an intrusion (FindTabBoxes' gutter requirement)
             if kind == "left":
-                lo, hi = x - K_GUTTER_W, x - 1
+                edge = int(sub[:, 0].min())
+                lo, hi = edge - K_GUTTER_W, edge - 1
             else:
-                lo, hi = x + 1, x + K_GUTTER_W
+                edge = int(sub[:, 2].max())
+                lo, hi = edge + 1, edge + K_GUTTER_W
             others = np.ones(len(stats), dtype=bool)
             others[g] = False
             ob = stats[others]

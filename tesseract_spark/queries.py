@@ -1560,6 +1560,34 @@ K_KNN_LSH_BITS = 4
 K_KNN_LSH_DOC_RECALL = 0.85  # measured 0.895 recall@10 on the fixture set
 
 
+def _lsh_sign_keyed(emb: DataFrame, carry: list[str]) -> DataFrame:
+    """THE multi-table sign-LSH keying rule, shared by the kNN join and
+    the embedding near-dup query (and mirrored by their DuckDB oracles):
+    one (t, bucket) row per hash table, bucket = the sign bits of dim
+    block t.  ``carry`` lists the columns to keep alongside."""
+    nt, nb = K_KNN_LSH_TABLES, K_KNN_LSH_BITS
+
+    def bucket_expr(t: int):
+        return F.expr(
+            f"aggregate(transform(slice(v, {t * nb + 1}, {nb}),"
+            " x -> if(x >= 0D, 1, 0)), 0, (acc, b) -> acc * 2 + b)"
+        )
+
+    return emb.select(
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), bucket_expr(t).alias("bucket")
+                    )
+                    for t in range(nt)
+                ]
+            )
+        ).alias("k"),
+    ).select(*carry, "k.t", "k.bucket")
+
+
 def q_knn_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shaped kNN join: multi-table sign-LSH candidate
     retrieval instead of the brute all-pairs broadcast of
@@ -1580,29 +1608,7 @@ def q_knn_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    nt, nb = K_KNN_LSH_TABLES, K_KNN_LSH_BITS
-
-    def bucket_expr(t: int):
-        return F.expr(
-            f"aggregate(transform(slice(v, {t * nb + 1}, {nb}),"
-            " x -> if(x >= 0D, 1, 0)), 0, (acc, b) -> acc * 2 + b)"
-        )
-
-    keyed = emb.select(
-        "vec_id",
-        "label",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), bucket_expr(t).alias("bucket")
-                    )
-                    for t in range(nt)
-                ]
-            )
-        ).alias("k"),
-    ).select("vec_id", "label", "v", "k.t", "k.bucket")
+    keyed = _lsh_sign_keyed(emb, ["vec_id", "label", "v"])
     data = keyed.select(
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nlabel"),
@@ -1822,26 +1828,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    nt, nb = K_KNN_LSH_TABLES, K_KNN_LSH_BITS
-
-    def bucket_expr(t: int):
-        return F.expr(
-            f"aggregate(transform(slice(v, {t * nb + 1}, {nb}),"
-            " x -> if(x >= 0D, 1, 0)), 0, (acc, b) -> acc * 2 + b)"
-        )
-
-    keyed = emb.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), bucket_expr(t).alias("bucket"))
-                    for t in range(nt)
-                ]
-            )
-        ).alias("k"),
-    ).select("vec_id", "v", "k.t", "k.bucket")
+    keyed = _lsh_sign_keyed(emb, ["vec_id", "v"])
     other = keyed.select(
         F.col("vec_id").alias("nid"),
         F.col("v").alias("nv"),
@@ -1862,6 +1849,11 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"{dot} / ({_norm_expr('v')} * {_norm_expr('nv')})"), 4
             ).alias("cosine"),
         )
+        # a pair colliding in k tables appears k times; the cosine is
+        # recomputed per collision BEFORE dedup on purpose — ~200 flops
+        # per row beats shuffling the two 512-byte vectors through the
+        # dedup exchange (the alternative shapes: ids-only dedup + a
+        # second vector join = two extra shuffles)
         .dropDuplicates(["d1", "d2"])
         .filter(F.col("cosine") >= K_EMBED_DUP_COS)
     )

@@ -227,3 +227,24 @@ def test_tab_vectors_ragged_right():
     vs = find_tab_vectors(stats)
     assert any(v.kind == "left" and abs(v.x - 12) <= 2 for v in vs)
     assert not any(v.kind == "right" for v in vs)
+
+
+def test_tab_vectors_reject_staircase_edges():
+    """A staircase of left edges (each consecutive gap <= tol but total
+    spread beyond it) is NOT an aligned tab stop — anchor clustering
+    bounds the spread (regression for chained-linkage false positives)."""
+    import numpy as np
+
+    from tesseract_spark.operators.tabs import find_tab_vectors
+
+    # blobs at left edges 10, 12, 14, 16: pairwise steps of 2 (== tol)
+    # but 6px total spread — no common line within +-2
+    stats = np.array(
+        [
+            [10, 10, 40, 20, 100],
+            [12, 30, 42, 40, 100],
+            [14, 50, 44, 60, 100],
+            [16, 70, 46, 80, 100],
+        ]
+    )
+    assert find_tab_vectors(stats) == []
