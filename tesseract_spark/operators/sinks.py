@@ -742,17 +742,30 @@ K_REJECT_CONF = 50.0  # words below: tilde-crunched (CR_LOOSE analogue)
 K_SUSPECT_CONF = 80.0  # words below: suspect-marked
 
 
-def to_unlv(words: DataFrame) -> DataFrame:
+def to_unlv(words: DataFrame, quality_rejection: bool = False) -> DataFrame:
     """GetUNLVText (baseapi.cpp:1546-1625): reading-ordered Latin-1 text
     where rejected (tilde-crunched) words collapse to a single '~' and
     suspect words carry a leading '^'; lines join with \\n.
 
+    ``quality_rejection``: run the docqual pass first
+    (quality_based_rejection, docqual.cpp:115-129 — the reference's
+    tilde crunch executes under it) so block/page-level rejection also
+    crunches words their own confidence would have kept.
+
     The reference crunches per-word via unlv_crunch_mode and marks
     per-char suspects; this engine's confidence is word-level, so the
     word is the marking unit (documented divergence)."""
-    marked = _ok_words(words).withColumn(
+    base = _ok_words(words)
+    if quality_rejection:
+        from .docqual import quality_based_rejection
+
+        base = quality_based_rejection(words)
+        rejected = F.col("rejected")
+    else:
+        rejected = F.col("conf") < K_REJECT_CONF
+    marked = base.withColumn(
         "unlv_word",
-        F.when(F.col("conf") < K_REJECT_CONF, F.lit(K_UNLV_REJECT)).when(
+        F.when(rejected, F.lit(K_UNLV_REJECT)).when(
             F.col("conf") < K_SUSPECT_CONF,
             F.concat(F.lit(K_UNLV_SUSPECT), F.col("text")),
         ).otherwise(F.col("text")),

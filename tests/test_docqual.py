@@ -72,3 +72,22 @@ def test_whole_page_rejection(spark):
     df = spark.createDataFrame(rows, WORD_COLS)
     out = quality_based_rejection(df)
     assert all(r.rejected for r in out.collect())
+
+
+def test_unlv_with_quality_rejection(spark):
+    """A bad block's innocent word tilde-crunches under the docqual pass
+    but survives plain confidence-based UNLV marking."""
+    from tesseract_spark.operators.sinks import to_unlv
+
+    rows = [
+        _w("d1", "p1", 1, 1, 10.0, "zzz"),
+        _w("d1", "p1", 1, 2, 95.0, "ok"),
+        _w("d1", "p1", 2, 1, 95.0, "clean words here"),
+        _w("d1", "p1", 2, 2, 95.0, "and more clean text"),
+    ]
+    df = spark.createDataFrame(rows, WORD_COLS)
+    plain = to_unlv(df).collect()[0].unlv
+    crunched = to_unlv(df, quality_rejection=True).collect()[0].unlv
+    assert "ok" in plain  # confidence alone keeps the innocent word
+    assert "ok" not in crunched  # block rejection crunches it
+    assert "clean words here" in crunched  # the clean block survives
