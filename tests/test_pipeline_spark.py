@@ -146,3 +146,29 @@ def test_missing_media_ref_keeps_degraded_span(spark):
     flat = ocr_documents(spark, docs, media).orderBy("offset").collect()
     assert [(r.kind, r.n_chars) for r in flat] == [("text", 11), ("media", -1)]
     assert flat[1].media_ref == "m-gone"
+
+
+def test_topk_queries_compile_to_take_ordered(spark):
+    """The round-2 top-k rewrites must stay TakeOrderedAndProject — a
+    global row_number window would single-partition every scored row at
+    scale (the round-1 scale-killer this guards against)."""
+    from tesseract_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("ann_cosine_topk", "ann_lsh_bucket", "char_trigrams"):
+        fn, _ = REGISTRY[name]
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_no_single_partition_exchange_in_registry_lsh_queries(spark):
+    """kNN/near-dup/multimodal queries must never funnel through an
+    Exchange SinglePartition (per-query windows partition by vec_id)."""
+    from tesseract_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("knn_lsh_join", "embed_near_dup", "audio_features",
+                 "video_frame_sample", "doc_quality"):
+        fn, _ = REGISTRY[name]
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, name
