@@ -46,6 +46,7 @@ class WordRec:
     height: int
     conf: float
     text: str
+    baseline: int = 0  # page-y of the row baseline (deskewed frame)
 
 
 def _merge_boxes(
@@ -344,6 +345,7 @@ def recognize_page_detail(
                             height=int(b - t),
                             conf=round(float(w.confidence), 2),
                             text=w.text,
+                            baseline=int(row.baseline_y),
                         )
                     )
     keyed.sort(key=lambda kv: kv[0])

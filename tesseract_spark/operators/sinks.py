@@ -37,6 +37,7 @@ WORDS_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("conf", T.DoubleType()),
         T.StructField("text", T.StringType()),
+        T.StructField("baseline", T.IntegerType()),
     ]
 )
 
@@ -76,6 +77,7 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "height": 0,
                         "conf": -1.0,
                         "text": "",
+                        "baseline": 0,
                     }
                 )
                 continue
@@ -94,6 +96,7 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "height": w.height,
                         "conf": w.conf,
                         "text": w.text,
+                        "baseline": w.baseline,
                     }
                 )
         yield pd.DataFrame(rows, columns=[f.name for f in WORDS_SCHEMA.fields])
@@ -191,12 +194,19 @@ def _xml_escape_sql(expr: str) -> str:
     return e
 
 def to_hocr(words: DataFrame) -> DataFrame:
-    """GetHOCRText: one XHTML fragment per media page."""
+    """GetHOCRText: one XHTML fragment per media page.  ocr_line titles
+    carry ``baseline <slope> <offset>`` (hocrrenderer.cpp; the contract
+    baseapi_test.cc:139-158 regex-asserts): slope 0 in the deskewed
+    frame, offset = row baseline minus line bbox bottom.  Word frames
+    without a baseline column default it to the bbox bottom (offset 0)."""
     words = _ok_words(words)
+    if "baseline" not in words.columns:
+        words = words.withColumn("baseline", F.col("top") + F.col("height"))
     line_sql = """
       concat(
         '   <span class="ocr_line" title="bbox ', min(left), ' ', min(top), ' ',
-        max(left + width), ' ', max(top + height), '">',
+        max(left + width), ' ', max(top + height),
+        '; baseline 0 ', max(baseline) - max(top + height), '">',
         array_join(transform(array_sort(collect_list(struct(word_num, left, top,
                                                             width, height, conf, text))),
           w -> concat('<span class="ocrx_word" title="bbox ', w.left, ' ', w.top,

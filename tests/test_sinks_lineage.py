@@ -191,3 +191,19 @@ def test_box_chars_symbol_records(spark, corpus):
     for r in recs:
         assert len(r) == 6 and r[5] == "0"
         int(r[1]), int(r[2]), int(r[3]), int(r[4])
+
+
+def test_hocr_contains_baseline(spark, corpus):
+    """HOCRContainsBaseline (baseapi_test.cc:139-158): ocr_line titles
+    must match `baseline [-.0-9]+ [-.0-9]+`."""
+    import re
+
+    from tesseract_spark.operators.sinks import ocr_words, to_hocr
+
+    docs = spark.read.parquet(corpus["documents"])
+    media = spark.read.parquet(corpus["media"])
+    hocr = to_hocr(ocr_words(spark, docs, media)).first().hocr
+    m = re.search(r'class="ocr_line"[^>]*baseline ([-.0-9]+) ([-.0-9]+)', hocr)
+    assert m, hocr[:400]
+    # offset is baseline-to-bbox-bottom: small negative (descender rows)
+    assert -8 <= int(m.group(2)) <= 0
