@@ -1813,6 +1813,105 @@ FROM f WHERE frame_idx % 2 = 0
 """
 
 
+K_IVF_LISTS = 8  # coarse-quantizer cells (seeded, not trained)
+K_IVF_PROBES = 2  # inverted lists probed per query
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the inverted-file scale path, complementing the
+    sign-LSH variants): vectors partition into K_IVF_LISTS cells by
+    nearest seed centroid (deterministic seeds = the first K vectors, a
+    training-free coarse quantizer), the query probes its K_IVF_PROBES
+    nearest cells, and top-10 cosine ranks only those lists.
+
+    Scale shape: the centroid table broadcasts (K rows), cell assignment
+    is a broadcast nested-loop over K seeds (no shuffle), candidate
+    retrieval is one equi-join on cell id over ~probes/K of the corpus,
+    and the final top-k is TakeOrderedAndProject."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    seeds = emb.filter(F.col("vec_id") < K_IVF_LISTS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dot_c = _dot_expr("v", "cv")
+    sim = F.expr(f"{dot_c} / ({_norm_expr('v')} * {_norm_expr('cv')})")
+    # nearest-cell assignment: broadcast the K seeds, keep argmax cell
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "v", "cid", sim.alias("csim")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w_cell))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    # the query (vec_id 0) probes its top-K_IVF_PROBES cells
+    qcells = (
+        scored.filter(F.col("vec_id") == 0)
+        .withColumn("r", F.row_number().over(w_cell))
+        .filter(F.col("r") <= K_IVF_PROBES)
+        .select(F.col("cid").alias("qcid"))
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    dot_q = _dot_expr("v", "q")
+    cands = (
+        assigned.join(F.broadcast(qcells), assigned["cid"] == qcells["qcid"])
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(
+                F.expr(f"{dot_q} / ({_norm_expr('v')} * {_norm_expr('q')})"), 4
+            ).alias("cosine"),
+        )
+    )
+    top = cands.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+ORACLE_ANN_IVF = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.v, s.cid,
+    list_sum(list_transform(generate_series(1, len(e.v)),
+                            i -> e.v[i] * s.cv[i])) /
+    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+     sqrt(list_sum(list_transform(s.cv, x -> x * x)))) AS csim
+  FROM e, seeds s
+), assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY csim DESC, cid ASC) AS r FROM scored) WHERE r = 1
+), qcells AS (
+  SELECT cid AS qcid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY csim DESC, cid ASC) AS r
+    FROM scored WHERE vec_id = 0) WHERE r <= 2
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), cands AS (
+  SELECT a.vec_id, a.cid,
+    round(
+      list_sum(list_transform(generate_series(1, len(a.v)),
+                              i -> a.v[i] * qv[i])) /
+      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+       sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cosine
+  FROM assigned a JOIN qcells ON a.cid = qcells.qcid, q
+  WHERE a.vec_id <> 0
+)
+SELECT vec_id, cid, cosine,
+       row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM cands ORDER BY rank LIMIT 10
+"""
+
+
 K_EMBED_DUP_COS = 0.35  # near-dup cosine threshold on the fixture vectors
 
 
@@ -2108,6 +2207,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "jaccard_neighbors": (q_jaccard_neighbors, ORACLE_JACCARD_NEIGHBORS),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_bucket": (q_ann_lsh_bucket, ORACLE_ANN_LSH_BUCKET),
+    "ann_ivf": (q_ann_ivf, ORACLE_ANN_IVF),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
