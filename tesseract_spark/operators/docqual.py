@@ -37,13 +37,14 @@ K_GOOD_CONF = 70.0  # conf >= : chars count toward char quality (the
 K_REJECT_CONF = 50.0  # conf < : word's chars count as rejects (sinks.py)
 
 
-def doc_quality_stats(words: DataFrame) -> DataFrame:
-    """Per-(doc_id, media_ref) quality tallies + the good_quality_doc
-    gate (control.cpp:663-681)."""
+def block_quality_stats(words: DataFrame) -> DataFrame:
+    """Per-(doc_id, media_ref, block_num) quality tallies — the single
+    aggregation pass both the page gate and block rejection roll up
+    from (one scan of the expensive word source)."""
     w = words.filter(F.col("word_num") >= 0).withColumn(
         "n_chars", F.length("text")
     )
-    per_page = w.groupBy("doc_id", "media_ref").agg(
+    return w.groupBy("doc_id", "media_ref", "block_num").agg(
         F.sum("n_chars").alias("char_count"),
         F.sum(
             F.when(F.col("conf") < K_REJECT_CONF, F.col("n_chars")).otherwise(0)
@@ -51,6 +52,17 @@ def doc_quality_stats(words: DataFrame) -> DataFrame:
         F.sum(
             F.when(F.col("conf") >= K_GOOD_CONF, F.col("n_chars")).otherwise(0)
         ).alias("char_quality"),
+    )
+
+
+def doc_quality_stats(words: DataFrame) -> DataFrame:
+    """Per-(doc_id, media_ref) quality tallies + the good_quality_doc
+    gate (control.cpp:663-681); rolled up from the block tallies so the
+    word source is scanned once."""
+    per_page = block_quality_stats(words).groupBy("doc_id", "media_ref").agg(
+        F.sum("char_count").alias("char_count"),
+        F.sum("rej_count").alias("rej_count"),
+        F.sum("char_quality").alias("char_quality"),
     )
     return per_page.select(
         "doc_id",
@@ -75,29 +87,49 @@ def quality_based_rejection(words: DataFrame) -> DataFrame:
       good-quality pages — the gate the reference applies before bulk
       rejection);
     - otherwise a word is rejected only by its own confidence.
+
+    Scan accounting: the word source (typically a full-OCR mapInPandas)
+    is read twice — once for the base rows, once for the block tallies
+    that both aggregate levels derive from; callers with an expensive
+    source should .cache() it first (the UNLV sink path's tests do).
     """
     w = words.filter(F.col("word_num") >= 0).withColumn(
         "n_chars", F.length("text")
     )
-    page = doc_quality_stats(words).select(
+    blocks = block_quality_stats(words)
+    page = (
+        blocks.groupBy("doc_id", "media_ref")
+        .agg(
+            F.sum("char_count").alias("char_count"),
+            F.sum("rej_count").alias("rej_count"),
+            F.sum("char_quality").alias("char_quality"),
+        )
+        .select(
+            "doc_id",
+            "media_ref",
+            (
+                (F.col("rej_count") / F.greatest(F.col("char_count"), F.lit(1))
+                 <= QUALITY_REJ_PC)
+                & (F.col("char_quality")
+                   / F.greatest(F.col("char_count"), F.lit(1))
+                   >= QUALITY_CHAR_PC)
+            ).alias("good_quality_doc"),
+            (
+                F.col("rej_count") * 100.0
+                / F.greatest(F.col("char_count"), F.lit(1))
+                > REJECT_DOC_PERCENT
+            ).alias("page_rejected"),
+        )
+    )
+    block = blocks.select(
         "doc_id",
         "media_ref",
-        "good_quality_doc",
+        "block_num",
         (
             F.col("rej_count") * 100.0
             / F.greatest(F.col("char_count"), F.lit(1))
-            > REJECT_DOC_PERCENT
-        ).alias("page_rejected"),
-    )
-    block = w.groupBy("doc_id", "media_ref", "block_num").agg(
-        (
-            F.sum(
-                F.when(F.col("conf") < K_REJECT_CONF, F.col("n_chars")).otherwise(0)
-            )
-            * 100.0
-            / F.greatest(F.sum("n_chars"), F.lit(1))
             > REJECT_BLOCK_PERCENT
-        ).alias("block_rejected")
+        ).alias("block_rejected"),
     )
     return (
         w.join(F.broadcast(page), ["doc_id", "media_ref"], "left")

@@ -328,6 +328,16 @@ def recognize_page_detail(
                     row_merges[i]
                 ):
                     boxes = _merge_boxes(boxes, row_merges[i])
+                # effective baseline: when the alt (all-descender)
+                # hypothesis won the arbiter, the true baseline sits one
+                # descender band above the primary estimate
+                used_strip = decoded[(ri, i)][5]
+                baseline_y = int(row.baseline_y)
+                if (
+                    getattr(row, "alt_strip", None) is not None
+                    and used_strip is row.alt_strip
+                ):
+                    baseline_y -= 4 * row.scale
                 for wi, w in enumerate(row_decoded[i]):
                     if wi < len(boxes) and len(boxes) == len(row_decoded[i]):
                         l, t, r, b = boxes[wi]
@@ -345,7 +355,7 @@ def recognize_page_detail(
                             height=int(b - t),
                             conf=round(float(w.confidence), 2),
                             text=w.text,
-                            baseline=int(row.baseline_y),
+                            baseline=baseline_y,
                         )
                     )
     keyed.sort(key=lambda kv: kv[0])

@@ -765,13 +765,13 @@ def to_unlv(words: DataFrame, quality_rejection: bool = False) -> DataFrame:
     The reference crunches per-word via unlv_crunch_mode and marks
     per-char suspects; this engine's confidence is word-level, so the
     word is the marking unit (documented divergence)."""
-    base = _ok_words(words)
     if quality_rejection:
         from .docqual import quality_based_rejection
 
-        base = quality_based_rejection(words)
+        base = quality_based_rejection(words)  # filters markers itself
         rejected = F.col("rejected")
     else:
+        base = _ok_words(words)
         rejected = F.col("conf") < K_REJECT_CONF
     marked = base.withColumn(
         "unlv_word",

@@ -1836,17 +1836,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot_c = _dot_expr("v", "cv")
     sim = F.expr(f"{dot_c} / ({_norm_expr('v')} * {_norm_expr('cv')})")
-    # nearest-cell assignment: broadcast the K seeds, keep argmax cell
+    # nearest-cell assignment: broadcast the K seeds, then a hash
+    # aggregation argmax — max over struct(csim, -cid) picks the best
+    # cell with a deterministic low-cid tie-break, and partial (map-side)
+    # aggregation collapses the KxN expansion to N rows BEFORE the one
+    # exchange (a row_number window here would sort-shuffle all KxN rows)
     scored = emb.crossJoin(F.broadcast(seeds)).select(
         "vec_id", "v", "cid", sim.alias("csim")
     )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     assigned = (
-        scored.withColumn("r", F.row_number().over(w_cell))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "v", "cid")
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"), (-F.col("cid")).alias("nc"), F.col("cid")
+                )
+            ).alias("best"),
+            F.first("v").alias("v"),  # constant within a vec_id group
+        )
+        .select("vec_id", "v", F.col("best.cid").alias("cid"))
     )
-    # the query (vec_id 0) probes its top-K_IVF_PROBES cells
+    # the query (vec_id 0) probes its top-K_IVF_PROBES cells (K rows)
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     qcells = (
         scored.filter(F.col("vec_id") == 0)
         .withColumn("r", F.row_number().over(w_cell))

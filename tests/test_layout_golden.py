@@ -246,3 +246,25 @@ def test_pullout_with_media_elements():
     photo = next(g for g in layout.regions if g.kind == "photo")
     pull = next(g for g in layout.regions if g.kind == "text")
     assert photo.bbox[1] > pull.bbox[3]
+
+
+def test_alt_baseline_row_reports_true_baseline():
+    """When the all-descender alternative hypothesis wins, word records
+    report the TRUE baseline (one descender band above the bbox bottom),
+    not the primary estimate (regression: hOCR baseline offset was 0 on
+    such rows)."""
+    import numpy as np
+
+    from tesseract_spark.functions.fonts import CELL_H, mask_to_gray, render_line
+    from tesseract_spark.operators.recognize import recognize_page_detail
+
+    line = render_line("gy jyg")
+    page = np.zeros((CELL_H + 24, line.shape[1] + 24), dtype=bool)
+    page[12 : 12 + CELL_H, 12 : 12 + line.shape[1]] = line
+    spans, words, layout = recognize_page_detail(mask_to_gray(page))
+    assert [s.text for s in spans if s.kind == "text"] == ["gy jyg"]
+    row = layout.regions[0].rows[0]
+    assert row.alt_strip is not None  # fixture really is ambiguous
+    bottom = max(w.top + w.height for w in words)
+    for w in words:
+        assert w.baseline == bottom - 4 * row.scale, (w.baseline, bottom)

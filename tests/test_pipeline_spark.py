@@ -155,7 +155,8 @@ def test_topk_queries_compile_to_take_ordered(spark):
     from tesseract_spark.queries import REGISTRY
 
     sf = "/root/testdata/sf0.001"
-    for name in ("ann_cosine_topk", "ann_lsh_bucket", "char_trigrams"):
+    for name in ("ann_cosine_topk", "ann_lsh_bucket", "char_trigrams",
+                 "ann_ivf"):
         fn, _ = REGISTRY[name]
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, name
@@ -168,7 +169,7 @@ def test_no_single_partition_exchange_in_registry_lsh_queries(spark):
 
     sf = "/root/testdata/sf0.001"
     for name in ("knn_lsh_join", "embed_near_dup", "audio_features",
-                 "video_frame_sample", "doc_quality"):
+                 "video_frame_sample", "doc_quality", "ann_ivf"):
         fn, _ = REGISTRY[name]
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, name
