@@ -168,3 +168,70 @@ def detect_page_tables(gray: np.ndarray, dpi: int = 300) -> list[TableRegion]:
     if not found:
         found.extend(detect_column_partition_tables(layout.regions))
     return found
+
+
+@dataclass
+class StructuredTable:
+    """Recognized table structure (tablerecog.cpp StructuredTable): the
+    grid plus decoded cell texts in (row, col) coordinates."""
+
+    bbox: tuple[int, int, int, int]
+    n_rows: int
+    n_cols: int
+    cells: list[tuple[int, int, str]]  # (row_idx, col_idx, text)
+
+    def grid(self) -> list[list[str]]:
+        g = [["" for _ in range(self.n_cols)] for _ in range(self.n_rows)]
+        for r, c, t in self.cells:
+            if g[r][c]:
+                g[r][c] += " " + t
+            else:
+                g[r][c] = t
+        return g
+
+
+def extract_page_tables(
+    gray: np.ndarray, dpi: int = 300, dawg=None
+) -> list[StructuredTable]:
+    """Table STRUCTURE recognition (tablerecog.cpp StructuredTable::
+    Recognize): locate table regions, decode each table row, and assign
+    every word to its (row, column) cell by nearest column left edge.
+
+    Runs inside the page UDF like the detector — layout once, then one
+    decode per table row; no pixels are rescanned."""
+    from ..lstm.templates import get_net
+    from .page import analyze_page
+    from .recognize import _decode_row
+
+    net = get_net()
+    layout = analyze_page(gray, dpi)
+    out: list[StructuredTable] = []
+    for region in layout.regions:
+        if region.kind != "text":
+            continue
+        for t in detect_tables(region.rows):
+            cols = np.asarray(t.col_lefts)
+            cells: list[tuple[int, int, str]] = []
+            for r_i in range(t.row_start, t.row_end + 1):
+                row = region.rows[r_i]
+                _text, words, _merged, _dropped, _cols, _strip = _decode_row(
+                    net, row, dawg
+                )
+                boxes = row.word_boxes
+                for wi, w in enumerate(words):
+                    l = (
+                        boxes[wi][0]
+                        if wi < len(boxes) and len(boxes) == len(words)
+                        else row.bbox[0]
+                    )
+                    col = int(np.abs(cols - int(l)).argmin())
+                    cells.append((r_i - t.row_start, col, w.text))
+            out.append(
+                StructuredTable(
+                    bbox=t.bbox,
+                    n_rows=t.row_end - t.row_start + 1,
+                    n_cols=len(t.col_lefts),
+                    cells=cells,
+                )
+            )
+    return out

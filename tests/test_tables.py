@@ -116,3 +116,27 @@ def test_cross_region_table_with_prose_sidebar():
     tables = detect_page_tables(_page(padded, vgap=6))
     # the table (2 aligned single-cell columns) is still found
     assert any(len(t.col_lefts) == 2 for t in tables)
+
+
+def test_structured_table_extraction():
+    """StructuredTable recognition (tablerecog.cpp): decoded cell texts
+    land in the right (row, col) slots."""
+    from tesseract_spark.operators.tables import extract_page_tables
+
+    cols = [0, 30, 60]
+    rows = [
+        _cell_row(["ab", "cd", "ef"], cols, 100),
+        _cell_row(["gh", "ij", "kl"], cols, 100),
+        _cell_row(["mn", "op", "qr"], cols, 100),
+        _cell_row(["st", "uv", "wx"], cols, 100),
+    ]
+    tables = extract_page_tables(_page(rows))
+    assert len(tables) == 1
+    t = tables[0]
+    assert (t.n_rows, t.n_cols) == (4, 3)
+    assert t.grid() == [
+        ["ab", "cd", "ef"],
+        ["gh", "ij", "kl"],
+        ["mn", "op", "qr"],
+        ["st", "uv", "wx"],
+    ]
