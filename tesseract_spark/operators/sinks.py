@@ -368,6 +368,56 @@ def to_box(words: DataFrame, page_heights: DataFrame | None = None) -> DataFrame
     )
 
 
+def to_lstm_box(
+    words: DataFrame, page_heights: DataFrame | None = None
+) -> DataFrame:
+    """LSTM-training box format (GetLSTMBoxText,
+    src/api/lstmboxrenderer.cpp:39-90): one record per SYMBOL where every
+    symbol carries its whole TEXTLINE's bounding box (bottom-up y,
+    right+5 padding), a space record between words, and a tab record
+    ending each line.  One output row per textline holding that line's
+    full multi-record block — pure column expressions."""
+    words = _ok_words(words).filter(F.length("text") > 0)
+    lines = words.groupBy(
+        "doc_id", "media_ref", "block_num", "par_num", "line_num"
+    ).agg(
+        F.min("left").alias("l"),
+        F.min("top").alias("t"),
+        F.max(F.col("left") + F.col("width")).alias("r"),
+        F.max(F.col("top") + F.col("height")).alias("b"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word_num", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("line_text"),
+    )
+    if page_heights is not None:
+        lines = lines.join(page_heights, "media_ref", "inner")
+        y_top = F.col("height_px") - F.col("b")
+        y_bot = F.col("height_px") - F.col("t")
+    else:
+        y_top, y_bot = F.col("t"), F.col("b")
+    box = F.concat_ws(
+        " ", F.lit(""), F.col("l"), y_top, F.col("r") + 5, y_bot, F.lit("0")
+    )
+    sym_rows = F.array_join(
+        F.transform(
+            F.split("line_text", ""), lambda c: F.concat(c, box)
+        ),
+        "\n",
+    )
+    return lines.select(
+        "doc_id",
+        "media_ref",
+        "block_num",
+        "par_num",
+        "line_num",
+        F.concat(sym_rows, F.lit("\n"), F.lit("\t"), box).alias("lstm_box"),
+    )
+
+
 def to_box_chars(
     words: DataFrame, page_heights: DataFrame | None = None
 ) -> DataFrame:

@@ -207,3 +207,28 @@ def test_hocr_contains_baseline(spark, corpus):
     assert m, hocr[:400]
     # offset is baseline-to-bbox-bottom: small negative (descender rows)
     assert -8 <= int(m.group(2)) <= 0
+
+
+def test_lstm_box_format(spark, corpus):
+    """GetLSTMBoxText contract: every symbol row carries its line's box
+    (bottom-up y, right+5), spaces are records too, a tab record ends
+    each line."""
+    from pyspark.sql import functions as F
+
+    from tesseract_spark.operators.sinks import ocr_words, to_lstm_box
+
+    docs = spark.read.parquet(corpus["documents"])
+    media = spark.read.parquet(corpus["media"])
+    heights = media.select("media_ref", F.col("height").alias("height_px"))
+    words = ocr_words(spark, docs, media)
+    rec = to_lstm_box(words, page_heights=heights).first()
+    rows = rec.lstm_box.split("\n")
+    assert rows[-1].startswith("\t ")  # line-end tab record
+    # every record (symbol, space, tab) carries the same LINE box:
+    # compare the last 5 space-separated fields
+    boxes = {tuple(r.split(" ")[-5:]) for r in rows}
+    assert len(boxes) == 1
+    fields = rows[0].split(" ")[-5:]
+    assert fields[4] == "0"
+    l, yb, r, yt = map(int, fields[:4])
+    assert r > l and yt > yb >= 0  # bottom-up page frame
