@@ -17,11 +17,14 @@ MAX_CREDIBLE_DPI = 2400
 DEFAULT_DPI = 300
 
 # page segmentation modes (include/tesseract/publictypes.h:157-177)
+PSM_OSD_ONLY = 0
+PSM_AUTO_OSD = 1
 PSM_AUTO = 3
 PSM_SINGLE_COLUMN = 4
 PSM_SINGLE_BLOCK = 6
 PSM_SINGLE_LINE = 7
 PSM_SINGLE_WORD = 8
+PSM_CIRCLE_WORD = 9
 PSM_SPARSE_TEXT = 11
 PSM_RAW_LINE = 13
 

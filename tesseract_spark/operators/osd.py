@@ -126,7 +126,11 @@ def detect_script(
     net = get_net()
     if rot is None:
         rot, _scores = detect_orientation(gray)
-    img = np.rot90(gray, k=rot // 90)
+    # orientation_scores tests candidate r on rot90(img, -(r//90)), so
+    # the upright image is the NEGATIVE rotation (a positive k here left
+    # 90/270-rotated pages upside down; the single-script fixture masked
+    # it because any vote still says Latin)
+    img = np.rot90(gray, k=-(rot // 90))
     layout = analyze_page(img)
     blob_choices: list[list[tuple[str, float]]] = []
     for region in layout.regions:

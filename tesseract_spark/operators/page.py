@@ -497,8 +497,14 @@ def _paragraphs(rows: list[Row], block_left: int) -> list[list[int]]:
     return groups
 
 
-def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
-    """Full page-stage analysis of a grayscale page image."""
+def analyze_page(
+    gray: np.ndarray, dpi: int = 300, single_column: bool = False
+) -> PageResult:
+    """Full page-stage analysis of a grayscale page image.
+
+    ``single_column``: skip column-set selection and treat all text as
+    one block (PSM_SINGLE_COLUMN / PSM_SINGLE_BLOCK gating,
+    publictypes.h:186-207 — the PSM predicates turn layout stages off)."""
     res = PageResult()
     if gray.size == 0:
         return res
@@ -572,7 +578,12 @@ def analyze_page(gray: np.ndarray, dpi: int = 300) -> PageResult:
     # crosses an accepted gutter become full-width pullout blocks.
     page_w = gray.shape[1]
     min_gutter = 4 * WORD_GAP  # wider than any word gap at render scale <= 3
-    blocks, runs_of = _column_sets(tstats, page_w, min_gutter)
+    if single_column:
+        blocks, runs_of = (
+            [np.arange(len(tstats))] if len(tstats) else []
+        ), [0]
+    else:
+        blocks, runs_of = _column_sets(tstats, page_w, min_gutter)
 
     text_regions: list[Region] = []
     for bsel in blocks:

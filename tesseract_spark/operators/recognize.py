@@ -77,6 +77,9 @@ def recognize_page(
     return spans, layout
 
 
+
+
+
 def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
     """Decode one layout row:
     (text, words, merged, dropped_xs, col_of_t, used_strip).
@@ -155,6 +158,79 @@ def _harvest_adaptable(adapted, net: TemplateNet, strip, words, col_of_t) -> Non
         harvest_word(adapted, strip, chars, net.width_by_code)
 
 
+def process_page(
+    gray: np.ndarray,
+    dpi: int = 300,
+    psm: int | None = None,
+    dawg: Dawg | None = None,
+) -> tuple[list[SubSpan], "PageResult | None"]:
+    """ProcessPage with PSM routing (TessBaseAPI::ProcessPage +
+    the PSM stage gating of publictypes.h:186-207 / textord.cpp:223-246):
+    one entry point that dispatches every page-segmentation mode to the
+    stage subset it enables.
+
+    - PSM_OSD_ONLY: no recognition; one text span holding the OSD report
+      (GetOsdText).
+    - PSM_AUTO_OSD: orientation-correct first, then the vertical check,
+      then full layout+recognition.
+    - PSM_AUTO / PSM_SINGLE_BLOCK / PSM_SPARSE_TEXT: full pipeline (the
+      layout stage handles single blocks and scattered words natively).
+    - PSM_SINGLE_COLUMN: full pipeline with column-set selection off.
+    - PSM_SINGLE_LINE / PSM_RAW_LINE: full pipeline; the line modes keep
+      only the best row when layout finds several
+      (CleanupSingleRowResult, textord.cpp:263-293).
+    - PSM_SINGLE_WORD: like the line modes, collapsed to the single
+      best word.
+    - PSM_CIRCLE_WORD: enclosing-circle removal then word recognition.
+    """
+    from ..config import (
+        PSM_AUTO_OSD,
+        PSM_CIRCLE_WORD,
+        PSM_OSD_ONLY,
+        PSM_RAW_LINE,
+        PSM_SINGLE_COLUMN,
+        PSM_SINGLE_LINE,
+        PSM_SINGLE_WORD,
+    )
+
+    if psm is None:
+        from ..config import PSM_AUTO as psm  # noqa: F811
+
+    if psm == PSM_OSD_ONLY:
+        from .osd import get_osd_text
+
+        return [SubSpan("text", get_osd_text(gray, 0), 100.0, 0, 0)], None
+    if psm == PSM_AUTO_OSD:
+        from .osd import detect_orientation
+        from .vertical import recognize_page_auto
+
+        rot, _scores = detect_orientation(gray)
+        upright = np.rot90(gray, k=-(rot // 90))  # invert the rotation
+        return recognize_page_auto(upright, dpi)
+    if psm == PSM_CIRCLE_WORD:
+        from .circle import recognize_circle_word
+
+        return recognize_circle_word(gray, dpi, dawg)
+    if psm == PSM_SINGLE_COLUMN:
+        spans, words, layout = recognize_page_detail(
+            gray, dpi, dawg, single_column=True
+        )
+        return spans, layout
+    spans, layout = recognize_page(gray, dpi, dawg)
+    if psm in (PSM_SINGLE_LINE, PSM_RAW_LINE, PSM_SINGLE_WORD):
+        texts = [s for s in spans if s.kind == "text" and s.text]
+        if not texts:
+            return [], layout
+        # best row = highest confidence, most words (textord.cpp:263-293)
+        best = max(texts, key=lambda s: (s.confidence, s.n_words))
+        line = best.text.split("\n")[0]
+        if psm == PSM_SINGLE_WORD:
+            line = line.split(" ")[0] if line else line
+        return [SubSpan("text", line, best.confidence, 1,
+                        len(line.split()))], layout
+    return spans, layout
+
+
 def recognize_page_vgsl(
     gray: np.ndarray, dpi: int = 300, model=None
 ) -> tuple[list[SubSpan], PageResult]:
@@ -225,6 +301,7 @@ def recognize_page_detail(
     net: TemplateNet | None = None,
     adapt: bool = True,
     carry_adapted=None,
+    single_column: bool = False,
 ) -> tuple[list[SubSpan], list[WordRec], PageResult]:
     """Like recognize_page but also returns per-word records with page
     boxes for the TSV/hOCR/ALTO sinks.
@@ -240,7 +317,7 @@ def recognize_page_detail(
     SwitchAdaptiveClassifier continuity, control.cpp:306-322) — templates
     learned here accumulate into it for subsequent pages."""
     net = net or get_net()
-    layout = analyze_page(gray, dpi)
+    layout = analyze_page(gray, dpi, single_column=single_column)
     # ---- pass 1: decode all rows, harvest adaptable words ----------------
     adapted = None
     if adapt and dawg is not None:
