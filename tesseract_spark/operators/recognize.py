@@ -78,8 +78,6 @@ def recognize_page(
 
 
 
-
-
 def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
     """Decode one layout row:
     (text, words, merged, dropped_xs, col_of_t, used_strip).
@@ -206,28 +204,41 @@ def process_page(
 
         rot, _scores = detect_orientation(gray)
         upright = np.rot90(gray, k=-(rot // 90))  # invert the rotation
-        return recognize_page_auto(upright, dpi)
+        return recognize_page_auto(upright, dpi, dawg)
     if psm == PSM_CIRCLE_WORD:
         from .circle import recognize_circle_word
 
         return recognize_circle_word(gray, dpi, dawg)
-    if psm == PSM_SINGLE_COLUMN:
-        spans, words, layout = recognize_page_detail(
-            gray, dpi, dawg, single_column=True
-        )
-        return spans, layout
-    spans, layout = recognize_page(gray, dpi, dawg)
+    # column finding is only enabled for the auto modes
+    # (PSM_COL_FIND_ENABLED, publictypes.h:186-191): every psm >= 4
+    # treats the page as one block
+    single_column = psm in (
+        PSM_SINGLE_COLUMN, 6, PSM_SINGLE_LINE, PSM_SINGLE_WORD, 11,
+        PSM_RAW_LINE,
+    )
+    spans, words, layout = recognize_page_detail(
+        gray, dpi, dawg, single_column=single_column
+    )
     if psm in (PSM_SINGLE_LINE, PSM_RAW_LINE, PSM_SINGLE_WORD):
-        texts = [s for s in spans if s.kind == "text" and s.text]
-        if not texts:
+        # best ROW selection (CleanupSingleRowResult, textord.cpp:263-293):
+        # rank textlines by mean word confidence from the word records,
+        # not paragraph-mean spans
+        if not words:
             return [], layout
-        # best row = highest confidence, most words (textord.cpp:263-293)
-        best = max(texts, key=lambda s: (s.confidence, s.n_words))
-        line = best.text.split("\n")[0]
+        by_line: dict[tuple, list] = {}
+        for w in words:
+            by_line.setdefault(
+                (w.block_num, w.par_num, w.line_num), []
+            ).append(w)
+        def line_key(ws):
+            return (sum(x.conf for x in ws) / len(ws), len(ws))
+        best_ws = max(by_line.values(), key=line_key)
+        best_ws.sort(key=lambda w: w.word_num)
         if psm == PSM_SINGLE_WORD:
-            line = line.split(" ")[0] if line else line
-        return [SubSpan("text", line, best.confidence, 1,
-                        len(line.split()))], layout
+            best_ws = [max(best_ws, key=lambda w: w.conf)]
+        line = " ".join(w.text for w in best_ws)
+        conf = sum(w.conf for w in best_ws) / len(best_ws)
+        return [SubSpan("text", line, conf, 1, len(best_ws))], layout
     return spans, layout
 
 

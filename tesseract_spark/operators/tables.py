@@ -190,21 +190,42 @@ class StructuredTable:
         return g
 
 
+def _decode_table_row(net, row, dawg, cols) -> list[tuple[int, str]]:
+    """Decode one table row -> (col_idx, text) per word, honoring the
+    decoder's fuzzy-space merges so box and word counts stay aligned
+    (the same _merge_boxes pairing recognize_page_detail uses)."""
+    from .recognize import _decode_row, _merge_boxes
+
+    _text, words, merged, _dropped, _cols, _strip = _decode_row(
+        net, row, dawg
+    )
+    boxes = row.word_boxes
+    if merged and len(boxes) == len(words) + len(merged):
+        boxes = _merge_boxes(boxes, merged)
+    out: list[tuple[int, str]] = []
+    for wi, w in enumerate(words):
+        l = boxes[wi][0] if len(boxes) == len(words) else row.bbox[0]
+        out.append((int(np.abs(cols - int(l)).argmin()), w.text))
+    return out
+
+
 def extract_page_tables(
-    gray: np.ndarray, dpi: int = 300, dawg=None
+    gray: np.ndarray, dpi: int = 300, dawg=None, layout=None, net=None
 ) -> list[StructuredTable]:
     """Table STRUCTURE recognition (tablerecog.cpp StructuredTable::
-    Recognize): locate table regions, decode each table row, and assign
-    every word to its (row, column) cell by nearest column left edge.
+    Recognize): locate table regions (per-region runs AND the
+    cross-region wide-gutter fallback, matching detect_page_tables),
+    decode each table row, and assign every word to its (row, column)
+    cell by nearest column left edge.
 
-    Runs inside the page UDF like the detector — layout once, then one
-    decode per table row; no pixels are rescanned."""
+    ``layout``/``net`` accept an existing analyze_page result / template
+    net so a page UDF that already ran layout does not pay it twice."""
     from ..lstm.templates import get_net
     from .page import analyze_page
-    from .recognize import _decode_row
 
-    net = get_net()
-    layout = analyze_page(gray, dpi)
+    net = net or get_net()
+    if layout is None:
+        layout = analyze_page(gray, dpi)
     out: list[StructuredTable] = []
     for region in layout.regions:
         if region.kind != "text":
@@ -213,19 +234,10 @@ def extract_page_tables(
             cols = np.asarray(t.col_lefts)
             cells: list[tuple[int, int, str]] = []
             for r_i in range(t.row_start, t.row_end + 1):
-                row = region.rows[r_i]
-                _text, words, _merged, _dropped, _cols, _strip = _decode_row(
-                    net, row, dawg
-                )
-                boxes = row.word_boxes
-                for wi, w in enumerate(words):
-                    l = (
-                        boxes[wi][0]
-                        if wi < len(boxes) and len(boxes) == len(words)
-                        else row.bbox[0]
-                    )
-                    col = int(np.abs(cols - int(l)).argmin())
-                    cells.append((r_i - t.row_start, col, w.text))
+                for col, text in _decode_table_row(
+                    net, region.rows[r_i], dawg, cols
+                ):
+                    cells.append((r_i - t.row_start, col, text))
             out.append(
                 StructuredTable(
                     bbox=t.bbox,
@@ -234,4 +246,30 @@ def extract_page_tables(
                     cells=cells,
                 )
             )
+    if out:
+        return out
+    # wide-gutter fallback: each table column is its own text region;
+    # cell (row, col) = row r of region c in the aligned run
+    for t in detect_column_partition_tables(layout.regions):
+        run = [
+            r
+            for r in layout.regions
+            if r.kind == "text" and int(r.bbox[0]) in t.col_lefts
+        ]
+        run.sort(key=lambda r: r.bbox[0])
+        cells = []
+        for c_i, reg in enumerate(run):
+            for r_i, row in enumerate(reg.rows):
+                from .recognize import _decode_row
+
+                _text, words, _m, _d, _c, _s = _decode_row(net, row, dawg)
+                cells.append((r_i, c_i, " ".join(w.text for w in words)))
+        out.append(
+            StructuredTable(
+                bbox=t.bbox,
+                n_rows=t.row_end - t.row_start + 1,
+                n_cols=len(t.col_lefts),
+                cells=cells,
+            )
+        )
     return out

@@ -110,7 +110,7 @@ def cjk_pitch_cells(
     return pitch, cells
 
 
-def recognize_page_auto(gray: np.ndarray, dpi: int = 300):
+def recognize_page_auto(gray: np.ndarray, dpi: int = 300, dawg=None):
     """PSM_AUTO_OSD-style entry: run the vertical check first
     (pagesegmain.cpp:272-413) and route to the vertical column reader or
     the standard horizontal pipeline.  Returns (spans, layout|None) in
@@ -127,7 +127,7 @@ def recognize_page_auto(gray: np.ndarray, dpi: int = 300):
                 SubSpan("text", t, 100.0 if t else 0.0, 1, 1) for t in texts
             ]
             return spans, None
-    return recognize_page(gray, dpi)
+    return recognize_page(gray, dpi, dawg)
 
 
 def recognize_vertical_page(gray: np.ndarray) -> list[str]:
