@@ -117,6 +117,15 @@ class RowInfo:
         self.is_list = _list_break_evidence(self.lword)
         self.ends_idea = _ends_idea(self.rword)
         self.blank = not self.words
+        # stray line (page number / folio): a lone non-alpha token inset
+        # from both edges — owns no paragraph (PNONE; the reference's
+        # null-model PARA for rows no hypothesis claims)
+        self.stray = (
+            len(self.words) == 1
+            and not any(c.isalpha() for c in self.words[0])
+            and self.lindent >= 2 * CHAR_W
+            and self.rindent >= 2 * CHAR_W
+        )
 
 
 @dataclass
@@ -189,7 +198,7 @@ def detect_paragraphs(
     segments: list[list[int]] = []
     cur: list[int] = []
     for i, r in enumerate(rows):
-        if r.blank:
+        if r.blank or r.stray:
             if cur:
                 segments.append(cur)
             cur = []

@@ -324,6 +324,17 @@ def test_subtle_crown():
     evaluate(K_SUBTLE_CROWN, *run_fixture(K_SUBTLE_CROWN))
 
 
+K_SUBTLE_CROWN_FULL = K_SUBTLE_CROWN + [
+    ("             1235               ", PNONE, None, False, False),
+]
+
+
+def test_stray_line_in_block():
+    """TestStrayLineInBlock (paragraphs_test.cc): the page-number stray
+    row gets no paragraph (PNONE) and leaves the rest unchanged."""
+    evaluate(K_SUBTLE_CROWN_FULL, *run_fixture(K_SUBTLE_CROWN_FULL))
+
+
 def test_paragraphs_df_wrapper(spark):
     """The applyInPandas wrapper yields the same breaks as the local
     detector for the simple two-paragraph page."""
