@@ -117,6 +117,14 @@ class RowInfo:
         self.is_list = _list_break_evidence(self.lword)
         self.ends_idea = _ends_idea(self.rword)
         self.blank = not self.words
+        # leader line (TOC dots): a run of 3+ dots (spaced or packed)
+        # with a trailing page number — split out one paragraph per row
+        # (the reference's pass-1 leader detection;
+        # TestSplitsOutLeaderLines).  The page-number gate keeps prose
+        # ellipses from matching.
+        self.has_leader = bool(
+            re.search(r"(\.\s*){3,}", self.text)
+        ) and self.rword.isdigit()
         # stray line (page number / folio): a lone non-alpha token inset
         # from both edges — owns no paragraph (PNONE; the reference's
         # null-model PARA for rows no hypothesis claims)
@@ -150,6 +158,7 @@ class Paragraph:
     model: ParagraphModel | None = None
     crown: bool = False  # is_very_first_or_continuation
     is_list: bool = False
+    leader: bool = False  # TOC leader row (kUnknown model)
 
 
 # ---------------------------------------------------------------------------
@@ -255,6 +264,11 @@ def _scan_breaks(
         prev = rows[idxs[k - 1]]
         r = rows[i]
         brk = False
+        if r.has_leader or prev.has_leader:
+            # leader rows are singleton paragraphs (mode-independent)
+            flush()
+            cur = [i]
+            continue
         if right_mode:
             # mirrored fit rule: the next row's first word would have fit
             # in the previous row's LEADING space (right-justified text
@@ -290,7 +304,10 @@ def _scan_breaks(
     just = "right" if right_mode else "left"
     for p in paras:
         p.model = _fit_model(rows, p.rows, just)
-        p.is_list = rows[p.rows[0]].is_list
+        p.leader = rows[p.rows[0]].has_leader
+        # a leader (TOC) row is not a list item even when it starts with
+        # a number — the leader classification wins (reference pass-1)
+        p.is_list = rows[p.rows[0]].is_list and not p.leader
     return paras
 
 
@@ -334,6 +351,10 @@ def _assign_models(
     for p in paragraphs:
         m = p.model
         if m is None or m.justification == "center":
+            continue
+        if getattr(p, "leader", False):
+            # leader (TOC) rows carry no justification model (kUnknown)
+            p.model = None
             continue
         if p.is_list:
             # adopt the strongest list-shaped model (hanging indent)

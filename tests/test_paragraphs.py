@@ -353,3 +353,28 @@ def test_paragraphs_df_wrapper(spark):
     paras = [r.para_num for r in out]
     assert paras == [0, 0, 0, 1, 1, 1, 1, 1, 1]
     assert all(r.first_indent == 20 for r in out)
+
+
+K_TABLE_OF_CONTENTS = [
+    ("1 Hmong People ........... 1", PSTART, None, False, False),
+    ("   Hmong Origins . . . . . 1", PSTART, None, False, False),
+    ("    Language . . . . . . . 1", PSTART, None, False, False),
+    ("     Proverbs . . . . . .  2", PSTART, None, False, False),
+    ("        Discussion . . . . 2", PSTART, None, False, False),
+    ("     Riddles . . . . . . . 2", PSTART, None, False, False),
+    ("        Discussion . . . . 3", PSTART, None, False, False),
+    ("     Appearance . . . . .  3", PSTART, None, False, False),
+    ("   Hmong History . . . . . 4", PSTART, None, False, False),
+    ("    Hmong in SE Asia . . . 4", PSTART, None, False, False),
+    ("    Hmong in the West . . .5", PSTART, None, False, False),
+    ("    Hmong in the USA . . . 5", PSTART, None, False, False),
+    ("        Discussion . . . . 6", PSTART, None, False, False),
+]
+
+
+def test_splits_out_leader_lines():
+    """TestSplitsOutLeaderLines (paragraphs_test.cc): every TOC leader
+    row is its own paragraph (kUnknown model)."""
+    paras, owners = run_fixture(K_TABLE_OF_CONTENTS)
+    evaluate(K_TABLE_OF_CONTENTS, paras, owners)
+    assert len({o for o in owners}) == len(K_TABLE_OF_CONTENTS)
