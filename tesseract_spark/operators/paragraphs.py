@@ -89,9 +89,18 @@ def _list_break_evidence(word: str) -> bool:
 
 def _ends_idea(word: str) -> bool:
     """RightWordAttributes' likely_ends_idea: sentence-final punctuation
-    (optionally inside closing quotes/brackets)."""
+    (optionally inside closing quotes/brackets), or a bare page-number
+    token (digits, a digit range, or a roman numeral — index/TOC entries
+    end in page references)."""
     w = word.rstrip("'\")]}")
-    return bool(w) and w[-1] in ".!?:;"
+    if not w:
+        return False
+    if w[-1] in ".!?:;":
+        return True
+    core = w
+    if core.replace("-", "").isdigit():
+        return True  # 51 / 89-90
+    return core.lower() == core and set(core) <= _ROMAN and len(core) >= 2
 
 
 @dataclass
@@ -207,7 +216,13 @@ def detect_paragraphs(
     segments: list[list[int]] = []
     cur: list[int] = []
     for i, r in enumerate(rows):
-        if r.blank or r.stray:
+        # stray only fires after an ENDED (or absent/blank) row — a lone
+        # number after a mid-sentence wrap is a hanging continuation
+        # (index page numbers), not a folio
+        stray = r.stray and (
+            i == 0 or rows[i - 1].blank or rows[i - 1].ends_idea
+        )
+        if r.blank or stray:
             if cur:
                 segments.append(cur)
             cur = []
@@ -247,6 +262,33 @@ def detect_paragraphs(
     return paragraphs, owners
 
 
+def _hanging_mode(rows: list[RowInfo], idxs: list[int]) -> int | None:
+    """Detect a hanging-indent segment (index/dictionary entries, the
+    (margin, first=0, body=hang) model): exactly two quantized left
+    positions {m, m+hang}, several margin rows, and EVERY indented row
+    wrapping a NON-ended line (in first-line-indent style the indented
+    rows follow sentence ends instead).  Returns the margin or None."""
+    lefts = sorted({rows[i].lindent for i in idxs})
+    if len(lefts) != 2:
+        return None
+    m, deep = lefts
+    if deep - m < 2 * CHAR_W:
+        return None
+    margin_rows = [i for i in idxs if rows[i].lindent == m]
+    deep_rows = [i for i in idxs if rows[i].lindent == deep]
+    if len(margin_rows) < 3 or not deep_rows:
+        return None
+    pos = {i: k for k, i in enumerate(idxs)}
+    for i in deep_rows:
+        k = pos[i]
+        if k == 0:
+            return None
+        prev = rows[idxs[k - 1]]
+        if prev.ends_idea or prev.has_leader:
+            return None
+    return m
+
+
 def _scan_breaks(
     rows: list[RowInfo], idxs: list[int], right_mode: bool
 ) -> list[Paragraph]:
@@ -257,6 +299,7 @@ def _scan_breaks(
         if cur:
             paras.append(Paragraph(rows=list(cur)))
 
+    hang_margin = None if right_mode else _hanging_mode(rows, idxs)
     for k, i in enumerate(idxs):
         if k == 0:
             cur = [i]
@@ -264,6 +307,15 @@ def _scan_breaks(
         prev = rows[idxs[k - 1]]
         r = rows[i]
         brk = False
+        if hang_margin is not None:
+            # hanging-indent segment: every margin row starts an entry,
+            # every indented row continues one
+            if r.lindent == hang_margin:
+                flush()
+                cur = [i]
+            else:
+                cur.append(i)
+            continue
         if r.has_leader or prev.has_leader:
             # leader rows are singleton paragraphs (mode-independent)
             flush()
@@ -287,7 +339,12 @@ def _scan_breaks(
             elif hang_cont:
                 brk = False
             elif r.lindent - prev.lindent >= 1.5 * CHAR_W:
-                brk = True  # deeper first-line indent
+                # deeper first-line indent — but only after the previous
+                # line ENDED (idea clue or short line); a deeper row
+                # after a full mid-sentence line is a hanging-indent
+                # continuation (index/dictionary entries)
+                if prev.ends_idea or prev.rindent >= 2 * CHAR_W:
+                    brk = True
             elif prev.lindent - r.lindent >= 2.5 * CHAR_W:
                 brk = True
             elif prev.ends_idea and prev.rindent >= (len(r.lword) + 1) * CHAR_W:

@@ -378,3 +378,44 @@ def test_splits_out_leader_lines():
     paras, owners = run_fixture(K_TABLE_OF_CONTENTS)
     evaluate(K_TABLE_OF_CONTENTS, paras, owners)
     assert len({o for o in owners}) == len(K_TABLE_OF_CONTENTS)
+
+
+K_NZ_INDEX = [
+    ("Oats, 51                      ", PSTART, M(L, 0, 0, 30), False, False),
+    ("O'Brien, Gregory, 175         ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Occupational composition, 110,", PSTART, M(L, 0, 0, 30), False, False),
+    ("   138                        ", PCONT, None, False, False),
+    ("OECD rankings, 155, 172       ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Okiato (original capital), 47 ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Oil shock: 1974, xxx, 143; 1979,", PSTART, M(L, 0, 0, 30), False, False),
+    ("   145                        ", PCONT, None, False, False),
+    ("Old Age Pensions, xxii, 89-90 ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Old World evils, 77           ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Oliver, W. H., 39, 77, 89     ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Olssen, Erik, 45, 64, 84      ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Olympic Games, 1924, 111, 144 ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Once on Chunuk Bair, 149      ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Once Were Warriors, xxxiii, 170", PSTART, M(L, 0, 0, 30), False, False),
+    ("On-shore whaling, xvi         ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Opotiki, xix                  ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Orakau battle of, xviii, 57   ", PSTART, M(L, 0, 0, 30), False, False),
+    ("O'Regan, Tipene, 170, 198-99  ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Organic agriculture, 177      ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Orwell, George, 151           ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Otago, xvii, 45, 49-50, 70    ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Otago block, xvii             ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Otago Daily Times, 67         ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Otago Girls' High School, xix, 61,", PSTART, M(L, 0, 0, 30), False, False),
+    ("   85                         ", PCONT, None, False, False),
+    ("Otago gold rushes, 61-63      ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Otago Peninsula, xx           ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Otago Provincial Council, 68  ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Otaki, 33                     ", PSTART, M(L, 0, 0, 30), False, False),
+    ("Owls Do Cry, 139              ", PSTART, M(L, 0, 0, 30), False, False),
+]
+
+
+def test_index_page():
+    """IndexPageTest (paragraphs_test.cc kNewZealandIndex): every entry
+    its own hanging-indent paragraph; wrapped page numbers continue."""
+    evaluate(K_NZ_INDEX, *run_fixture(K_NZ_INDEX))
