@@ -125,6 +125,14 @@ class RowInfo:
             self.rindent = (rsp if self.words else 0) * CHAR_W
         self.is_list = _list_break_evidence(self.lword)
         self.ends_idea = _ends_idea(self.rword)
+        # LeftWordAttributes' likely_starts_idea: a paragraph-opening
+        # word is capitalized or numeric (quotes/brackets stripped);
+        # source-code lines (#include, int, if, }) fail this and can
+        # therefore never open a paragraph via the geometric rules
+        first_core = self.lword.lstrip("\"'([{")
+        self.starts_idea = bool(first_core) and (
+            first_core[0].isupper() or first_core[0].isdigit()
+        )
         self.blank = not self.words
         # leader line (TOC dots): a run of 3+ dots (spaced or packed)
         # with a trailing page number — split out one paragraph per row
@@ -137,9 +145,12 @@ class RowInfo:
         # stray line (page number / folio): a lone non-alpha token inset
         # from both edges — owns no paragraph (PNONE; the reference's
         # null-model PARA for rows no hypothesis claims)
+        folio = self.lword.strip(".-")
         self.stray = (
             len(self.words) == 1
-            and not any(c.isalpha() for c in self.words[0])
+            and bool(folio)
+            and (folio.isdigit()
+                 or (folio.lower() == folio and set(folio) <= _ROMAN))
             and self.lindent >= 2 * CHAR_W
             and self.rindent >= 2 * CHAR_W
         )
@@ -182,7 +193,8 @@ def _centered_runs(rows: list[RowInfo], idxs: list[int]) -> list[list[int]]:
     cur: list[int] = []
     for i in idxs:
         r = rows[i]
-        if r.lindent >= CHAR_W and r.rindent >= CHAR_W:
+        # title rows read like starts; lineated code (int/if/#) does not
+        if r.lindent >= CHAR_W and r.rindent >= CHAR_W and r.starts_idea:
             cur.append(i)
         else:
             runs.append(cur)
@@ -222,7 +234,21 @@ def detect_paragraphs(
         stray = r.stray and (
             i == 0 or rows[i - 1].blank or rows[i - 1].ends_idea
         )
-        if r.blank or stray:
+        if r.blank and not stray:
+            # a blank row splits only when the next non-blank row can
+            # OPEN a paragraph; otherwise it is interior to lineated
+            # text (source-code listings) and the run continues
+            nxt = next(
+                (rows[j] for j in range(i + 1, len(rows)) if not rows[j].blank),
+                None,
+            )
+            opens = nxt is None or nxt.starts_idea or nxt.is_list or nxt.has_leader
+            if opens:
+                if cur:
+                    segments.append(cur)
+                cur = []
+            continue
+        if stray:
             if cur:
                 segments.append(cur)
             cur = []
@@ -340,20 +366,25 @@ def _scan_breaks(
                 brk = False
             elif r.lindent - prev.lindent >= 1.5 * CHAR_W:
                 # deeper first-line indent — but only after the previous
-                # line ENDED (idea clue or short line); a deeper row
-                # after a full mid-sentence line is a hanging-indent
-                # continuation (index/dictionary entries)
-                if prev.ends_idea or prev.rindent >= 2 * CHAR_W:
+                # line ENDED (idea clue or short line) and when the new
+                # row READS like a start; a deeper row after a full
+                # mid-sentence line is a hanging-indent continuation
+                if (prev.ends_idea or prev.rindent >= 2 * CHAR_W) and r.starts_idea:
                     brk = True
             elif prev.lindent - r.lindent >= 2.5 * CHAR_W and prev.ends_idea:
                 # returning to a shallower margin only breaks after an
                 # ENDED line — a deep FIRST line wrapping onto the body
                 # margin (5-space book indents) is a continuation
                 brk = True
-            elif prev.ends_idea and prev.rindent >= (len(r.lword) + 1) * CHAR_W:
+            elif (
+                prev.ends_idea
+                and r.starts_idea
+                and prev.rindent >= (len(r.lword) + 1) * CHAR_W
+            ):
                 # "the first word of the next line would fit on the
                 # previous line" (the reference's own stated heuristic),
-                # gated on an ends-idea clue to spare justified blocks
+                # gated on ends-idea + starts-idea clues so neither
+                # justified blocks nor lineated source code split
                 brk = True
         if brk:
             flush()

@@ -38,13 +38,17 @@ def evaluate(fixture, paras, owners):
     agreement + model comparability + crown + list flags."""
     n = len(fixture)
     errors = []
-    for i in range(1, n):
-        has_break = fixture[i][1] != PCONT
-        detected = owners[i - 1] != owners[i]
+    # break agreement over the PNONE-compressed row sequence (the
+    # reference harness assigns blank rows to a neighboring PARA, so
+    # adjacent-pointer comparison is PNONE-transparent there too)
+    seq = [i for i in range(n) if fixture[i][1] != PNONE]
+    for a, b in zip(seq, seq[1:]):
+        has_break = fixture[b][1] != PCONT
+        detected = owners[a] != owners[b]
         if has_break and not detected:
-            errors.append(f"row {i}: missed break")
+            errors.append(f"row {b}: missed break")
         if detected and not has_break:
-            errors.append(f"row {i}: incorrect break")
+            errors.append(f"row {b}: incorrect break")
     for i in range(n):
         text, typ, model, crown, is_list = fixture[i]
         if typ == PNONE:
@@ -477,3 +481,41 @@ def test_old_man_and_sea_block_quotes():
     book prose with 5-space indents and consecutive one-line dialogue
     paragraphs."""
     evaluate(K_OLD_MAN, *run_fixture(K_OLD_MAN))
+
+
+K_SOURCE_CODE = [
+    ("  A typical page of a programming book may contain", PSTART, M(L, 0, 20, 0), False, False),
+    ("examples of source code to exemplify an algorithm ", PCONT, None, False, False),
+    ("being described in prose.  Such examples should be", PCONT, None, False, False),
+    ("rendered as lineated text, meaning text with      ", PCONT, None, False, False),
+    ("explicit line breaks but without extra inter-line ", PCONT, None, False, False),
+    ("spacing.  Accidentally finding stray paragraphs in", PCONT, None, False, False),
+    ("source code would lead to a bad reading experience", PCONT, None, False, False),
+    ("when the text is re-flowed.                       ", PCONT, None, False, False),
+    ("  Let's show this by describing the function fact-", PSTART, M(L, 0, 20, 0), False, False),
+    ("orial.  Factorial is a simple recursive function  ", PCONT, None, False, False),
+    ("which grows very quickly.  So quickly, in fact,   ", PCONT, None, False, False),
+    ("that the typical C implementation will only work  ", PCONT, None, False, False),
+    ("for values less than about 12:                    ", PCONT, None, False, False),
+    ("                                                  ", PNONE, None, False, False),
+    ("  # Naive implementation in C                     ", PCONT, None, False, False),
+    ("  int factorial(int n) {                          ", PCONT, None, False, False),
+    ("    if (n < 2)                                    ", PCONT, None, False, False),
+    ("      return 1;                                   ", PCONT, None, False, False),
+    ("    return  n * factorial(n - 1);                 ", PCONT, None, False, False),
+    ("  }                                               ", PCONT, None, False, False),
+    ("                                                  ", PNONE, None, False, False),
+    ("  The C programming language does not have built- ", PSTART, M(L, 0, 20, 0), False, False),
+    ("in support for detecting integer overflow, so this", PCONT, None, False, False),
+    ("naive implementation simply returns random values ", PCONT, None, False, False),
+    ("if even a moderate sized n is provided.           ", PCONT, None, False, False),
+]
+
+
+def test_not_distracted_by_source_code():
+    """NotDistractedBySourceCode (paragraphs_test.cc): lineated source
+    code (no idea-starting words) never spawns stray paragraphs and
+    blanks interior to the listing do not split it (the reference truth
+    marks the blanks' owners only by pointer adjacency; here they are
+    PNONE and the comparison is PNONE-transparent)."""
+    evaluate(K_SOURCE_CODE, *run_fixture(K_SOURCE_CODE))
