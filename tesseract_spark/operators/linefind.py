@@ -1,0 +1,516 @@
+"""Rule-line find/remove, halftone photo mask, and music-staff mask.
+
+Numpy re-expression of the reference's morphological image operators that
+run before connected-component analysis:
+
+- ``LineFinder::FindAndRemoveLines`` (src/textord/linefind.cpp:674):
+  morphological open with long thin bricks finds horizontal/vertical
+  separator lines, false positives are filtered by stroke width /
+  intersections / neighbouring non-line density, surviving lines are
+  subtracted from the page together with their residue, and the text
+  struck through by a rule is restored (its pixels never leave the page;
+  only line pixels and unprotected residue are erased).
+- ``ImageFind::FindImages`` (src/textord/imagefind.cpp:247): rank-binary
+  reduction cascades find halftone regions (dense dot patterns that are
+  thousands of tiny CCs at full resolution — invisible to blob grading).
+- ``FilterMusic`` (src/textord/linefind.cpp:376): vertical bar lines with
+  >=5 staff intersections seed a music mask that is lifted out of the
+  page as a non-text region (pagesegmain.cpp:204-219 folds the music
+  mask into the photo mask; we do the same).
+
+All operators are pure numpy over one page's binary ink mask and live
+inside the page-stage pandas UDF (no per-row Python at the Spark level).
+Morphology is separable sliding-window cumsum — O(pixels) per brick, no
+Python loops over pixels.  Boundary conditions match Leptonica's
+asymmetric convention: erosion treats out-of-image as ON, dilation as OFF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions.image_ops import label_and_stats
+
+# Constants from linefind.cpp:36-58 (same names, same values).
+K_THIN_LINE_FRACTION = 20  # max line width = resolution / 20
+K_MIN_LINE_LENGTH_FRACTION = 4  # min line length = resolution / 4
+K_MIN_THICK_LINE_WIDTH = 12
+K_MAX_LINE_RESIDUE = 6
+K_THICK_LENGTH_MULTIPLE = 0.75
+K_MAX_NON_LINE_DENSITY = 0.25
+K_MAX_STAVE_HEIGHT = 1.0  # inches
+K_MIN_MUSIC_PIXEL_FRACTION = 0.75
+# Constants from imagefind.cpp:40-47.
+K_MIN_IMAGE_FIND_SIZE = 100
+
+
+@dataclass
+class LineVector:
+    """One found separator line (frozen TabVector analogue,
+    linefind.cpp:608-618: vectors are built from the line-mask CC boxes)."""
+
+    kind: str  # 'h' | 'v'
+    bbox: tuple[int, int, int, int]  # l, t, r, b (top-down, half-open)
+
+
+# ---------------------------------------------------------------------------
+# separable binary morphology (cumsum sliding windows)
+
+
+def _shift(m: np.ndarray, s: int, axis: int, fill: bool) -> np.ndarray:
+    """y[i] = m[i+s] along axis (s may be negative); out-of-image = fill."""
+    if s == 0:
+        return m
+    out = np.full_like(m, fill)
+    if axis == 0:
+        if s > 0:
+            out[:-s, :] = m[s:, :]
+        else:
+            out[-s:, :] = m[:s, :]
+    else:
+        if s > 0:
+            out[:, :-s] = m[:, s:]
+        else:
+            out[:, -s:] = m[:, :s]
+    return out
+
+
+def _run_reduce(m: np.ndarray, k: int, axis: int, erode: bool) -> np.ndarray:
+    """Start-anchored erosion (AND) / dilation (OR) over a k-window via
+    logarithmic shift-doubling: E_{a+b}[i] = E_a[i] op E_b[i+a].
+    O(log k) boolean passes — the van-Herk analogue for numpy."""
+    fill = erode  # erosion: out-of-image = ON; dilation: OFF
+    out = m
+    span = 1
+    while span < k:
+        step = min(span, k - span)
+        shifted = _shift(out, step, axis, fill)
+        out = (out & shifted) if erode else (out | shifted)
+        span += step
+    return out
+
+
+def _windowed(m: np.ndarray, k: int, axis: int, erode: bool) -> np.ndarray:
+    """Centered erosion/dilation: head-pad by the window's left reach so the
+    anchored reduce lands centered, then slice back to the input size."""
+    before = k // 2 if erode else k - 1 - k // 2  # reflected SEL for dilate
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (before, 0)
+    p = np.pad(m, pad, constant_values=erode)
+    out = _run_reduce(p, k, axis, erode)
+    return out[: m.shape[0], :] if axis == 0 else out[:, : m.shape[1]]
+
+
+def _window_all(m: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Erosion along one axis with window k (out-of-image = ON)."""
+    if k <= 1:
+        return m
+    return _windowed(m, k, axis, True)
+
+
+def _window_any(m: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Dilation along one axis with window k (out-of-image = OFF)."""
+    if k <= 1:
+        return m
+    return _windowed(m, k, axis, False)
+
+
+def erode_brick(m: np.ndarray, hsize: int, vsize: int) -> np.ndarray:
+    """pixErodeBrick(hsize, vsize) — Leptonica argument order."""
+    return _window_all(_window_all(m, hsize, 1), vsize, 0)
+
+
+def dilate_brick(m: np.ndarray, hsize: int, vsize: int) -> np.ndarray:
+    return _window_any(_window_any(m, hsize, 1), vsize, 0)
+
+
+def open_brick(m: np.ndarray, hsize: int, vsize: int) -> np.ndarray:
+    return dilate_brick(erode_brick(m, hsize, vsize), hsize, vsize)
+
+
+def close_brick(m: np.ndarray, hsize: int, vsize: int) -> np.ndarray:
+    return erode_brick(dilate_brick(m, hsize, vsize), hsize, vsize)
+
+
+def seedfill(seed: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """pixSeedfillBinary (8-conn): components of ``mask`` touching ``seed``."""
+    if not seed.any() or not mask.any():
+        return np.zeros_like(mask)
+    labels, n, _stats = label_and_stats(mask)
+    touched = np.unique(labels[seed & mask])
+    lut = np.zeros(n + 1, dtype=bool)
+    lut[touched] = True
+    lut[0] = False
+    return lut[labels]
+
+
+def _max_stroke_width(comp: np.ndarray, cap: int = 8) -> int:
+    """MaxStrokeWidth (linefind.cpp:112-131): 2x the max of the 4-conn
+    distance function — counted here as erosion rounds to extinction,
+    capped (we only compare against kMinThickLineWidth)."""
+    m = comp
+    rounds = 0
+    while m.any() and rounds < cap:
+        # one 4-connected erosion, boundary = background
+        inner = m.copy()
+        inner[1:, :] &= m[:-1, :]
+        inner[:-1, :] &= m[1:, :]
+        inner[:, 1:] &= m[:, :-1]
+        inner[:, :-1] &= m[:, 1:]
+        inner[0, :] = inner[-1, :] = False
+        inner[:, 0] = inner[:, -1] = False
+        m = inner
+        rounds += 1
+    return rounds * 2
+
+
+def _touching_intersections(
+    bbox: tuple[int, int, int, int], inter_stats: np.ndarray
+) -> int:
+    """NumTouchingIntersections (linefind.cpp:133-146): intersection CCs
+    overlapping the line box."""
+    if inter_stats is None or len(inter_stats) == 0:
+        return 0
+    l, t, r, b = bbox
+    il, it, ir, ib = (
+        inter_stats[:, 0],
+        inter_stats[:, 1],
+        inter_stats[:, 2],
+        inter_stats[:, 3],
+    )
+    return int(((il < r) & (ir > l) & (it < b) & (ib > t)).sum())
+
+
+def _adjacent_nonline_count(
+    line_width: int, bbox: tuple[int, int, int, int], nonline: np.ndarray
+) -> int:
+    """CountPixelsAdjacentToLine (linefind.cpp:148-172): black pixels in the
+    box grown by the line width along its smaller dimension."""
+    l, t, r, b = bbox
+    h, w = nonline.shape
+    if (r - l) > (b - t):  # horizontal line: grow vertically
+        t2, b2 = max(0, t - line_width), min(h, b + line_width)
+        return int(nonline[t2:b2, l:r].sum())
+    l2, r2 = max(0, l - line_width), min(w, r + line_width)
+    return int(nonline[t:b, l2:r2].sum())
+
+
+def _filter_false_positives(
+    resolution: int,
+    nonline: np.ndarray,
+    inter_stats: np.ndarray | None,
+    line_pix: np.ndarray,
+) -> int:
+    """FilterFalsePositives (linefind.cpp:183-224).  Erases bad components
+    from line_pix in place; returns the number remaining."""
+    min_thick_length = int(resolution * K_THICK_LENGTH_MULTIPLE)
+    labels, n, stats = label_and_stats(line_pix)
+    remaining = n
+    for i in range(n):
+        l, t, r, b, _a = (int(v) for v in stats[i])
+        bw, bh = r - l, b - t
+        comp = (labels[t:b, l:r] == i + 1)
+        max_width = _max_stroke_width(comp)
+        bad = (
+            bw >= K_MIN_THICK_LINE_WIDTH
+            and bh >= K_MIN_THICK_LINE_WIDTH
+            and bw < min_thick_length
+            and bh < min_thick_length
+            and max_width > K_MIN_THICK_LINE_WIDTH
+        )
+        if not bad and _touching_intersections((l, t, r, b), inter_stats) < 2:
+            nonline_count = _adjacent_nonline_count(
+                max_width, (l, t, r, b), nonline
+            )
+            if nonline_count > bh * bw * K_MAX_NON_LINE_DENSITY:
+                bad = True  # underline / shirorekha-like: embedded in text
+        if bad:
+            line_pix[t:b, l:r] &= ~comp
+            remaining -= 1
+    return remaining
+
+
+def _subtract_lines_and_residue(
+    src: np.ndarray, line_pix: np.ndarray, nonline: np.ndarray
+) -> None:
+    """SubtractLinesAndResidue (linefind.cpp:93-110), in place on src:
+    remove the line, then remove small unprotected fragments touching it
+    (protected = components in the non-line mask, i.e. real text)."""
+    src &= ~line_pix
+    residue = src & ~nonline
+    fat = dilate_brick(line_pix, 3, 3)
+    src &= ~seedfill(fat, residue)
+
+
+def _filter_music(
+    resolution: int,
+    pix_closed: np.ndarray,
+    vline: np.ndarray,
+    hline: np.ndarray,
+) -> np.ndarray | None:
+    """FilterMusic (linefind.cpp:376-441): vertical bars with >=5 staff
+    joins in sufficient density seed the music mask; the mask grows to the
+    whole touching component and is density-verified per CC."""
+    max_stave_height = int(resolution * K_MAX_STAVE_HEIGHT)
+    inter = vline & hline
+    if not inter.any():
+        return None
+    _ilab, _in, inter_stats = label_and_stats(inter)
+    vlab, vn, vstats = label_and_stats(vline)
+    music = None
+    for i in range(vn):
+        l, t, r, b, _a = (int(v) for v in vstats[i])
+        joins = _touching_intersections((l, t, r, b), inter_stats)
+        # join density >= 5 per max_stave_height (linefind.cpp:391-393)
+        if joins >= 5 and (joins - 1) * max_stave_height >= 4 * (b - t):
+            if music is None:
+                music = np.zeros_like(vline)
+            music[t:b, l:r] = True
+    if music is None:
+        return None
+    music = seedfill(music, pix_closed)
+    # density check per music CC (linefind.cpp:408-428)
+    _mlab, mn, mstats = label_and_stats(music)
+    for i in range(mn):
+        l, t, r, b, area = (int(v) for v in mstats[i])
+        all_pixels = int(pix_closed[t:b, l:r].sum())
+        if area < K_MIN_MUSIC_PIXEL_FRACTION * all_pixels:
+            music[t:b, l:r] = False
+    if not music.any():
+        return None
+    vline &= ~music
+    hline &= ~music
+    return music
+
+
+def _vectors_of(line_pix: np.ndarray, kind: str) -> list[LineVector]:
+    """Remaining line-mask CCs -> frozen line vectors, with collinear
+    segments merged into one logical separator (the reference builds
+    TabVectors from the same boxes then merges them,
+    TabVector::MergeSimilarTabVectors at linefind.cpp:614,650 — a rule
+    broken by dense ink crossings is still ONE rule)."""
+    _lab, n, stats = label_and_stats(line_pix)
+    segs = [
+        [int(l), int(t), int(r), int(b)] for l, t, r, b, _a in stats[:n]
+    ]
+    # sort along the line direction; merge segments whose cross-direction
+    # bands overlap (collinear) regardless of the along-direction gap
+    lo, hi = (1, 3) if kind == "h" else (0, 2)  # cross-direction interval
+    segs.sort(key=lambda s: (s[lo], s[hi]))
+    merged: list[list[int]] = []
+    for s in segs:
+        for m in merged:
+            if s[lo] < m[hi] and s[hi] > m[lo]:  # cross-bands overlap
+                m[0], m[1] = min(m[0], s[0]), min(m[1], s[1])
+                m[2], m[3] = max(m[2], s[2]), max(m[3], s[3])
+                break
+        else:
+            merged.append(list(s))
+    return [LineVector(kind=kind, bbox=tuple(m)) for m in merged]
+
+
+def find_and_remove_lines(
+    ink: np.ndarray, resolution: int = 300, music: bool = True
+) -> tuple[np.ndarray, list[LineVector], list[LineVector], np.ndarray | None]:
+    """FindAndRemoveLines (linefind.cpp:674-755) over a binary ink mask.
+
+    Returns (clean_ink, v_vectors, h_vectors, music_mask).  clean_ink is a
+    new array with separator lines, their residue, crossing joins, and any
+    detected music subtracted; text that a rule strikes through stays.
+    """
+    src = ink.copy()
+    max_line_width = max(1, resolution // K_THIN_LINE_FRACTION)
+    min_line_length = max(2, resolution // K_MIN_LINE_LENGTH_FRACTION)
+    closing_brick = max(1, max_line_width // 3)
+
+    # GetLineMasks (linefind.cpp:456-585), lazily: the common page has no
+    # line candidates at all, so compute only the erosions first (an open
+    # is non-empty iff its erosion is) and exit before any labeling work.
+    pix_closed = close_brick(src, closing_brick, closing_brick)
+    pix_solid = open_brick(pix_closed, max_line_width, max_line_width)
+    pix_hollow = pix_closed & ~pix_solid
+    ev = erode_brick(pix_hollow, 1, min_line_length)
+    eh = erode_brick(pix_hollow, min_line_length, 1)
+    v_empty, h_empty = not ev.any(), not eh.any()
+    if v_empty and h_empty:
+        return src, [], [], None
+    vline = dilate_brick(ev, 1, min_line_length) if not v_empty else ev
+    hline = dilate_brick(eh, min_line_length, 1) if not h_empty else eh
+
+    music_mask = None
+    if music and not v_empty and not h_empty:
+        music_mask = _filter_music(resolution, pix_closed, vline, hline)
+        v_empty, h_empty = not vline.any(), not hline.any()
+
+    # Cheap false-positive pre-pass: kill candidates that are obviously
+    # text (boundary bands of closed words) by the same density predicate
+    # but counted against raw non-candidate ink — avoids building the
+    # eroded+seedfilled non-line masks on every text page.  Survivors get
+    # the faithful FilterFalsePositives below.
+    inter_stats0 = None
+    if not v_empty and not h_empty:
+        _i0, _n0, inter_stats0 = label_and_stats(vline & hline)
+    for line_pix in (vline, hline):
+        if not line_pix.any():
+            continue
+        other = hline if line_pix is vline else vline
+        labels, n, stats = label_and_stats(line_pix)
+        for i in range(n):
+            l, t, r, b, _a = (int(v) for v in stats[i])
+            if _touching_intersections((l, t, r, b), inter_stats0) >= 2:
+                continue
+            width = min(b - t, r - l, 8)
+            gl, gt = max(0, l - width), max(0, t - width)
+            gr, gb = min(src.shape[1], r + width), min(src.shape[0], b + width)
+            if (r - l) > (b - t):
+                gl, gr = l, r  # grow only the smaller dimension
+            else:
+                gt, gb = t, b
+            nonline_count = (
+                int(src[gt:gb, gl:gr].sum())
+                - int(line_pix[gt:gb, gl:gr].sum())
+                - int(other[gt:gb, gl:gr].sum())
+            )
+            if nonline_count > (b - t) * (r - l) * K_MAX_NON_LINE_DENSITY:
+                line_pix[t:b, l:r] &= ~(labels[t:b, l:r] == i + 1)
+    v_empty, h_empty = not vline.any(), not hline.any()
+    if v_empty and h_empty:
+        if music_mask is not None:
+            src &= ~music_mask
+        return src, [], [], music_mask
+
+    inter = None
+    inter_stats = None
+    non_vline = None
+    non_hline = None
+    if not v_empty:
+        nonlines = src & ~vline
+        if not h_empty:
+            nonlines &= ~hline
+            inter = vline & hline
+            _il, _inn, inter_stats = label_and_stats(inter)
+        non_vline = erode_brick(nonlines, K_MAX_LINE_RESIDUE, 1)
+        non_vline = seedfill(non_vline, nonlines)
+        if not h_empty:
+            non_vline = (non_vline | hline) & ~(inter if inter is not None else False)
+        if _filter_false_positives(resolution, non_vline, inter_stats, vline) == 0:
+            v_empty = True
+    else:
+        nonlines = src & ~hline if not h_empty else None
+    if not h_empty:
+        non_hline = erode_brick(nonlines, 1, K_MAX_LINE_RESIDUE)
+        non_hline = seedfill(non_hline, nonlines)
+        if not v_empty:
+            non_hline |= vline & ~(inter if inter is not None else False)
+        if _filter_false_positives(resolution, non_hline, inter_stats, hline) == 0:
+            h_empty = True
+
+    # FindAndRemoveVLines / FindAndRemoveHLines (linefind.cpp:588-661)
+    v_vectors: list[LineVector] = []
+    h_vectors: list[LineVector] = []
+    if not v_empty:
+        v_vectors = _vectors_of(vline, "v")
+        _subtract_lines_and_residue(src, vline, non_vline)
+    if not h_empty:
+        # re-filter h candidates against fresh intersections
+        # (FindAndRemoveLines, linefind.cpp:712-721)
+        if not v_empty:
+            inter = vline & hline
+            _il, _inn, inter_stats = label_and_stats(inter)
+        h_vectors = _vectors_of(hline, "h")
+        _subtract_lines_and_residue(src, hline, non_hline)
+    if not v_empty and not h_empty:
+        # remove crossing-join residue (linefind.cpp:730-741)
+        join = dilate_brick(vline & hline, 5, 5)
+        src &= ~seedfill(join, src)
+    if music_mask is not None:
+        src &= ~music_mask
+    return src, v_vectors, h_vectors, music_mask
+
+
+# ---------------------------------------------------------------------------
+# halftone / photo mask (imagefind.cpp:247-330)
+
+
+def _reduce_rank2(m: np.ndarray, rank: int) -> np.ndarray:
+    """pixReduceRankBinary 2x: output pixel ON if its 2x2 block has at
+    least ``rank`` ON pixels (rank 1 = OR, 4 = AND)."""
+    h, w = m.shape
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    if (ph, pw) != (h, w):
+        m = np.pad(m, ((0, ph - h), (0, pw - w)))
+    blocks = m.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3))
+    return blocks >= rank
+
+
+def _cascade(m: np.ndarray, ranks: list[int]) -> np.ndarray:
+    for r in ranks:
+        m = _reduce_rank2(m, r)
+    return m
+
+
+def _expand2(m: np.ndarray, times: int, shape: tuple[int, int]) -> np.ndarray:
+    """pixExpandReplicate by 2**times, cropped/padded to target shape."""
+    for _ in range(times):
+        m = np.repeat(np.repeat(m, 2, axis=0), 2, axis=1)
+    h, w = shape
+    out = np.zeros(shape, dtype=bool)
+    out[: min(h, m.shape[0]), : min(w, m.shape[1])] = m[:h, :w]
+    return out
+
+
+def find_images(ink: np.ndarray) -> np.ndarray:
+    """FindImages (imagefind.cpp:247-330): halftone photo mask.
+
+    Rank-binary cascades: an OR 2x reduce solidifies dense dot patterns,
+    then AND-heavy reduces kill text (strokes have background nearby at
+    every scale) while halftone regions survive.  The surviving seed grows
+    back over the dot region via seedfill, and a fine-mask AND (the
+    reference's line/bar remover) trims thin connected appendages.
+    Returns a full-resolution boolean mask (all-False when no image found).
+    """
+    h, w = ink.shape
+    if w // 2 < K_MIN_IMAGE_FIND_SIZE or h // 2 < K_MIN_IMAGE_FIND_SIZE:
+        return np.zeros_like(ink)
+    pixr = _reduce_rank2(ink, 1)  # 2x OR reduce
+    # halftone mask analogue of pixGenerateHalftoneMask: seed = high-rank
+    # cascade (solid areas only), mask = softer cascade, seed grows in mask
+    seed = _cascade(pixr, [4, 4, 3])  # 16x of full
+    if not seed.any():
+        return np.zeros_like(ink)
+    mask4 = dilate_brick(_cascade(pixr, [4, 2]), 3, 3)  # 8x of full
+    ht8 = seedfill(_expand2(seed, 1, mask4.shape), mask4)
+    if not ht8.any():
+        return np.zeros_like(ink)
+    pixht = _expand2(ht8, 3, ink.shape)
+    # capture pixels near the mask edges that were missed
+    # (imagefind.cpp:292-295)
+    pixht |= seedfill(pixht, ink)
+    # eliminate lines and bars joined to the image (imagefind.cpp:297-321,
+    # fine-mask branch; the coarse 128x branch is skipped — at fixture page
+    # sizes it reduces below 1px, documented simplification)
+    fine = dilate_brick(_cascade(pixht, [1, 1, 3, 3]), 5, 5)  # 16x
+    pixht &= _expand2(fine, 4, ink.shape)
+    if not pixht.any():
+        return pixht
+    # Reclaim text wrongly caught by the mask: the reference re-examines
+    # image partitions and returns text-like ones to the text pipeline
+    # (ImageFind partition filtering, imagefind.cpp:1106-1180; blob-size
+    # reasoning as in ccnontextdetect.cpp).  At full resolution a genuine
+    # image region is either a halftone (many tiny dot CCs) or mostly
+    # solid ink; a text region is a handful of glyph-sized components.
+    _mlab, mn, mstats = label_and_stats(pixht)
+    for i in range(mn):
+        l, t, r, b, _a = (int(v) for v in mstats[i])
+        _clab, cn, cstats = label_and_stats(ink[t:b, l:r])
+        if cn == 0:
+            pixht[t:b, l:r] = False
+            continue
+        areas = cstats[:cn, 4]
+        is_halftone = cn >= 30 and float(np.median(areas)) <= 16.0
+        is_solid = float(areas.max()) >= 0.5 * (r - l) * (b - t)
+        if not (is_halftone or is_solid):
+            pixht[t:b, l:r] = False
+    return pixht

@@ -86,6 +86,11 @@ class PageResult:
     skew: float = 0.0
     n_blobs: int = 0
     n_noise: int = 0
+    # separator lines removed by the morphological line finder
+    # (linefind.cpp:674) — merged logical rules, not raw segments
+    v_rules: int = 0
+    h_rules: int = 0
+    has_music: bool = False
 
 
 def _grade_blobs(stats: np.ndarray) -> np.ndarray:
@@ -384,8 +389,11 @@ def _row_metrics(
     best_s = 0
     for s in (1, 2, 3, 4):
         # direct comparisons beat np.isin here (tiny allowed sets, no
-        # temp per-call sort/unique) — this runs per text row
-        drop_ok = ((drops == 0) | (drops == 4 * s)).all()
+        # temp per-call sort/unique) — this runs per text row.
+        # Drops may fall anywhere in (0, 4s]: a rule struck through the
+        # descender band leaves truncated stubs (linefind residue); the
+        # rise/width constraints still pin the scale uniquely.
+        drop_ok = (drops <= 4 * s).all()
         if not drop_ok:
             continue
         rise_ok = (
@@ -511,6 +519,44 @@ def analyze_page(
     ink = binarize_otsu(gray)
     if not ink.any():  # empty-page short circuit (baseapi.cpp:770-773)
         return res
+
+    # Morphological pre-passes in the reference's order
+    # (pagesegmain.cpp:287-293): rule-line find/remove FIRST
+    # (linefind.cpp:674) so a rule struck through text doesn't fuse glyphs
+    # into one unusable component, then the halftone photo mask
+    # (imagefind.cpp:247) — dot patterns are thousands of tiny CCs that
+    # blob grading below cannot see.  Music staves fold into the photo
+    # regions (pagesegmain.cpp:204-219).
+    from .linefind import find_and_remove_lines, find_images
+
+    ink, v_vecs, h_vecs, music_mask = find_and_remove_lines(ink, dpi)
+    res.v_rules, res.h_rules = len(v_vecs), len(h_vecs)
+    res.has_music = music_mask is not None
+    pre_regions: list[Region] = [
+        Region(kind="rule", bbox=v.bbox, block_id=-1) for v in v_vecs + h_vecs
+    ]
+    photo_mask = find_images(ink)
+    if photo_mask.any():
+        ink = ink & ~photo_mask
+    if music_mask is not None:
+        photo_mask = photo_mask | music_mask
+    if photo_mask.any():
+        _pl, pn, pstats = label_and_stats(photo_mask)
+        pre_regions += [
+            Region(
+                kind="photo",
+                bbox=(int(l), int(t), int(r), int(b)),
+                block_id=-1,
+            )
+            for l, t, r, b, _a in pstats[:pn]
+        ]
+    if not ink.any():  # page was nothing but separators/photos
+        regions = sorted(pre_regions, key=lambda g: (g.bbox[1], g.bbox[0]))
+        for bi, g in enumerate(regions):
+            g.block_id = bi
+        res.regions = regions
+        return res
+
     labels, n, stats = label_and_stats(ink)
     grade = _grade_blobs(stats)
     res.n_blobs = int((grade == 0).sum())
@@ -519,7 +565,7 @@ def analyze_page(
     # media regions (photo/rule) leave the text pipeline here; bboxes are
     # transformed into the deskewed frame below so they share the text
     # regions' coordinate system (reading order + sink bboxes)
-    media_regions: list[Region] = []
+    media_regions: list[Region] = list(pre_regions)
     for kind_code, kind in ((2, "photo"), (3, "rule")):
         for i in np.flatnonzero(grade == kind_code):
             l, t, r, b, _a = (int(v) for v in stats[i])

@@ -132,6 +132,101 @@ def q_ocr_vgsl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_OCR_VGSL_EXTRACT = ORACLE_OCR_EXTRACT
 
 
+def q_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-line find/remove golden (LineFinder::FindAndRemoveLines,
+    src/textord/linefind.cpp:674; wired at pagesegmain.cpp:287-293).
+
+    Every 7th document's media chunks are re-rendered at scale 3 inside a
+    ruled FORM BOX: a horizontal rule STRUCK THROUGH the first text line's
+    descender band plus left/right vertical rules crossing it (>=2
+    intersections is the reference's removal guarantee for lines that
+    cross ink, linefind.cpp:207).  The page stage must remove all three
+    rules morphologically and still decode the text EXACTLY; the oracle
+    knows the expected text and the exact rule counts (2 vertical + the
+    strike-through merged to 1 horizontal) by construction.
+
+    Zero shuffles: one mapInPandas over the chunk rows; each row is a
+    complete result."""
+    import pandas as pd
+
+    from .derived import WORDS_PER_LINE, chunked
+
+    ch = chunked(spark, sf_dir).filter(
+        (F.col("kind") == "media") & (F.col("doc_id") % 7 == 0)
+    )
+
+    def udf(batches):
+        from .functions.compose import MARGIN, PageSpec, compose_page
+        from .functions.fonts import BASELINE
+        from .operators.recognize import recognize_page
+
+        S = 3  # fixed render scale for the strike fixture
+        for pdf in batches:
+            rows = []
+            for doc_id, i, chunk in zip(
+                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
+            ):
+                words = chunk.split(" ")
+                lines = [
+                    " ".join(words[j * WORDS_PER_LINE : (j + 1) * WORDS_PER_LINE])
+                    for j in range(-(-len(words) // WORDS_PER_LINE))
+                ]
+                page = compose_page(
+                    PageSpec(paragraphs=[lines], scale=S, skew=0.0)
+                )
+                img = page.image.copy()
+                h, w = img.shape
+                ry = MARGIN * S + (BASELINE + 2) * S  # mid-descender strike
+                img[ry : ry + 3, 4 : w - 4] = 0
+                img[4 : h - 4, 4:7] = 0
+                img[4 : h - 4, w - 7 : w - 4] = 0
+                spans, layout = recognize_page(img, 300)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "offset": int(i),
+                        "v_rules": int(layout.v_rules),
+                        "h_rules": int(layout.h_rules),
+                        "text": "\n".join(
+                            s.text for s in spans if s.kind == "text"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "offset", "v_rules", "h_rules", "text"]
+            )
+
+    return (
+        ch.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            udf,
+            schema="doc_id long, offset int, v_rules int, h_rules int, "
+            "text string",
+        )
+    )
+
+
+ORACLE_LINE_REMOVAL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS "offset",
+         list_slice(words, g.i*12 + 1, g.i*12 + 12) AS cw
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+)
+SELECT doc_id, "offset", 2 AS v_rules, 1 AS h_rules,
+  array_to_string(
+    list_transform(
+      generate_series(0, CAST(ceil(len(cw)/4.0) AS BIGINT) - 1),
+      j -> array_to_string(cw[j*4 + 1 : j*4 + 4], ' ')),
+    chr(10)) AS text
+FROM c
+WHERE "offset" % 3 <> 0 AND doc_id % 7 = 0
+"""
+
+
 def q_ocr_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document aggregates over real OCR output (MeanTextConf analogue,
     baseapi.cpp:1719-1776): span count + recognized character mass."""
@@ -2200,6 +2295,7 @@ FROM pred GROUP BY lang
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocr_extract": (q_ocr_extract, ORACLE_OCR_EXTRACT),
     "ocr_vgsl_extract": (q_ocr_vgsl_extract, ORACLE_OCR_VGSL_EXTRACT),
+    "line_removal": (q_line_removal, ORACLE_LINE_REMOVAL),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
     "blob_grading": (q_blob_grading, ORACLE_BLOB_GRADING),
