@@ -34,6 +34,11 @@ UPPER = LOWER.upper()
 DIGITS = "0123456789"
 PUNCT = ".,;:!?'\"()-"
 CHARSET = LOWER + UPPER + DIGITS + PUNCT
+# RTL fixture alphabet (12 Hebrew letters) for the bidi/RTL goldens
+# (layout_test.cc:214 HebrewOrderingAndSkew analogue).  Rendered by the
+# same procedural generator; NOT part of the default template net's
+# charset — recognition uses an extended net (templates.get_net_rtl).
+RTL_CHARSET = "אבגדהוזחטיכל"
 
 _ASCENDERS = set("bdfhklt") | set(UPPER) | set(DIGITS) | set("!?'\"()")
 _DESCENDERS = set("gjpqy")
@@ -82,7 +87,9 @@ def _connected(g: np.ndarray) -> bool:
 def _build_font() -> dict[str, np.ndarray]:
     font: dict[str, np.ndarray] = {}
     seen: set[bytes] = set()
-    for ch in CHARSET:
+    # base charset first so its glyphs are byte-identical with or without
+    # the RTL extension (the seen-set retry path depends on build order)
+    for ch in CHARSET + RTL_CHARSET:
         attempt = 0
         while True:
             g = _make_glyph(ch, attempt)

@@ -36,23 +36,24 @@ K_ADAPT_ACCEPT_SCORE = BLANK_SCORE + 0.05  # adapted-template hits decode
 class TemplateNet:
     """Glyph-template conv bank over canonical 16-row line strips."""
 
-    def __init__(self) -> None:
+    def __init__(self, glyphs: str = CHARSET) -> None:
         font = get_font()
-        self.charset = CHARSET + " "
-        self.space_code = len(CHARSET)
+        self.glyphs = glyphs
+        self.charset = glyphs + " "
+        self.space_code = len(glyphs)
         self.blank = len(self.charset)  # last class = CTC blank
         self.n_classes = len(self.charset) + 1
         # group filters by width for batched matmul
         self.by_width: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for w in sorted({g.shape[1] for g in font.values()}):
-            idxs = [i for i, ch in enumerate(CHARSET) if font[ch].shape[1] == w]
+        for w in sorted({font[ch].shape[1] for ch in glyphs}):
+            idxs = [i for i, ch in enumerate(glyphs) if font[ch].shape[1] == w]
             filt = np.stack(
-                [font[CHARSET[i]].astype(np.float32).ravel() for i in idxs]
+                [font[glyphs[i]].astype(np.float32).ravel() for i in idxs]
             )  # [n_c, 16*w]
             self.by_width[w] = (np.asarray(idxs, dtype=np.int64), filt)
-        self.widths = {ch: font[ch].shape[1] for ch in CHARSET}
-        self.width_by_code = np.zeros(len(CHARSET), dtype=np.int64)
-        for i, ch in enumerate(CHARSET):
+        self.widths = {ch: font[ch].shape[1] for ch in glyphs}
+        self.width_by_code = np.zeros(len(glyphs), dtype=np.int64)
+        for i, ch in enumerate(glyphs):
             self.width_by_code[i] = self.widths[ch]
 
     def match_scores(
@@ -139,13 +140,13 @@ class TemplateNet:
                 exact & (w > widest_exact), w, widest_exact
             )
         best_frac = (
-            vec_all[: len(CHARSET)].max(axis=0)
+            vec_all[: self.space_code].max(axis=0)
             if n_cand
             else np.zeros(0, dtype=np.float32)
         )
         keep = best_frac >= BLANK_SCORE
         best_codes = (
-            vec_all[: len(CHARSET)].argmax(axis=0)
+            vec_all[: self.space_code].argmax(axis=0)
             if n_cand
             else np.zeros(0, dtype=np.int64)
         )
@@ -175,11 +176,11 @@ class TemplateNet:
                     # every code above K_SOFT_GATE gets SOFT_EVENT_SCORE,
                     # blank still wins greedily (char drops without a
                     # dictionary), but a DAWG continuation can flip it
-                    col = vec_all[: len(CHARSET), ci]
+                    col = vec_all[: self.space_code, ci]
                     ok = col >= K_SOFT_GATE
                     if ok.any():
                         vec = np.zeros(self.n_classes, dtype=np.float32)
-                        vec[: len(CHARSET)][ok] = SOFT_EVENT_SCORE
+                        vec[: self.space_code][ok] = SOFT_EVENT_SCORE
                         qual = np.where(ok, col, -1.0)
                         best_w = int(
                             self.width_by_code[int(np.argmax(qual))]
@@ -191,7 +192,7 @@ class TemplateNet:
                 dropped.append(x)
                 continue
             vec = np.zeros(self.n_classes, dtype=np.float32)
-            vec[: len(CHARSET)] = vec_all[: len(CHARSET), ci]
+            vec[: self.space_code] = vec_all[: self.space_code, ci]
             best_w = int(widest_exact[ci]) or int(
                 self.width_by_code[int(best_codes[ci])]
             )
@@ -236,7 +237,7 @@ class TemplateNet:
                 if c in fuzzy_cols:
                     fuzzy_ts.add(t)
             else:
-                logits[t, : len(CHARSET)] = ALPHA * v[: len(CHARSET)]
+                logits[t, : self.space_code] = ALPHA * v[: self.space_code]
         if len(merged) > 0:
             col_of_t[-1] = merged[-1][0] + 1
         # log-softmax
@@ -261,3 +262,18 @@ def get_net() -> TemplateNet:
     if _NET is None:
         _NET = TemplateNet()
     return _NET
+
+
+_NET_RTL: TemplateNet | None = None
+
+
+def get_net_rtl() -> TemplateNet:
+    """Template net extended with the RTL fixture alphabet (the 'heb'
+    traineddata analogue of layout_test.cc:214 — a different language pack
+    is a different charset + templates, same engine)."""
+    global _NET_RTL
+    if _NET_RTL is None:
+        from ..functions.fonts import RTL_CHARSET
+
+        _NET_RTL = TemplateNet(CHARSET + RTL_CHARSET)
+    return _NET_RTL

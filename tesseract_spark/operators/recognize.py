@@ -19,6 +19,7 @@ import numpy as np
 from ..lstm.ctc import ctc_beam_decode, fix_rep_chars, resolve_fuzzy_spaces
 from ..lstm.dawg import Dawg
 from ..lstm.templates import TemplateNet, get_net
+from .bidi import char_is_rtl, render_line_text, word_direction
 from .page import PageResult, analyze_page, fuzzy_space_px
 
 
@@ -390,6 +391,22 @@ def recognize_page_detail(
                 float(np.mean([w.confidence for w in words])) if words else 0.0
             )
         for pi, group in enumerate(region.paragraphs):
+            # bidi reading order (CalculateTextlineOrder,
+            # resultiterator.cpp:284-364): paragraphs containing strong-RTL
+            # words are re-assembled in the bidi walk with suffix marks;
+            # pure-LTR paragraphs take the fast path unchanged.  Paragraph
+            # base direction = majority of strong word directions (the
+            # analogue of current_paragraph_is_ltr_ from the para model).
+            para_word_texts = [w.text for i in group for w in row_decoded[i]]
+            if any(char_is_rtl(c) for t in para_word_texts for c in t):
+                n_r = sum(1 for t in para_word_texts if word_direction(t) == "R")
+                n_l = sum(1 for t in para_word_texts if word_direction(t) == "L")
+                para_ltr = n_l >= n_r
+                for i in group:
+                    ws = [w.text for w in row_decoded[i]]
+                    row_texts[i] = render_line_text(
+                        ws, [word_direction(t) for t in ws], para_ltr
+                    )
             texts = [row_texts[i] for i in group]
             confs = [row_confs[i] for i in group if row_words[i] > 0]
             para_y = region.rows[group[0]].bbox[1]
