@@ -39,6 +39,10 @@ CHARSET = LOWER + UPPER + DIGITS + PUNCT
 # same procedural generator; NOT part of the default template net's
 # charset — recognition uses an extended net (templates.get_net_rtl).
 RTL_CHARSET = "אבגדהוזחטיכל"
+# math fixture alphabet for equation-region detection (equationdetect.cpp;
+# the 'equ' traineddata analogue) — same deal as RTL_CHARSET: rendered by
+# the font, recognized only by the extended net (templates.get_net_math)
+MATH_CHARSET = "=+<>/^"
 
 _ASCENDERS = set("bdfhklt") | set(UPPER) | set(DIGITS) | set("!?'\"()")
 _DESCENDERS = set("gjpqy")
@@ -89,7 +93,7 @@ def _build_font() -> dict[str, np.ndarray]:
     seen: set[bytes] = set()
     # base charset first so its glyphs are byte-identical with or without
     # the RTL extension (the seen-set retry path depends on build order)
-    for ch in CHARSET + RTL_CHARSET:
+    for ch in CHARSET + RTL_CHARSET + MATH_CHARSET:
         attempt = 0
         while True:
             g = _make_glyph(ch, attempt)

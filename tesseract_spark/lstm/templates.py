@@ -277,3 +277,17 @@ def get_net_rtl() -> TemplateNet:
 
         _NET_RTL = TemplateNet(CHARSET + RTL_CHARSET)
     return _NET_RTL
+
+
+_NET_MATH: TemplateNet | None = None
+
+
+def get_net_math() -> TemplateNet:
+    """Template net extended with the math fixture alphabet (the 'equ'
+    language pack of EquationDetect, equationdetect.cpp:97-112)."""
+    global _NET_MATH
+    if _NET_MATH is None:
+        from ..functions.fonts import MATH_CHARSET
+
+        _NET_MATH = TemplateNet(CHARSET + MATH_CHARSET)
+    return _NET_MATH

@@ -20,6 +20,7 @@ from ..lstm.ctc import ctc_beam_decode, fix_rep_chars, resolve_fuzzy_spaces
 from ..lstm.dawg import Dawg
 from ..lstm.templates import TemplateNet, get_net
 from .bidi import char_is_rtl, render_line_text, word_direction
+from .equation import is_equation_text
 from .page import PageResult, analyze_page, fuzzy_space_px
 
 
@@ -411,12 +412,17 @@ def recognize_page_detail(
             confs = [row_confs[i] for i in group if row_words[i] > 0]
             para_y = region.rows[group[0]].bbox[1]
             key = (0, ri, para_y) if multi_col else (para_y, 0, 0)
+            para_text = "\n".join(texts)
+            # PT_EQUATION taxonomy (publictypes.h:51-67): a math-dense
+            # isolated paragraph emits an equation span
+            # (EquationDetect seed gates, equationdetect.cpp:942-974)
+            kind = "equation" if is_equation_text(para_text) else "text"
             keyed.append(
                 (
                     key,
                     SubSpan(
-                        "text",
-                        "\n".join(texts),
+                        kind,
+                        para_text,
                         float(np.mean(confs)) if confs else 0.0,
                         len(group),
                         sum(row_words[i] for i in group),

@@ -206,6 +206,88 @@ def q_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_equation_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equation-region taxonomy golden (EquationDetect,
+    src/ccmain/equationdetect.cpp; PT_EQUATION publictypes.h:51-67).
+
+    Every 11th document's media chunks are rendered with an appended
+    display-equation paragraph (deterministic arithmetic from (doc_id,
+    offset)); the engine must segment it as its own paragraph, decode the
+    math glyphs via the extended 'equ' net, and emit kind='equation' for
+    exactly that span while the prose paragraph stays kind='text'.
+
+    Zero shuffles: one mapInPandas; each chunk row is a complete result."""
+    import pandas as pd
+
+    from .derived import WORDS_PER_LINE, chunked
+
+    ch = chunked(spark, sf_dir).filter(
+        (F.col("kind") == "media") & (F.col("doc_id") % 11 == 0)
+    )
+
+    def udf(batches):
+        from .functions.compose import PageSpec, compose_page
+        from .lstm.templates import get_net_math
+        from .operators.recognize import recognize_page
+
+        net = get_net_math()
+        for pdf in batches:
+            rows = []
+            for doc_id, i, chunk in zip(
+                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
+            ):
+                doc_id, i = int(doc_id), int(i)
+                a = (doc_id * 7 + i * 3) % 90 + 10
+                b = (doc_id * 13 + i * 5) % 90 + 10
+                eq = f"{a}+{b}={a + b} {a}<{a + b}"
+                words = chunk.split(" ")
+                lines = [
+                    " ".join(words[j * WORDS_PER_LINE : (j + 1) * WORDS_PER_LINE])
+                    for j in range(-(-len(words) // WORDS_PER_LINE))
+                ]
+                page = compose_page(PageSpec(paragraphs=[lines, [eq]]))
+                spans, _ = recognize_page(page.image, 300, net=net)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "offset": i,
+                        "kinds": ",".join(s.kind for s in spans),
+                        "eq_text": "\n".join(
+                            s.text for s in spans if s.kind == "equation"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "offset", "kinds", "eq_text"]
+            )
+
+    return ch.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        udf, schema="doc_id long, offset int, kinds string, eq_text string"
+    )
+
+
+ORACLE_EQUATION_REGIONS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS "offset"
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+), e AS (
+  SELECT doc_id, "offset",
+         (doc_id*7 + "offset"*3) % 90 + 10 AS a,
+         (doc_id*13 + "offset"*5) % 90 + 10 AS b
+  FROM c WHERE "offset" % 3 <> 0 AND doc_id % 11 = 0
+)
+SELECT doc_id, "offset", 'text,equation' AS kinds,
+       CAST(a AS VARCHAR) || '+' || CAST(b AS VARCHAR) || '=' ||
+       CAST(a + b AS VARCHAR) || ' ' || CAST(a AS VARCHAR) || '<' ||
+       CAST(a + b AS VARCHAR) AS eq_text
+FROM e
+"""
+
+
 ORACLE_LINE_REMOVAL = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -2296,6 +2378,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ocr_extract": (q_ocr_extract, ORACLE_OCR_EXTRACT),
     "ocr_vgsl_extract": (q_ocr_vgsl_extract, ORACLE_OCR_VGSL_EXTRACT),
     "line_removal": (q_line_removal, ORACLE_LINE_REMOVAL),
+    "equation_regions": (q_equation_regions, ORACLE_EQUATION_REGIONS),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
     "blob_grading": (q_blob_grading, ORACLE_BLOB_GRADING),
