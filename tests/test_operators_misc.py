@@ -117,8 +117,7 @@ def test_knn_lsh_join_recall_vs_brute():
         """
     ).fetchdf()
     lsh = con.execute(
-        ORACLE_KNN_LSH_JOIN.split("), votes AS")[0]
-        + ") SELECT vec_id, nid FROM top"
+        f"SELECT vec_id, nid FROM ({ORACLE_KNN_LSH_JOIN}) t"
     ).fetchdf()
     bs = set(map(tuple, brute.values))
     ls = set(map(tuple, lsh.values))

@@ -197,3 +197,60 @@ def test_vgsl_engine_page_parity_with_template_engine():
             assert [s.text for s in t_spans if s.kind == "text"] == [
                 s.text for s in v_spans if s.kind == "text"
             ], (scale, skew)
+
+
+def test_container_byte_layout_acceptance():
+    """Hexdump-level acceptance of the traineddata container against the
+    reference serializer TessdataManager::Serialize
+    (tessdatamanager.cpp:188-216) and loader LoadMemBuffer (:110-166):
+    parse a full fixture traineddata with RAW struct unpacking only — no
+    tesseract_spark reader — and verify every offset, the -1 absent
+    markers, contiguous enum-order section packing, and that a section
+    located purely via the raw offset table load-decodes."""
+    import struct
+
+    from tesseract_spark.lstm.fixture_model import get_vgsl_model
+
+    model = get_vgsl_model()
+    blob = td.save_traineddata(model, version="5.5.3-accept")
+    lstm_bytes = td.write_lstm_section(model)
+
+    # --- header: uint32 num_entries + int64[num_entries] offset table ---
+    n = struct.unpack_from("<I", blob, 0)[0]
+    assert n == td.TESSDATA_NUM_ENTRIES == 24
+    assert n <= 1000  # kMaxNumTessdataEntries: no byte-swap triggered
+    offs = struct.unpack_from(f"<{n}q", blob, 4)
+    header = 4 + 8 * n
+    assert header == 196
+
+    # exact header bytes, reconstructed independently (Serialize packs
+    # offsets in enum order starting right after the table)
+    expected_offs = [-1] * n
+    expected_offs[td.TESSDATA_LSTM] = header
+    expected_offs[td.TESSDATA_VERSION] = header + len(lstm_bytes)
+    expected_header = struct.pack("<I", n) + struct.pack(
+        f"<{n}q", *expected_offs
+    )
+    assert blob[:header] == expected_header
+
+    # absent sections are -1 (LoadMemBuffer skips them, :136-140)
+    present = {td.TESSDATA_LSTM, td.TESSDATA_VERSION}
+    for i in range(n):
+        if i in present:
+            assert offs[i] >= header
+        else:
+            assert offs[i] == -1
+
+    # entry size = next present offset (or EOF) - own offset (:141-152)
+    assert offs[td.TESSDATA_VERSION] - offs[td.TESSDATA_LSTM] == len(lstm_bytes)
+    assert len(blob) - offs[td.TESSDATA_VERSION] == len(b"5.5.3-accept")
+
+    # sections sliced by the RAW table byte-match the section serializers
+    assert blob[offs[td.TESSDATA_LSTM] : offs[td.TESSDATA_VERSION]] == lstm_bytes
+    assert blob[offs[td.TESSDATA_VERSION] :] == b"5.5.3-accept"
+
+    # and the raw-sliced LSTM section genuinely load-decodes
+    model2 = td.read_lstm_section(
+        blob[offs[td.TESSDATA_LSTM] : offs[td.TESSDATA_VERSION]]
+    )
+    assert model2.unicharset is not None
