@@ -69,6 +69,9 @@ class Row:
     # strip of the alternative baseline hypothesis; the recognizer tries
     # it when the primary decodes empty
     alt_strip: np.ndarray | None = None
+    # sub/superscript candidate runs split off word edges for
+    # re-recognition in their own baseline frame (superscript.cpp:258-343)
+    script_segs: list = field(default_factory=list)
 
 
 @dataclass
@@ -371,45 +374,54 @@ def _row_metrics(
     bottoms = gboxes[:, 3]
     tops = gboxes[:, 1]
     widths = gboxes[:, 2] - gboxes[:, 0]
-    # baseline election: in the font model every bottom is baseline or
-    # baseline + 4s (descender).  min(bottoms) is corrupted by a damaged
-    # glyph whose bottom fragment the noise filter shaved, so vote: the
-    # candidate consistent with the most glyph bottoms wins (smallest on
-    # ties).  Mirrors the consensus nature of the reference's baseline
-    # fit (makerow.cpp LMS over many blobs, not a single extremum).
-    baseline_y, best_n = int(bottoms.min()), -1
-    for b in np.unique(bottoms):
-        d = bottoms - b
-        ok = (d == 0) | ((d > 0) & (d % 4 == 0) & (d // 4 <= 4))
-        n = int(ok.sum())
-        if n > best_n:
-            baseline_y, best_n = int(b), n
+    # joint (baseline, scale) election: score every candidate pair by how
+    # many glyphs the FULL font model explains — rise in {3s, 8s, 12s},
+    # drop in [0, 4s] (a rule struck through the descender band leaves
+    # truncated stubs, so any partial drop is allowed), ink width in
+    # s * {4, 7, 8, 9} — and keep the highest-scoring pair.  Scoring the
+    # constraints jointly (not as separate all-or-nothing gates) is what
+    # makes the election robust to outlier glyphs: a damaged fragment, or
+    # a raised superscript marker whose bottom would mimic "everything is
+    # a descender" under a bottoms-only vote, simply fails to score while
+    # the true baseline explains the majority.  Mirrors the consensus
+    # nature of the reference's baseline fit (makerow.cpp LMS over many
+    # blobs, not a single extremum).
+    best_score, best_s, baseline_y = -1, 0, int(bottoms.min())
+    for bcand in np.unique(bottoms):
+        rises_c = (bcand - tops).astype(np.int64)
+        drops_c = (bottoms - bcand).astype(np.int64)
+        for s in (1, 2, 3, 4):
+            ws = widths // s
+            ok = (
+                (drops_c >= 0)
+                & (drops_c <= 4 * s)
+                & (
+                    (rises_c == 3 * s)
+                    | (rises_c == 8 * s)
+                    | (rises_c == 12 * s)
+                )
+                & (widths % s == 0)
+                & ((ws == 4) | (ws == 7) | (ws == 8) | (ws == 9))
+            )
+            score = int(ok.sum())
+            # ties keep the largest consistent scale, then the smaller
+            # (first-seen) baseline
+            if score > best_score or (score == best_score and s > best_s):
+                best_score, best_s, baseline_y = score, s, int(bcand)
     rises = (baseline_y - tops).astype(np.int64)
     drops = (bottoms - baseline_y).astype(np.int64)
-    best_s = 0
-    for s in (1, 2, 3, 4):
-        # direct comparisons beat np.isin here (tiny allowed sets, no
-        # temp per-call sort/unique) — this runs per text row.
-        # Drops may fall anywhere in (0, 4s]: a rule struck through the
-        # descender band leaves truncated stubs (linefind residue); the
-        # rise/width constraints still pin the scale uniquely.
-        drop_ok = (drops <= 4 * s).all()
-        if not drop_ok:
-            continue
-        rise_ok = (
-            (rises == 3 * s) | (rises == 8 * s) | (rises == 12 * s)
-        ).all()
-        if not rise_ok:
-            continue
-        ws = widths // s
-        width_ok = (
-            (widths % s == 0)
-            & ((ws == 4) | (ws == 7) | (ws == 8) | (ws == 9))
-        ).all()
-        if width_ok:
-            best_s = s  # keep the largest consistent scale
-    if best_s == 0:
-        # fallback for degenerate rows: nearest scale from the modal rise
+    if best_score <= 0:
+        # fallback for degenerate rows (every glyph damaged): consensus
+        # bottoms vote + nearest scale from the modal rise
+        baseline_y, best_n = int(bottoms.min()), -1
+        for b in np.unique(bottoms):
+            d = bottoms - b
+            ok = (d == 0) | ((d > 0) & (d % 4 == 0) & (d // 4 <= 4))
+            n = int(ok.sum())
+            if n > best_n:
+                baseline_y, best_n = int(b), n
+        rises = (baseline_y - tops).astype(np.int64)
+        drops = (bottoms - baseline_y).astype(np.int64)
         vals, counts = np.unique(rises[rises > 0], return_counts=True)
         modal = float(vals[np.argmax(counts)]) if len(vals) else X_HEIGHT_CANON
         best_s = max(1, int(round(modal / X_HEIGHT_CANON)))
@@ -528,6 +540,7 @@ def analyze_page(
     # blob grading below cannot see.  Music staves fold into the photo
     # regions (pagesegmain.cpp:204-219).
     from .linefind import find_and_remove_lines, find_images
+    from .superscript import find_script_segments
 
     ink, v_vecs, h_vecs, music_mask = find_and_remove_lines(ink, dpi)
     res.v_rules, res.h_rules = len(v_vecs), len(h_vecs)
@@ -640,12 +653,33 @@ def analyze_page(
             baseline_y, x_height, scale, ambiguous = _row_metrics(bstats, gidx)
             l, t, r, b = _bbox_of(bstats, gidx)
             space_px = WORD_GAP * scale
+            # aggressive split at the fuzzy band's lower edge, in
+            # full-scale px aligned with the recognizer's canonical
+            # threshold (fuzzy_canon * scale)
+            wboxes = _word_boxes(
+                bstats,
+                gidx,
+                space_px,
+                fuzzy_space_px(max(2, space_px // scale - 1)) * scale,
+            )
+            # sub/superscript candidate split (superscript.cpp:258-343):
+            # y-outlier runs at word edges leave the row for their own
+            # re-normalized decode; the word boxes shrink accordingly
+            segs, wboxes = find_script_segments(
+                bstats, gidx, baseline_y, x_height, scale, wboxes, text_mask
+            )
             strip = _descale_strip(text_mask, l, r, baseline_y, scale)
             alt_strip = (
                 _descale_strip(text_mask, l, r, baseline_y - 4 * scale, scale)
                 if ambiguous
                 else None
             )
+            for seg in segs:  # split_word's chop: erase the run's columns
+                c0 = max(0, (seg.bbox[0] - l) // scale)
+                c1 = min(strip.shape[1], -(-(seg.bbox[2] - l) // scale))
+                strip[:, c0:c1] = False
+                if alt_strip is not None:
+                    alt_strip[:, c0:c1] = False
             rows.append(
                 Row(
                     bbox=(l, t, r, b),
@@ -654,17 +688,10 @@ def analyze_page(
                     scale=scale,
                     strip=strip,
                     strip_x0=l,
-                    # aggressive split at the fuzzy band's lower edge, in
-                    # full-scale px aligned with the recognizer's canonical
-                    # threshold (fuzzy_canon * scale)
-                    word_boxes=_word_boxes(
-                        bstats,
-                        gidx,
-                        space_px,
-                        fuzzy_space_px(max(2, space_px // scale - 1)) * scale,
-                    ),
+                    word_boxes=wboxes,
                     space_px=space_px,
                     alt_strip=alt_strip,
+                    script_segs=segs,
                 )
             )
         block_bbox = _bbox_of(bstats, np.arange(len(bstats)))

@@ -49,6 +49,10 @@ class WordRec:
     conf: float
     text: str
     baseline: int = 0  # page-y of the row baseline (deskewed frame)
+    # 'side:pos:n' per attached sub/superscript run, comma-joined (the
+    # SP_SUPERSCRIPT/SP_SUBSCRIPT blob flags of SetAllScriptPositions,
+    # superscript.cpp:469-474): e.g. 'trail:super:2' = last 2 chars raised
+    script_pos: str = ""
 
 
 def _merge_boxes(
@@ -119,7 +123,17 @@ def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
     if getattr(row, "alt_strip", None) is not None:
         alt = _decode(row.alt_strip) + (row.alt_strip,)
         if _decode_score(alt) > _decode_score(res):
-            return alt
+            res = alt
+    # pass-2 sub/superscript fix (SubAndSuperscriptFix,
+    # src/ccmain/superscript.cpp:106-227): decode the split-off y-outlier
+    # runs in their own baseline frame and paste believable results back
+    # into the adjacent words with script-position flags
+    if getattr(row, "script_segs", None):
+        from .superscript import decode_script_segments
+
+        decode_script_segments(net, row, res[1], res[2])
+        if any(getattr(w, "script_pos", None) for w in res[1]):
+            res = (" ".join(w.text for w in res[1]),) + res[1:]
     return res
 
 
@@ -467,6 +481,10 @@ def recognize_page_detail(
                             conf=round(float(w.confidence), 2),
                             text=w.text,
                             baseline=baseline_y,
+                            script_pos=",".join(
+                                f"{sd}:{sp}:{n}"
+                                for sd, sp, n in getattr(w, "script_pos", ())
+                            ),
                         )
                     )
     keyed.sort(key=lambda kv: kv[0])
