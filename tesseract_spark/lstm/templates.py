@@ -31,6 +31,12 @@ SOFT_EVENT_SCORE = BLANK_SCORE - 0.003  # loses to blank in greedy decode,
 #   reference's rating-based choice among classifier outputs
 K_ADAPT_ACCEPT_SCORE = BLANK_SCORE + 0.05  # adapted-template hits decode
 #   decisively (a learned within-page bitmap is strong evidence)
+# chop path (chopper.cpp:385 chop_word_main / segsearch.cpp:33): a piece
+# of a chopped run may lose or gain the one shared junction column, so
+# its match fraction dips below the static gate; accept pieces down to
+# this floor but require the whole segmentation to average near-exact
+K_CHOP_MIN_FRAC = 0.84
+K_CHOP_MEAN_FRAC = 0.90
 
 
 class TemplateNet:
@@ -92,6 +98,82 @@ class TemplateNet:
             eq = 2.0 * dot - t_sum - w_sum + filt.shape[1]
             out[w] = eq / filt.shape[1]
         return cand_xs, out
+
+    def chop_run(
+        self, strip: np.ndarray, rl: int, rr: int
+    ) -> list[tuple[int, int, float, int]] | None:
+        """Chop one contiguous ink run [rl, rr) into >= 2 template pieces.
+
+        The legacy engine's chop-and-search slice (OEM_TESSERACT_ONLY
+        path): when a word's blobs are joined, ``chop_word_main``
+        (src/wordrec/chopper.cpp:385) splits the weakest blob at concave
+        seam points (``attempt_blob_chop``, src/wordrec/chop.cpp) and
+        ``SegSearch`` (src/wordrec/segsearch.cpp:33) walks the resulting
+        chunk lattice for the best-rated segmentation.  Here the lattice
+        is explicit: a DP tiles the run with static-bank templates,
+        allowing each junction to abut exactly or share one chop column
+        (the seam), maximizing total match fraction with ties to fewer
+        pieces.  Returns [(x, code, frac, width)] or None when no
+        believable 2+-piece segmentation exists.
+        """
+        xs = np.arange(rl, rr, dtype=np.int64)
+        if len(xs) < 2:
+            return None
+        _c, scores = self.match_scores(strip, xs)
+        n = rr - rl
+        # best (frac, code) per (offset, width)
+        best_f: dict[int, np.ndarray] = {}
+        best_c: dict[int, np.ndarray] = {}
+        for w, (idxs, _f) in self.by_width.items():
+            sc = scores[w]
+            if not sc.size:
+                continue
+            best_f[w] = sc.max(axis=0)
+            best_c[w] = idxs[sc.argmax(axis=0)]
+        # minimize total rating cost sum(1 - frac) — ratings SUM across a
+        # segmentation in the reference (WERD_CHOICE rating accumulation),
+        # so spurious extra pieces always cost more than one clean match;
+        # ties prefer fewer pieces
+        INF = 1e9
+        dp = np.full(n + 1, INF, dtype=np.float64)
+        pieces_at = np.full(n + 1, 1 << 30, dtype=np.int64)
+        back: list[tuple[int, int, int, float] | None] = [None] * (n + 1)
+        dp[0] = 0.0
+        pieces_at[0] = 0
+        for k in range(n):
+            if dp[k] >= INF:
+                continue
+            for w in self.by_width:
+                if w not in best_f:
+                    continue
+                f = float(best_f[w][k])
+                if f < K_CHOP_MIN_FRAC:
+                    continue
+                code = int(best_c[w][k])
+                for step in (w, w - 1):  # exact abut | 1-col shared seam
+                    k2 = k + step
+                    if k2 > n:
+                        continue
+                    val = dp[k] + (1.0 - f)
+                    np2 = pieces_at[k] + 1
+                    if val < dp[k2] or (
+                        val == dp[k2] and np2 < pieces_at[k2]
+                    ):
+                        dp[k2] = val
+                        pieces_at[k2] = np2
+                        back[k2] = (k, w, code, f)
+        if dp[n] >= INF or pieces_at[n] < 2:
+            return None
+        if 1.0 - dp[n] / pieces_at[n] < K_CHOP_MEAN_FRAC:
+            return None
+        out: list[tuple[int, int, float, int]] = []
+        k = n
+        while k > 0:
+            pk, w, code, f = back[k]  # type: ignore[misc]
+            out.append((rl + pk, code, f, w))
+            k = pk
+        out.reverse()
+        return out
 
     def forward(
         self,
@@ -155,6 +237,7 @@ class TemplateNet:
         # failing the static gate either get rescued by the page's adapted
         # templates or are reported in dropped_xs.
         events: list[tuple[int, np.ndarray]] = []  # (col, class-frac vector)
+        explained = np.zeros(W, dtype=bool)  # columns an event accounts for
         dropped: list[int] = []
         taken_until = -1
         for ci in range(n_cand):
@@ -169,6 +252,7 @@ class TemplateNet:
                         vec = np.zeros(self.n_classes, dtype=np.float32)
                         vec[code] = K_ADAPT_ACCEPT_SCORE
                         events.append((x, vec))
+                        explained[x : x + w] = True
                         taken_until = x + w - 1
                         continue
                 if soft:
@@ -186,6 +270,7 @@ class TemplateNet:
                             self.width_by_code[int(np.argmax(qual))]
                         )
                         events.append((x, vec))
+                        explained[x : x + best_w] = True
                         taken_until = x + best_w - 1
                         dropped.append(x)
                         continue
@@ -197,7 +282,37 @@ class TemplateNet:
                 self.width_by_code[int(best_codes[ci])]
             )
             events.append((x, vec))
+            explained[x : x + best_w] = True
             taken_until = x + best_w - 1
+        # ---- chop pass (the legacy engine's chop-and-search slice) ------
+        # An ink run with unexplained columns is the joined-blob case:
+        # maximal munch either matched a prefix glyph and never saw the
+        # touching neighbour (its start column has an inked left
+        # neighbour, so it is not a candidate) or matched nothing.
+        # chop_word_main (chopper.cpp:385) + SegSearch (segsearch.cpp:33)
+        # re-segment such runs against the static bank; an accepted
+        # segmentation replaces the run's events.
+        if n_cand and not explained[col_has_ink].all():
+            run_starts = np.flatnonzero(
+                col_has_ink & np.r_[True, ~col_has_ink[:-1]]
+            )
+            run_ends = np.flatnonzero(
+                col_has_ink & np.r_[~col_has_ink[1:], True]
+            )
+            for rl, rr in zip(run_starts, run_ends + 1):
+                if explained[rl:rr].all():
+                    continue
+                chopped = self.chop_run(strip, int(rl), int(rr))
+                if chopped is None:
+                    continue
+                events = [(c, v) for c, v in events if not rl <= c < rr]
+                dropped = [d for d in dropped if not rl <= d < rr]
+                for x, code, frac, w in chopped:
+                    vec = np.zeros(self.n_classes, dtype=np.float32)
+                    vec[code] = max(frac, BLANK_SCORE + 0.001)
+                    events.append((x, vec))
+                    explained[x : x + w] = True
+                events.sort(key=lambda e: e[0])
         # word gaps: runs of empty columns of length >= space_px between ink
         # are definite spaces; runs in [fuzzy_px, space_px) are fuzzy spaces
         gap_cols: list[int] = []
