@@ -57,6 +57,11 @@ class TemplateNet:
                 [font[glyphs[i]].astype(np.float32).ravel() for i in idxs]
             )  # [n_c, 16*w]
             self.by_width[w] = (np.asarray(idxs, dtype=np.int64), filt)
+        # per-group template ink totals, hoisted out of match_scores
+        self._filt_sums = {
+            w: filt.sum(axis=1, keepdims=True)
+            for w, (_i, filt) in self.by_width.items()
+        }
         self.widths = {ch: font[ch].shape[1] for ch in glyphs}
         self.width_by_code = np.zeros(len(glyphs), dtype=np.int64)
         for i, ch in enumerate(glyphs):
@@ -93,7 +98,7 @@ class TemplateNet:
             wins = sp[:, cols]  # [16, n_cand, w]
             wins = wins.transpose(1, 0, 2).reshape(len(cand_xs), H * w)
             dot = filt @ wins.T  # [n_c, n_cand]
-            t_sum = filt.sum(axis=1, keepdims=True)
+            t_sum = self._filt_sums[w]
             w_sum = wins.sum(axis=1)[None, :]
             eq = 2.0 * dot - t_sum - w_sum + filt.shape[1]
             out[w] = eq / filt.shape[1]
@@ -236,15 +241,22 @@ class TemplateNet:
         # the widest exact-scoring template and skip its extent.  Candidates
         # failing the static gate either get rescued by the page's adapted
         # templates or are reported in dropped_xs.
-        events: list[tuple[int, np.ndarray]] = []  # (col, class-frac vector)
+        # events hold (col, payload): payload = candidate index into
+        # vec_all (the common static-accept path, no per-event copy), or a
+        # dense class vector (adaptive/soft/chop events), or None (space)
+        events: list[tuple[int, object]] = []
         explained = np.zeros(W, dtype=bool)  # columns an event accounts for
         dropped: list[int] = []
         taken_until = -1
+        cand_l = cand_xs.tolist()
+        keep_l = keep.tolist()
+        widest_l = widest_exact.tolist()
+        codes_l = best_codes.tolist() if n_cand else []
         for ci in range(n_cand):
-            x = int(cand_xs[ci])
+            x = cand_l[ci]
             if x <= taken_until:
                 continue
-            if not keep[ci]:
+            if not keep_l[ci]:
                 if adapted is not None:
                     hit = adapted.match(strip, x)
                     if hit is not None:
@@ -276,12 +288,8 @@ class TemplateNet:
                         continue
                 dropped.append(x)
                 continue
-            vec = np.zeros(self.n_classes, dtype=np.float32)
-            vec[: self.space_code] = vec_all[: self.space_code, ci]
-            best_w = int(widest_exact[ci]) or int(
-                self.width_by_code[int(best_codes[ci])]
-            )
-            events.append((x, vec))
+            best_w = widest_l[ci] or int(self.width_by_code[codes_l[ci]])
+            events.append((x, ci))
             explained[x : x + best_w] = True
             taken_until = x + best_w - 1
         # ---- chop pass (the legacy engine's chop-and-search slice) ------
@@ -318,20 +326,17 @@ class TemplateNet:
         gap_cols: list[int] = []
         fuzzy_cols: set[int] = set()
         lo_px = space_px if fuzzy_px is None else min(fuzzy_px, space_px)
-        if col_has_ink.any():
-            first_ink = int(np.argmax(col_has_ink))
-            last_ink = W - 1 - int(np.argmax(col_has_ink[::-1]))
-            x = first_ink
-            run = 0
-            for x in range(first_ink, last_ink + 1):
-                if not col_has_ink[x]:
-                    run += 1
-                else:
-                    if run >= lo_px:
-                        gap_cols.append(x - run)
-                        if run < space_px:
-                            fuzzy_cols.add(x - run)
-                    run = 0
+        ink_idx = np.flatnonzero(col_has_ink)
+        if len(ink_idx) > 1:
+            # blank runs between consecutive ink columns, in one pass
+            runs = np.diff(ink_idx) - 1
+            for start, run in zip(
+                (ink_idx[:-1] + 1)[runs >= lo_px].tolist(),
+                runs[runs >= lo_px].tolist(),
+            ):
+                gap_cols.append(start)
+                if run < space_px:
+                    fuzzy_cols.add(start)
         # merge events in column order; insert a blank timestep between all
         merged = sorted(
             [(c, v) for c, v in events]
@@ -351,6 +356,10 @@ class TemplateNet:
                 logits[t, self.space_code] = ALPHA * 1.0
                 if c in fuzzy_cols:
                     fuzzy_ts.add(t)
+            elif isinstance(v, int):  # candidate index into vec_all
+                logits[t, : self.space_code] = (
+                    ALPHA * vec_all[: self.space_code, v]
+                )
             else:
                 logits[t, : self.space_code] = ALPHA * v[: self.space_code]
         if len(merged) > 0:

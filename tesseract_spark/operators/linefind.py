@@ -329,6 +329,14 @@ def find_and_remove_lines(
     # line candidates at all, so compute only the erosions first (an open
     # is non-empty iff its erosion is) and exit before any labeling work.
     pix_closed = close_brick(src, closing_brick, closing_brick)
+    # pix_hollow ⊆ pix_closed, so a min_line_length run in the hollow mask
+    # needs one in the closed mask first — gate on that before paying for
+    # the (much wider) solid open on every clean text page
+    if (
+        not erode_brick(pix_closed, 1, min_line_length).any()
+        and not erode_brick(pix_closed, min_line_length, 1).any()
+    ):
+        return src, [], [], None
     pix_solid = open_brick(pix_closed, max_line_width, max_line_width)
     pix_hollow = pix_closed & ~pix_solid
     ev = erode_brick(pix_hollow, 1, min_line_length)
@@ -441,8 +449,19 @@ def _reduce_rank2(m: np.ndarray, rank: int) -> np.ndarray:
     ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
     if (ph, pw) != (h, w):
         m = np.pad(m, ((0, ph - h), (0, pw - w)))
-    blocks = m.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3))
-    return blocks >= rank
+    # the 2x2 block corners as four strided views; rank thresholds reduce
+    # to pure boolean algebra (no int accumulation pass)
+    a, b = m[0::2, 0::2], m[0::2, 1::2]
+    c, d = m[1::2, 0::2], m[1::2, 1::2]
+    if rank == 1:
+        return a | b | c | d
+    if rank == 4:
+        return a & b & c & d
+    ab, cd = a & b, c & d
+    if rank == 3:
+        return (ab & (c | d)) | (cd & (a | b))
+    # rank == 2: at least one pair ON
+    return ab | cd | ((a | b) & (c | d))
 
 
 def _cascade(m: np.ndarray, ranks: list[int]) -> np.ndarray:

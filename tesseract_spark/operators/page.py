@@ -386,28 +386,32 @@ def _row_metrics(
     # the true baseline explains the majority.  Mirrors the consensus
     # nature of the reference's baseline fit (makerow.cpp LMS over many
     # blobs, not a single extremum).
-    best_score, best_s, baseline_y = -1, 0, int(bottoms.min())
-    for bcand in np.unique(bottoms):
-        rises_c = (bcand - tops).astype(np.int64)
-        drops_c = (bottoms - bcand).astype(np.int64)
-        for s in (1, 2, 3, 4):
-            ws = widths // s
-            ok = (
-                (drops_c >= 0)
-                & (drops_c <= 4 * s)
-                & (
-                    (rises_c == 3 * s)
-                    | (rises_c == 8 * s)
-                    | (rises_c == 12 * s)
-                )
-                & (widths % s == 0)
-                & ((ws == 4) | (ws == 7) | (ws == 8) | (ws == 9))
-            )
-            score = int(ok.sum())
-            # ties keep the largest consistent scale, then the smaller
-            # (first-seen) baseline
-            if score > best_score or (score == best_score and s > best_s):
-                best_score, best_s, baseline_y = score, s, int(bcand)
+    # one broadcast over the (candidate-baseline, scale, glyph) grid; ties
+    # keep the largest consistent scale, then the smallest baseline
+    bcands = np.unique(bottoms).astype(np.int64)  # ascending
+    svals = np.array([1, 2, 3, 4], dtype=np.int64)[None, :, None]
+    rises_c = bcands[:, None, None] - tops[None, None, :]
+    drops_c = bottoms[None, None, :] - bcands[:, None, None]
+    wq = widths[None, None, :] // svals
+    ok = (
+        (drops_c >= 0)
+        & (drops_c <= 4 * svals)
+        & (
+            (rises_c == 3 * svals)
+            | (rises_c == 8 * svals)
+            | (rises_c == 12 * svals)
+        )
+        & (widths[None, None, :] % svals == 0)
+        & ((wq == 4) | (wq == 7) | (wq == 8) | (wq == 9))
+    )
+    scores = ok.sum(axis=2)  # (n_bcands, 4)
+    best_score = int(scores.max())
+    if best_score > 0:
+        sidx = int(np.flatnonzero(scores.max(axis=0) == best_score).max())
+        bidx = int(np.flatnonzero(scores[:, sidx] == best_score).min())
+        best_s, baseline_y = sidx + 1, int(bcands[bidx])
+    else:
+        best_s, baseline_y = 0, int(bottoms.min())
     rises = (baseline_y - tops).astype(np.int64)
     drops = (bottoms - baseline_y).astype(np.int64)
     if best_score <= 0:

@@ -88,17 +88,15 @@ def find_script_segments(
     # superscript.cpp:259-283, image coords: y grows downward)
     super_min_raise = SUPERSCRIPT_MIN_Y_BOTTOM * x_height
     sub_max_rise = SUBSCRIPT_MAX_Y_TOP * x_height
-    pos_of: list[str] = []
-    for l, t, r, b in gboxes[:, :4]:
-        if baseline_y - b >= super_min_raise:
-            pos_of.append("super")
-        elif baseline_y - t <= sub_max_rise and b > baseline_y:
-            pos_of.append("sub")
-        else:
-            pos_of.append("")
-
-    if not any(pos_of):
+    gt, gb = gboxes[:, 1], gboxes[:, 3]
+    is_sup = (baseline_y - gb) >= super_min_raise
+    is_sub = (~is_sup) & ((baseline_y - gt) <= sub_max_rise) & (gb > baseline_y)
+    if not (is_sup.any() or is_sub.any()):  # the common row: no outliers
         return [], word_boxes
+    pos_of = [
+        "super" if s else ("sub" if u else "")
+        for s, u in zip(is_sup.tolist(), is_sub.tolist())
+    ]
 
     # glyph -> word assignment (word boxes partition the row's x extent)
     def word_of(gl: int, gr: int) -> int:
