@@ -329,6 +329,8 @@ def recognize_page_detail(
     adapt: bool = True,
     carry_adapted=None,
     single_column: bool = False,
+    packs=None,
+    lang_state=None,
 ) -> tuple[list[SubSpan], list[WordRec], PageResult]:
     """Like recognize_page but also returns per-word records with page
     boxes for the TSV/hOCR/ALTO sinks.
@@ -342,8 +344,30 @@ def recognize_page_detail(
     ``carry_adapted``: an AdaptiveTemplates carried in from earlier pages
     of the same document (cross-page carryover, the reference's
     SwitchAdaptiveClassifier continuity, control.cpp:306-322) — templates
-    learned here accumulate into it for subsequent pages."""
-    net = net or get_net()
+    learned here accumulate into it for subsequent pages.
+
+    ``packs``: loaded language packs for multi-language retry
+    (classify_word_and_language, control.cpp:1306-1372) — each row is
+    decoded with the most-recently-used language and retried through the
+    others when not acceptable; ``lang_state`` carries the MRU language
+    across pages of a document."""
+    if packs is not None:
+        from .multilang import MultiLangState, decode_row_multilang
+
+        state = lang_state or MultiLangState(packs)
+        net = packs[0].net
+        dawg = packs[0].dawg
+        adapt = False  # the retry protocol owns arbitration (LSTM path)
+
+        def _row_decode(row):
+            return decode_row_multilang(
+                state, row, lambda p, r: _decode_row(p.net, r, p.dawg)
+            )
+    else:
+        net = net or get_net()
+
+        def _row_decode(row):
+            return _decode_row(net, row, dawg)
     layout = analyze_page(gray, dpi, single_column=single_column)
     # ---- pass 1: decode all rows, harvest adaptable words ----------------
     adapted = None
@@ -360,7 +384,7 @@ def recognize_page_detail(
         if region.kind != "text":
             continue
         for i, row in enumerate(region.rows):
-            res = _decode_row(net, row, dawg)
+            res = _row_decode(row)
             decoded[(ri, i)] = res
             if adapted is not None:
                 # crop learned bitmaps from the strip that actually decoded

@@ -309,6 +309,133 @@ WHERE "offset" % 3 <> 0 AND doc_id % 7 = 0
 """
 
 
+# 26 lowercase Latin letters -> the 12-letter RTL fixture alphabet, cycled
+# (the deterministic 'transliteration' that makes a Hebrew corpus out of
+# the driver documents; mirrored by translate() in the SQL oracle)
+def _heb26() -> str:
+    from .functions.fonts import RTL_CHARSET
+
+    return (RTL_CHARSET * 3)[:26]
+
+
+def q_multilang_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language retry golden (classify_word_and_language +
+    RetryWithLanguage + SelectBestWords, src/ccmain/control.cpp:792-917,
+    :1306-1372).
+
+    Every 5th document's media chunks where (doc_id+offset) is odd and the
+    text is purely alphabetic are transliterated into the RTL fixture
+    alphabet and rendered VISUALLY (word order and characters reversed per
+    line, the raster form of an RTL page); the rest render as normal Latin
+    pages.  The engine loads two language packs ('eng' = Latin charset,
+    'heb' = RTL charset + digits/punct — each pack a restricted unicharset
+    like a real traineddata) and recognizes every page through the retry
+    protocol: the most-recently-used pack decodes first, unacceptable rows
+    retry through the other pack, SelectBestWords keeps the better aligned
+    word-run, and the bidi walk re-assembles logical order.  The result
+    must be the LOGICAL text (the transliterated chunk) plus the winning
+    language name per page.
+
+    Zero shuffles: one mapInPandas over chunk rows; pages are independent
+    (a fresh MRU state per page keeps results partition-invariant)."""
+    import pandas as pd
+
+    from .derived import WORDS_PER_LINE, chunked
+
+    ch = chunked(spark, sf_dir).filter(
+        (F.col("kind") == "media") & (F.col("doc_id") % 5 == 0)
+    )
+
+    def udf(batches):
+        import re
+
+        from .derived import chunk_page_spec
+        from .functions.compose import compose_page
+        from .operators.multilang import MultiLangState, get_lang_packs
+        from .operators.recognize import recognize_page_detail
+
+        packs = get_lang_packs("eng+heb")
+        trans = str.maketrans("abcdefghijklmnopqrstuvwxyz", _heb26())
+        pure = re.compile(r"[a-z ]+\Z")
+        for pdf in batches:
+            rows = []
+            for doc_id, i, chunk in zip(
+                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
+            ):
+                doc_id, i = int(doc_id), int(i)
+                heb = (doc_id + i) % 2 == 1 and bool(pure.fullmatch(chunk))
+                if heb:
+                    words = chunk.translate(trans).split(" ")
+                    # visual RTL raster: per 4-word line, reverse word
+                    # order and each word's characters
+                    render = " ".join(
+                        " ".join(
+                            w[::-1]
+                            for w in reversed(words[j : j + WORDS_PER_LINE])
+                        )
+                        for j in range(0, len(words), WORDS_PER_LINE)
+                    )
+                else:
+                    render = chunk
+                page = compose_page(chunk_page_spec(doc_id, i, render))
+                state = MultiLangState(packs)
+                spans, _w, _l = recognize_page_detail(
+                    page.image, 300, packs=packs, lang_state=state
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "offset": i,
+                        "lang": packs[state.mru].name,
+                        "text": "\n".join(
+                            s.text for s in spans if s.kind == "text"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "offset", "lang", "text"]
+            )
+
+    return ch.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        udf, schema="doc_id long, offset int, lang string, text string"
+    )
+
+
+ORACLE_MULTILANG_RETRY = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS "offset",
+         list_slice(words, g.i*12 + 1, g.i*12 + 12) AS cw
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+  WHERE doc_id % 5 = 0
+), m AS (
+  SELECT doc_id, "offset",
+         (doc_id + "offset") % 2 = 1
+           AND regexp_matches(array_to_string(cw, ' '), '^[a-z ]+$') AS heb,
+         cw
+  FROM c WHERE "offset" % 3 <> 0
+), t AS (
+  SELECT doc_id, "offset", heb,
+         CASE WHEN heb THEN list_transform(cw,
+                w -> translate(w, 'abcdefghijklmnopqrstuvwxyz',
+                               'אבגדהוזחטיכלאבגדהוזחטיכלאב'))
+              ELSE cw END AS cw
+  FROM m
+)
+SELECT doc_id, "offset",
+  CASE WHEN heb THEN 'heb' ELSE 'eng' END AS lang,
+  array_to_string(
+    list_transform(
+      generate_series(0, CAST(ceil(len(cw)/4.0) AS BIGINT) - 1),
+      j -> array_to_string(cw[j*4 + 1 : j*4 + 4], ' ')),
+    chr(10)) AS text
+FROM t
+"""
+
+
 def q_ocr_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document aggregates over real OCR output (MeanTextConf analogue,
     baseapi.cpp:1719-1776): span count + recognized character mass."""
@@ -2364,6 +2491,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ocr_vgsl_extract": (q_ocr_vgsl_extract, ORACLE_OCR_VGSL_EXTRACT),
     "line_removal": (q_line_removal, ORACLE_LINE_REMOVAL),
     "equation_regions": (q_equation_regions, ORACLE_EQUATION_REGIONS),
+    "multilang_retry": (q_multilang_retry, ORACLE_MULTILANG_RETRY),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
     "blob_grading": (q_blob_grading, ORACLE_BLOB_GRADING),
