@@ -94,11 +94,20 @@ def _run_reduce(m: np.ndarray, k: int, axis: int, erode: bool) -> np.ndarray:
 
 def _windowed(m: np.ndarray, k: int, axis: int, erode: bool) -> np.ndarray:
     """Centered erosion/dilation: head-pad by the window's left reach so the
-    anchored reduce lands centered, then slice back to the input size."""
+    anchored reduce lands centered, then slice back to the input size.
+    (Direct allocation instead of np.pad — this runs several times per
+    page and np.pad's generic machinery dominates at fixture sizes.)"""
     before = k // 2 if erode else k - 1 - k // 2  # reflected SEL for dilate
-    pad = [(0, 0), (0, 0)]
-    pad[axis] = (before, 0)
-    p = np.pad(m, pad, constant_values=erode)
+    if before:
+        shape = list(m.shape)
+        shape[axis] += before
+        p = np.full(shape, erode, dtype=m.dtype)
+        if axis == 0:
+            p[before:, :] = m
+        else:
+            p[:, before:] = m
+    else:
+        p = m
     out = _run_reduce(p, k, axis, erode)
     return out[: m.shape[0], :] if axis == 0 else out[:, : m.shape[1]]
 
@@ -326,12 +335,20 @@ def find_and_remove_lines(
     closing_brick = max(1, max_line_width // 3)
 
     # GetLineMasks (linefind.cpp:456-585), lazily: the common page has no
-    # line candidates at all, so compute only the erosions first (an open
-    # is non-empty iff its erosion is) and exit before any labeling work.
-    pix_closed = close_brick(src, closing_brick, closing_brick)
+    # line candidates at all, so gate before any labeling work.  Cheapest
+    # first: pix_closed ⊆ pix_dilated, so a min_line_length run in the
+    # closed mask needs one in the dilated mask — test THAT and skip the
+    # close's erosion half entirely on the common clean text page.
+    pix_dil = dilate_brick(src, closing_brick, closing_brick)
+    if (
+        not erode_brick(pix_dil, 1, min_line_length).any()
+        and not erode_brick(pix_dil, min_line_length, 1).any()
+    ):
+        return src, [], [], None
+    pix_closed = erode_brick(pix_dil, closing_brick, closing_brick)
     # pix_hollow ⊆ pix_closed, so a min_line_length run in the hollow mask
     # needs one in the closed mask first — gate on that before paying for
-    # the (much wider) solid open on every clean text page
+    # the (much wider) solid open on every remaining text page
     if (
         not erode_brick(pix_closed, 1, min_line_length).any()
         and not erode_brick(pix_closed, min_line_length, 1).any()

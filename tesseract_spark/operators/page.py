@@ -140,34 +140,41 @@ def estimate_skew(stats: np.ndarray) -> float:
     rights = stats[:, 2].astype(np.int64) - 1
     bottoms = stats[:, 3].astype(np.int64)
     tops = stats[:, 1].astype(np.int64)
-    best_slope, best_score = 0.0, -1.0
-    for s in SKEW_GRID:
-        # discrete shear model matching the page exactly: every column
-        # moved by round(s*x), so a flat-bottomed glyph's bbox bottom
-        # shifts by round(s*x) at its steeper edge (right edge for s>0,
-        # left for s<0) and its top by the opposite edge.  Subtracting
-        # the integer edge shift re-aligns bottoms/tops EXACTLY at the
-        # true slope — integer histogram concentration is decisive where
-        # the old continuous-center model could land one grid step off
-        # on sparse scale-1 pages.  Verified exact on the full grid for
-        # |s| <= 0.05 at scales 1-2; beyond ~0.055 (3+ degrees) glyphs
-        # shear internally (column shifts differ across one glyph's
-        # width) and recovery can land one step off — outside the
-        # corpus envelope (+-0.02) and the reference's small-skew
-        # assumption (makerow.cpp textord_skew_lag).
-        if s >= 0:
-            b_edge, t_edge = rights, lefts
-        else:
-            b_edge, t_edge = lefts, rights
-        score = 0.0
-        for vals, edge in ((bottoms, b_edge), (tops, t_edge)):
-            c = vals - np.round(s * edge).astype(np.int64)
-            c -= c.min()
-            hist = np.bincount(c)
-            score += float((hist.astype(np.float64) ** 2).sum())
-        if score > best_score or (score == best_score and abs(s) < abs(best_slope)):
-            best_score, best_slope = score, float(s)
-    return best_slope
+    # discrete shear model matching the page exactly: every column
+    # moved by round(s*x), so a flat-bottomed glyph's bbox bottom
+    # shifts by round(s*x) at its steeper edge (right edge for s>0,
+    # left for s<0) and its top by the opposite edge.  Subtracting
+    # the integer edge shift re-aligns bottoms/tops EXACTLY at the
+    # true slope — integer histogram concentration is decisive where
+    # the old continuous-center model could land one grid step off
+    # on sparse scale-1 pages.  Verified exact on the full grid for
+    # |s| <= 0.05 at scales 1-2; beyond ~0.055 (3+ degrees) glyphs
+    # shear internally (column shifts differ across one glyph's
+    # width) and recovery can land one step off — outside the
+    # corpus envelope (+-0.02) and the reference's small-skew
+    # assumption (makerow.cpp textord_skew_lag).
+    # One vectorized pass over the whole grid: per-slope histograms are
+    # offset into one flat bincount (k x height buckets).
+    S = SKEW_GRID[:, None]  # (k, 1)
+    k = len(SKEW_GRID)
+    score = np.zeros(k, dtype=np.float64)
+    for vals, pos_edge, neg_edge in (
+        (bottoms, rights, lefts),
+        (tops, lefts, rights),
+    ):
+        edge = np.where(S >= 0, pos_edge[None, :], neg_edge[None, :])
+        c = vals[None, :] - np.round(S * edge).astype(np.int64)
+        c -= c.min(axis=1, keepdims=True)
+        width = int(c.max()) + 1
+        flat = (c + np.arange(k)[:, None] * width).ravel()
+        hist = np.bincount(flat, minlength=k * width).reshape(k, width)
+        score += (hist.astype(np.float64) ** 2).sum(axis=1)
+    # grid-order scan semantics: strictly-better score wins; a tie keeps
+    # the smaller |slope|, then the earlier grid entry
+    order = sorted(
+        range(k), key=lambda j: (-score[j], abs(float(SKEW_GRID[j])), j)
+    )
+    return float(SKEW_GRID[order[0]])
 
 
 def unshear(mask: np.ndarray, slope: float) -> np.ndarray:
