@@ -54,6 +54,10 @@ class DecodedWord:
     confidence: float  # 0..100, mean exp(char log-probs), like tesseract conf
     dict_word: bool
     char_ts: tuple[int, ...] = ()  # per-character emission timesteps
+    # per-character alternative choices ((ch, conf_pct) desc, rank-1 =
+    # network argmax), the ChoiceIterator / lstm_choices surface
+    # (ltrresultiterator.cpp:368-470); filled by symbol_choices
+    char_choices: tuple = ()
 
 
 def _beam_width(prefix_len: int) -> int:
@@ -425,3 +429,53 @@ def fix_rep_chars(words: list[DecodedWord]) -> tuple[list[DecodedWord], bool]:
     """Apply fix_rep_char across a row's words; returns (words, changed)."""
     out = [fix_rep_char(w) for w in words]
     return out, any(a.text != b.text for a, b in zip(out, words))
+
+
+# SaveMostCertainChoices gate (recodebeam.cpp:137-160): every output with
+# probability >= 0.01 is a reportable choice
+K_CHOICE_MIN_P = 0.01
+K_CHOICE_TOP_K = 5
+
+
+def symbol_choices(
+    log_probs: np.ndarray,
+    words: list[DecodedWord],
+    charset: str,
+    blank: int,
+    space_code: int | None,
+) -> None:
+    """Attach per-character alternative choices to decoded words in place.
+
+    The ChoiceIterator surface over LSTM results: for each recognized
+    symbol, every network output with probability >= 0.01 at the symbol's
+    emission timestep, confidence-sorted (SaveMostCertainChoices,
+    src/lstm/recodebeam.cpp:137-160; ChoiceIterator::GetUTF8Text /
+    Confidence, src/ccmain/ltrresultiterator.cpp:368-470).  Space and
+    blank never appear as choices (filterSpaces,
+    ltrresultiterator.cpp:473-490).  Rank-1 is the network argmax; the
+    final text character may differ when dictionary arbitration flipped
+    it — the same property as the reference's raw choices vs best_choice.
+    """
+    all_ts = [t for w in words for t in w.char_ts]
+    if not all_ts:
+        return
+    mat = np.exp(log_probs[np.asarray(all_ts, dtype=np.int64)])
+    mat[:, blank] = 0.0
+    if space_code is not None:
+        mat[:, space_code] = 0.0
+    kk = min(K_CHOICE_TOP_K, mat.shape[1] - 1)
+    idx = np.argpartition(-mat, kk - 1, axis=1)[:, :kk]
+    vals = np.take_along_axis(mat, idx, axis=1)
+    pos = 0
+    for w in words:
+        per_char = []
+        for _ in w.char_ts:
+            row = [
+                (charset[c], round(float(v) * 100.0, 2))
+                for c, v in zip(idx[pos], vals[pos])
+                if v >= K_CHOICE_MIN_P
+            ]
+            row.sort(key=lambda cv: (-cv[1], cv[0]))  # conf desc, char tie
+            per_char.append(tuple(row))
+            pos += 1
+        w.char_choices = tuple(per_char)

@@ -16,7 +16,12 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..lstm.ctc import ctc_beam_decode, fix_rep_chars, resolve_fuzzy_spaces
+from ..lstm.ctc import (
+    ctc_beam_decode,
+    fix_rep_chars,
+    resolve_fuzzy_spaces,
+    symbol_choices,
+)
 from ..lstm.dawg import Dawg
 from ..lstm.templates import TemplateNet, get_net
 from .bidi import char_is_rtl, render_line_text, word_direction
@@ -53,6 +58,11 @@ class WordRec:
     # SP_SUPERSCRIPT/SP_SUBSCRIPT blob flags of SetAllScriptPositions,
     # superscript.cpp:469-474): e.g. 'trail:super:2' = last 2 chars raised
     script_pos: str = ""
+    # per-symbol alternative choices: one (ch, conf_pct) tuple list per
+    # character, confidence-descending — the ChoiceIterator /
+    # lstm_choice_mode surface (ltrresultiterator.cpp:368-470); becomes
+    # array<array<struct<ch,conf>>> in the word sinks
+    choices: tuple = ()
 
 
 def _merge_boxes(
@@ -117,6 +127,10 @@ def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
         words, rep_changed = fix_rep_chars(words)
         if rep_changed:
             text = " ".join(w.text for w in words)
+        # ChoiceIterator surface: per-symbol alternative choices from the
+        # emission columns (SaveMostCertainChoices, recodebeam.cpp:137-160)
+        symbol_choices(log_probs, words, net.charset, net.blank,
+                       net.space_code)
         return text, words, merged, dropped, col_of_t
 
     res = _decode(row.strip) + (row.strip,)
@@ -509,6 +523,7 @@ def recognize_page_detail(
                                 f"{sd}:{sp}:{n}"
                                 for sd, sp, n in getattr(w, "script_pos", ())
                             ),
+                            choices=getattr(w, "char_choices", ()),
                         )
                     )
     keyed.sort(key=lambda kv: kv[0])

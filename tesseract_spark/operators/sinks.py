@@ -38,6 +38,22 @@ WORDS_SCHEMA = T.StructType(
         T.StructField("conf", T.DoubleType()),
         T.StructField("text", T.StringType()),
         T.StructField("baseline", T.IntegerType()),
+        # per-symbol alternative choices (ChoiceIterator / lstm_choice_mode
+        # surface, ltrresultiterator.cpp:368-470): one confidence-sorted
+        # (ch, conf) list per character of ``text``
+        T.StructField(
+            "choices",
+            T.ArrayType(
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("ch", T.StringType()),
+                            T.StructField("conf", T.DoubleType()),
+                        ]
+                    )
+                )
+            ),
+        ),
     ]
 )
 
@@ -78,6 +94,7 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "conf": -1.0,
                         "text": "",
                         "baseline": 0,
+                        "choices": [],
                     }
                 )
                 continue
@@ -97,6 +114,10 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "conf": w.conf,
                         "text": w.text,
                         "baseline": w.baseline,
+                        "choices": [
+                            [{"ch": ch, "conf": cf} for ch, cf in sym]
+                            for sym in w.choices
+                        ],
                     }
                 )
         yield pd.DataFrame(rows, columns=[f.name for f in WORDS_SCHEMA.fields])
@@ -193,29 +214,47 @@ def _xml_escape_sql(expr: str) -> str:
     e = f"replace({e}, \"'\", '&apos;')"
     return e
 
-def to_hocr(words: DataFrame) -> DataFrame:
+def to_hocr(words: DataFrame, lstm_choice_mode: int = 0) -> DataFrame:
     """GetHOCRText: one XHTML fragment per media page.  ocr_line titles
     carry ``baseline <slope> <offset>`` (hocrrenderer.cpp; the contract
     baseapi_test.cc:139-158 regex-asserts): slope 0 in the deskewed
     frame, offset = row baseline minus line bbox bottom.  Word frames
-    without a baseline column default it to the bbox bottom (offset 0)."""
+    without a baseline column default it to the bbox bottom (offset 0).
+
+    ``lstm_choice_mode=2``: after each word's text, emit one
+    ``ocrx_cinfo`` span per symbol holding its alternative choices with
+    ``x_confs`` titles (hocrrenderer.cpp:354-374, the ChoiceIterator
+    walk), from the ``choices`` column when present."""
     words = _ok_words(words)
     if "baseline" not in words.columns:
         words = words.withColumn("baseline", F.col("top") + F.col("height"))
+    cinfo = ""
+    wcols = "word_num, left, top, width, height, conf, text"
+    if lstm_choice_mode == 2 and "choices" in words.columns:
+        wcols += ", choices"
+        cinfo = """,
+        array_join(transform(w.choices, sym -> concat(
+          '<span class="ocrx_cinfo">',
+          array_join(transform(sym, c -> concat(
+            '<span class="ocrx_cinfo" title="x_confs ', c.conf, '">',
+            {esc_ch}, '</span>')), ''),
+          '</span>')), '')
+        """.format(esc_ch=_xml_escape_sql("c.ch"))
     line_sql = """
       concat(
         '   <span class="ocr_line" title="bbox ', min(left), ' ', min(top), ' ',
         max(left + width), ' ', max(top + height),
         '; baseline 0 ', max(baseline) - max(top + height), '">',
-        array_join(transform(array_sort(collect_list(struct(word_num, left, top,
-                                                            width, height, conf, text))),
+        array_join(transform(array_sort(collect_list(struct({wcols}))),
           w -> concat('<span class="ocrx_word" title="bbox ', w.left, ' ', w.top,
                       ' ', w.left + w.width, ' ', w.top + w.height,
                       '; x_wconf ', cast(round(w.conf, 0) as int), '">',
-                      {esc}, '</span>')), ' '),
+                      {esc}{cinfo}, '</span>')), ' '),
         '</span>')
     """
-    line_sql = line_sql.format(esc=_xml_escape_sql("w.text"))
+    line_sql = line_sql.format(
+        esc=_xml_escape_sql("w.text"), cinfo=cinfo, wcols=wcols
+    )
     lines = words.groupBy(
         "doc_id", "media_ref", "block_num", "par_num", "line_num"
     ).agg(F.expr(line_sql).alias("html"))
@@ -748,6 +787,10 @@ def to_pdf(
     bucket-locally when the media table is bucketed on media_ref.
     """
     words = _ok_words(words)
+    # prune to the columns the page builder reads: the nested `choices`
+    # column is irrelevant here and ragged nested arrays don't survive
+    # Arrow->pandas ndarray conversion inside applyInPandas
+    words = words.drop("choices")
     joined = words.join(page_dims, "media_ref", "left") if page_dims is not None else words
     if images is not None:
         joined = joined.join(

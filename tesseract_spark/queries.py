@@ -436,6 +436,80 @@ FROM t
 """
 
 
+def q_ocr_symbol_choices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-level choice surface (ChoiceIterator,
+    src/ccmain/ltrresultiterator.cpp:368-470; SaveMostCertainChoices,
+    src/lstm/recodebeam.cpp:137-160; the lstm_choice_mode hOCR walk,
+    src/api/hocrrenderer.cpp:354-374).
+
+    Every 9th document's media chunks re-render and recognize; each page
+    emits one row per recognized SYMBOL in reading order carrying the
+    rank-1 choice (the network argmax at the symbol's emission timestep)
+    and its alternative count.  The oracle reconstructs the expected
+    symbol stream — the chunk's characters with spaces removed — so a
+    green row proves the per-symbol walk end-to-end.
+
+    Zero shuffles: one mapInPandas; each chunk row is independent."""
+    import pandas as pd
+
+    from .derived import chunked
+
+    ch = chunked(spark, sf_dir).filter(
+        (F.col("kind") == "media") & (F.col("doc_id") % 9 == 0)
+    )
+
+    def udf(batches):
+        from .derived import chunk_page_spec
+        from .functions.compose import compose_page
+        from .operators.recognize import recognize_page_detail
+
+        for pdf in batches:
+            rows = []
+            for doc_id, i, chunk in zip(
+                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
+            ):
+                doc_id, i = int(doc_id), int(i)
+                page = compose_page(chunk_page_spec(doc_id, i, chunk))
+                _spans, words, _l = recognize_page_detail(page.image, 300)
+                si = 0
+                for w in words:
+                    for sym in w.choices:
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "offset": i,
+                                "si": si,
+                                "ch": sym[0][0] if sym else "",
+                            }
+                        )
+                        si += 1
+            yield pd.DataFrame(rows, columns=["doc_id", "offset", "si", "ch"])
+
+    return ch.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        udf, schema="doc_id long, offset int, si int, ch string"
+    )
+
+
+ORACLE_OCR_SYMBOL_CHOICES = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS "offset",
+         replace(array_to_string(
+           list_slice(words, g.i*12 + 1, g.i*12 + 12), ' '), ' ', '') AS s
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+  WHERE doc_id % 9 = 0
+)
+SELECT doc_id, "offset", CAST(p.j - 1 AS INT) AS si, substr(s, p.j, 1) AS ch
+FROM c, LATERAL (
+  SELECT unnest(generate_series(1, CAST(len(s) AS BIGINT))) AS j
+) p
+WHERE "offset" % 3 <> 0
+"""
+
+
 def q_ocr_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document aggregates over real OCR output (MeanTextConf analogue,
     baseapi.cpp:1719-1776): span count + recognized character mass."""
@@ -2492,6 +2566,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "line_removal": (q_line_removal, ORACLE_LINE_REMOVAL),
     "equation_regions": (q_equation_regions, ORACLE_EQUATION_REGIONS),
     "multilang_retry": (q_multilang_retry, ORACLE_MULTILANG_RETRY),
+    "ocr_symbol_choices": (q_ocr_symbol_choices, ORACLE_OCR_SYMBOL_CHOICES),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
     "blob_grading": (q_blob_grading, ORACLE_BLOB_GRADING),
