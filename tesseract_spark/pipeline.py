@@ -184,6 +184,10 @@ def _make_ocr_udf(
                             "n_lines": int(s.n_lines),
                             "n_words": int(s.n_words),
                             "n_chars": len(s.text),
+                            # per-span timing is approximate: the page's
+                            # wall clock divides evenly across its spans
+                            # (only per-PAGE totals are meaningful; the
+                            # lineage metrics aggregate before reporting)
                             "wall_ms": wall / max(1, len(spans)),
                             "partition_id": pid,
                         }

@@ -243,3 +243,119 @@ def stream_assemble_documents(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str | None = None,
+    query_name: str = "stream_dedup",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming exact deduplication with checkpoint-resumable state.
+
+    The training-data-pipeline exact dedup (q_dedup_exact's hash-groupBy)
+    lifted onto the streaming surface: documents arrive across
+    micro-batches, are keyed by content fingerprint (sha2 over the
+    whitespace-normalized text), and flow through
+    ``applyInPandasWithState``.  The FIRST document seen for a
+    fingerprint is emitted as canonical (``dup_of`` NULL); every later
+    arrival — same batch, later batch, or a later RUN resumed from the
+    checkpoint — emits a (doc_id, dup_of=canonical) mapping row instead.
+    Per-fingerprint state is one short string (the canonical doc_id), so
+    state size is O(unique corpus) regardless of stream length, and the
+    state store shards by fingerprint hash — no skew from popular
+    documents beyond their single state entry.
+
+    Within one batch, the smallest doc_id wins canonical (deterministic
+    under shuffle nondeterminism); across batches, arrival order wins
+    (streaming semantics).
+
+    Input rows: (doc_id string, text string).
+    Output rows: (doc_id string, fp string, dup_of string|null).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("fp", T.StringType()),
+            T.StructField("dup_of", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("canonical", T.StringType())]
+    )
+
+    def dedup(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        canonical = state.get[0] if state.exists else None
+        rows = []
+        ids: list[str] = []
+        for pdf in pdfs:
+            ids.extend(str(d) for d in pdf["doc_id"] if not pd.isna(d))
+        ids.sort()
+        for d in ids:
+            if canonical is None:
+                canonical = d
+                rows.append({"doc_id": d, "fp": key[0], "dup_of": None})
+            else:
+                rows.append({"doc_id": d, "fp": key[0], "dup_of": canonical})
+        state.update((canonical,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["doc_id", "fp", "dup_of"])
+
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+        .withColumn(
+            "fp",
+            F.sha2(
+                F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " "),
+                256,
+            ),
+        )
+    )
+    deduped = stream.groupBy("fp").applyInPandasWithState(
+        dedup,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    if out_dir is not None:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import os
+
+        if not os.path.exists(out_dir):
+            return spark.createDataFrame([], out_schema)
+        return spark.read.parquet(out_dir)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

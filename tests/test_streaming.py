@@ -118,3 +118,52 @@ def test_stateful_assembly_resumes_state_across_runs(spark, tmp_path):
     # idempotent re-run: checkpoint sees no new files
     res = stream_assemble_documents(spark, spans_dir, cp, out_dir=out)
     assert res.count() == 1
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    from tesseract_spark.streaming.stream import stream_dedup_exact
+
+    docs_dir = str(tmp_path / "dd_docs")
+    # batch 1: d1/d2 share text (d1 canonical by doc_id), d3 unique
+    spark.createDataFrame(
+        [("d1", "same text"), ("d2", "same  text"), ("d3", "other")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    out = str(tmp_path / "dd_out")
+    cp = str(tmp_path / "dd_cp")
+    got = stream_dedup_exact(spark, docs_dir, cp, out_dir=out).toPandas()
+    got = got.set_index("doc_id")
+    import pandas as pd
+
+    assert pd.isna(got.loc["d1", "dup_of"])  # d1 is canonical
+    # whitespace-normalized fingerprint: d2 maps to d1
+    assert got.loc["d2", "dup_of"] == "d1"
+    assert pd.isna(got.loc["d3", "dup_of"])
+    # batch 2 (a later RUN resumed from the checkpoint): a new duplicate
+    # of d1's text still maps to d1 -- state survived the restart
+    spark.createDataFrame(
+        [("d4", "same text"), ("d5", "fresh")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    got2 = stream_dedup_exact(spark, docs_dir, cp, out_dir=out).toPandas()
+    got2 = got2.set_index("doc_id")
+    assert got2.loc["d4", "dup_of"] == "d1"
+    assert pd.isna(got2.loc["d5", "dup_of"])
+    assert len(got2) == 5  # no re-emission of batch-1 rows
+
+
+def test_stream_dedup_within_batch_deterministic_canonical(spark, tmp_path):
+    from tesseract_spark.streaming.stream import stream_dedup_exact
+
+    docs_dir = str(tmp_path / "dd2_docs")
+    rows = [(f"x{i}", "dup me") for i in range(9, -1, -1)]
+    spark.createDataFrame(rows, "doc_id string, text string").repartition(
+        4
+    ).write.parquet(docs_dir)
+    got = stream_dedup_exact(
+        spark, docs_dir, str(tmp_path / "dd2_cp"),
+        out_dir=str(tmp_path / "dd2_out"), max_files_per_trigger=10,
+    ).toPandas()
+    canon = got[got.dup_of.isna()]
+    assert list(canon.doc_id) == ["x0"]  # smallest doc_id wins in-batch
+    assert (got[got.doc_id != "x0"].dup_of == "x0").all()
