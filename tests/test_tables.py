@@ -140,3 +140,55 @@ def test_structured_table_extraction():
         ["mn", "op", "qr"],
         ["st", "uv", "wx"],
     ]
+
+
+def _ruled_table_page() -> np.ndarray:
+    """Aligned 4x3 table with DRAWN separator rules: vertical lines in the
+    column gutters and horizontal lines in the row gaps (the ruled-form
+    shape FindAndRemoveLines must lift before tablefind can see aligned
+    cells, linefind.cpp:674 -> tablefind.cpp LocateTables)."""
+    cols = [0, 30, 60]
+    rows = [
+        _cell_row(["ab", "cd", "ef"], cols, 100),
+        _cell_row(["gh", "ij", "kl"], cols, 100),
+        _cell_row(["mn", "op", "qr"], cols, 100),
+        _cell_row(["st", "uv", "wx"], cols, 100),
+    ]
+    vgap = 8
+    w = 100 + 24
+    h = len(rows) * (CELL_H + vgap) + 24
+    page = np.zeros((h, w), dtype=bool)
+    y = 12
+    for r in rows:
+        page[y : y + CELL_H, 12 : 12 + r.shape[1]] = r
+        y += CELL_H + vgap
+    table_top, table_bot = 10, y - vgap + 2
+    # vertical rules in the two column gutters (gutter span ~[14,30))
+    for gx in (12 + 25, 12 + 55):
+        page[table_top:table_bot, gx : gx + 2] = True
+    # horizontal rules in the three row gaps
+    for ri in range(1, 4):
+        gy = 12 + ri * (CELL_H + vgap) - vgap // 2 - 1
+        page[gy : gy + 2, 8 : w - 8] = True
+    return mask_to_gray(page)
+
+
+def test_ruled_table_rules_removed_and_structure_decoded():
+    from tesseract_spark.operators.page import analyze_page
+    from tesseract_spark.operators.tables import extract_page_tables
+
+    gray = _ruled_table_page()
+    layout = analyze_page(gray, 300)
+    # the separators are lifted as rule vectors, not fused into text CCs
+    assert layout.v_rules == 2 and layout.h_rules == 3
+    assert not layout.has_music  # a ruled grid is NOT a music staff
+    tables = extract_page_tables(gray, 300, layout=layout)
+    assert len(tables) == 1
+    t = tables[0]
+    assert (t.n_rows, t.n_cols) == (4, 3)
+    assert t.grid() == [
+        ["ab", "cd", "ef"],
+        ["gh", "ij", "kl"],
+        ["mn", "op", "qr"],
+        ["st", "uv", "wx"],
+    ]
