@@ -1,0 +1,153 @@
+"""OEM_TESSERACT_ONLY page path: static shape classifier word recognition.
+
+The legacy engine's recognition flow (``Tesseract::classify_word_pass1``
+with tessedit_ocr_engine_mode == OEM_TESSERACT_ONLY,
+src/ccmain/control.cpp:1374-1420 -> ``Classify::CharNormClassifier``,
+src/classify/adaptmatch.cpp:1290-1360) re-expressed over the layout
+stage's canonical row strips:
+
+- words split at space-wide column gaps (tospace semantics, the same
+  canonical thresholds the template path uses);
+- glyph candidates are contiguous ink column runs (KERN-separated in the
+  fixture font; a full-height slice keeps detached dots with their stem,
+  the blob association the reference gets from chopper/associate);
+- every glyph slice classifies through the pruner + integer-matcher bank
+  (lstm/intproto.py); a run whose best rating is poor retries the CHOP
+  path (``Wordrec::chop_word_main`` src/wordrec/chopper.cpp:385: split at
+  interior ink minima, keep the piecewise reading when its joint rating
+  beats the unchopped one — the seam-search compressed to bitmap column
+  cuts).
+
+Classification results are memoized by slice bytes (DawgCache-style
+worker sharing): fixture renders repeat glyphs exactly, and a real
+engine's adapted templates play the same amortizing role.
+
+This is the parity surface of BasicTesseractTest
+(unittest/baseapi_test.cc:72-89: the legacy engine must read the same
+gold text), closed here as the `ocr_legacy_extract` oracle: the legacy
+path must reproduce the SAME span text as the LSTM/template flagship.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.fonts import WORD_GAP
+from ..lstm.intproto import StaticShapeClassifier, get_static_classifier
+
+# a glyph run below this rating retries the chop path (the reference
+# chops while the word is not acceptable, chopper.cpp:403-420)
+K_CHOP_RATING = 0.85
+# minimum piece width a chop may produce (chopper min blob size)
+K_MIN_PIECE_W = 2
+
+
+def _classify_cached(clf: StaticShapeClassifier, cache: dict, sl: np.ndarray):
+    key = (sl.shape[1], sl.tobytes())
+    hit = cache.get(key)
+    if hit is None:
+        res = clf.classify(sl)
+        hit = res[0] if res else ("", 0.0)
+        cache[key] = hit
+    return hit
+
+
+def _chop_classify(
+    clf: StaticShapeClassifier, cache: dict, sl: np.ndarray
+) -> tuple[str, float] | None:
+    """Chop one slice at its best interior ink-minimum pair of pieces
+    (chop_word_main compressed to a single column cut; the 2-piece case
+    of templates.chop_run's DP).  Returns (text, joint rating) or None."""
+    col_ink = sl.sum(axis=0)
+    W = sl.shape[1]
+    best = None
+    for cut in range(K_MIN_PIECE_W, W - K_MIN_PIECE_W + 1):
+        # prefer thin seams: only cut where ink is locally minimal
+        if col_ink[cut] > col_ink.min() + 1:
+            continue
+        a, b = sl[:, :cut], sl[:, cut:]
+        ca, ra = _classify_cached(clf, cache, a)
+        cb, rb = _classify_cached(clf, cache, b)
+        if not ca or not cb:
+            continue
+        joint = float(np.sqrt(ra * rb))
+        if best is None or joint > best[1]:
+            best = (ca + cb, joint)
+    return best
+
+
+def decode_strip_legacy(
+    strip: np.ndarray,
+    space_px: int | None = None,
+    clf: StaticShapeClassifier | None = None,
+    cache: dict | None = None,
+) -> str:
+    """One canonical row strip -> text via the static classifier."""
+    clf = clf or get_static_classifier()
+    cache = cache if cache is not None else {}
+    space_px = space_px or WORD_GAP
+    col_ink = strip.any(axis=0)
+    if not col_ink.any():
+        return ""
+    # glyph runs = contiguous ink column spans
+    d = np.diff(col_ink.astype(np.int8))
+    starts = (np.flatnonzero(d == 1) + 1).tolist()
+    ends = (np.flatnonzero(d == -1) + 1).tolist()
+    if col_ink[0]:
+        starts = [0] + starts
+    if col_ink[-1]:
+        ends = ends + [len(col_ink)]
+    words: list[str] = []
+    cur = ""
+    prev_end = None
+    for s, e in zip(starts, ends):
+        if prev_end is not None and s - prev_end >= space_px:
+            if cur:
+                words.append(cur)
+            cur = ""
+        prev_end = e
+        sl = strip[:, s:e]
+        ch, rating = _classify_cached(clf, cache, sl)
+        if rating < K_CHOP_RATING:
+            chopped = _chop_classify(clf, cache, sl)
+            if chopped is not None and chopped[1] > rating:
+                ch = chopped[0]
+        cur += ch
+    if cur:
+        words.append(cur)
+    return " ".join(words)
+
+
+def recognize_page_legacy(gray: np.ndarray, dpi: int = 300):
+    """recognize_page on the legacy engine: same layout stage, every row
+    decoded by the static shape classifier (the OEM_TESSERACT_ONLY
+    switch).  Returns ordered (kind, text) span tuples like the other
+    engines' walks."""
+    from .page import analyze_page
+
+    clf = get_static_classifier()
+    cache: dict = {}
+    layout = analyze_page(gray, dpi)
+    multi_col = sum(1 for g in layout.regions if g.kind == "text") > 1
+    keyed: list[tuple[tuple, tuple[str, str]]] = []
+    for ri, region in enumerate(layout.regions):
+        if region.kind != "text":
+            y = region.bbox[1]
+            key = (1, 0, y) if multi_col else (y, 1, 0)
+            keyed.append((key, ("media", "")))
+            continue
+        texts = [
+            decode_strip_legacy(
+                row.strip,
+                max(2, row.space_px // max(1, row.scale) - 1),
+                clf,
+                cache,
+            )
+            for row in region.rows
+        ]
+        for group in region.paragraphs:
+            para_y = region.rows[group[0]].bbox[1]
+            key = (0, ri, para_y) if multi_col else (para_y, 0, 0)
+            keyed.append((key, ("text", "\n".join(texts[i] for i in group))))
+    keyed.sort(key=lambda kv: kv[0])
+    return [s for _k, s in keyed], layout

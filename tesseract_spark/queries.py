@@ -436,6 +436,78 @@ FROM t
 """
 
 
+def q_ocr_legacy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-engine extraction parity (OEM_TESSERACT_ONLY: the static
+    shape classifier path, adaptmatch.cpp:1290-1360 over micro-features
+    mfx.cpp:54-143 with the intmatcher pruner+match,
+    intmatcher.cpp:127-520, chop fallback chopper.cpp:385).
+
+    Every 13th document's media chunks re-render and decode through
+    recognize_page_legacy; the oracle is the SAME chunk-text
+    reconstruction the LSTM/template flagship must match — the
+    BasicTesseractTest contract (unittest/baseapi_test.cc:72-89: the
+    legacy engine reads the same gold text).
+
+    Zero shuffles: one mapInPandas over chunk rows."""
+    import pandas as pd
+
+    from .derived import chunked
+
+    ch = chunked(spark, sf_dir).filter(
+        (F.col("kind") == "media") & (F.col("doc_id") % 13 == 0)
+    )
+
+    def udf(batches):
+        from .derived import chunk_page_spec
+        from .functions.compose import compose_page
+        from .operators.legacy import recognize_page_legacy
+
+        for pdf in batches:
+            rows = []
+            for doc_id, i, chunk in zip(
+                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
+            ):
+                doc_id, i = int(doc_id), int(i)
+                page = compose_page(chunk_page_spec(doc_id, i, chunk))
+                spans, _l = recognize_page_legacy(page.image, 300)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "offset": i,
+                        "text": "\n".join(
+                            t for k, t in spans if k == "text"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "offset", "text"])
+
+    return ch.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        udf, schema="doc_id long, offset int, text string"
+    )
+
+
+ORACLE_OCR_LEGACY_EXTRACT = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS "offset",
+         list_slice(words, g.i*12 + 1, g.i*12 + 12) AS cw
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+  WHERE doc_id % 13 = 0
+)
+SELECT doc_id, "offset",
+  array_to_string(
+    list_transform(
+      generate_series(0, CAST(ceil(len(cw)/4.0) AS BIGINT) - 1),
+      j -> array_to_string(cw[j*4 + 1 : j*4 + 4], ' ')),
+    chr(10)) AS text
+FROM c
+WHERE "offset" % 3 <> 0
+"""
+
+
 def q_ocr_symbol_choices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symbol-level choice surface (ChoiceIterator,
     src/ccmain/ltrresultiterator.cpp:368-470; SaveMostCertainChoices,
@@ -2567,6 +2639,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "equation_regions": (q_equation_regions, ORACLE_EQUATION_REGIONS),
     "multilang_retry": (q_multilang_retry, ORACLE_MULTILANG_RETRY),
     "ocr_symbol_choices": (q_ocr_symbol_choices, ORACLE_OCR_SYMBOL_CHOICES),
+    "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
     "blob_grading": (q_blob_grading, ORACLE_BLOB_GRADING),
