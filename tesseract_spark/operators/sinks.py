@@ -619,6 +619,120 @@ def to_threshold_images(media: DataFrame) -> DataFrame:
     )
 
 
+def to_component_images(
+    media: DataFrame, level: str = "textline", text_only: bool = True
+) -> DataFrame:
+    """GetComponentImages / GetRegions / GetTextlines / GetWords
+    (baseapi.cpp:GetComponentImages via PageIterator::BoundingBox +
+    GetImage, baseapi.h:350-426): layout-level bounding boxes WITH the
+    cropped grayscale image of each component, at ``level`` in
+    {'block', 'textline', 'word'}.
+
+    This is the API real pipelines use to cut LINE IMAGE datasets for
+    LSTM training (the lstmtraining workflow consumes exactly these
+    crops); emitting them as a table of (media_ref, ids, bbox, png) rows
+    makes the extraction a first-class distributed dataset.
+
+    ``text_only``: drop non-text components (the reference's text_only
+    flag) — with it off, block level also emits photo/rule regions.
+
+    Zero shuffles: one mapInPandas over media rows; each page's crops
+    are independent.
+    """
+    if level not in ("block", "textline", "word"):
+        raise ValueError(f"unsupported component level: {level!r}")
+
+    def udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png_codec import decode_gray_png, encode_gray_png
+        from .page import analyze_page
+
+        cols = [
+            "media_ref", "block_num", "line_num", "word_num",
+            "left", "top", "width", "height", "png",
+        ]
+        for pdf in batches:
+            rows = []
+            for ref, png in zip(pdf["media_ref"], pdf["png"]):
+                if png is None:
+                    continue
+                try:
+                    gray = decode_gray_png(bytes(png))
+                    layout = analyze_page(gray, 300)
+                except Exception:
+                    continue  # degraded pages have no components
+                H, W = gray.shape
+
+                def crop(l, t, r, b):
+                    l, t = max(0, int(l)), max(0, int(t))
+                    r, b = min(W, int(r)), min(H, int(b))
+                    if r <= l or b <= t:
+                        return None
+                    return encode_gray_png(gray[t:b, l:r])
+
+                for bi, region in enumerate(layout.regions):
+                    if region.kind != "text":
+                        if level == "block" and not text_only:
+                            l, t, r, b = region.bbox
+                            rows.append(
+                                {
+                                    "media_ref": ref, "block_num": bi + 1,
+                                    "line_num": 0, "word_num": 0,
+                                    "left": int(l), "top": int(t),
+                                    "width": int(r - l),
+                                    "height": int(b - t),
+                                    "png": crop(l, t, r, b),
+                                }
+                            )
+                        continue
+                    if level == "block":
+                        l, t, r, b = region.bbox
+                        rows.append(
+                            {
+                                "media_ref": ref, "block_num": bi + 1,
+                                "line_num": 0, "word_num": 0,
+                                "left": int(l), "top": int(t),
+                                "width": int(r - l), "height": int(b - t),
+                                "png": crop(l, t, r, b),
+                            }
+                        )
+                        continue
+                    for li, row in enumerate(region.rows):
+                        if level == "textline":
+                            l, t, r, b = row.bbox
+                            rows.append(
+                                {
+                                    "media_ref": ref, "block_num": bi + 1,
+                                    "line_num": li + 1, "word_num": 0,
+                                    "left": int(l), "top": int(t),
+                                    "width": int(r - l),
+                                    "height": int(b - t),
+                                    "png": crop(l, t, r, b),
+                                }
+                            )
+                        else:  # word
+                            for wi, (l, t, r, b) in enumerate(row.word_boxes):
+                                rows.append(
+                                    {
+                                        "media_ref": ref,
+                                        "block_num": bi + 1,
+                                        "line_num": li + 1,
+                                        "word_num": wi + 1,
+                                        "left": int(l), "top": int(t),
+                                        "width": int(r - l),
+                                        "height": int(b - t),
+                                        "png": crop(l, t, r, b),
+                                    }
+                                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_ref", "png").mapInPandas(
+        udf,
+        schema="media_ref string, block_num int, line_num int, "
+        "word_num int, left int, top int, width int, height int, "
+        "png binary",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Searchable PDF sink (pdfrenderer.cpp analogue)
 # ---------------------------------------------------------------------------

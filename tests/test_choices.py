@@ -80,3 +80,39 @@ def test_words_schema_choices_column(spark, corpus):
     )
     assert len(row["choices"]) == len(row["text"])
     assert row["choices"][0][0]["ch"] == row["text"][0]
+
+
+# ---------------------------------------------------------------------------
+# GetComponentImages family (baseapi.h:350-426)
+
+
+def test_component_images_levels(spark, corpus):
+    import numpy as np
+
+    from tesseract_spark.functions.png_codec import decode_gray_png
+    from tesseract_spark.operators.sinks import to_component_images
+
+    media = spark.read.parquet(corpus["media"]).limit(4).cache()
+    lines = to_component_images(media, level="textline").collect()
+    words = to_component_images(media, level="word").collect()
+    blocks = to_component_images(media, level="block").collect()
+    assert len(blocks) >= 1
+    assert len(lines) >= len(blocks)  # every block has >= 1 line
+    assert len(words) >= len(lines)  # every line has >= 1 word
+    # crops decode and match their declared bbox
+    for r in lines[:5]:
+        img = decode_gray_png(bytes(r["png"]))
+        assert img.shape == (r["height"], r["width"])
+        assert isinstance(img, np.ndarray)
+    # word rows carry full id chain
+    assert all(r["word_num"] >= 1 and r["line_num"] >= 1 for r in words)
+
+
+def test_component_images_rejects_bad_level(spark, corpus):
+    import pytest
+
+    from tesseract_spark.operators.sinks import to_component_images
+
+    media = spark.read.parquet(corpus["media"])
+    with pytest.raises(ValueError):
+        to_component_images(media, level="symbol")
