@@ -223,3 +223,28 @@ def test_music_staff_becomes_nontext_region():
     got = [(s.kind, s.text) for s in spans]
     assert ("text", "lyrics line") in got
     assert got[0] == ("media", "")  # staff region is media, not garbage text
+
+
+def test_dashed_rule_healed_and_removed():
+    """A dashed separator (6-on/3-off) heals under GetLineMasks' closing
+    (the close_brick step, linefind.cpp:459-470: broken scan lines become
+    one candidate) and is removed as ONE horizontal rule; the text above
+    and below still decodes exactly."""
+    from tesseract_spark.functions.fonts import CELL_H, mask_to_gray, render_line
+
+    top = render_line("above the line", 2)
+    bot = render_line("below the line", 2)
+    w = max(top.shape[1], bot.shape[1]) + 40
+    h = 2 * CELL_H * 2 + 60
+    page = np.zeros((h, w), dtype=bool)
+    page[12 : 12 + top.shape[0], 20 : 20 + top.shape[1]] = top
+    page[h - 12 - bot.shape[0] : h - 12, 20 : 20 + bot.shape[1]] = bot
+    ry = h // 2
+    for x in range(8, w - 8, 9):  # 6-on / 3-off dashes
+        page[ry : ry + 2, x : min(x + 6, w - 8)] = True
+    spans, layout = recognize_page(mask_to_gray(page), 300)
+    assert layout.h_rules == 1 and layout.v_rules == 0
+    texts = [s.text for s in spans if s.kind == "text"]
+    assert "\n".join(texts) == "above the line\nbelow the line"
+    # the healed dashes surface as ONE rule media region
+    assert [g.kind for g in layout.regions].count("rule") == 1
