@@ -499,11 +499,16 @@ def _bbox_of(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int, int]:
     )
 
 
-def _paragraphs(rows: list[Row], block_left: int) -> list[list[int]]:
+def _paragraphs(
+    rows: list[Row], block_left: int, separators: list[tuple] = ()
+) -> list[list[int]]:
     """Group row indices into paragraphs (paragraphs.cpp geometric pass).
 
-    Break on: vertical gap > 1.8× modal pitch, or a first-line indent
-    (row left >= block_left + 2×space width).
+    Break on: vertical gap > 1.8× modal pitch, a first-line indent
+    (row left >= block_left + 2×space width), or a horizontal SEPARATOR
+    rule lying between the two rows (removed rules bound partitions,
+    the ColPartition grid semantics of colpartitionset.cpp — a ruled-off
+    section is its own block even at line pitch).
     """
     if not rows:
         return []
@@ -521,7 +526,17 @@ def _paragraphs(rows: list[Row], block_left: int) -> list[list[int]]:
         gap_break = (line_pitch > 0 and gap > 1.8 * line_pitch) or (
             gap > 2.2 * CELL_H * rows[i].scale
         )
-        if gap_break or indent_break:
+        sep_break = False
+        if separators:
+            prev_bot = rows[i - 1].bbox[3]
+            cur_top = tops[i]
+            rl, rr = rows[i].bbox[0], rows[i].bbox[2]
+            for sl, st, sr, sb in separators:
+                sy = (st + sb) / 2.0
+                if prev_bot <= sy <= cur_top and sl < rr and sr > rl:
+                    sep_break = True
+                    break
+        if gap_break or indent_break or sep_break:
             groups.append([i])
         else:
             groups[-1].append(i)
@@ -707,7 +722,15 @@ def analyze_page(
             )
         block_bbox = _bbox_of(bstats, np.arange(len(bstats)))
         region = Region(kind="text", bbox=block_bbox, block_id=-1, rows=rows)
-        region.paragraphs = _paragraphs(rows, block_bbox[0])
+        # horizontal separator rules bound paragraphs (removed rules are
+        # partition boundaries, colpartitionset semantics)
+        h_seps = [
+            g.bbox
+            for g in media_regions
+            if g.kind == "rule"
+            and (g.bbox[2] - g.bbox[0]) > (g.bbox[3] - g.bbox[1])
+        ]
+        region.paragraphs = _paragraphs(rows, block_bbox[0], h_seps)
         text_regions.append(region)
 
     # reading order: run-major (vertical bands top-down), columns

@@ -245,6 +245,8 @@ def test_dashed_rule_healed_and_removed():
     spans, layout = recognize_page(mask_to_gray(page), 300)
     assert layout.h_rules == 1 and layout.v_rules == 0
     texts = [s.text for s in spans if s.kind == "text"]
-    assert "\n".join(texts) == "above the line\nbelow the line"
+    # the separator BOUNDS paragraphs (ColPartition semantics): one text
+    # span above the rule, one below
+    assert texts == ["above the line", "below the line"]
     # the healed dashes surface as ONE rule media region
     assert [g.kind for g in layout.regions].count("rule") == 1
