@@ -43,6 +43,15 @@ RTL_CHARSET = "אבגדהוזחטיכל"
 # the 'equ' traineddata analogue) — same deal as RTL_CHARSET: rendered by
 # the font, recognized only by the extended net (templates.get_net_math)
 MATH_CHARSET = "=+<>/^"
+# Devanagari fixture alphabet (10 consonants) for the shiro-rekha
+# round-trip goldens (devanagari_processing.cpp).  Each glyph carries its
+# own stretch of the top bar (rows DEVA_BAR_TOP..+DEVA_BAR_H); render_line
+# additionally joins the bar across intra-word kern gaps, so a rendered
+# word is ONE connected component until the splitter cuts it — exactly
+# the conjoined shape SplitWordShiroRekha undoes.
+DEVA_CHARSET = "कखगघचछजझटठ"
+DEVA_BAR_TOP = XHEIGHT_TOP  # bar rows 4..5 in the canonical cell
+DEVA_BAR_H = 2
 
 _ASCENDERS = set("bdfhklt") | set(UPPER) | set(DIGITS) | set("!?'\"()")
 _DESCENDERS = set("gjpqy")
@@ -57,8 +66,38 @@ def _glyph_band(ch: str) -> tuple[int, int]:
     return top, bot
 
 
+def _make_glyph_deva(ch: str, attempt: int = 0) -> np.ndarray:
+    """Devanagari fixture glyph: full-width shiro-rekha stretch (rows
+    4..5), a hanger stem, and a random-walk body strictly below the bar
+    (rows 7..11) with one guaranteed-full body row.  The empty row 6 gap
+    (bridged only by the stem) keeps the bar band's 70%-of-peak expansion
+    (GetShiroRekhaYExtents, devanagari_processing.cpp:345-375) from
+    swallowing body rows, and the full body row guarantees the splitter's
+    per-column scan (:286-339) never finds a false intra-glyph gap —
+    together they make split(render(word)) == glyphs exact by
+    construction, for ANY word over this alphabet."""
+    width = 8 + (ord(ch) % 2)  # >= 8 so any 2-glyph word trips the
+    # conjoined gate cw >= 2*ch of split_shiro_rekha_page
+    rng = np.random.default_rng((FONT_SEED, ord(ch), attempt))
+    g = np.zeros((CELL_H, width), dtype=bool)
+    g[DEVA_BAR_TOP : DEVA_BAR_TOP + DEVA_BAR_H, :] = True  # bar stretch
+    stem_x = int(rng.integers(0, width))
+    body_top = DEVA_BAR_TOP + DEVA_BAR_H + 1  # row 7; row 6 is the gap
+    g[DEVA_BAR_TOP + DEVA_BAR_H : BASELINE, stem_x] = True  # hanger stem
+    y, x = int(rng.integers(body_top, BASELINE)), stem_x
+    for _ in range(3 * (BASELINE - body_top) + 2 * width):
+        g[y, x] = True
+        dy, dx = rng.integers(-1, 2), rng.integers(-1, 2)
+        y = int(np.clip(y + dy, body_top, BASELINE - 1))
+        x = int(np.clip(x + dx, 0, width - 1))
+    g[(body_top + BASELINE) // 2, :] = True  # full body row (row 9)
+    return g
+
+
 def _make_glyph(ch: str, attempt: int = 0) -> np.ndarray:
     """Connected random-walk glyph in its band. Deterministic per (ch, attempt)."""
+    if ch in DEVA_CHARSET:
+        return _make_glyph_deva(ch, attempt)
     top, bot = _glyph_band(ch)
     width = 4 if ch in ".,;:'" else 7 + (ord(ch) % 3)  # 7..9 px wide
     rng = np.random.default_rng((FONT_SEED, ord(ch), attempt))
@@ -93,7 +132,7 @@ def _build_font() -> dict[str, np.ndarray]:
     seen: set[bytes] = set()
     # base charset first so its glyphs are byte-identical with or without
     # the RTL extension (the seen-set retry path depends on build order)
-    for ch in CHARSET + RTL_CHARSET + MATH_CHARSET:
+    for ch in CHARSET + RTL_CHARSET + MATH_CHARSET + DEVA_CHARSET:
         attempt = 0
         while True:
             g = _make_glyph(ch, attempt)
@@ -145,6 +184,21 @@ def render_line(text: str, scale: int = 1) -> np.ndarray:
         if i + 1 < len(text) and text[i + 1] != " ":
             cols.append(np.zeros((CELL_H, KERN), dtype=bool))
     mask = np.concatenate(cols, axis=1) if cols else np.zeros((CELL_H, 1), dtype=bool)
+    # shiro-rekha join: adjacent Devanagari glyphs write under one
+    # continuous top bar (the conjoined-word raster the reference's
+    # ShiroRekhaSplitter undoes, devanagari_processing.cpp:228-341) —
+    # fill the bar rows across each intra-word kern gap
+    font2 = get_font()
+    x = 0
+    for i, ch in enumerate(text):
+        if ch == " ":
+            x += WORD_GAP
+            continue
+        x += font2[ch if ch in font2 else "?"].shape[1]
+        if i + 1 < len(text) and text[i + 1] != " ":
+            if ch in DEVA_CHARSET and text[i + 1] in DEVA_CHARSET:
+                mask[DEVA_BAR_TOP : DEVA_BAR_TOP + DEVA_BAR_H, x : x + KERN] = True
+            x += KERN
     if scale > 1:
         mask = np.kron(mask, np.ones((scale, scale), dtype=bool))
     return mask

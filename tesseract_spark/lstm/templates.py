@@ -403,6 +403,23 @@ def get_net_rtl() -> TemplateNet:
     return _NET_RTL
 
 
+_NET_DEVA: TemplateNet | None = None
+
+
+def get_net_deva() -> TemplateNet:
+    """Template net extended with the Devanagari fixture alphabet (the
+    'hin'/'san' traineddata analogue).  Cells arriving here must already
+    be shiro-rekha-split (analyze_page deva_split=True) — each cell then
+    carries its own stretch of the bar, the exact shape of the font
+    glyph, as devanagari_processing.cpp:311-315 prescribes."""
+    global _NET_DEVA
+    if _NET_DEVA is None:
+        from ..functions.fonts import DEVA_CHARSET
+
+        _NET_DEVA = TemplateNet(CHARSET + DEVA_CHARSET)
+    return _NET_DEVA
+
+
 _NET_MATH: TemplateNet | None = None
 
 

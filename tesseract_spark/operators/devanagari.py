@@ -109,21 +109,28 @@ def split_word_shiro_rekha(
 
 
 def split_shiro_rekha_page(
-    ink: np.ndarray, xheight: int = UNSPECIFIED_XHEIGHT
-) -> tuple[np.ndarray, int]:
+    ink: np.ndarray,
+    xheight: int = UNSPECIFIED_XHEIGHT,
+    return_mask: bool = False,
+):
     """Run the splitter over every connected component of a page mask
     (ShiroRekhaSplitter::Split walking word CCs,
     devanagari_processing.cpp:126-152).  Only wide components — wider
     than twice their height, the conjoined-word signature — are
     considered; isolated glyphs pass through untouched.
 
-    Returns (page mask with splits applied, total number of splits)."""
+    Returns (page mask with splits applied, total number of splits);
+    with ``return_mask`` also the ink of the words that WERE split —
+    the splitter's word knowledge (the reference keeps the split words'
+    boxes for pageseg, devanagari_processing.h:84-101), used to protect
+    shiro-rekha stretches from the line finder downstream."""
     from ..functions.image_ops import label_and_stats
 
     if not ink.any():
-        return ink, 0
+        return (ink, 0, None) if return_mask else (ink, 0)
     labels, n, stats = label_and_stats(ink)
     out = ink.copy()
+    split_mask = np.zeros_like(ink) if return_mask else None
     total = 0
     for i in range(n):
         l, t, r, b, _a = (int(v) for v in stats[i])
@@ -138,4 +145,8 @@ def split_shiro_rekha_page(
             region[labels[t:b, l:r] == i + 1] = False
             region |= split
             total += ns
+            if split_mask is not None:
+                split_mask[t:b, l:r] |= split
+    if return_mask:
+        return out, total, split_mask
     return out, total

@@ -211,9 +211,14 @@ def _filter_false_positives(
     nonline: np.ndarray,
     inter_stats: np.ndarray | None,
     line_pix: np.ndarray,
+    protect: np.ndarray | None = None,
 ) -> int:
     """FilterFalsePositives (linefind.cpp:183-224).  Erases bad components
-    from line_pix in place; returns the number remaining."""
+    from line_pix in place; returns the number remaining.
+
+    ``protect``: ink known a-priori to be text (the shiro-rekha
+    splitter's split-word mask) — a candidate whose pixels mostly fall
+    on protected ink is text, however line-like its closed shape."""
     min_thick_length = int(resolution * K_THICK_LENGTH_MULTIPLE)
     labels, n, stats = label_and_stats(line_pix)
     remaining = n
@@ -221,6 +226,15 @@ def _filter_false_positives(
         l, t, r, b, _a = (int(v) for v in stats[i])
         bw, bh = r - l, b - t
         comp = (labels[t:b, l:r] == i + 1)
+        if protect is not None:
+            on_ink = comp & (nonline[t:b, l:r] | protect[t:b, l:r])
+            if (
+                on_ink.any()
+                and (protect[t:b, l:r] & on_ink).sum() >= 0.5 * on_ink.sum()
+            ):
+                line_pix[t:b, l:r] &= ~comp
+                remaining -= 1
+                continue
         max_width = _max_stroke_width(comp)
         bad = (
             bw >= K_MIN_THICK_LINE_WIDTH
@@ -321,7 +335,10 @@ def _vectors_of(line_pix: np.ndarray, kind: str) -> list[LineVector]:
 
 
 def find_and_remove_lines(
-    ink: np.ndarray, resolution: int = 300, music: bool = True
+    ink: np.ndarray,
+    resolution: int = 300,
+    music: bool = True,
+    protect: np.ndarray | None = None,
 ) -> tuple[np.ndarray, list[LineVector], list[LineVector], np.ndarray | None]:
     """FindAndRemoveLines (linefind.cpp:674-755) over a binary ink mask.
 
@@ -420,7 +437,9 @@ def find_and_remove_lines(
         non_vline = seedfill(non_vline, nonlines)
         if not h_empty:
             non_vline = (non_vline | hline) & ~(inter if inter is not None else False)
-        if _filter_false_positives(resolution, non_vline, inter_stats, vline) == 0:
+        if _filter_false_positives(
+            resolution, non_vline, inter_stats, vline, protect
+        ) == 0:
             v_empty = True
     else:
         nonlines = src & ~hline if not h_empty else None
@@ -429,7 +448,9 @@ def find_and_remove_lines(
         non_hline = seedfill(non_hline, nonlines)
         if not v_empty:
             non_hline |= vline & ~(inter if inter is not None else False)
-        if _filter_false_positives(resolution, non_hline, inter_stats, hline) == 0:
+        if _filter_false_positives(
+            resolution, non_hline, inter_stats, hline, protect
+        ) == 0:
             h_empty = True
 
     # FindAndRemoveVLines / FindAndRemoveHLines (linefind.cpp:588-661)

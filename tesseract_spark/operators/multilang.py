@@ -77,7 +77,13 @@ def get_lang_packs(
     key = (spec, tuple(dict_words) if dict_words else None)
     if key in _PACK_CACHE:
         return _PACK_CACHE[key]
-    from ..functions.fonts import DIGITS, MATH_CHARSET, PUNCT, RTL_CHARSET
+    from ..functions.fonts import (
+        DEVA_CHARSET,
+        DIGITS,
+        MATH_CHARSET,
+        PUNCT,
+        RTL_CHARSET,
+    )
 
     packs: list[LangPack] = []
     for name in spec.split("+"):
@@ -87,6 +93,8 @@ def get_lang_packs(
             net = TemplateNet(RTL_CHARSET + DIGITS + PUNCT)
         elif name == "equ":
             net = TemplateNet(DIGITS + PUNCT + MATH_CHARSET)
+        elif name == "deva":
+            net = TemplateNet(DEVA_CHARSET + DIGITS + PUNCT)
         else:
             raise ValueError(f"unknown language pack: {name!r}")
         dawg = None

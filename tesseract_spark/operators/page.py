@@ -94,6 +94,8 @@ class PageResult:
     v_rules: int = 0
     h_rules: int = 0
     has_music: bool = False
+    # shiro-rekha cuts made by the Devanagari splitter (deva_split mode)
+    deva_splits: int = 0
 
 
 def _grade_blobs(stats: np.ndarray) -> np.ndarray:
@@ -544,19 +546,49 @@ def _paragraphs(
 
 
 def analyze_page(
-    gray: np.ndarray, dpi: int = 300, single_column: bool = False
+    gray: np.ndarray,
+    dpi: int = 300,
+    single_column: bool = False,
+    deva_split: bool = False,
 ) -> PageResult:
     """Full page-stage analysis of a grayscale page image.
 
     ``single_column``: skip column-set selection and treat all text as
     one block (PSM_SINGLE_COLUMN / PSM_SINGLE_BLOCK gating,
-    publictypes.h:186-207 — the PSM predicates turn layout stages off)."""
+    publictypes.h:186-207 — the PSM predicates turn layout stages off).
+
+    ``deva_split``: run the shiro-rekha splitter on the page ink before
+    component labeling (ShiroRekhaSplitter::Split,
+    devanagari_processing.cpp:126-152 — gated on script, like the
+    reference's init-time Devanagari config), so conjoined Indic words
+    separate into per-glyph cells."""
     res = PageResult()
     if gray.size == 0:
         return res
     ink = binarize_otsu(gray)
     if not ink.any():  # empty-page short circuit (baseapi.cpp:770-773)
         return res
+
+    pre_skew = 0.0
+    if deva_split:
+        # Reference order: the shiro-rekha split precedes page
+        # segmentation and line removal (Tesseract::PrepareForPageseg
+        # splits before SegmentPage, tesseractclass.cpp), else the line
+        # finder sees every conjoined word's top bar as an h-line
+        # candidate whose own body ink defeats the nonline-density
+        # rescue.  The splitter's per-row histogram needs a horizontal
+        # bar, so estimate the quantized shear on the conjoined blobs
+        # first (their tops/bottoms align at the bar/baseline) and
+        # unshear before splitting.
+        from .devanagari import split_shiro_rekha_page
+
+        _l0, _n0, stats0 = label_and_stats(ink)
+        pre_skew = estimate_skew(stats0)
+        if pre_skew != 0.0:
+            ink = unshear(ink, pre_skew)
+        ink, res.deva_splits, deva_mask = split_shiro_rekha_page(
+            ink, return_mask=True
+        )
 
     # Morphological pre-passes in the reference's order
     # (pagesegmain.cpp:287-293): rule-line find/remove FIRST
@@ -568,7 +600,9 @@ def analyze_page(
     from .linefind import find_and_remove_lines, find_images
     from .superscript import find_script_segments
 
-    ink, v_vecs, h_vecs, music_mask = find_and_remove_lines(ink, dpi)
+    ink, v_vecs, h_vecs, music_mask = find_and_remove_lines(
+        ink, dpi, protect=deva_mask if deva_split else None
+    )
     res.v_rules, res.h_rules = len(v_vecs), len(h_vecs)
     res.has_music = music_mask is not None
     pre_regions: list[Region] = [
@@ -624,7 +658,7 @@ def analyze_page(
     # precedes final grading), then unshear and re-extract.
     keep_idx = np.flatnonzero((grade == 0) | (grade == 1))
     skew = estimate_skew(stats[keep_idx])
-    res.skew = skew
+    res.skew = skew + pre_skew  # total shear incl. the deva pre-pass
 
     def mask_of(lbl: np.ndarray, count: int, idx: np.ndarray) -> np.ndarray:
         lut = np.zeros(count + 1, dtype=bool)
@@ -653,6 +687,23 @@ def analyze_page(
     else:
         # no shear: reuse the original labeling, keep text blobs only
         text_mask = mask_of(labels, n, text_idx)
+
+    if deva_split and text_mask.any():
+        # shiro-rekha split AFTER deskew (the bar must be horizontal for
+        # the per-row histogram peak of GetShiroRekhaYExtents to find it;
+        # the reference likewise splits on the deskewed page image,
+        # devanagari_processing.cpp:126-152), then re-extract components
+        # so each per-glyph cell becomes its own blob
+        from .devanagari import split_shiro_rekha_page
+
+        text_mask, late_splits = split_shiro_rekha_page(text_mask)
+        res.deva_splits += late_splits
+        if late_splits:
+            labels, n, stats = label_and_stats(text_mask)
+            grade = _grade_blobs(stats)
+            text_idx = np.flatnonzero(grade == 0)
+            if len(text_idx) < n:
+                text_mask = mask_of(labels, n, text_idx)
     tstats = stats[text_idx]
 
     # column blocks by strip-banded column-set selection (the column-set

@@ -87,9 +87,12 @@ def recognize_page(
     dpi: int = 300,
     dawg: Dawg | None = None,
     net: TemplateNet | None = None,
+    deva_split: bool = False,
 ) -> tuple[list[SubSpan], PageResult]:
     """Full single-page OCR: returns reading-ordered sub-spans + layout."""
-    spans, _words, layout = recognize_page_detail(gray, dpi, dawg, net)
+    spans, _words, layout = recognize_page_detail(
+        gray, dpi, dawg, net, deva_split=deva_split
+    )
     return spans, layout
 
 
@@ -345,6 +348,7 @@ def recognize_page_detail(
     single_column: bool = False,
     packs=None,
     lang_state=None,
+    deva_split: bool = False,
 ) -> tuple[list[SubSpan], list[WordRec], PageResult]:
     """Like recognize_page but also returns per-word records with page
     boxes for the TSV/hOCR/ALTO sinks.
@@ -382,7 +386,9 @@ def recognize_page_detail(
 
         def _row_decode(row):
             return _decode_row(net, row, dawg)
-    layout = analyze_page(gray, dpi, single_column=single_column)
+    layout = analyze_page(
+        gray, dpi, single_column=single_column, deva_split=deva_split
+    )
     # ---- pass 1: decode all rows, harvest adaptable words ----------------
     adapted = None
     if adapt and dawg is not None:

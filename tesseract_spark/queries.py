@@ -436,6 +436,111 @@ FROM t
 """
 
 
+def q_devanagari_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Devanagari end-to-end golden (ShiroRekhaSplitter,
+    src/textord/devanagari_processing.cpp:126-341 + the 'hin' language
+    pack analogue).
+
+    Every 9th document's pure-alphabetic media chunks are transliterated
+    into the 10-letter Devanagari fixture alphabet and rendered as real
+    conjoined script: render_line joins each word's glyphs under one
+    continuous shiro-rekha, so every word arrives as ONE connected
+    component.  The engine must (1) deskew, (2) split the bar at the
+    inter-glyph gaps (each cell keeping its own bar stretch,
+    devanagari_processing.cpp:311-315), (3) keep the line finder from
+    eating long bars as separator rules (PrepareForPageseg ordering),
+    and (4) decode the cells through the extended net.  Result: the
+    logical text plus the split count — exactly (chars - words), one cut
+    per intra-word kern gap, which the SQL oracle recomputes.
+
+    Zero shuffles: one mapInPandas; each chunk row is independent."""
+    import pandas as pd
+
+    from .derived import WORDS_PER_LINE, chunked
+
+    ch = chunked(spark, sf_dir).filter(
+        (F.col("kind") == "media") & (F.col("doc_id") % 9 == 0)
+    )
+
+    def udf(batches):
+        import re
+
+        from .derived import chunk_page_spec
+        from .functions.compose import compose_page
+        from .functions.fonts import DEVA_CHARSET
+        from .lstm.templates import get_net_deva
+        from .operators.recognize import recognize_page
+
+        net = get_net_deva()
+        trans = str.maketrans(
+            "abcdefghijklmnopqrstuvwxyz", (DEVA_CHARSET * 3)[:26]
+        )
+        pure = re.compile(r"[a-z ]+\Z")
+        for pdf in batches:
+            rows = []
+            for doc_id, i, chunk in zip(
+                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
+            ):
+                doc_id, i = int(doc_id), int(i)
+                if not pure.fullmatch(chunk):
+                    continue
+                dv = chunk.translate(trans)
+                page = compose_page(chunk_page_spec(doc_id, i, dv))
+                spans, layout = recognize_page(
+                    page.image, 300, net=net, deva_split=True
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "offset": i,
+                        "n_splits": layout.deva_splits,
+                        "text": "\n".join(
+                            s.text for s in spans if s.kind == "text"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "offset", "n_splits", "text"]
+            )
+
+    return ch.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        udf, schema="doc_id long, offset int, n_splits long, text string"
+    )
+
+
+ORACLE_DEVANAGARI_OCR = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS "offset",
+         list_slice(words, g.i*12 + 1, g.i*12 + 12) AS cw
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+  WHERE doc_id % 9 = 0
+), m AS (
+  SELECT doc_id, "offset", cw
+  FROM c
+  WHERE "offset" % 3 <> 0
+    AND regexp_matches(array_to_string(cw, ' '), '^[a-z ]+$')
+), t AS (
+  SELECT doc_id, "offset",
+         list_transform(cw,
+           w -> translate(w, 'abcdefghijklmnopqrstuvwxyz',
+                          'कखगघचछजझटठकखगघचछजझटठकखगघचछ')) AS cw
+  FROM m
+)
+SELECT doc_id, "offset",
+  CAST(len(array_to_string(cw, '')) - len(cw) AS BIGINT) AS n_splits,
+  array_to_string(
+    list_transform(
+      generate_series(0, CAST(ceil(len(cw)/4.0) AS BIGINT) - 1),
+      j -> array_to_string(cw[j*4 + 1 : j*4 + 4], ' ')),
+    chr(10)) AS text
+FROM t
+"""
+
+
 def q_ocr_legacy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy-engine extraction parity (OEM_TESSERACT_ONLY: the static
     shape classifier path, adaptmatch.cpp:1290-1360 over micro-features
@@ -2638,6 +2743,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "line_removal": (q_line_removal, ORACLE_LINE_REMOVAL),
     "equation_regions": (q_equation_regions, ORACLE_EQUATION_REGIONS),
     "multilang_retry": (q_multilang_retry, ORACLE_MULTILANG_RETRY),
+    "devanagari_ocr": (q_devanagari_ocr, ORACLE_DEVANAGARI_OCR),
     "ocr_symbol_choices": (q_ocr_symbol_choices, ORACLE_OCR_SYMBOL_CHOICES),
     "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
