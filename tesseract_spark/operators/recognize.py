@@ -97,7 +97,10 @@ def recognize_page(
 
 
 
-def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
+def _decode_row(
+    net: TemplateNet, row, dawg: Dawg | None, adapted=None,
+    want_choices: bool = False,
+):
     """Decode one layout row:
     (text, words, merged, dropped_xs, col_of_t, used_strip).
 
@@ -131,9 +134,13 @@ def _decode_row(net: TemplateNet, row, dawg: Dawg | None, adapted=None):
         if rep_changed:
             text = " ".join(w.text for w in words)
         # ChoiceIterator surface: per-symbol alternative choices from the
-        # emission columns (SaveMostCertainChoices, recodebeam.cpp:137-160)
-        symbol_choices(log_probs, words, net.charset, net.blank,
-                       net.space_code)
+        # emission columns (SaveMostCertainChoices, recodebeam.cpp:137-160).
+        # Lazy: the reference builds the choice lattice only when a
+        # ChoiceIterator / lstm_choice_mode consumer asks for it
+        # (hocrrenderer.cpp:354-374) — the plain-text path skips it.
+        if want_choices:
+            symbol_choices(log_probs, words, net.charset, net.blank,
+                           net.space_code)
         return text, words, merged, dropped, col_of_t
 
     res = _decode(row.strip) + (row.strip,)
@@ -349,6 +356,7 @@ def recognize_page_detail(
     packs=None,
     lang_state=None,
     deva_split: bool = False,
+    want_choices: bool = False,
 ) -> tuple[list[SubSpan], list[WordRec], PageResult]:
     """Like recognize_page but also returns per-word records with page
     boxes for the TSV/hOCR/ALTO sinks.
@@ -385,7 +393,7 @@ def recognize_page_detail(
         net = net or get_net()
 
         def _row_decode(row):
-            return _decode_row(net, row, dawg)
+            return _decode_row(net, row, dawg, want_choices=want_choices)
     layout = analyze_page(
         gray, dpi, single_column=single_column, deva_split=deva_split
     )
@@ -416,7 +424,9 @@ def recognize_page_detail(
     if adapted is not None and adapted.n_learned:
         for ri, i in retry:
             row = layout.regions[ri].rows[i]
-            redo = _decode_row(net, row, dawg, adapted=adapted)
+            redo = _decode_row(
+                net, row, dawg, adapted=adapted, want_choices=want_choices
+            )
             # keep the re-decode only if it explains the row better: a
             # false-positive adapted match must not override a correct
             # pass-1 (e.g. dictionary-arbitrated) reading

@@ -71,7 +71,7 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             try:
                 _spans, words, _layout = recognize_page_detail(
-                    decode_gray_png(bytes(png)), int(dpi)
+                    decode_gray_png(bytes(png)), int(dpi), want_choices=True
                 )
             except Exception:
                 # per-page isolation (control.cpp:314-322 semantics): emit a

@@ -647,7 +647,9 @@ def q_ocr_symbol_choices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 doc_id, i = int(doc_id), int(i)
                 page = compose_page(chunk_page_spec(doc_id, i, chunk))
-                _spans, words, _l = recognize_page_detail(page.image, 300)
+                _spans, words, _l = recognize_page_detail(
+                    page.image, 300, want_choices=True
+                )
                 si = 0
                 for w in words:
                     for sym in w.choices:

@@ -15,7 +15,9 @@ from tesseract_spark.operators.recognize import recognize_page_detail
 
 def _page_words(text: str):
     page = compose_page(PageSpec(paragraphs=[[text]]))
-    _spans, words, _l = recognize_page_detail(page.image, 300)
+    _spans, words, _l = recognize_page_detail(
+        page.image, 300, want_choices=True
+    )
     return words
 
 
