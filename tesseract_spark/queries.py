@@ -1289,7 +1289,10 @@ FROM pairs
 
 
 def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup scoring between consecutive documents."""
+    """n-gram Jaccard near-dup scoring between consecutive documents —
+    an operator DEMO of the Jaccard scorer, not a near-dup pass.  The
+    production shape is q_lsh_jaccard_verify (LSH recall -> exact
+    Jaccard verify over candidates only)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -1320,6 +1323,74 @@ FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
 
+
+
+def q_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup pass: LSH recall -> exact verify.
+
+    The LSH bucket join proposes candidate pairs (high recall, some false
+    positives from band collisions); each candidate is then verified with
+    the EXACT 3-gram-shingle Jaccard and thresholded at 0.5.  This is the
+    shape that scales: exact Jaccard is only ever computed on the
+    candidate set (|candidates| << n^2 by LSH design), never all pairs —
+    the scoring cousin of q_minhash_lsh_pairs, and the production
+    replacement for the consecutive-pair demo in q_jaccard_neighbors.
+
+    Shuffles: the LSH pass's single bucket exchange, plus two equi-joins
+    keyed on doc_id to attach each side's shingle set (both sides shrink
+    to the candidate keys; at corpus scale the candidate list is tiny
+    next to the documents table, and Spark's AQE will broadcast it)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    words = words.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh = words.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(ws) - 3, 0)),"
+            " i -> concat_ws(' ', slice(ws, i + 1, 3))))"
+        ).alias("sh"),
+    )
+    cand = q_minhash_lsh_pairs(spark, sf_dir)
+    j = cand.join(
+        sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("s1")), "d1"
+    ).join(
+        sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("s2")), "d2"
+    )
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size("s1") + F.size("s2") - inter
+    jac = inter / union
+    return j.select(
+        "d1",
+        "d2",
+        "est_jaccard",
+        F.round(jac, 4).alias("jaccard"),
+        (jac >= 0.5).alias("dup"),
+    )
+
+
+ORACLE_LSH_JACCARD_VERIFY = """
+WITH cand AS ({pairs}),
+sh AS (
+  SELECT doc_id,
+    list_distinct(
+      list_transform(
+        generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+        i -> array_to_string(
+               list_slice(string_split(text, ' '), i + 1, i + 3), ' ')))
+      AS sh
+  FROM documents
+)
+SELECT c.d1, c.d2, c.est_jaccard,
+  round(len(list_intersect(a.sh, b.sh)) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+    AS jaccard,
+  len(list_intersect(a.sh, b.sh)) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    AS dup
+FROM cand c
+JOIN sh a ON a.doc_id = c.d1
+JOIN sh b ON b.doc_id = c.d2
+"""
 
 
 # shared cosine fragments (Spark SQL): one definition serves the three ANN
@@ -2763,6 +2834,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_MINHASH_LSH_PAIRS),
+    "lsh_jaccard_verify": (
+        q_lsh_jaccard_verify,
+        ORACLE_LSH_JACCARD_VERIFY.format(pairs=ORACLE_MINHASH_LSH_PAIRS),
+    ),
     "jaccard_neighbors": (q_jaccard_neighbors, ORACLE_JACCARD_NEIGHBORS),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_bucket": (q_ann_lsh_bucket, ORACLE_ANN_LSH_BUCKET),
