@@ -2806,6 +2806,68 @@ FROM pred GROUP BY lang
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-text normalization pass (normstrngs.cpp NormalizeUTF8String
+    with OCRNorm::kNormalize) as a pure-JVM column pipeline.
+
+    The synthetic corpus is clean ASCII, so the query first derives a
+    deterministic "dirty" rendition of each document — curly quotes,
+    em/en dashes, a zero-width space, fullwidth letters and digits, a
+    curly apostrophe, and a BEL control — then normalizes it with the
+    engine's generic tables (functions/textnorm.py):
+
+      strip zero-width marks (validator.h:89 IsZeroWidthMark)
+      -> OCRNormalize punctuation collapse (normstrngs.cpp:215)
+      -> FullwidthToHalfwidth (normstrngs.cpp:289)
+      -> interchange-validity cleanup (normstrngs.cpp:268)
+
+    Zero shuffles: one scan, per-row expressions, whole-stage codegen —
+    the 100 TB shape for corpus cleaning.
+    """
+    from tesseract_spark.functions.textnorm import normalize_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirty = F.concat(
+        F.lit("“"),
+        F.expr("replace(text, ' data ', ' —data– ')"),
+        F.lit("\u201d\u200b\uff21\uff22\uff23\u2019s \uff11\uff12\x07"),
+    )
+    out = docs.select(
+        "doc_id",
+        dirty.alias("dirty"),
+    ).select(
+        "doc_id",
+        normalize_col(F.col("dirty")).alias("norm_text"),
+        (F.length("dirty") - F.length(normalize_col(F.col("dirty")))).alias(
+            "n_removed"
+        ),
+    )
+    return out
+
+
+# the oracle normalizes with an explicit translate over exactly the dirty
+# characters the query injects; the Spark side uses the engine's generic
+# tables — equality proves the tables cover the reference's families
+ORACLE_TEXT_NORMALIZE = """
+WITH dirty AS (
+  SELECT doc_id,
+    '“' || replace(text, ' data ', ' —data– ') ||
+    '”' || chr(8203) || 'ＡＢＣ' || chr(8217) ||
+    's １２' || chr(7) AS d
+  FROM documents
+)
+SELECT doc_id,
+  translate(d, '“”—–’ＡＢＣ１２'
+               || chr(8203) || chr(7),
+            '""--''ABC12') AS norm_text,
+  CAST(length(d) - length(
+    translate(d, '“”—–’ＡＢＣ１２'
+                 || chr(8203) || chr(7),
+              '""--''ABC12')) AS INT) AS n_removed
+FROM dirty
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2839,6 +2901,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         ORACLE_LSH_JACCARD_VERIFY.format(pairs=ORACLE_MINHASH_LSH_PAIRS),
     ),
     "jaccard_neighbors": (q_jaccard_neighbors, ORACLE_JACCARD_NEIGHBORS),
+    "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_bucket": (q_ann_lsh_bucket, ORACLE_ANN_LSH_BUCKET),
     "ann_ivf": (q_ann_ivf, ORACLE_ANN_IVF),
