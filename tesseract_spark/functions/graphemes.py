@@ -1,0 +1,616 @@
+"""Grapheme validation and segmentation — Validator analogue.
+
+Re-expresses the reference's training-text validator
+(src/training/unicharset/validator.cpp, validate_grapheme.cpp,
+validate_indic.cpp) in Python for use inside Arrow-batched UDFs and the
+corpus-quality queries.  A 100 TB training-text pipeline needs exactly
+this pass: badly formed Indic vowel pairs, double viramas, Thai
+tone-mark misplacement and lonely joiners silently poison recognition
+training sets; this operator counts and flags them per document.
+
+Scope: the generic pair-rule validator (validate_grapheme.cpp) and the
+ISCII Indic family validator (validate_indic.cpp, Devanagari..Sinhala).
+Myanmar/Khmer/Javanese route to the generic validator — a documented
+simplification of the reference's three extra subclasses
+(validate_myanmar/khmer/javanese.cpp).
+
+ICU replacements (cross-checked against the reference call sites):
+- u_hasBinaryProperty(UCHAR_GRAPHEME_LINK) -> canonical combining class 9
+  (unicodedata.combining == 9), the definition of Grapheme_Link.
+- u_charType in {NON_SPACING_MARK, ENCLOSING_MARK, COMBINING_SPACING_MARK}
+  -> unicodedata.category in {Mn, Me, Mc}.
+- uscript_getScript COMMON/INHERITED exceptions inside the Indic range:
+  danda/double danda U+0964/5 and the Devanagari vedic accents
+  U+0951-4 (script=Inherited) do not vote for a virama script.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# validator.cpp:20-25
+ZWS = "​"
+ZWNJ = "‌"
+ZWJ = "‍"
+LRM = "‎"
+RLM = "‏"
+INVALID = "�"
+
+# validator.h:55-70 ViramaScript — codepage base of each virama script
+NONVIRAMA = 0
+DEVANAGARI = 0x900
+BENGALI = 0x980
+GURMUKHI = 0xA00
+GUJARATI = 0xA80
+ORIYA = 0xB00
+TAMIL = 0xB80
+TELUGU = 0xC00
+KANNADA = 0xC80
+MALAYALAM = 0xD00
+SINHALA = 0xD80
+MYANMAR = 0x1000
+KHMER = 0x1780
+JAVANESE = 0xA980
+
+_CODEPAGE = 128  # validator.h kIndicCodePageSize
+_MIN_INDIC = 0x900
+_MAX_SINHALA = 0xDFF
+_MAX_JAVANESE = 0xA9DF
+# validator.h:215-218
+_SINHALA_VIRAMA = 0x0DCA
+_MYANMAR_VIRAMA = 0x1039
+_KHMER_VIRAMA = 0x17D2
+_JAVANESE_VIRAMA = 0xA9C0
+_YAYANA = 0x0DBA  # validate_indic.h:37
+_RAYANA = 0x0DBB
+
+# CharClass (validator.h:118-134) as one-char codes, same mnemonics
+C_CONSONANT = "C"
+C_VOWEL = "V"
+C_VIRAMA = "H"
+C_MATRA = "M"
+C_MATRA_PIECE = "P"
+C_VOWEL_MOD = "D"
+C_ZWNJ = "z"
+C_ZWJ = "Z"
+C_VEDIC = "v"
+C_NUKTA = "N"
+C_OTHER = "O"
+C_WHITESPACE = " "
+C_COMBINER = "c"
+
+# grapheme-mode names (validator.h:36-50)
+SINGLE_STRING = "single_string"
+COMBINED = "combined"
+GLYPH_SPLIT = "glyph_split"
+INDIVIDUAL = "individual"
+
+
+def is_virama(cp: int) -> bool:
+    """validator.cpp:169-174."""
+    return (
+        _MIN_INDIC <= cp <= _MAX_SINHALA and (cp & 0x7F) == 0x4D
+    ) or cp in (_SINHALA_VIRAMA, _JAVANESE_VIRAMA, _MYANMAR_VIRAMA, _KHMER_VIRAMA)
+
+
+def is_vedic_accent(cp: int) -> bool:
+    """validator.cpp:178-181."""
+    return (
+        0x1CD0 <= cp < 0x1D00
+        or 0xA8E0 <= cp <= 0xA8F7
+        or 0x951 <= cp <= 0x954
+    )
+
+
+# Common/Inherited codepoints inside the Indic range that must not vote
+# for a virama script (uscript_getScript analogue)
+_INDIC_COMMON = frozenset([0x964, 0x965]) | frozenset(range(0x951, 0x955)) | \
+    frozenset(range(0x1CD0, 0x1D00))
+
+
+def most_frequent_virama_script(cps: list[int]) -> int:
+    """validator.cpp:135-165 — histogram of Indic codepages, Myanmar folded
+    onto its base page; returns the winning ViramaScript base or NONVIRAMA."""
+    hist: dict[int, int] = {}
+    for cp in cps:
+        if _MIN_INDIC <= cp <= _MAX_JAVANESE and cp not in _INDIC_COMMON:
+            base = cp // _CODEPAGE
+            if 0x1000 <= cp <= 0x109F or 0xA9E0 <= cp <= 0xA9FF:
+                base = MYANMAR // _CODEPAGE
+            hist[base] = hist.get(base, 0) + 1
+    if hist:
+        base = max(hist.items(), key=lambda kv: kv[1])[0] * _CODEPAGE
+        if base in (MYANMAR, JAVANESE, KHMER) or DEVANAGARI <= base <= SINHALA:
+            return base
+    return NONVIRAMA
+
+
+class Validator:
+    """Base bookkeeping — mirrors validator.h:170-213 output_/parts_
+    mechanics so the consume helpers read one-to-one against the C++."""
+
+    def __init__(self, script: int):
+        self.script = script
+        self.codes: list[tuple[str, int]] = []
+        self.parts: list[list[int]] = []
+        self.output: list[int] = []
+        self.codes_used = 0
+        self.output_used = 0
+
+    # --- helpers (validator.h:173-199) ---
+
+    def code_only_to_output(self) -> bool:
+        self.output.append(self.codes[self.codes_used][1])
+        self.codes_used += 1
+        return self.codes_used == len(self.codes)
+
+    def multi_code_part(self, length: int) -> None:
+        while self.output_used + length < len(self.output):
+            self.parts.append([self.output[self.output_used]])
+            self.output_used += 1
+        self.parts.append([self.output[self.output_used]])
+        self.output_used += 1
+        while self.output_used < len(self.output):
+            self.parts[-1].append(self.output[self.output_used])
+            self.output_used += 1
+
+    def use_multi_code(self, length: int) -> bool:
+        self.output.append(self.codes[self.codes_used][1])
+        self.multi_code_part(length)
+        self.codes_used += 1
+        return self.codes_used == len(self.codes)
+
+    # --- the per-script grammar ---
+
+    def consume_grapheme_if_valid(self) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+    def unicode_to_charclass(self, cp: int) -> str:  # pragma: no cover
+        raise NotImplementedError
+
+    # --- driver (validator.cpp:85-131) ---
+
+    def validate_clean_segment(
+        self, g_mode: str, cps: list[int], dest: list[list[int]]
+    ) -> bool:
+        self.codes = [(self.unicode_to_charclass(c), c) for c in cps]
+        self.parts, self.output = [], []
+        self.codes_used = self.output_used = 0
+        success = True
+        while self.codes_used < len(self.codes):
+            if not self.consume_grapheme_if_valid():
+                success = False
+                self.codes_used += 1
+        self._move_results(g_mode, dest)
+        return success
+
+    def _move_results(self, g_mode: str, dest: list[list[int]]) -> None:
+        if g_mode == INDIVIDUAL:
+            dest.extend([c] for c in self.output)
+        elif g_mode == GLYPH_SPLIT:
+            dest.extend(self.parts)
+        elif g_mode == COMBINED or not dest:
+            dest.append(list(self.output))
+        else:  # kNone / single-string continuation
+            dest[-1].extend(self.output)
+
+
+class GraphemeValidator(Validator):
+    """validate_grapheme.cpp — generic base+combiner segmentation with the
+    hard-won Indic-vowel and Thai pair rejection tables."""
+
+    def unicode_to_charclass(self, cp: int) -> str:
+        # validate_grapheme.cpp:57-80
+        if is_vedic_accent(cp):
+            return C_VEDIC
+        if unicodedata.combining(chr(cp)) == 9:  # Grapheme_Link = virama
+            return C_VIRAMA
+        if chr(cp).isspace():
+            return C_WHITESPACE
+        if cp == 0xA9BA:  # Javanese Taling workaround
+            return C_CONSONANT
+        if unicodedata.category(chr(cp)) in ("Mn", "Me", "Mc") or cp in (
+            0x200C,
+            0x200D,
+        ):
+            return C_COMBINER
+        return C_OTHER
+
+    def consume_grapheme_if_valid(self) -> bool:
+        # validate_grapheme.cpp:7-55
+        prev_prev, prev, prev_cc = 0x20, 0x20, C_WHITESPACE
+        n_in_grapheme = 0
+        while self.codes_used < len(self.codes):
+            cc, cp = self.codes[self.codes_used]
+            is_combiner = cc in (C_COMBINER, C_VIRAMA)
+            if prev_cc == C_VIRAMA and cc == C_VIRAMA:
+                return False  # two grapheme links in a row
+            if (
+                prev_cc != C_WHITESPACE
+                and cc != C_WHITESPACE
+                and _is_badly_formed(prev, cp)
+            ):
+                return False
+            prev_is_fwd = (
+                prev == 0x200D
+                or prev_cc == C_VIRAMA
+                or (prev == 0x200C and (cc == C_VIRAMA or prev_prev == 0x200D))
+            )
+            if n_in_grapheme > 0 and not is_combiner and not prev_is_fwd:
+                break
+            self.code_only_to_output()
+            n_in_grapheme += 1
+            prev_prev, prev, prev_cc = prev, cp, cc
+        if n_in_grapheme > 0:
+            self.multi_code_part(n_in_grapheme)
+        return True
+
+
+# validate_grapheme.cpp:111-126 — analytically decomposed Indic vowel pairs
+# renderers reject
+_BAD_INDIC_PAIRS = (
+    lambda p, c: p == 0x905 and c in (0x946, 0x93E),
+    lambda p, c: p == 0x909 and c == 0x941,
+    lambda p, c: p == 0x90F and 0x945 <= c <= 0x947,
+    lambda p, c: p == 0x905 and 0x949 <= c <= 0x94C,
+    lambda p, c: p == 0x906 and 0x949 <= c <= 0x94C,
+    lambda p, c: p == 0x93E and 0x945 <= c <= 0x948,
+    lambda p, c: p == 0x94D and 0x93E <= c <= 0x94C,
+    lambda p, c: p == 0x985 and c == 0x9BE,
+    lambda p, c: p == 0xC12 and c in (0xC55, 0xC4C),
+    lambda p, c: p == 0xC92 and c == 0xCCC,
+)
+
+
+def _is_thai_consonant(c: int) -> bool:
+    return 0xE01 <= c <= 0xE2E
+
+
+def _is_thai_before_consonant_vowel(c: int) -> bool:
+    return 0xE40 <= c <= 0xE44
+
+
+def _is_thai_tone_mark(c: int) -> bool:
+    return 0xE48 <= c <= 0xE4B
+
+
+def _is_thai_tonable_vowel(c: int) -> bool:
+    return 0xE34 <= c <= 0xE39 or c == 0xE31
+
+
+def _is_badly_formed_thai(p: int, c: int) -> bool:
+    """validate_grapheme.cpp:155-192 — native-speaker Thai sequence rules."""
+    if _is_thai_tone_mark(c) and not (
+        _is_thai_consonant(p) or _is_thai_tonable_vowel(p)
+    ):
+        return True
+    if (_is_thai_tonable_vowel(c) or c == 0xE47) and not _is_thai_consonant(p):
+        return True
+    if c == 0xE4C and not (_is_thai_consonant(p) or p in (0xE38, 0xE34)):
+        return True
+    if c == 0xE4D and not (_is_thai_consonant(p) or p in (0xE48, 0xE49)):
+        return True
+    if (
+        c in (0xE30, 0xE32, 0xE33)
+        and not (_is_thai_consonant(p) or _is_thai_tone_mark(p))
+        and not (p == 0xE32 and c == 0xE30)
+        and not (p == 0xE4D and c == 0xE32)
+    ):
+        return True
+    if _is_thai_before_consonant_vowel(c) and (
+        _is_thai_before_consonant_vowel(p) or p in (0xE31, 0xE37)
+    ):
+        return True
+    if 0xE30 <= c <= 0xE4D and p == 0xE24:
+        return True
+    return False
+
+
+def _is_badly_formed(p: int, c: int) -> bool:
+    return any(rule(p, c) for rule in _BAD_INDIC_PAIRS) or _is_badly_formed_thai(
+        p, c
+    )
+
+
+class IndicValidator(Validator):
+    """validate_indic.cpp — the ISCII consonant/vowel grapheme grammar:
+    vowel grapheme V[D](v)*; consonant grapheme
+    (C[N](H|HZ|Hz|ZH)?)*C[N](H|Hz)?[M[P]][D](v)*."""
+
+    def unicode_to_charclass(self, cp: int) -> str:
+        # validate_indic.cpp:46-143
+        if is_vedic_accent(cp):
+            return C_VEDIC
+        if cp == 0x200C:
+            return C_ZWNJ
+        if cp == 0x200D:
+            return C_ZWJ
+        off = cp - self.script
+        if off < 0 or off >= _CODEPAGE:
+            return C_OTHER
+        if self.script == TAMIL and off == 0x03:
+            return C_VOWEL  # aytham
+        if off < 0x4:
+            return C_VOWEL_MOD
+        if self.script == SINHALA:
+            if off <= 0x19:
+                return C_VOWEL
+            if off <= 0x49:
+                return C_CONSONANT
+            if off == 0x4A:
+                return C_VIRAMA
+            if off <= 0x5F:
+                return C_MATRA
+        else:
+            if off <= 0x14 or off == 0x50:
+                return C_VOWEL
+            if off <= 0x3B or 0x58 <= off <= 0x5F:
+                return C_CONSONANT
+            if off == 0x3C:
+                return C_NUKTA
+            if off == 0x3D:
+                return C_VOWEL  # avagraha
+            if off <= 0x4C or 0x51 <= off <= 0x54:
+                return C_MATRA
+            if 0x55 <= off <= 0x57:
+                return C_MATRA_PIECE
+            if off == 0x4D:
+                return C_VIRAMA
+        if off in (0x60, 0x61):
+            return C_VOWEL
+        if off in (0x62, 0x63):
+            return C_MATRA
+        if self.script == TAMIL and 0x70 <= off <= 0x7A:
+            return C_OTHER
+        if self.script == BENGALI and off in (0x70, 0x71):
+            return C_CONSONANT
+        if self.script == GURMUKHI and off in (0x72, 0x73):
+            return C_CONSONANT
+        if self.script == SINHALA and off == 0x70:
+            return C_CONSONANT
+        if self.script == DEVANAGARI and off == 0x70:
+            return C_OTHER
+        if 0x70 <= off <= 0x73:
+            return C_VOWEL_MOD
+        return C_OTHER
+
+    def _is_subscript_script(self) -> bool:
+        # validator.cpp:184-188
+        return self.script in (TELUGU, KANNADA, JAVANESE, MYANMAR, KHMER)
+
+    def consume_grapheme_if_valid(self) -> bool:
+        # validate_indic.cpp:18-44
+        cc = self.codes[self.codes_used][0]
+        if cc == C_CONSONANT:
+            return (
+                self._consume_consonant_head() and self._consume_consonant_tail()
+            )
+        if cc in (C_VOWEL, C_VEDIC):
+            return self._consume_vowel()
+        if cc in (C_ZWJ, C_ZWNJ):
+            # isolated joiners outside an aksara are silently dropped
+            self.codes_used += 1
+            return True
+        if cc == C_OTHER:
+            self.use_multi_code(1)
+            return True
+        return False
+
+    def _consume_virama(self, joiner: tuple[str, int], post_matra: bool) -> bool:
+        # validate_indic.cpp:151-218
+        num = len(self.codes)
+        if joiner[0] == C_OTHER:
+            self.code_only_to_output()
+            if self.codes_used < num and self.codes[self.codes_used][1] == 0x200D:
+                if post_matra:
+                    return False  # ZWJ after a post-matra virama
+                if (
+                    self.codes_used + 1 < num
+                    and self.codes[self.codes_used - 2][1] != _RAYANA
+                    and self.codes[self.codes_used + 1][1]
+                    in (0x200C, _YAYANA, _RAYANA)
+                ):
+                    # picked up later (Sinhala conjuncts)
+                    assert not self.code_only_to_output()
+                else:
+                    # half-form with optional nukta
+                    length = len(self.output) + 1 - self.output_used
+                    if self.use_multi_code(length):
+                        return True
+                if (
+                    self.codes_used < num
+                    and self.codes[self.codes_used][1] == 0x200C
+                ):
+                    if (
+                        self.output_used == len(self.output)
+                        or self.output[self.output_used] != _RAYANA
+                    ):
+                        return False  # virama ZWJ ZWNJ outside Sinhala
+                    if self.use_multi_code(4):  # stand-alone repaya
+                        return True
+            elif (
+                self.codes_used == num
+                or self.codes[self.codes_used][0] != C_CONSONANT
+                or post_matra
+            ):
+                if (
+                    self.codes_used == num
+                    or self.codes[self.codes_used][1] != 0x200C
+                ):
+                    # normalize: always terminate explicit virama with ZWNJ
+                    self.output.append(0x200C)
+                else:
+                    self.code_only_to_output()
+                self.multi_code_part(2)  # explicit virama [H z]
+        else:
+            # pre-virama joiner [{Z|z} H] requests a specific conjunct
+            if self.use_multi_code(2):
+                return False  # no 2nd consonant
+            if self.codes[self.codes_used][1] in (0x200D, 0x200C):
+                return False  # JHJ
+        return True
+
+    def _consume_consonant_head(self) -> bool:
+        # validate_indic.cpp:222-279
+        num = len(self.codes)
+        while True:
+            self.code_only_to_output()
+            # Sinhala [H Z Yayana/Rayana]
+            idx = len(self.output) - 3
+            if (
+                self.output_used + 3 <= len(self.output)
+                and self.output[-1] in (_YAYANA, _RAYANA)
+                and is_virama(self.output[idx])
+                and self.output[idx + 1] == 0x200D
+            ):
+                self.multi_code_part(3)
+            have_nukta = False
+            if (
+                self.codes_used < num
+                and self.codes[self.codes_used][0] == C_NUKTA
+            ):
+                have_nukta = True
+                self.code_only_to_output()
+            # subscript conjunct
+            idx = len(self.output) - 2 - have_nukta
+            if (
+                self.output_used + 2 + have_nukta <= len(self.output)
+                and self._is_subscript_script()
+                and is_virama(self.output[idx])
+            ):
+                self.multi_code_part(2 + have_nukta)
+            joiner = (C_OTHER, 0)
+            if self.codes_used < num and (
+                self.codes[self.codes_used][1] == 0x200D
+                or (
+                    self.codes[self.codes_used][1] == 0x200C
+                    and self.script == MALAYALAM
+                )
+            ):
+                joiner = self.codes[self.codes_used]
+                self.codes_used += 1
+                if self.codes_used == num:
+                    return True  # skipping ending joiner
+                if self.codes[self.codes_used][0] == C_VIRAMA:
+                    self.output.append(joiner[1])
+                else:
+                    joiner = (C_OTHER, 0)  # unnecessary joiner skipped
+            if (
+                self.codes_used < num
+                and self.codes[self.codes_used][0] == C_VIRAMA
+            ):
+                if not self._consume_virama(joiner, False):
+                    return False
+            else:
+                break
+            if not (
+                self.codes_used < num
+                and self.codes[self.codes_used][0] == C_CONSONANT
+            ):
+                break
+        if self.output_used < len(self.output):
+            self.multi_code_part(1)
+        return True
+
+    def _consume_consonant_tail(self) -> bool:
+        # validate_indic.cpp:283-325
+        if self.codes_used == len(self.codes):
+            return True
+        if self.codes[self.codes_used][0] == C_MATRA:
+            if self.use_multi_code(1):
+                return True
+            if self.codes[self.codes_used][0] == C_MATRA_PIECE:
+                if self.use_multi_code(1):
+                    return True
+        while self.codes[self.codes_used][0] == C_VOWEL_MOD:
+            if self.use_multi_code(1):
+                return True
+            if self.script != MALAYALAM or self.output[-1] != 0xD02:
+                break
+        while self.codes[self.codes_used][0] == C_VEDIC:
+            if self.use_multi_code(1):
+                return True
+        if self.codes[self.codes_used][0] == C_VIRAMA:
+            if not self._consume_virama((C_OTHER, 0), True):
+                return False
+        if self.output_used < len(self.output):
+            self.multi_code_part(1)
+        return True
+
+    def _consume_vowel(self) -> bool:
+        # validate_indic.cpp:329-347
+        if self.use_multi_code(1):
+            return True
+        while self.codes[self.codes_used][0] == C_VOWEL_MOD:
+            if self.use_multi_code(1):
+                return True
+            if self.script != MALAYALAM:
+                break
+        while self.codes[self.codes_used][0] == C_VEDIC:
+            if self.use_multi_code(1):
+                return True
+        return True
+
+
+def script_validator(script: int) -> Validator:
+    """validator.cpp:72-83 factory.  Myanmar/Khmer/Javanese fall back to
+    the generic pair-rule validator (documented simplification)."""
+    if script == NONVIRAMA or script in (MYANMAR, KHMER, JAVANESE):
+        return GraphemeValidator(script)
+    return IndicValidator(script)
+
+
+def validate_clean_and_segment(
+    g_mode: str, cps: list[int]
+) -> tuple[bool, list[list[int]]]:
+    """validator.cpp:41-68 ValidateCleanAndSegment."""
+    dest: list[list[int]] = []
+    script = most_frequent_virama_script(cps)
+    if script == NONVIRAMA or script in (MYANMAR, KHMER, JAVANESE):
+        # the grapheme segmenter's max segmentation is the grapheme unit,
+        # so up the mode by one to get the desired effect
+        g_mode = {COMBINED: GLYPH_SPLIT, GLYPH_SPLIT: INDIVIDUAL}.get(
+            g_mode, g_mode
+        )
+        ok = GraphemeValidator(NONVIRAMA).validate_clean_segment(
+            g_mode, cps, dest
+        )
+        return ok, dest
+    graphemes: list[list[int]] = []
+    ok = GraphemeValidator(NONVIRAMA).validate_clean_segment(
+        GLYPH_SPLIT, cps, graphemes
+    )
+    v = script_validator(script)
+    for g in graphemes:
+        if not v.validate_clean_segment(g_mode, g, dest):
+            ok = False
+    return ok, dest
+
+
+def normalize_clean_and_segment(
+    text: str, u_mode: str = "nfc", ocr: bool = False, g_mode: str = COMBINED
+) -> tuple[bool, list[str]]:
+    """normstrngs.cpp:173-201 NormalizeCleanAndSegmentUTF8: normal form +
+    zero-width skip + letterless StripJoiners, validate, and re-segment if
+    cleanup changed the string."""
+    from tesseract_spark.functions.textnorm import normalize_text
+
+    normed = [ord(c) for c in normalize_text(text, u_mode=u_mode, ocr=ocr)]
+    ok, graphemes32 = validate_clean_and_segment(g_mode, normed)
+    if g_mode != SINGLE_STRING and ok:
+        cleaned = [c for g in graphemes32 for c in g]
+        if cleaned != normed:
+            ok, graphemes32 = validate_clean_and_segment(g_mode, cleaned)
+    return ok, ["".join(chr(c) for c in g) for g in graphemes32]
+
+
+def validate_text(text: str, u_mode: str = "nfc") -> bool:
+    """NormalizeUTF8String with GraphemeNorm::kNormalize
+    (normstrngs.cpp:105-125): true iff the text is well-formed; an empty
+    validated result (e.g. joiners-only input) is invalid."""
+    ok, graphemes = normalize_clean_and_segment(
+        text, u_mode=u_mode, g_mode=SINGLE_STRING
+    )
+    if not graphemes or not graphemes[0]:
+        return False
+    return ok

@@ -2868,6 +2868,88 @@ FROM dirty
 """
 
 
+def q_grapheme_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grapheme validation pass (validator.cpp ValidateCleanAndSegment +
+    validate_grapheme/validate_indic grammars) over the corpus.
+
+    Each document's own text is segmented into grapheme units by the
+    generic validator (for ASCII every codepoint is its own unit, so the
+    oracle can recompute the count as length(text)), and a per-doc
+    script-fixture word — rotated by doc_id among Devanagari-valid,
+    Devanagari-invalid-vowel-pair, Thai-invalid and Malayalam-with-joiner
+    — runs the full script-routing path (MostFrequentViramaScript ->
+    IndicValidator / pair-rule validator).  The expected grapheme counts
+    and validity of the four fixtures are hand-derived from the reference
+    grammar (unittest/normstrngs_test.cc:86-151) and recomputed by the
+    oracle as closed-form CASE constants.
+
+    Scale shape: mapInPandas over Arrow batches, zero shuffle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    words = ["पिताने", "कहीअे", "ฤิ", "x‍ആഴം"]
+
+    def run(batches):
+        import pandas as pd
+
+        from tesseract_spark.functions.graphemes import (
+            COMBINED,
+            DEVANAGARI,
+            MALAYALAM,
+            NONVIRAMA,
+            most_frequent_virama_script,
+            normalize_clean_and_segment,
+        )
+
+        names = {DEVANAGARI: "devanagari", MALAYALAM: "malayalam",
+                 NONVIRAMA: "generic"}
+        fixture = []
+        for w in words:
+            ok, g = normalize_clean_and_segment(w, g_mode=COMBINED)
+            sc = most_frequent_virama_script([ord(c) for c in w])
+            fixture.append((names.get(sc, hex(sc)), len(g), ok))
+        for pdf in batches:
+            n_text = pdf["text"].map(
+                lambda t: len(
+                    normalize_clean_and_segment(t, g_mode=COMBINED)[1]
+                )
+            )
+            idx = (pdf["doc_id"] % 4).astype(int)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "script": [fixture[i][0] for i in idx],
+                    "n_graphemes": [fixture[i][1] for i in idx],
+                    "valid": [fixture[i][2] for i in idx],
+                    "n_text_graphemes": n_text.astype("int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, script string, n_graphemes int, valid boolean,"
+        " n_text_graphemes int",
+    )
+
+
+ORACLE_GRAPHEME_STATS = """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'devanagari' WHEN 1 THEN 'devanagari'
+    WHEN 2 THEN 'generic' ELSE 'malayalam' END AS script,
+  CAST(CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 0 ELSE 3 END AS INT)
+    AS n_graphemes,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN TRUE WHEN 1 THEN FALSE WHEN 2 THEN FALSE ELSE TRUE END
+    AS valid,
+  CAST(length(text) AS INT) AS n_text_graphemes
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2902,6 +2984,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "jaccard_neighbors": (q_jaccard_neighbors, ORACLE_JACCARD_NEIGHBORS),
     "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
+    "grapheme_stats": (q_grapheme_stats, ORACLE_GRAPHEME_STATS),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "ann_lsh_bucket": (q_ann_lsh_bucket, ORACLE_ANN_LSH_BUCKET),
     "ann_ivf": (q_ann_ivf, ORACLE_ANN_IVF),

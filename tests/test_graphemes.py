@@ -1,0 +1,113 @@
+"""Validator parity — mirrors unittest/normstrngs_test.cc grapheme cases
+and the validate_* script rules the reference tests via its validator
+fixtures."""
+
+import pytest
+
+from tesseract_spark.functions.graphemes import (
+    COMBINED,
+    DEVANAGARI,
+    GLYPH_SPLIT,
+    INDIVIDUAL,
+    MALAYALAM,
+    NONVIRAMA,
+    most_frequent_virama_script,
+    normalize_clean_and_segment,
+    validate_text,
+)
+
+# normstrngs_test.cc:85-88
+ENG = "the quick brown fox jumps over the lazy dog"
+HIN = "पिताने विवाह की | हो गई उद्विग्न वह सोचा"
+KOR = "이는 것으로"
+BAD_HIN = ["उपयोक्ताो", "नहीें", "प्रंात", "कहीअे", "पत्रिाका", "छह्णाीस"]
+BAD_THAI = ["ฤิ", "กา้ํ", "กิำ", "นำ้", "เเก"]
+
+
+def test_detects_correct_text():
+    # normstrngs_test.cc:90 DetectsCorrectText
+    assert validate_text(ENG, u_mode="nfkc")
+    assert validate_text(HIN, u_mode="nfkc")
+    assert validate_text(KOR, u_mode="nfkc")
+
+
+@pytest.mark.parametrize("w", BAD_HIN)
+def test_detects_incorrect_hindi(w):
+    # normstrngs_test.cc:106 DetectsIncorrectText
+    assert not validate_text(w, u_mode="nfkc")
+
+
+@pytest.mark.parametrize("w", BAD_THAI)
+def test_detects_incorrect_thai(w):
+    assert not validate_text(w, u_mode="nfkc")
+
+
+def test_non_indic_doesnt_break_indic_rules():
+    # normstrngs_test.cc:117
+    assert validate_text("Here's some latin text.")
+
+
+def test_no_lonely_joiners():
+    # normstrngs_test.cc:127 — x ZWJ ആ ഴ ം: joiner dropped, 3 graphemes
+    ok, g = normalize_clean_and_segment("x‍ആഴം", g_mode=COMBINED)
+    assert ok and g == ["x", "ആ", "ഴം"]
+
+
+def test_no_lonely_joiners_plus():
+    # normstrngs_test.cc:140 — പ ZWJ + പ ോ: joiner dropped
+    ok, g = normalize_clean_and_segment("പ‍+പോ", g_mode=COMBINED)
+    assert ok and g == ["പ", "+", "പോ"]
+
+
+def test_no_lonely_joiners_nonalpha():
+    # normstrngs_test.cc:153 — letterless joiners strip to "+"; without
+    # the plus the string validates to empty = invalid
+    ok, g = normalize_clean_and_segment("‍+‌‍", g_mode=COMBINED)
+    assert ok and g == ["+"]
+    assert not validate_text("‍‌‍")
+
+
+def test_joiners_stay_in_arabic():
+    # normstrngs_test.cc:166 — 5 unicodes / 5 glyphs / 2 graphemes,
+    # string unchanged
+    s = "ب‌ب‍ب"
+    for mode, n in ((INDIVIDUAL, 5), (GLYPH_SPLIT, 5), (COMBINED, 2)):
+        ok, g = normalize_clean_and_segment(s, g_mode=mode)
+        assert ok and len(g) == n and "".join(g) == s
+
+
+def test_digit_and_danda_ok():
+    # normstrngs_test.cc:172-180 DigitOK / DandaOK — single units, and
+    # danda (script=Common) must not trigger the Indic validator
+    for s in ["೪", "।", "॥"]:
+        ok, g = normalize_clean_and_segment(s, g_mode=COMBINED)
+        assert ok and len(g) == 1 and g[0] == s
+
+
+def test_script_routing():
+    # validator.cpp:135-165 MostFrequentViramaScript
+    assert most_frequent_virama_script([ord(c) for c in HIN]) == DEVANAGARI
+    assert most_frequent_virama_script([ord(c) for c in "ആഴം"]) == MALAYALAM
+    assert most_frequent_virama_script([ord(c) for c in ENG]) == NONVIRAMA
+    # Thai is inside the numeric Indic range but not a virama script
+    assert most_frequent_virama_script([ord(c) for c in "ฤิ"]) == NONVIRAMA
+    # danda alone doesn't vote
+    assert most_frequent_virama_script([0x964]) == NONVIRAMA
+
+
+def test_devanagari_conjunct_segmentation():
+    # consonant cluster with virama stays one grapheme: उद्विग्न from the
+    # reference's own valid Hindi sample
+    ok, g = normalize_clean_and_segment("उद्विग्न", g_mode=COMBINED)
+    assert ok
+    assert "".join(g) == "उद्विग्न"
+    # उ | द्वि | ग्न — conjuncts bind across the virama
+    assert len(g) == 3
+
+
+def test_explicit_virama_gets_zwnj():
+    # validate_indic.cpp:188-197 — an unterminated explicit virama is
+    # normalized by appending ZWNJ for consistency
+    ok, g = normalize_clean_and_segment("क्", g_mode=COMBINED)
+    assert ok
+    assert "".join(g) == "क्‌"  # trailing ZWNJ added
