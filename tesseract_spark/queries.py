@@ -2950,6 +2950,115 @@ FROM documents
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality (Rae et al. 2021,
+    §A1.1 "repetition" filters): per document, the token fraction covered
+    by the single most frequent 2-gram and the token fraction covered by
+    3-grams that occur more than once, plus a boolean `repetitive` gate.
+
+    Scale shape: explode n-grams -> groupBy (doc_id, gram) count -> per-doc
+    argmax via max(struct(count, gram)) — partial aggregation is map-side,
+    every shuffle key includes doc_id (no global hot key), and the final
+    join is doc_id-to-doc_id.  Survives 10^12 docs: work is proportional
+    to corpus token count, never to corpus-squared.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+
+    def grams(n: int) -> F.Column:
+        idxs = ", ".join(f"toks[i - {n - j}]" for j in range(n))
+        return F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence({n}, size(toks)), i -> concat_ws(' ', {idxs}))"
+            " ELSE array() END"
+        )
+
+    g2 = base.select(
+        "doc_id", "n_tokens", F.explode(grams(2)).alias("g")
+    )
+    c2 = g2.groupBy("doc_id", "n_tokens", "g").agg(F.count("*").alias("c"))
+    top2 = c2.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.struct("c", "g")).alias("m")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("m.g").alias("top_gram"),
+        F.col("m.c").alias("top_count"),
+    )
+
+    g3 = base.select("doc_id", F.explode(grams(3)).alias("g"))
+    c3 = g3.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    dup3 = c3.where(F.col("c") > 1).groupBy("doc_id").agg(
+        F.sum(F.col("c") * 3).alias("dup_toks"),
+        F.count("*").alias("n_dup_3grams"),
+    )
+
+    out = top2.join(dup3, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "top_gram",
+        "top_count",
+        F.round(
+            F.least(F.lit(1.0), F.col("top_count") * 2.0 / F.col("n_tokens")), 4
+        ).alias("top2_frac"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("dup_toks"), F.lit(0)) / F.col("n_tokens"),
+            ),
+            4,
+        ).alias("dup3_frac"),
+        F.coalesce(F.col("n_dup_3grams"), F.lit(0)).alias("n_dup_3grams"),
+        (
+            (F.coalesce(F.col("dup_toks"), F.lit(0)) / F.col("n_tokens") > 0.3)
+            | (F.col("top_count") * 2.0 / F.col("n_tokens") > 0.2)
+        ).alias("repetitive"),
+    )
+
+
+ORACLE_REPETITION_STATS = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), g2 AS (
+  SELECT doc_id, n_tokens,
+         unnest(list_transform(generate_series(2, len(toks)),
+                               i -> toks[i - 1] || ' ' || toks[i])) AS g
+  FROM base
+), c2 AS (
+  SELECT doc_id, n_tokens, g, count(*) AS c FROM g2 GROUP BY ALL
+), top2 AS (
+  SELECT doc_id, n_tokens, g AS top_gram, c AS top_count FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+    FROM c2) WHERE rn = 1
+), g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(3, len(toks)),
+                i -> toks[i - 2] || ' ' || toks[i - 1] || ' ' || toks[i])) AS g
+  FROM base
+), c3 AS (
+  SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY ALL
+), dup3 AS (
+  SELECT doc_id, sum(3 * c) AS dup_toks, count(*) AS n_dup_3grams
+  FROM c3 WHERE c > 1 GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens, t.top_gram, t.top_count,
+  round(least(1.0, t.top_count * 2.0 / t.n_tokens), 4) AS top2_frac,
+  round(least(1.0, coalesce(d.dup_toks, 0) * 1.0 / t.n_tokens), 4)
+    AS dup3_frac,
+  coalesce(d.n_dup_3grams, 0) AS n_dup_3grams,
+  (coalesce(d.dup_toks, 0) * 1.0 / t.n_tokens > 0.3
+   OR t.top_count * 2.0 / t.n_tokens > 0.2) AS repetitive
+FROM top2 t LEFT JOIN dup3 d USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2989,6 +3098,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_bucket": (q_ann_lsh_bucket, ORACLE_ANN_LSH_BUCKET),
     "ann_ivf": (q_ann_ivf, ORACLE_ANN_IVF),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
+    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION_STATS),
     "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
