@@ -249,6 +249,25 @@ def _filter_false_positives(
             )
             if nonline_count > bh * bw * K_MAX_NON_LINE_DENSITY:
                 bad = True  # underline / shirorekha-like: embedded in text
+            elif bw > 2 * bh:
+                # underline guard (linefind.cpp:207-213 'perhaps ...
+                # underlines'): an h candidate flush under a text line —
+                # text ink directly above covering most of its x-range —
+                # is an underline; it stays in the ink for the
+                # separate_underlines pass (operators/underline.py), not
+                # the separator path.  A rule wedged into a form box
+                # bypasses this via the >=2-intersections branch above.
+                # 0.35: text over an underline covers ~40-60% of its
+                # columns within the window (kerning + word gaps); a
+                # paragraph separator has none within ~1mm at 300dpi.
+                # The mirrored below-check protects overlines.
+                win = max(12, 3 * bh)
+                above = nonline[max(0, t - win) : t, l:r]
+                below = nonline[b : b + win, l:r]
+                if (above.size and above.any(axis=0).sum() >= 0.35 * bw) or (
+                    below.size and below.any(axis=0).sum() >= 0.35 * bw
+                ):
+                    bad = True
         if bad:
             line_pix[t:b, l:r] &= ~comp
             remaining -= 1

@@ -96,6 +96,9 @@ class PageResult:
     has_music: bool = False
     # shiro-rekha cuts made by the Devanagari splitter (deva_split mode)
     deva_splits: int = 0
+    # underline/overline bars separated from character ink and removed
+    # (makerow.cpp separate_underlines + underlin.cpp restore)
+    n_underlines: int = 0
 
 
 def _grade_blobs(stats: np.ndarray) -> np.ndarray:
@@ -631,6 +634,22 @@ def analyze_page(
         return res
 
     labels, n, stats = label_and_stats(ink)
+
+    # underline/overline separation (makerow.cpp:1771 separate_underlines
+    # + underlin.cpp restore): bars merged with character ink are erased
+    # and the characters restored BEFORE grading, so a struck word never
+    # reaches the row builder as one giant blob.  Cheap gate: the pass
+    # only inspects wide components, and the common page has none.
+    wide = (stats[:n, 2] - stats[:n, 0]) >= np.maximum(
+        16, 1.5 * (stats[:n, 3] - stats[:n, 1])
+    )
+    if wide.any():
+        from .underline import separate_underlines_page
+
+        res.n_underlines = separate_underlines_page(ink, labels, n, stats)
+        if res.n_underlines:
+            labels, n, stats = label_and_stats(ink)
+
     grade = _grade_blobs(stats)
     res.n_blobs = int((grade == 0).sum())
     res.n_noise = int((grade == 1).sum())

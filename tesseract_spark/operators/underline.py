@@ -1,0 +1,165 @@
+"""Underline / overline separation and character restore.
+
+Re-expresses the reference's three-part underline machinery over a binary
+ink mask instead of blob lists:
+
+- ``separate_underlines`` (src/textord/makerow.cpp:1771-1831): objects
+  much wider than the text size whose horizontal projection is dominated
+  by a flat band outside the x-height region leave the text stream.
+- ``test_underline`` (src/textord/blkocc.cpp:47-103): the band test —
+  the band's peak row must carry more than ``textord_underline_threshold``
+  of the blob width AND more than twice the peak row of the x-height
+  region (``desc_occ > x_occ + x_occ``); the mirrored top-band case is an
+  overline.
+- ``restore_underlined_blobs`` / ``find_underlined_blobs``
+  (src/underlin.cpp:33-190): the character parts merged into an underline
+  blob are found by the vertical projection of ink OUTSIDE the band
+  (``middle_proj``) and chopped back out into the row; the residual bar
+  stays out of the text.
+
+The mask-level restore keeps band pixels only in columns where a stroke
+enters the band from the character side (descenders crossing an
+underline, ascenders crossing an overline keep their continuity), then
+drops any far-side fragments left disconnected — the analogue of the
+reference keeping chopped character cells and discarding residual
+underline pieces.
+
+Divergence note: the reference runs this after row construction with the
+row's fitted baseline; here it runs on the page mask before rows exist,
+using each component's own projection structure in place of the baseline
+split.  The fixture-font goldens pin that the results agree (text under
+the bar decodes exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .linefind import seedfill
+
+# textord_underline_threshold (blkocc.cpp:32): fraction of the blob width
+# the band's peak row must occupy
+UNDERLINE_THRESHOLD = 0.5
+# textord_underline_width (makerow.cpp:83): the wide-object gate, as a
+# multiple of the component's own height (the reference uses line_size,
+# which a merged word+underline component's height approximates)
+WIDE_MULT = 1.5
+# a band thicker than this fraction of the component is the component
+MAX_BAND_FRACTION = 0.4
+# the bar's own rows run nearly the full component width; a dense glyph
+# body row never does (kerning + word gaps cap it well below this)
+FLAT_FRACTION = 0.9
+
+
+def _band_runs(band: np.ndarray) -> list[tuple[int, int]]:
+    """Maximal [start, end) runs of True rows."""
+    idx = np.flatnonzero(band)
+    if len(idx) == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate(([idx[0]], idx[breaks + 1]))
+    ends = np.concatenate((idx[breaks] + 1, [idx[-1] + 1]))
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def _restore_component(
+    comp: np.ndarray, bt: int, be: int, overline: bool
+) -> np.ndarray | None:
+    """Erase the band rows [bt, be) of one merged component, keeping
+    stroke continuity with the character side; drop far-side orphans.
+    Returns the restored component mask, or None if nothing survives."""
+    h, _w = comp.shape
+    out = comp.copy()
+    # stroke continuity: the row adjacent to the band on the CHARACTER
+    # side defines which columns keep their band pixels (underlin.cpp's
+    # chop cells are exactly the x-ranges with ink beyond the band)
+    if overline:
+        adj = out[be] if be < h else np.zeros(comp.shape[1], dtype=bool)
+    else:
+        adj = out[bt - 1] if bt > 0 else np.zeros(comp.shape[1], dtype=bool)
+    out[bt:be] &= adj[None, :]
+    # far-side residue (descender tips beyond an underline, ascender tips
+    # beyond an overline) must stay connected through a kept band column;
+    # orphans are residual underline, not text (underlin.cpp discards
+    # them from the row)
+    seed = np.zeros_like(out)
+    if overline:
+        seed[be:] = out[be:]
+    else:
+        seed[:bt] = out[:bt]
+    if not seed.any():
+        return None
+    return seedfill(seed, out)
+
+
+def separate_underlines_page(
+    ink: np.ndarray,
+    labels: np.ndarray,
+    n: int,
+    stats: np.ndarray,
+) -> int:
+    """Find underline/overline bars merged with (or abutting) character
+    ink and erase them from ``ink`` in place, restoring the characters.
+    Returns the number of bars removed (0 = mask untouched)."""
+    n_found = 0
+    for i in range(n):
+        l, t, r, b = (int(v) for v in stats[i][:4])
+        w, h = r - l, b - t
+        if w < WIDE_MULT * h or w < 16 or h < 2:
+            continue
+        comp = labels[t:b, l:r] == i + 1
+        proj = comp.sum(axis=1)
+        band = proj >= UNDERLINE_THRESHOLD * w
+        runs = _band_runs(band)
+        if not runs:
+            continue
+        # the pure-bar case: the whole component IS the band
+        # (separate_underlines pulling a free-standing underline out of
+        # the text stream; _grade_blobs only catches the page-wide ones)
+        if all(band[proj > 0]):
+            if h <= 6 and w >= 8 * h:
+                ink[t:b, l:r] &= ~comp
+                n_found += 1
+            continue
+        # merged case: try the bottom-most run as an underline, the
+        # top-most as an overline (test_underline checks both sides)
+        for bt, be, overline in ((*runs[-1], False), (*runs[0], True)):
+            if be - bt > MAX_BAND_FRACTION * h:
+                continue
+            # trim the run to its flat near-full-width core: the bar rows
+            # themselves.  Divergence note vs blkocc.cpp:99's pure 2x
+            # occupancy ratio: a word whose every glyph carries a dense
+            # body row projects ~the glyph-width sum at that row, and on
+            # an all-descender line that inflates x_occ past the 2x gate;
+            # the flatness requirement separates the bar (continuous
+            # across gaps) from glyph rows (broken at kerning/word gaps).
+            core = np.flatnonzero(proj[bt:be] >= FLAT_FRACTION * w)
+            if core.size == 0:
+                continue
+            bt2, be2 = bt + int(core[0]), bt + int(core[-1]) + 1
+            # positional gate: an underline band lives in the lower half
+            # of the merged component, an overline in the upper half
+            if overline and be2 > 0.5 * h:
+                continue
+            if not overline and bt2 < 0.5 * h:
+                continue
+            outside = proj.copy()
+            outside[bt2:be2] = 0
+            x_occ = int(outside.max())
+            band_max = int(proj[bt2:be2].max())
+            if band_max <= 1.5 * x_occ:  # blkocc.cpp:99, relaxed (above)
+                continue
+            # character ink must exist on the character side of the band
+            char_rows = int((outside[be2:] > 0).sum()) if overline else int(
+                (outside[:bt2] > 0).sum()
+            )
+            if char_rows < 2:
+                continue
+            bt, be = bt2, be2
+            restored = _restore_component(comp, bt, be, overline)
+            ink[t:b, l:r] &= ~comp
+            if restored is not None:
+                ink[t:b, l:r] |= restored
+            n_found += 1
+            break
+    return n_found

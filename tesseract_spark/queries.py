@@ -288,6 +288,100 @@ FROM e
 """
 
 
+def q_underline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underline separation golden (separate_underlines,
+    src/textord/makerow.cpp:1771-1831; test_underline blkocc.cpp:47-103;
+    restore_underlined_blobs underlin.cpp:33-190).
+
+    Every 13th document's media chunks are rendered at scale 3 with an
+    UNDERLINE drawn flush under the first text line (1px below the
+    baseline, sized to the line's ink width) — merged into every
+    descender's component where the line has any, a free abutting bar
+    otherwise.  The page stage must keep it off the separator path
+    (linefind.cpp:207-213 underline guard), separate the bar, restore the
+    characters, and decode the text EXACTLY; the oracle knows the text
+    and the counts (1 underline, 0 rules) by construction.
+
+    Zero shuffles: one mapInPandas; each chunk row is a complete result."""
+    import pandas as pd
+
+    from .derived import WORDS_PER_LINE, chunked
+
+    ch = chunked(spark, sf_dir).filter(
+        (F.col("kind") == "media") & (F.col("doc_id") % 13 == 0)
+    )
+
+    def udf(batches):
+        from .functions.compose import MARGIN, PageSpec, compose_page
+        from .functions.fonts import BASELINE, render_line
+        from .operators.recognize import recognize_page
+
+        S = 3
+        for pdf in batches:
+            rows = []
+            for doc_id, i, chunk in zip(
+                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
+            ):
+                doc_id, i = int(doc_id), int(i)
+                words = chunk.split(" ")
+                lines = [
+                    " ".join(
+                        words[j * WORDS_PER_LINE : (j + 1) * WORDS_PER_LINE]
+                    )
+                    for j in range(-(-len(words) // WORDS_PER_LINE))
+                ]
+                page = compose_page(
+                    PageSpec(paragraphs=[lines], scale=S, skew=0.0)
+                )
+                img = page.image.copy()
+                lw = render_line(lines[0], S).shape[1]
+                uy = MARGIN * S + BASELINE * S + 1
+                img[uy : uy + 3, MARGIN * S - 2 : MARGIN * S + lw + 2] = 0
+                spans, layout = recognize_page(img, 300)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "offset": i,
+                        "n_underlines": int(layout.n_underlines),
+                        "rules": int(layout.h_rules + layout.v_rules),
+                        "text": "\n".join(
+                            s.text for s in spans if s.kind == "text"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "offset", "n_underlines", "rules", "text"],
+            )
+
+    return ch.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        udf,
+        schema="doc_id long, offset int, n_underlines int, rules int, "
+        "text string",
+    )
+
+
+ORACLE_UNDERLINE_STATS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS "offset",
+         list_slice(words, g.i*12 + 1, g.i*12 + 12) AS cw
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+)
+SELECT doc_id, "offset", 1 AS n_underlines, 0 AS rules,
+  array_to_string(
+    list_transform(
+      generate_series(0, CAST(ceil(len(cw)/4.0) AS BIGINT) - 1),
+      j -> array_to_string(cw[j*4 + 1 : j*4 + 4], ' ')),
+    chr(10)) AS text
+FROM c
+WHERE "offset" % 3 <> 0 AND doc_id % 13 = 0
+"""
+
+
 ORACLE_LINE_REMOVAL = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -3067,6 +3161,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ocr_extract": (q_ocr_extract, ORACLE_OCR_EXTRACT),
     "ocr_vgsl_extract": (q_ocr_vgsl_extract, ORACLE_OCR_VGSL_EXTRACT),
     "line_removal": (q_line_removal, ORACLE_LINE_REMOVAL),
+    "underline_stats": (q_underline_stats, ORACLE_UNDERLINE_STATS),
     "equation_regions": (q_equation_regions, ORACLE_EQUATION_REGIONS),
     "multilang_retry": (q_multilang_retry, ORACLE_MULTILANG_RETRY),
     "devanagari_ocr": (q_devanagari_ocr, ORACLE_DEVANAGARI_OCR),
