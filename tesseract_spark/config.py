@@ -50,8 +50,67 @@ class EngineConfig:
     textord_max_noise_size: int = 2  # px; noise grade backstop
     language_model_penalty_non_dict_word: float = 0.15  # reserved
     user_words: tuple[str, ...] = field(default=())  # extra DAWG words
+    # character recognition restriction lists (SetBlackAndWhitelist,
+    # src/ccmain/tesseractclass.cpp:531-553)
+    tessedit_char_whitelist: str = ""
+    tessedit_char_blacklist: str = ""
+    tessedit_char_unblacklist: str = ""
 
     def resolve_dpi(self, row_dpi: int | None) -> int:
         if self.user_defined_dpi:
             return clamp_dpi(self.user_defined_dpi)
         return clamp_dpi(row_dpi)
+
+    def charlists(self) -> tuple[str, str, str] | None:
+        """The (blacklist, whitelist, unblacklist) triple, or None when
+        no restriction is configured (the all-enabled fast path)."""
+        if (
+            self.tessedit_char_whitelist
+            or self.tessedit_char_blacklist
+            or self.tessedit_char_unblacklist
+        ):
+            return (
+                self.tessedit_char_blacklist,
+                self.tessedit_char_whitelist,
+                self.tessedit_char_unblacklist,
+            )
+        return None
+
+
+def charlist_disabled(
+    charset: str,
+    blacklist: str = "",
+    whitelist: str = "",
+    unblacklist: str = "",
+) -> tuple[int, ...]:
+    """``UNICHARSET::set_black_and_whitelist`` (src/ccutil/unicharset.cpp:
+    1004-1041) as a pure function over a charset string: returns the
+    DISABLED class indices.  An empty whitelist enables everything (minus
+    any blacklist); a blacklist disables; an unblacklist re-enables.
+    Characters outside the charset are ignored (the reference's
+    encode_string drops INVALID_UNICHAR_ID entries).
+
+    Divergence note: this engine derives inter-word space from layout
+    geometry (the gap model in templates.forward), not from a learned
+    classifier emission, so a whitelist never disables the space class —
+    spacing is owned by layout, the legacy-engine semantics
+    (adaptmatch.cpp:1133 / intmatcher.cpp:244 filter shape classes only).
+    An explicit blacklist containing ' ' still disables it.
+    """
+    def_enabled = not whitelist
+    enabled = [def_enabled] * len(charset)
+
+    def _set(chars: str, value: bool) -> None:
+        for ch in chars:
+            i = charset.find(ch)
+            if i >= 0:
+                enabled[i] = value
+
+    if whitelist:
+        _set(whitelist, True)
+        sp = charset.find(" ")
+        if sp >= 0:
+            enabled[sp] = True  # structural space: layout-owned
+    _set(blacklist, False)
+    _set(unblacklist, True)
+    return tuple(i for i, e in enumerate(enabled) if not e)

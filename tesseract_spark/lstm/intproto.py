@@ -259,15 +259,22 @@ class StaticShapeClassifier:
         return float(np.sqrt(fe * pe))
 
     def classify(
-        self, mask: np.ndarray, y_frame: int = 0, top_k: int = 3
+        self, mask: np.ndarray, y_frame: int = 0, top_k: int = 3,
+        disabled: frozenset[int] | None = None,
     ) -> list[tuple[str, float]]:
         """Blob mask -> [(char, rating)] best-first, pruner then match
         (CharNormClassifier -> PruneClasses -> Match, the adaptmatch
-        static path, adaptmatch.cpp:1290-1360)."""
+        static path, adaptmatch.cpp:1290-1360).
+
+        ``disabled``: class indices suppressed by the char white/black
+        lists — the pruner drops them before matching (the
+        get_enabled gates, intmatcher.cpp:244 / adaptmatch.cpp:1133)."""
         feats = micro_features(mask, y_frame)
         if len(feats) == 0:
             return []
         cand = self.prune(feats)
+        if disabled:
+            cand = [i for i in cand if i not in disabled]
         scored = [(self.glyphs[i], self.rate(feats, i)) for i in cand]
         scored.sort(key=lambda cr: (-cr[1], cr[0]))
         return scored[:top_k]

@@ -42,18 +42,22 @@ K_CHOP_RATING = 0.85
 K_MIN_PIECE_W = 2
 
 
-def _classify_cached(clf: StaticShapeClassifier, cache: dict, sl: np.ndarray):
+def _classify_cached(
+    clf: StaticShapeClassifier, cache: dict, sl: np.ndarray,
+    disabled: frozenset[int] | None = None,
+):
     key = (sl.shape[1], sl.tobytes())
     hit = cache.get(key)
     if hit is None:
-        res = clf.classify(sl)
+        res = clf.classify(sl, disabled=disabled)
         hit = res[0] if res else ("", 0.0)
         cache[key] = hit
     return hit
 
 
 def _chop_classify(
-    clf: StaticShapeClassifier, cache: dict, sl: np.ndarray
+    clf: StaticShapeClassifier, cache: dict, sl: np.ndarray,
+    disabled: frozenset[int] | None = None,
 ) -> tuple[str, float] | None:
     """Chop one slice at its best interior ink-minimum pair of pieces
     (chop_word_main compressed to a single column cut; the 2-piece case
@@ -66,8 +70,8 @@ def _chop_classify(
         if col_ink[cut] > col_ink.min() + 1:
             continue
         a, b = sl[:, :cut], sl[:, cut:]
-        ca, ra = _classify_cached(clf, cache, a)
-        cb, rb = _classify_cached(clf, cache, b)
+        ca, ra = _classify_cached(clf, cache, a, disabled)
+        cb, rb = _classify_cached(clf, cache, b, disabled)
         if not ca or not cb:
             continue
         joint = float(np.sqrt(ra * rb))
@@ -81,8 +85,13 @@ def decode_strip_legacy(
     space_px: int | None = None,
     clf: StaticShapeClassifier | None = None,
     cache: dict | None = None,
+    disabled: frozenset[int] | None = None,
 ) -> str:
-    """One canonical row strip -> text via the static classifier."""
+    """One canonical row strip -> text via the static classifier.
+
+    ``disabled``: char white/blacklist class suppression
+    (intmatcher.cpp:244); the per-strip cache is only shared within one
+    call chain, so a constant mask per page keeps it coherent."""
     clf = clf or get_static_classifier()
     cache = cache if cache is not None else {}
     space_px = space_px or WORD_GAP
@@ -107,9 +116,9 @@ def decode_strip_legacy(
             cur = ""
         prev_end = e
         sl = strip[:, s:e]
-        ch, rating = _classify_cached(clf, cache, sl)
+        ch, rating = _classify_cached(clf, cache, sl, disabled)
         if rating < K_CHOP_RATING:
-            chopped = _chop_classify(clf, cache, sl)
+            chopped = _chop_classify(clf, cache, sl, disabled)
             if chopped is not None and chopped[1] > rating:
                 ch = chopped[0]
         cur += ch
@@ -118,14 +127,27 @@ def decode_strip_legacy(
     return " ".join(words)
 
 
-def recognize_page_legacy(gray: np.ndarray, dpi: int = 300):
+def recognize_page_legacy(
+    gray: np.ndarray, dpi: int = 300,
+    charlists: tuple[str, str, str] | None = None,
+):
     """recognize_page on the legacy engine: same layout stage, every row
     decoded by the static shape classifier (the OEM_TESSERACT_ONLY
     switch).  Returns ordered (kind, text) span tuples like the other
-    engines' walks."""
+    engines' walks.
+
+    ``charlists``: (blacklist, whitelist, unblacklist) — the black and
+    white lists apply to all loaded classifiers
+    (SetBlackAndWhitelist, tesseractclass.cpp:531-553)."""
+    from ..config import charlist_disabled
     from .page import analyze_page
 
     clf = get_static_classifier()
+    disabled = (
+        frozenset(charlist_disabled(clf.glyphs, *charlists))
+        if charlists is not None
+        else None
+    )
     cache: dict = {}
     layout = analyze_page(gray, dpi)
     multi_col = sum(1 for g in layout.regions if g.kind == "text") > 1
@@ -142,6 +164,7 @@ def recognize_page_legacy(gray: np.ndarray, dpi: int = 300):
                 max(2, row.space_px // max(1, row.scale) - 1),
                 clf,
                 cache,
+                disabled,
             )
             for row in region.rows
         ]

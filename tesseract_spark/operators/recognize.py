@@ -88,10 +88,15 @@ def recognize_page(
     dawg: Dawg | None = None,
     net: TemplateNet | None = None,
     deva_split: bool = False,
+    charlists: tuple[str, str, str] | None = None,
 ) -> tuple[list[SubSpan], PageResult]:
-    """Full single-page OCR: returns reading-ordered sub-spans + layout."""
+    """Full single-page OCR: returns reading-ordered sub-spans + layout.
+
+    ``charlists``: optional (blacklist, whitelist, unblacklist) triple —
+    the tessedit_char_blacklist/whitelist/unblacklist params
+    (SetBlackAndWhitelist, tesseractclass.cpp:531-553)."""
     spans, _words, layout = recognize_page_detail(
-        gray, dpi, dawg, net, deva_split=deva_split
+        gray, dpi, dawg, net, deva_split=deva_split, charlists=charlists
     )
     return spans, layout
 
@@ -99,7 +104,7 @@ def recognize_page(
 
 def _decode_row(
     net: TemplateNet, row, dawg: Dawg | None, adapted=None,
-    want_choices: bool = False,
+    want_choices: bool = False, disabled: tuple[int, ...] | None = None,
 ):
     """Decode one layout row:
     (text, words, merged, dropped_xs, col_of_t, used_strip).
@@ -120,6 +125,11 @@ def _decode_row(
             adapted=adapted,
             soft=dawg is not None,
         )
+        if disabled:
+            # whitelist/blacklist gate (the recodebeam.cpp:959
+            # get_enabled skip): a disabled class can never be emitted —
+            # the beam routes its probability mass to the runner-up
+            log_probs[:, list(disabled)] = -1e9
         text, words, _cert = ctc_beam_decode(
             log_probs, net.charset, net.blank, net.space_code, dawg
         )
@@ -201,6 +211,7 @@ def process_page(
     dpi: int = 300,
     psm: int | None = None,
     dawg: Dawg | None = None,
+    charlists: tuple[str, str, str] | None = None,
 ) -> tuple[list[SubSpan], "PageResult | None"]:
     """ProcessPage with PSM routing (TessBaseAPI::ProcessPage +
     the PSM stage gating of publictypes.h:186-207 / textord.cpp:223-246):
@@ -257,7 +268,7 @@ def process_page(
         PSM_RAW_LINE,
     )
     spans, words, layout = recognize_page_detail(
-        gray, dpi, dawg, single_column=single_column
+        gray, dpi, dawg, single_column=single_column, charlists=charlists
     )
     if psm in (PSM_SINGLE_LINE, PSM_RAW_LINE, PSM_SINGLE_WORD):
         # best ROW selection (CleanupSingleRowResult, textord.cpp:263-293):
@@ -357,6 +368,7 @@ def recognize_page_detail(
     lang_state=None,
     deva_split: bool = False,
     want_choices: bool = False,
+    charlists: tuple[str, str, str] | None = None,
 ) -> tuple[list[SubSpan], list[WordRec], PageResult]:
     """Like recognize_page but also returns per-word records with page
     boxes for the TSV/hOCR/ALTO sinks.
@@ -377,6 +389,7 @@ def recognize_page_detail(
     decoded with the most-recently-used language and retried through the
     others when not acceptable; ``lang_state`` carries the MRU language
     across pages of a document."""
+    disabled: tuple[int, ...] | None = None
     if packs is not None:
         from .multilang import MultiLangState, decode_row_multilang
 
@@ -384,16 +397,40 @@ def recognize_page_detail(
         net = packs[0].net
         dawg = packs[0].dawg
         adapt = False  # the retry protocol owns arbitration (LSTM path)
+        # char white/blacklists apply to EVERY loaded language's
+        # classifier (SetBlackAndWhitelist walks sub_langs,
+        # tesseractclass.cpp:544-551)
+        dis_of: dict[int, tuple[int, ...]] = {}
+
+        def _pack_disabled(p) -> tuple[int, ...] | None:
+            if charlists is None:
+                return None
+            key = id(p.net)
+            if key not in dis_of:
+                from ..config import charlist_disabled
+
+                dis_of[key] = charlist_disabled(p.net.charset, *charlists)
+            return dis_of[key]
 
         def _row_decode(row):
             return decode_row_multilang(
-                state, row, lambda p, r: _decode_row(p.net, r, p.dawg)
+                state, row,
+                lambda p, r: _decode_row(
+                    p.net, r, p.dawg, disabled=_pack_disabled(p)
+                ),
             )
     else:
         net = net or get_net()
+        if charlists is not None:
+            from ..config import charlist_disabled
+
+            disabled = charlist_disabled(net.charset, *charlists)
 
         def _row_decode(row):
-            return _decode_row(net, row, dawg, want_choices=want_choices)
+            return _decode_row(
+                net, row, dawg, want_choices=want_choices,
+                disabled=disabled,
+            )
     layout = analyze_page(
         gray, dpi, single_column=single_column, deva_split=deva_split
     )
@@ -425,7 +462,8 @@ def recognize_page_detail(
         for ri, i in retry:
             row = layout.regions[ri].rows[i]
             redo = _decode_row(
-                net, row, dawg, adapted=adapted, want_choices=want_choices
+                net, row, dawg, adapted=adapted, want_choices=want_choices,
+                disabled=disabled,
             )
             # keep the re-decode only if it explains the row better: a
             # false-positive adapted match must not override a correct

@@ -62,6 +62,7 @@ def _make_ocr_udf(
     dict_words: list[str] | None,
     dict_patterns: list[str] | None = None,
     adapt_carryover: bool = False,
+    charlists: tuple[str, str, str] | None = None,
 ):
     """Build the page+recognition mapInPandas body.
 
@@ -146,10 +147,12 @@ def _make_ocr_udf(
                             spans, _words, _layout = recognize_page_detail(
                                 img, int(dpi), dawg, net,
                                 carry_adapted=carry_templates,
+                                charlists=charlists,
                             )
                         else:
                             spans, _layout = recognize_page(
-                                img, int(dpi), dawg, net
+                                img, int(dpi), dawg, net,
+                                charlists=charlists,
                             )
                     except Exception:
                         wall = (time.perf_counter() - t0) * 1000.0
@@ -207,6 +210,7 @@ def ocr_documents(
     broadcast_media: bool | None = None,
     dict_patterns: list[str] | None = None,
     adapt_carryover: bool = False,
+    charlists: tuple[str, str, str] | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) + media(media_ref, png, dpi) -> flat spans.
 
@@ -232,7 +236,7 @@ def ocr_documents(
         spark, text_rows, media_refs, media,
         dict_words=dict_words, num_partitions=num_partitions,
         broadcast_media=broadcast_media, dict_patterns=dict_patterns,
-        adapt_carryover=adapt_carryover,
+        adapt_carryover=adapt_carryover, charlists=charlists,
     )
 
 
@@ -247,6 +251,7 @@ def ocr_from_parts(
     media_prebucketed: bool = False,
     dict_patterns: list[str] | None = None,
     adapt_carryover: bool = False,
+    charlists: tuple[str, str, str] | None = None,
 ) -> DataFrame:
     """Pipeline core over pre-split inputs.
 
@@ -328,7 +333,7 @@ def ocr_from_parts(
             "doc_id", "pos"
         )
     ocr = repart.mapInPandas(
-        _make_ocr_udf(dict_words, dict_patterns, adapt_carryover),
+        _make_ocr_udf(dict_words, dict_patterns, adapt_carryover, charlists),
         schema=OCR_OUT_SCHEMA,
     )
     unioned = ocr.unionByName(text_full)
