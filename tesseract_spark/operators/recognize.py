@@ -63,6 +63,11 @@ class WordRec:
     # lstm_choice_mode surface (ltrresultiterator.cpp:368-470); becomes
     # array<array<struct<ch,conf>>> in the word sinks
     choices: tuple = ()
+    # blank count in front of the word (WERD::blanks, werd.h:42;
+    # floor(gap / row space_size) min 1, tospace.cpp:898-913; 0 at line
+    # start) — the preserve_interword_spaces text-walk source
+    # (resultiterator.cpp:745)
+    blanks: int = 1
 
 
 def _merge_boxes(
@@ -555,11 +560,23 @@ def recognize_page_detail(
                     and used_strip is row.alt_strip
                 ):
                     baseline_y -= 4 * row.scale
+                prev_right: int | None = None
                 for wi, w in enumerate(row_decoded[i]):
                     if wi < len(boxes) and len(boxes) == len(row_decoded[i]):
                         l, t, r, b = boxes[wi]
                     else:
                         l, t, r, b = row.bbox
+                    # blanks in front of the word (tospace.cpp:898-913):
+                    # floor(box gap / row space size), min 1; 0 at BOL
+                    if wi == 0 or prev_right is None:
+                        blanks = 0
+                    else:
+                        blanks = max(
+                            1,
+                            int((int(l) - prev_right)
+                                // max(1, int(row.space_px))),
+                        )
+                    prev_right = int(r)
                     word_recs.append(
                         WordRec(
                             block_num=ri + 1,
@@ -578,6 +595,7 @@ def recognize_page_detail(
                                 for sd, sp, n in getattr(w, "script_pos", ())
                             ),
                             choices=getattr(w, "char_choices", ()),
+                            blanks=blanks,
                         )
                     )
     keyed.sort(key=lambda kv: kv[0])

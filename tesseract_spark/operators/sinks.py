@@ -54,6 +54,9 @@ WORDS_SCHEMA = T.StructType(
                 )
             ),
         ),
+        # blank count in front of the word (WERD::blanks, werd.h:42):
+        # the preserve_interword_spaces source (resultiterator.cpp:745)
+        T.StructField("blanks", T.IntegerType()),
     ]
 )
 
@@ -95,6 +98,7 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "text": "",
                         "baseline": 0,
                         "choices": [],
+                        "blanks": 0,
                     }
                 )
                 continue
@@ -118,6 +122,7 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             [{"ch": ch, "conf": cf} for ch, cf in sym]
                             for sym in w.choices
                         ],
+                        "blanks": int(w.blanks),
                     }
                 )
         yield pd.DataFrame(rows, columns=[f.name for f in WORDS_SCHEMA.fields])
@@ -142,6 +147,73 @@ def to_text(flat_spans: DataFrame) -> DataFrame:
             F.transform(
                 F.array_sort(F.collect_list(F.struct("offset", "text"))),
                 lambda s: s["text"],
+            ),
+            "\n\n",
+        ).alias("text")
+    )
+
+
+def words_to_text(
+    words: DataFrame, preserve_interword_spaces: bool = False
+) -> DataFrame:
+    """GetUTF8Text from the word records — the ResultIterator text walk
+    (AppendUTF8WordText, src/ccmain/resultiterator.cpp:743-751): each
+    word is preceded by ``word->space()`` blanks when
+    ``preserve_interword_spaces`` is set (tesseractclass.cpp:425), else
+    by one space (``words_appended > 0``).  Lines join with the line
+    separator, paragraphs get an extra newline (resultiterator.cpp:
+    757-761).  Pure DataFrame/SQL — no UDF.
+
+    Returns (doc_id, media_ref, text), one row per OCR'd page."""
+    words = _ok_words(words)
+    lines = words.groupBy(
+        "doc_id", "media_ref", "block_num", "par_num", "line_num"
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("word_num", "blanks", "text"))
+        ).alias("ws")
+    ).select(
+        "doc_id", "media_ref", "block_num", "par_num", "line_num",
+        F.array_join(
+            F.transform(
+                F.col("ws"),
+                lambda w: F.concat(
+                    F.repeat(
+                        F.lit(" "),
+                        F.when(w["word_num"] == 1, F.lit(0)).otherwise(
+                            w["blanks"]
+                            if preserve_interword_spaces
+                            else F.least(w["blanks"], F.lit(1))
+                        ),
+                    ),
+                    w["text"],
+                ),
+            ),
+            "",
+        ).alias("line_text"),
+    )
+    paras = lines.groupBy(
+        "doc_id", "media_ref", "block_num", "par_num"
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_num", "line_text"))
+                ),
+                lambda s: s["line_text"],
+            ),
+            "\n",
+        ).alias("para_text")
+    )
+    return paras.groupBy("doc_id", "media_ref").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("block_num", "par_num", "para_text")
+                    )
+                ),
+                lambda s: s["para_text"],
             ),
             "\n\n",
         ).alias("text")
