@@ -139,6 +139,159 @@ class Dawg:
 
 
 # ---------------------------------------------------------------------------
+# SquishedDawg binary format (src/dict/dawg.h:79-113, dawg.cpp:340-552):
+# the on-disk dictionary shape inside .traineddata files and the
+# wordlist2dawg / dawg2wordlist tool pair (src/training/wordlist2dawg.cpp,
+# dawg2wordlist.cpp).
+# ---------------------------------------------------------------------------
+
+import struct
+
+DAWG_MAGIC = 42  # kDawgMagicNumber, dawg.h:113
+NUM_FLAG_BITS = 3  # dawg.h:84
+MARKER_FLAG = 1  # last edge of a node's run (dawg.h:81)
+DIRECTION_FLAG = 2  # backward edge (write emits forward only)
+WERD_END_FLAG = 4  # a word may end on this edge
+
+
+def _flag_start_bit(unicharset_size: int) -> int:
+    """CeilLog2 (dawg.cpp:120-127): bit count of the size value itself."""
+    return int(unicharset_size).bit_length()
+
+
+def write_squished_dawg(dawg: Dawg, unicharset_size: int | None = None) -> bytes:
+    """Serialize to the reference's squished-dawg byte format
+    (SquishedDawg::write_squished_dawg, dawg.cpp:487-552): int16 magic,
+    uint32 unicharset_size, int32 num_edges, then one little-endian
+    uint64 EDGE_RECORD per forward edge — letter in the low
+    CeilLog2(size) bits, 3 flag bits, then the target node's file
+    offset (0 = terminal, the build_node_map numbering, dawg.cpp:446)."""
+    ucs = unicharset_size if unicharset_size is not None else len(dawg.charset)
+    if ucs < len(dawg.charset):
+        raise ValueError("unicharset_size smaller than the dawg charset")
+    fsb = _flag_start_bit(ucs)
+    # file offset of each non-empty node's first edge; root (node 0)
+    # leads even when empty-rooted dawgs are degenerate
+    order = [0] + [
+        n for n in range(1, dawg.n_nodes) if int(dawg.node_cnt[n]) > 0
+    ]
+    offsets: dict[int, int] = {}
+    off = 0
+    for n in order:
+        offsets[n] = off
+        off += int(dawg.node_cnt[n])
+    recs: list[int] = []
+    for n in order:
+        s, c = int(dawg.node_start[n]), int(dawg.node_cnt[n])
+        for j in range(c):
+            nxt_node = int(dawg.edge_next[s + j])
+            nxt = (
+                offsets[nxt_node]
+                if int(dawg.node_cnt[nxt_node]) > 0
+                else 0
+            )
+            flags = 0
+            if j == c - 1:
+                flags |= MARKER_FLAG
+            if int(dawg.edge_end[s + j]):
+                flags |= WERD_END_FLAG
+            recs.append(
+                int(dawg.edge_char[s + j])
+                | (flags << fsb)
+                | (nxt << (fsb + NUM_FLAG_BITS))
+            )
+    return struct.pack("<hIi", DAWG_MAGIC, ucs, len(recs)) + struct.pack(
+        f"<{len(recs)}Q", *recs
+    )
+
+
+def read_squished_dawg(data: bytes, charset: str) -> Dawg:
+    """Parse the squished-dawg byte format back into a probe-ready Dawg
+    (SquishedDawg::read_squished_dawg, dawg.cpp:340-430, including its
+    validation: magic, edge-count bounds, terminated forward runs,
+    in-bounds next_node offsets)."""
+    if len(data) < 10:
+        raise ValueError("dawg too short for header")
+    magic, ucs, num_edges = struct.unpack_from("<hIi", data, 0)
+    if magic != DAWG_MAGIC:
+        raise ValueError(f"bad dawg magic {magic} (want {DAWG_MAGIC})")
+    if num_edges <= 0:
+        raise ValueError("empty dawg: num_edges is 0")
+    if len(data) - 10 < 8 * num_edges:
+        raise ValueError("dawg num_edges exceeds remaining data")
+    fsb = _flag_start_bit(ucs)
+    recs = np.frombuffer(data, dtype="<u8", count=num_edges, offset=10)
+    letters = (recs & ((1 << fsb) - 1)).astype(np.int64)
+    flags = ((recs >> fsb) & 7).astype(np.int64)
+    nexts_off = (recs >> (fsb + NUM_FLAG_BITS)).astype(np.int64)
+    if (flags & DIRECTION_FLAG).any():
+        raise ValueError("squished dawg contains backward edges")
+    if (letters >= len(charset)).any():
+        raise ValueError("dawg letter id outside the charset")
+    # node runs: each starts after the previous MARKER-terminated run
+    run_start: list[int] = []
+    i = 0
+    while i < num_edges:
+        run_start.append(i)
+        while not (flags[i] & MARKER_FLAG):
+            i += 1
+            if i >= num_edges:
+                raise ValueError("unterminated forward edge run")
+        i += 1
+    node_of_off = {o: n for n, o in enumerate(run_start)}
+    n_nonempty = len(run_start)
+    empty_node = n_nonempty  # shared terminal node (zero edges)
+    edge_char: list[int] = []
+    edge_next: list[int] = []
+    edge_end: list[int] = []
+    node_start = np.zeros(n_nonempty + 1, dtype=np.int64)
+    node_cnt = np.zeros(n_nonempty + 1, dtype=np.int64)
+    for n, o in enumerate(run_start):
+        end = o
+        while not (flags[end] & MARKER_FLAG):
+            end += 1
+        span = sorted(range(o, end + 1), key=lambda k: int(letters[k]))
+        node_start[n] = len(edge_char)
+        node_cnt[n] = end + 1 - o
+        for k in span:
+            t = int(nexts_off[k])
+            if t == 0:
+                tgt = empty_node
+            else:
+                tgt = node_of_off.get(t)
+                if tgt is None:
+                    raise ValueError(
+                        f"dawg edge {k} next_node {t} is not a node start"
+                    )
+            edge_char.append(int(letters[k]))
+            edge_next.append(tgt)
+            edge_end.append(1 if int(flags[k]) & WERD_END_FLAG else 0)
+    out = Dawg.__new__(Dawg)
+    out.charset = charset
+    out.char_code = {c: i for i, c in enumerate(charset)}
+    out.edge_char = np.asarray(edge_char, dtype=np.int64)
+    out.edge_next = np.asarray(edge_next, dtype=np.int64)
+    out.edge_end = np.asarray(edge_end, dtype=np.int64)
+    out.node_start = node_start
+    out.node_cnt = node_cnt
+    out.n_nodes = n_nonempty + 1
+    out.n_edges = len(edge_char)
+    return out
+
+
+def wordlist2dawg(words: list[str], charset: str) -> bytes:
+    """The wordlist2dawg tool (src/training/wordlist2dawg.cpp:34-95):
+    build + squish + serialize."""
+    return write_squished_dawg(Dawg(charset, words))
+
+
+def dawg2wordlist(data: bytes, charset: str) -> list[str]:
+    """The dawg2wordlist tool (src/training/dawg2wordlist.cpp:23-60):
+    deserialize + enumerate (iterate_words order: sorted)."""
+    return read_squished_dawg(data, charset).all_words()
+
+
+# ---------------------------------------------------------------------------
 # User-patterns DAWG (Trie::read_pattern_list, src/dict/trie.cpp:390-460)
 # ---------------------------------------------------------------------------
 

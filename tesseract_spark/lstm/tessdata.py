@@ -730,6 +730,11 @@ class LstmModel:
     adam_beta: float = 0.999
     learning_rate: float = 0.001
     momentum: float = 0.5
+    # dictionaries shipped in the container as squished-dawg sections
+    # (Dict::Load TESSDATA_LSTM_* dawgs, src/dict/dict.cpp:284-320)
+    word_dawg: object = None  # TESSDATA_LSTM_SYSTEM_DAWG
+    number_dawg: object = None  # TESSDATA_LSTM_NUMBER_DAWG
+    punc_dawg: object = None  # TESSDATA_LSTM_PUNC_DAWG
 
     @property
     def charset(self) -> str:
@@ -861,10 +866,23 @@ def _read_embedded_unicharset(r: Reader) -> Unicharset:
 
 
 def save_traineddata(model: LstmModel, version: str = "5.5.3-spark") -> bytes:
+    from .dawg import write_squished_dawg
+
     entries = {
         TESSDATA_LSTM: write_lstm_section(model),
         TESSDATA_VERSION: version.encode("utf-8"),
     }
+    # dictionary sections ride as squished dawgs sized to the LSTM
+    # unicharset (combine_tessdata layout, tessdatamanager.cpp:110-160)
+    for sec, dawg in (
+        (TESSDATA_LSTM_SYSTEM_DAWG, model.word_dawg),
+        (TESSDATA_LSTM_NUMBER_DAWG, model.number_dawg),
+        (TESSDATA_LSTM_PUNC_DAWG, model.punc_dawg),
+    ):
+        if dawg is not None:
+            entries[sec] = write_squished_dawg(
+                dawg, unicharset_size=len(model.unicharset.chars)
+            )
     return write_container(entries)
 
 
@@ -879,4 +897,15 @@ def load_traineddata(data: bytes) -> LstmModel:
         model.unicharset = Unicharset.load(entries[TESSDATA_LSTM_UNICHARSET])
     if TESSDATA_LSTM_RECODER in entries:
         model.recoder = UnicharCompress.read(Reader(entries[TESSDATA_LSTM_RECODER]))
+    # dictionary sections -> probe-ready dawgs over the model charset
+    # (LSTMRecognizer::LoadDictionary, lstmrecognizer.cpp:133-150)
+    from .dawg import read_squished_dawg
+
+    for sec, attr in (
+        (TESSDATA_LSTM_SYSTEM_DAWG, "word_dawg"),
+        (TESSDATA_LSTM_NUMBER_DAWG, "number_dawg"),
+        (TESSDATA_LSTM_PUNC_DAWG, "punc_dawg"),
+    ):
+        if sec in entries:
+            setattr(model, attr, read_squished_dawg(entries[sec], model.charset))
     return model
