@@ -155,6 +155,79 @@ def get_font() -> dict[str, np.ndarray]:
     return _FONT
 
 
+def bold_variant(g: np.ndarray) -> np.ndarray:
+    """Bold face: 1-px horizontal stroke dilation (same cell width) —
+    the thicker-stroke signal trained fonts carry in the reference's
+    FontInfo is_bold bit (ccstruct/fontinfo.h:114)."""
+    out = g.copy()
+    out[:, 1:] |= g[:, :-1]
+    return out
+
+
+# italic shear: rows shift right as they rise above the baseline, ~9°
+# (1 px per 4 rows over the 16-row cell)
+ITALIC_SHEAR_ROWS = 4
+
+
+def italic_variant(g: np.ndarray) -> np.ndarray:
+    """Italic face: per-row rightward shear above the cell bottom
+    (FontInfo is_italic, fontinfo.h:111).  Width grows by the max
+    shift so no ink is lost."""
+    h, w = g.shape
+    max_shift = (h - 1) // ITALIC_SHEAR_ROWS
+    out = np.zeros((h, w + max_shift), dtype=bool)
+    for y in range(h):
+        shift = (h - 1 - y) // ITALIC_SHEAR_ROWS
+        out[y, shift : shift + w] = g[y]
+    # trim blank edge columns (a glyph whose ink band stops above the
+    # cell bottom shears entirely off column 0): templates must start
+    # with ink — match_scores candidates are glyph-START columns
+    ink = np.flatnonzero(out.any(axis=0))
+    return out[:, ink[0] : ink[-1] + 1]
+
+
+_FONT_BOLD: dict[str, np.ndarray] | None = None
+_FONT_ITALIC: dict[str, np.ndarray] | None = None
+
+
+def get_font_bold() -> dict[str, np.ndarray]:
+    global _FONT_BOLD
+    if _FONT_BOLD is None:
+        _FONT_BOLD = {ch: bold_variant(g) for ch, g in get_font().items()}
+    return _FONT_BOLD
+
+
+def get_font_italic() -> dict[str, np.ndarray]:
+    global _FONT_ITALIC
+    if _FONT_ITALIC is None:
+        _FONT_ITALIC = {
+            ch: italic_variant(g) for ch, g in get_font().items()
+        }
+    return _FONT_ITALIC
+
+
+def render_line_styled(text: str, style: str = "normal") -> np.ndarray:
+    """render_line with a font face: 'normal' | 'bold' | 'italic'."""
+    font = {
+        "normal": get_font(),
+        "bold": get_font_bold(),
+        "italic": get_font_italic(),
+    }[style]
+    cols: list[np.ndarray] = []
+    for i, ch in enumerate(text):
+        if ch == " ":
+            cols.append(np.zeros((CELL_H, WORD_GAP), dtype=bool))
+            continue
+        cols.append(font[ch if ch in font else "?"])
+        if i + 1 < len(text) and text[i + 1] != " ":
+            cols.append(np.zeros((CELL_H, KERN), dtype=bool))
+    return (
+        np.concatenate(cols, axis=1)
+        if cols
+        else np.zeros((CELL_H, 1), dtype=bool)
+    )
+
+
 def glyph_width(ch: str) -> int:
     return get_font()[ch].shape[1]
 

@@ -42,21 +42,50 @@ K_CHOP_MEAN_FRAC = 0.90
 class TemplateNet:
     """Glyph-template conv bank over canonical 16-row line strips."""
 
-    def __init__(self, glyphs: str = CHARSET) -> None:
+    def __init__(
+        self,
+        glyphs: str = CHARSET,
+        extra_fonts: dict[str, dict[str, np.ndarray]] | None = None,
+    ) -> None:
+        """``extra_fonts``: name -> glyph-mask dict of additional font
+        faces (bold/italic variants).  Variant templates map to the SAME
+        output class — the multi-font prototype banks of the reference's
+        inttemp (one class, many font configs, intproto.h CLASS_STRUCT),
+        which is what makes fontinfo attribution possible
+        (WordFontAttributes, ltrresultiterator.cpp:152-200)."""
         font = get_font()
         self.glyphs = glyphs
         self.charset = glyphs + " "
         self.space_code = len(glyphs)
         self.blank = len(self.charset)  # last class = CTC blank
         self.n_classes = len(self.charset) + 1
+        # template bank: (class code, font id, mask); font 0 = base face
+        self.font_names = ["normal"]
+        bank: list[tuple[int, int, np.ndarray]] = [
+            (i, 0, font[ch]) for i, ch in enumerate(glyphs)
+        ]
+        if extra_fonts:
+            for name, fdict in extra_fonts.items():
+                fid = len(self.font_names)
+                self.font_names.append(name)
+                for i, ch in enumerate(glyphs):
+                    if ch in fdict:
+                        bank.append((i, fid, fdict[ch]))
+        # per-code variant list for post-decode font attribution
+        self.variants: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for code, fid, mask in bank:
+            self.variants.setdefault(code, []).append((fid, mask))
         # group filters by width for batched matmul
         self.by_width: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for w in sorted({font[ch].shape[1] for ch in glyphs}):
-            idxs = [i for i, ch in enumerate(glyphs) if font[ch].shape[1] == w]
+        self._dup_codes: dict[int, bool] = {}
+        for w in sorted({m.shape[1] for _c, _f, m in bank}):
+            grp = [(c, m) for c, _f, m in bank if m.shape[1] == w]
+            idxs = [c for c, _m in grp]
             filt = np.stack(
-                [font[glyphs[i]].astype(np.float32).ravel() for i in idxs]
-            )  # [n_c, 16*w]
+                [m.astype(np.float32).ravel() for _c, m in grp]
+            )  # [n_t, 16*w]
             self.by_width[w] = (np.asarray(idxs, dtype=np.int64), filt)
+            self._dup_codes[w] = len(idxs) != len(set(idxs))
         # per-group template ink totals, hoisted out of match_scores
         self._filt_sums = {
             w: filt.sum(axis=1, keepdims=True)
@@ -180,6 +209,28 @@ class TemplateNet:
         out.reverse()
         return out
 
+    def font_of_char(self, strip: np.ndarray, x: int, code: int) -> int:
+        """Best-matching font-variant id for the glyph starting at
+        column ``x`` — the fontinfo attribution the reference reads off
+        the best-matched prototype config (WordFontAttributes,
+        ltrresultiterator.cpp:152-200; per-word fonts elected by
+        majority vote over blobs, font_recognition_pass,
+        src/ccmain/control.cpp:1900-1960)."""
+        H, W = strip.shape
+        cands = self.variants.get(code)
+        if not cands or len(cands) == 1:
+            return 0
+        best_fid, best_frac = 0, -1.0
+        for fid, mask in cands:
+            w = mask.shape[1]
+            win = strip[:, x : x + w]
+            if win.shape[1] < w:
+                win = np.pad(win, ((0, 0), (0, w - win.shape[1])))
+            frac = float((win == mask).mean())
+            if frac > best_frac:
+                best_frac, best_fid = frac, fid
+        return best_fid
+
     def forward(
         self,
         strip: np.ndarray,
@@ -221,7 +272,13 @@ class TemplateNet:
         for w, (idxs, _f) in self.by_width.items():
             if not scores[w].size:
                 continue
-            vec_all[idxs, :] = np.maximum(vec_all[idxs, :], scores[w])
+            if self._dup_codes[w]:
+                # font variants share a class: duplicate rows need an
+                # accumulating max (fancy assignment would keep only the
+                # last duplicate's scores)
+                np.maximum.at(vec_all, idxs, scores[w])
+            else:
+                vec_all[idxs, :] = np.maximum(vec_all[idxs, :], scores[w])
             exact = (scores[w] >= 0.999).any(axis=0)
             widest_exact = np.where(
                 exact & (w > widest_exact), w, widest_exact
@@ -386,6 +443,29 @@ def get_net() -> TemplateNet:
     if _NET is None:
         _NET = TemplateNet()
     return _NET
+
+
+_NET_FONTS: TemplateNet | None = None
+
+
+def get_net_fonts() -> TemplateNet:
+    """Template net with bold + italic font variants — the multi-font
+    prototype bank a font-trained inttemp carries, enabling
+    WordFontAttributes-style attribution.  Opt-in (font_attrs=True in
+    the page paths): the variant bank triples template-match cost, so
+    the flagship single-font path keeps the plain net."""
+    global _NET_FONTS
+    if _NET_FONTS is None:
+        from ..functions.fonts import get_font_bold, get_font_italic
+
+        _NET_FONTS = TemplateNet(
+            CHARSET,
+            extra_fonts={
+                "bold": get_font_bold(),
+                "italic": get_font_italic(),
+            },
+        )
+    return _NET_FONTS
 
 
 _NET_RTL: TemplateNet | None = None

@@ -68,6 +68,14 @@ class WordRec:
     # start) — the preserve_interword_spaces text-walk source
     # (resultiterator.cpp:745)
     blanks: int = 1
+    # WordFontAttributes surface (ltrresultiterator.cpp:152-200):
+    # font face name + attribute bits, filled only when the page ran
+    # with font_attrs=True (a font-variant template bank)
+    font: str = ""
+    bold: int = 0
+    italic: int = 0
+    mono: int = 0
+    pointsize: int = 0
 
 
 def _merge_boxes(
@@ -374,6 +382,7 @@ def recognize_page_detail(
     deva_split: bool = False,
     want_choices: bool = False,
     charlists: tuple[str, str, str] | None = None,
+    font_attrs: bool = False,
 ) -> tuple[list[SubSpan], list[WordRec], PageResult]:
     """Like recognize_page but also returns per-word records with page
     boxes for the TSV/hOCR/ALTO sinks.
@@ -475,6 +484,40 @@ def recognize_page_detail(
             # pass-1 (e.g. dictionary-arbitrated) reading
             if _decode_score(redo) > _decode_score(decoded[(ri, i)]):
                 decoded[(ri, i)] = redo
+    # ---- font attribution (WordFontAttributes analogue) ------------------
+    # (ltrresultiterator.cpp:152-200 reads the matched prototype's
+    # FontInfo; per-word face elected by majority vote over the word's
+    # glyphs, font_recognition_pass, control.cpp:1900-1960; monospace =
+    # the row's fixed-pitch verdict, the is_fixed_pitch fontinfo bit)
+    if font_attrs and packs is None:
+        from collections import Counter
+
+        from .pitch import detect_pitch
+
+        for (ri_i, res) in decoded.items():
+            _t, ws, _m, _d, cols, strip = res
+            starts = [
+                int(cols[t]) for w in ws for t in w.char_ts if t < len(cols)
+            ]
+            mono = (
+                bool(detect_pitch(np.asarray(starts, dtype=np.float64))[0])
+                if len(starts) >= 4
+                else False
+            )
+            for w in ws:
+                votes: Counter = Counter()
+                for ch, t in zip(w.text, w.char_ts):
+                    code = net.charset.find(ch)
+                    if code < 0 or t >= len(cols):
+                        continue
+                    votes[net.font_of_char(strip, int(cols[t]), code)] += 1
+                fid = votes.most_common(1)[0][0] if votes else 0
+                w.font_face = (
+                    net.font_names[fid]
+                    if fid < len(net.font_names)
+                    else "normal"
+                )
+                w.mono_face = mono
     # ---- assembly (resultiterator walk) ----------------------------------
     # span reading order: single-column pages interleave paragraphs and
     # media strictly by top y; multi-column pages emit column text blocks
@@ -596,6 +639,22 @@ def recognize_page_detail(
                             ),
                             choices=getattr(w, "char_choices", ()),
                             blanks=blanks,
+                            font=getattr(w, "font_face", ""),
+                            bold=int(getattr(w, "font_face", "") == "bold"),
+                            italic=int(
+                                getattr(w, "font_face", "") == "italic"
+                            ),
+                            mono=int(getattr(w, "mono_face", False)),
+                            # printer points from the row height
+                            # (kPointsPerInch conversion,
+                            # ltrresultiterator.cpp:162-166)
+                            pointsize=(
+                                round(
+                                    (row.bbox[3] - row.bbox[1]) * 72.0 / dpi
+                                )
+                                if font_attrs
+                                else 0
+                            ),
                         )
                     )
     keyed.sort(key=lambda kv: kv[0])

@@ -57,14 +57,28 @@ WORDS_SCHEMA = T.StructType(
         # blank count in front of the word (WERD::blanks, werd.h:42):
         # the preserve_interword_spaces source (resultiterator.cpp:745)
         T.StructField("blanks", T.IntegerType()),
+        # WordFontAttributes surface (ltrresultiterator.cpp:152-200);
+        # filled only when ocr_words ran with font_attrs=True
+        T.StructField("font", T.StringType()),
+        T.StructField("bold", T.IntegerType()),
+        T.StructField("italic", T.IntegerType()),
+        T.StructField("mono", T.IntegerType()),
+        T.StructField("pointsize", T.IntegerType()),
     ]
 )
 
 
-def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _words_udf(
+    batches: Iterator[pd.DataFrame], font_attrs: bool = False
+) -> Iterator[pd.DataFrame]:
     from ..functions.png_codec import decode_gray_png
     from .recognize import recognize_page_detail
 
+    net = None
+    if font_attrs:
+        from ..lstm.templates import get_net_fonts
+
+        net = get_net_fonts()
     for pdf in batches:
         rows = []
         for doc_id, ref, png, dpi in zip(
@@ -74,7 +88,8 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             try:
                 _spans, words, _layout = recognize_page_detail(
-                    decode_gray_png(bytes(png)), int(dpi), want_choices=True
+                    decode_gray_png(bytes(png)), int(dpi), net=net,
+                    want_choices=True, font_attrs=font_attrs,
                 )
             except Exception:
                 # per-page isolation (control.cpp:314-322 semantics): emit a
@@ -99,6 +114,11 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "baseline": 0,
                         "choices": [],
                         "blanks": 0,
+                        "font": "",
+                        "bold": 0,
+                        "italic": 0,
+                        "mono": 0,
+                        "pointsize": 0,
                     }
                 )
                 continue
@@ -123,20 +143,40 @@ def _words_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             for sym in w.choices
                         ],
                         "blanks": int(w.blanks),
+                        "font": w.font,
+                        "bold": int(w.bold),
+                        "italic": int(w.italic),
+                        "mono": int(w.mono),
+                        "pointsize": int(w.pointsize),
                     }
                 )
         yield pd.DataFrame(rows, columns=[f.name for f in WORDS_SCHEMA.fields])
 
 
-def ocr_words(spark: SparkSession, docs: DataFrame, media: DataFrame) -> DataFrame:
-    """Word-level OCR results (TSV level 5) for every media span."""
+def ocr_words(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    font_attrs: bool = False,
+) -> DataFrame:
+    """Word-level OCR results (TSV level 5) for every media span.
+
+    ``font_attrs``: recognize with the font-variant template bank and
+    fill the font/bold/italic/mono/pointsize columns (WordFontAttributes
+    surface).  Off by default — the variant bank costs extra template
+    matches, the lazy-consumer discipline of the choice lattice."""
     media_rows = (
         docs.select("doc_id", F.explode("spans").alias("span"))
         .filter(F.col("span.kind") == "media")
         .select("doc_id", F.col("span.media_ref").alias("media_ref"))
         .join(media.select("media_ref", "png", "dpi"), "media_ref", "left")
     )
-    return media_rows.mapInPandas(_words_udf, schema=WORDS_SCHEMA)
+    udf = (
+        (lambda b: _words_udf(b, font_attrs=True))
+        if font_attrs
+        else _words_udf
+    )
+    return media_rows.mapInPandas(udf, schema=WORDS_SCHEMA)
 
 
 def to_text(flat_spans: DataFrame) -> DataFrame:
@@ -286,7 +326,9 @@ def _xml_escape_sql(expr: str) -> str:
     e = f"replace({e}, \"'\", '&apos;')"
     return e
 
-def to_hocr(words: DataFrame, lstm_choice_mode: int = 0) -> DataFrame:
+def to_hocr(
+    words: DataFrame, lstm_choice_mode: int = 0, font_info: bool = False
+) -> DataFrame:
     """GetHOCRText: one XHTML fragment per media page.  ocr_line titles
     carry ``baseline <slope> <offset>`` (hocrrenderer.cpp; the contract
     baseapi_test.cc:139-158 regex-asserts): slope 0 in the deskewed
@@ -296,12 +338,31 @@ def to_hocr(words: DataFrame, lstm_choice_mode: int = 0) -> DataFrame:
     ``lstm_choice_mode=2``: after each word's text, emit one
     ``ocrx_cinfo`` span per symbol holding its alternative choices with
     ``x_confs`` titles (hocrrenderer.cpp:354-374, the ChoiceIterator
-    walk), from the ``choices`` column when present."""
+    walk), from the ``choices`` column when present.
+
+    Bold/italic words wrap in <strong>/<em> when the bold/italic
+    columns are present (hocrrenderer.cpp:308-312, closed in reverse
+    order :379-383); ``font_info=True`` adds x_font/x_fsize to the word
+    title (hocrrenderer.cpp:271-307)."""
     words = _ok_words(words)
     if "baseline" not in words.columns:
         words = words.withColumn("baseline", F.col("top") + F.col("height"))
     cinfo = ""
     wcols = "word_num, left, top, width, height, conf, text"
+    has_fonts = "bold" in words.columns and "italic" in words.columns
+    b_open = i_open = i_close = b_close = fs = ""
+    if has_fonts:
+        wcols += ", bold, italic"
+        b_open = "IF(w.bold = 1, '<strong>', ''), "
+        i_open = "IF(w.italic = 1, '<em>', ''), "
+        i_close = ", IF(w.italic = 1, '</em>', '')"
+        b_close = ", IF(w.bold = 1, '</strong>', '')"
+        if font_info and "pointsize" in words.columns:
+            wcols += ", font, pointsize"
+            fs = (
+                ", '; x_font ', IF(w.font = '', 'normal', w.font),"
+                " '; x_fsize ', w.pointsize"
+            )
     if lstm_choice_mode == 2 and "choices" in words.columns:
         wcols += ", choices"
         cinfo = """,
@@ -320,12 +381,14 @@ def to_hocr(words: DataFrame, lstm_choice_mode: int = 0) -> DataFrame:
         array_join(transform(array_sort(collect_list(struct({wcols}))),
           w -> concat('<span class="ocrx_word" title="bbox ', w.left, ' ', w.top,
                       ' ', w.left + w.width, ' ', w.top + w.height,
-                      '; x_wconf ', cast(round(w.conf, 0) as int), '">',
-                      {esc}{cinfo}, '</span>')), ' '),
+                      '; x_wconf ', cast(round(w.conf, 0) as int){fs}, '">',
+                      {b_open}{i_open}{esc}{cinfo}{i_close}{b_close}, '</span>')), ' '),
         '</span>')
     """
     line_sql = line_sql.format(
-        esc=_xml_escape_sql("w.text"), cinfo=cinfo, wcols=wcols
+        esc=_xml_escape_sql("w.text"), cinfo=cinfo, wcols=wcols,
+        b_open=b_open, i_open=i_open, i_close=i_close, b_close=b_close,
+        fs=fs,
     )
     lines = words.groupBy(
         "doc_id", "media_ref", "block_num", "par_num", "line_num"

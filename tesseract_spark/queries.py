@@ -783,6 +783,128 @@ WHERE "offset" % 3 <> 0
 """
 
 
+
+def q_ocr_font_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordFontAttributes surface (src/ccmain/ltrresultiterator.cpp:
+    152-200): per-word font-face attribution off a font-variant template
+    bank — the multi-font prototype configs of the legacy inttemp, word
+    face elected by majority vote over its glyphs
+    (font_recognition_pass, src/ccmain/control.cpp:1900-1960).
+
+    Every 9th document's media chunks re-render with a deterministic
+    per-word face cycle (word j -> [normal, bold, italic][j % 3]) and
+    recognize with font_attrs=True; each page emits one row per word in
+    reading order carrying its decoded text and elected face.  The
+    oracle recomputes both from the documents table, so a green row
+    proves decode + attribution jointly.
+
+    Zero shuffles: one mapInPandas; each chunk row is independent."""
+    import pandas as pd
+
+    from .derived import chunked
+
+    ch = chunked(spark, sf_dir).filter(
+        (F.col("kind") == "media") & (F.col("doc_id") % 9 == 0)
+    )
+
+    def udf(batches):
+        import numpy as np
+
+        from .functions.fonts import (
+            CELL_H,
+            WORD_GAP,
+            get_font,
+            get_font_bold,
+            get_font_italic,
+            mask_to_gray,
+        )
+        from .lstm.templates import get_net_fonts
+        from .operators.recognize import recognize_page_detail
+
+        faces = [get_font(), get_font_bold(), get_font_italic()]
+        net = get_net_fonts()
+
+        def word_mask(word: str, face: dict) -> np.ndarray:
+            cols = []
+            for k, c in enumerate(word):
+                cols.append(face.get(c, face["?"]))
+                if k + 1 < len(word):
+                    cols.append(np.zeros((CELL_H, 1), dtype=bool))
+            return np.hstack(cols)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, i, chunk in zip(
+                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
+            ):
+                doc_id, i = int(doc_id), int(i)
+                words = chunk.split(" ")
+                # 4-word lines, each word in its cyclic face
+                lines = []
+                for j0 in range(0, len(words), 4):
+                    seg = []
+                    for j in range(j0, min(j0 + 4, len(words))):
+                        seg.append(word_mask(words[j], faces[j % 3]))
+                        if j + 1 < min(j0 + 4, len(words)):
+                            seg.append(
+                                np.zeros((CELL_H, WORD_GAP), dtype=bool)
+                            )
+                    lines.append(np.hstack(seg))
+                w = max(ln.shape[1] for ln in lines) + 24
+                h = CELL_H * len(lines) + 8 * (len(lines) - 1) + 24
+                page = np.zeros((h, w), dtype=bool)
+                y = 12
+                for ln in lines:
+                    page[y : y + CELL_H, 12 : 12 + ln.shape[1]] = ln
+                    y += CELL_H + 8
+                _s, wrecs, _l = recognize_page_detail(
+                    mask_to_gray(page), 300, net=net, font_attrs=True
+                )
+                wrecs.sort(
+                    key=lambda r: (
+                        r.block_num, r.par_num, r.line_num, r.word_num
+                    )
+                )
+                for wi, r in enumerate(wrecs):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "offset": i,
+                            "wi": wi,
+                            "word": r.text,
+                            "font": r.font,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "offset", "wi", "word", "font"]
+            )
+
+    return ch.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        udf, schema="doc_id long, offset int, wi int, word string, font string"
+    )
+
+
+ORACLE_OCR_FONT_ATTRS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS "offset",
+         list_slice(words, g.i*12 + 1, g.i*12 + 12) AS cw
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+  WHERE doc_id % 9 = 0
+)
+SELECT doc_id, "offset", CAST(p.j - 1 AS INT) AS wi, cw[p.j] AS word,
+  CASE (p.j - 1) % 3 WHEN 0 THEN 'normal' WHEN 1 THEN 'bold'
+       ELSE 'italic' END AS font
+FROM c, LATERAL (
+  SELECT unnest(generate_series(1, CAST(len(cw) AS BIGINT))) AS j
+) p
+WHERE "offset" % 3 <> 0
+"""
+
+
 def q_ocr_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document aggregates over real OCR output (MeanTextConf analogue,
     baseapi.cpp:1719-1776): span count + recognized character mass."""
@@ -3166,6 +3288,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multilang_retry": (q_multilang_retry, ORACLE_MULTILANG_RETRY),
     "devanagari_ocr": (q_devanagari_ocr, ORACLE_DEVANAGARI_OCR),
     "ocr_symbol_choices": (q_ocr_symbol_choices, ORACLE_OCR_SYMBOL_CHOICES),
+    "ocr_font_attrs": (q_ocr_font_attrs, ORACLE_OCR_FONT_ATTRS),
     "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
