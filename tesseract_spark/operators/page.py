@@ -72,6 +72,14 @@ class Row:
     # sub/superscript candidate runs split off word edges for
     # re-recognition in their own baseline frame (superscript.cpp:258-343)
     script_segs: list = field(default_factory=list)
+    # drop-cap support (BLOCK::compute_row_margins, ocrblock.cpp:331-369):
+    # the first row of a drop-cap paragraph carries the cap's canonical
+    # strip + page bbox for its own-scale decode; rows beside the cap
+    # carry the margin pad ("one space past the drop cap")
+    has_drop_cap: bool = False
+    cap_strip: np.ndarray | None = None
+    cap_bbox: tuple[int, int, int, int] | None = None
+    drop_cap_pad: int = 0
 
 
 @dataclass
@@ -345,6 +353,24 @@ def _cluster_rows(stats: np.ndarray) -> list[np.ndarray]:
     return [np.asarray(r, dtype=np.int64) for r in rows]
 
 
+def _drop_cap_candidates(stats: np.ndarray) -> np.ndarray:
+    """Indices of oversized blobs that could be drop caps.
+
+    A drop cap spans into the second textline, so leaving it in the
+    y-band clustering would FUSE the two rows; candidates are pulled
+    before clustering and confirmed afterwards with the reference's
+    mid-second-line rule (BLOCK::compute_row_margins,
+    ocrblock.cpp:345-369).  Candidate = height >= 1.8x the block's
+    median blob height (a genuine cap is >= 2 lines tall)."""
+    if len(stats) < 6:
+        return np.zeros(0, dtype=np.int64)
+    heights = (stats[:, 3] - stats[:, 1]).astype(np.float64)
+    med = float(np.median(heights))
+    if med <= 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.flatnonzero(heights >= 1.8 * med)
+
+
 def _merge_x_overlap_boxes(stats: np.ndarray, idxs: np.ndarray) -> np.ndarray:
     """Union blobs whose x-ranges overlap into glyph boxes [l, t, r, b].
 
@@ -526,7 +552,10 @@ def _paragraphs(
     groups: list[list[int]] = [[0]]
     for i in range(1, len(rows)):
         gap = tops[i] - tops[i - 1]
-        indent = rows[i].bbox[0] - block_left
+        # rows beside a drop cap measure their margin one space past
+        # the cap (compute_row_margins, ocrblock.cpp:322-324)
+        left_ref = max(block_left, getattr(rows[i], "drop_cap_pad", 0))
+        indent = rows[i].bbox[0] - left_ref
         indent_break = indent >= 2 * rows[i].space_px * 1
         gap_break = (line_pitch > 0 and gap > 1.8 * line_pitch) or (
             gap > 2.2 * CELL_H * rows[i].scale
@@ -743,9 +772,72 @@ def analyze_page(
     text_regions: list[Region] = []
     for bsel in blocks:
         bstats = tstats[bsel]
-        row_groups = _cluster_rows(bstats)
+        # drop-cap pass (compute_row_margins, ocrblock.cpp:331-369):
+        # cluster without the oversized candidates, then confirm each —
+        # a real cap's bottom reaches the mid-height of the SECOND line
+        # and it sits left of the first line's remaining text.
+        cap_local = _drop_cap_candidates(bstats)
+
+        def _grouped(exclude: np.ndarray) -> list[np.ndarray]:
+            if len(exclude) == 0:
+                return _cluster_rows(bstats)
+            keep = np.setdiff1d(
+                np.arange(len(bstats), dtype=np.int64), exclude
+            )
+            if len(keep) == 0:
+                return []
+            return [keep[g] for g in _cluster_rows(bstats[keep])]
+
+        row_groups = _grouped(cap_local)
+        caps_of_row: dict[int, int] = {}  # first-row group idx -> blob
+        if len(cap_local) and len(row_groups) >= 2:
+            bands = [
+                (int(bstats[g, 1].min()), int(bstats[g, 3].max()))
+                for g in row_groups
+            ]
+            confirmed: list[int] = []
+            for c in cap_local:
+                ct, cb = int(bstats[c, 1]), int(bstats[c, 3])
+                first = next(
+                    (
+                        k
+                        for k, (bt, bb) in enumerate(bands)
+                        if ct < bb and cb > bt
+                    ),
+                    None,
+                )
+                if first is None or first + 1 >= len(bands):
+                    continue
+                bt2, bb2 = bands[first + 1]
+                mid2 = (bt2 + bb2) / 2.0
+                row_l = int(bstats[row_groups[first], 0].min())
+                if cb >= mid2 and int(bstats[c, 2]) <= row_l:
+                    confirmed.append(int(c))
+                    caps_of_row[first] = int(c)
+            if set(confirmed) != set(cap_local.tolist()):
+                # unconfirmed candidates are ordinary blobs (e.g. a
+                # scale-outlier glyph): put them back and re-cluster
+                row_groups = _grouped(np.asarray(confirmed, dtype=np.int64))
+                caps_of_row = {}
+                if confirmed and len(row_groups) >= 2:
+                    bands = [
+                        (int(bstats[g, 1].min()), int(bstats[g, 3].max()))
+                        for g in row_groups
+                    ]
+                    for c in confirmed:
+                        ct, cb = int(bstats[c, 1]), int(bstats[c, 3])
+                        first = next(
+                            (
+                                k
+                                for k, (bt, bb) in enumerate(bands)
+                                if ct < bb and cb > bt
+                            ),
+                            None,
+                        )
+                        if first is not None:
+                            caps_of_row[first] = c
         rows: list[Row] = []
-        for gidx in row_groups:
+        for gi, gidx in enumerate(row_groups):
             baseline_y, x_height, scale, ambiguous = _row_metrics(bstats, gidx)
             l, t, r, b = _bbox_of(bstats, gidx)
             space_px = WORD_GAP * scale
@@ -776,20 +868,51 @@ def analyze_page(
                 strip[:, c0:c1] = False
                 if alt_strip is not None:
                     alt_strip[:, c0:c1] = False
-            rows.append(
-                Row(
-                    bbox=(l, t, r, b),
-                    baseline_y=baseline_y,
-                    x_height=x_height,
-                    scale=scale,
-                    strip=strip,
-                    strip_x0=l,
-                    word_boxes=wboxes,
-                    space_px=space_px,
-                    alt_strip=alt_strip,
-                    script_segs=segs,
-                )
+            row = Row(
+                bbox=(l, t, r, b),
+                baseline_y=baseline_y,
+                x_height=x_height,
+                scale=scale,
+                strip=strip,
+                strip_x0=l,
+                word_boxes=wboxes,
+                space_px=space_px,
+                alt_strip=alt_strip,
+                script_segs=segs,
             )
+            if gi in caps_of_row:
+                # the cap decodes at its OWN scale (an uppercase glyph is
+                # BASELINE rows tall at scale 1); its bottom is its
+                # baseline.  The first word's box absorbs the cap
+                # (the cap blob rides in the first word's blob list,
+                # ocrblock.cpp:353)
+                c = caps_of_row[gi]
+                cl, ct2, cr, cb = (int(v) for v in bstats[c, :4])
+                cap_scale = max(1, round((cb - ct2) / BASELINE))
+                row.has_drop_cap = True
+                row.cap_strip = _descale_strip(
+                    text_mask, cl, cr, cb, cap_scale
+                )
+                row.cap_bbox = (cl, ct2, cr, cb)
+                if row.word_boxes:
+                    w0 = row.word_boxes[0]
+                    row.word_boxes[0] = (
+                        min(w0[0], cl), min(w0[1], ct2),
+                        max(w0[2], cr), max(w0[3], cb),
+                    )
+            rows.append(row)
+        # margin pad for rows beside a cap: "one space past the drop
+        # cap" (ocrblock.cpp:322-324) so the indent rule of the
+        # paragraph pass does not split them off
+        for row in rows:
+            for cr_row in rows:
+                if cr_row.cap_bbox is None:
+                    continue
+                cl, ct2, cr2, cb = cr_row.cap_bbox
+                if row.bbox[1] < cb and row.bbox[3] > ct2:
+                    row.drop_cap_pad = max(
+                        row.drop_cap_pad, cr2 + row.space_px
+                    )
         block_bbox = _bbox_of(bstats, np.arange(len(bstats)))
         region = Region(kind="text", bbox=block_bbox, block_id=-1, rows=rows)
         # horizontal separator rules bound paragraphs (removed rules are

@@ -171,6 +171,19 @@ def _decode_row(
         alt = _decode(row.alt_strip) + (row.alt_strip,)
         if _decode_score(alt) > _decode_score(res):
             res = alt
+    # drop-cap decode (BLOCK::compute_row_margins, ocrblock.cpp:331-369):
+    # the cap decodes at its OWN scale and joins the first word — the
+    # cap blob rides in the first line's word list (:353)
+    if getattr(row, "cap_strip", None) is not None and res[1]:
+        from ..lstm.ctc import greedy_decode
+
+        cap_lp, _cc, _cf, _cd = net.forward(row.cap_strip)
+        if disabled:
+            cap_lp[:, list(disabled)] = -1e9
+        cap_text = greedy_decode(cap_lp, net.charset, net.blank).strip()
+        if cap_text:
+            res[1][0].text = cap_text + res[1][0].text
+            res = (" ".join(w.text for w in res[1]),) + res[1:]
     # pass-2 sub/superscript fix (SubAndSuperscriptFix,
     # src/ccmain/superscript.cpp:106-227): decode the split-off y-outlier
     # runs in their own baseline frame and paste believable results back

@@ -122,11 +122,15 @@ def test_traineddata_dawg_sections_roundtrip():
         save_traineddata,
     )
 
-    model = get_vgsl_model()
-    cs = model.charset
+    import dataclasses
+
+    # replace, not mutate: get_vgsl_model() is a shared singleton and a
+    # dawg left on it would shift every other test's container offsets
+    base = get_vgsl_model()
+    cs = base.charset
     words = [w for w in ("the", "cat", "sat") if all(c in cs for c in w)]
     assert words, "fixture charset lost its letters"
-    model.word_dawg = Dawg(cs, words)
+    model = dataclasses.replace(base, word_dawg=Dawg(cs, words))
     blob = save_traineddata(model)
     assert TESSDATA_LSTM_SYSTEM_DAWG in read_container(blob)
     back = load_traineddata(blob)
