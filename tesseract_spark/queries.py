@@ -1754,6 +1754,43 @@ FROM documents
 """
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting — the BPE pre-tokenizer shape (the
+    GPT-2 split regex, simplified to the lookahead-free core): a token
+    is an optionally space-prefixed letter run, digit run, or
+    punctuation run.  Reported next to whitespace tokens so a training
+    pipeline can budget subword expansion per document.
+
+    Pure column expressions (regexp_extract_all is JVM-side); one
+    narrow projection, no shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pat = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    toks = F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")),
+                                F.lit(pat), F.lit(0))
+    ws = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.round(
+            F.size(toks) / F.greatest(F.size(ws), F.lit(1)), 4
+        ).alias("subword_ratio"),
+    )
+
+
+ORACLE_BPE_TOKEN_STATS = """
+SELECT doc_id,
+  len(regexp_extract_all(coalesce(text, ''),
+      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS n_bpe_tokens,
+  len(string_split(coalesce(text, ''), ' ')) AS n_ws_tokens,
+  round(len(regexp_extract_all(coalesce(text, ''),
+        ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+    / greatest(len(string_split(coalesce(text, ''), ' ')), 1), 4)
+    AS subword_ratio
+FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length, lexical diversity, stopword ratio,
     composite quality bucket (docqual.cpp analogue for training pipelines)."""
@@ -3289,6 +3326,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "devanagari_ocr": (q_devanagari_ocr, ORACLE_DEVANAGARI_OCR),
     "ocr_symbol_choices": (q_ocr_symbol_choices, ORACLE_OCR_SYMBOL_CHOICES),
     "ocr_font_attrs": (q_ocr_font_attrs, ORACLE_OCR_FONT_ATTRS),
+    "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
     "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
