@@ -186,8 +186,36 @@ def italic_variant(g: np.ndarray) -> np.ndarray:
     return out[:, ink[0] : ink[-1] + 1]
 
 
+def smallcaps_variant(g: np.ndarray) -> np.ndarray:
+    """Small-caps face: an uppercase glyph resampled from the cap band
+    (rows 0..BASELINE) down into the x-height band (rows
+    XHEIGHT_TOP..BASELINE) — capital shapes at lowercase size, the
+    WERD_RES::small_caps signal (ltrresultiterator.cpp:182)."""
+    h, w = g.shape
+    out = np.zeros((h, w), dtype=bool)
+    src_rows = np.round(
+        np.linspace(0, BASELINE - 1, BASELINE - XHEIGHT_TOP)
+    ).astype(int)
+    out[XHEIGHT_TOP:BASELINE] = g[src_rows]
+    return out
+
+
 _FONT_BOLD: dict[str, np.ndarray] | None = None
 _FONT_ITALIC: dict[str, np.ndarray] | None = None
+_FONT_SMALLCAPS: dict[str, np.ndarray] | None = None
+
+
+def get_font_smallcaps() -> dict[str, np.ndarray]:
+    """Small-caps variants of the UPPERCASE glyphs only (lowercase has
+    no small-caps form; digits/punct keep their face)."""
+    global _FONT_SMALLCAPS
+    if _FONT_SMALLCAPS is None:
+        _FONT_SMALLCAPS = {
+            ch: smallcaps_variant(g)
+            for ch, g in get_font().items()
+            if ch in UPPER
+        }
+    return _FONT_SMALLCAPS
 
 
 def get_font_bold() -> dict[str, np.ndarray]:
@@ -212,6 +240,8 @@ def render_line_styled(text: str, style: str = "normal") -> np.ndarray:
         "normal": get_font(),
         "bold": get_font_bold(),
         "italic": get_font_italic(),
+        # smallcaps covers uppercase only; everything else keeps its face
+        "smallcaps": {**get_font(), **get_font_smallcaps()},
     }[style]
     cols: list[np.ndarray] = []
     for i, ch in enumerate(text):

@@ -456,13 +456,18 @@ def get_net_fonts() -> TemplateNet:
     the flagship single-font path keeps the plain net."""
     global _NET_FONTS
     if _NET_FONTS is None:
-        from ..functions.fonts import get_font_bold, get_font_italic
+        from ..functions.fonts import (
+            get_font_bold,
+            get_font_italic,
+            get_font_smallcaps,
+        )
 
         _NET_FONTS = TemplateNet(
             CHARSET,
             extra_fonts={
                 "bold": get_font_bold(),
                 "italic": get_font_italic(),
+                "smallcaps": get_font_smallcaps(),
             },
         )
     return _NET_FONTS

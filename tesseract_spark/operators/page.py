@@ -107,6 +107,9 @@ class PageResult:
     # underline/overline bars separated from character ink and removed
     # (makerow.cpp separate_underlines + underlin.cpp restore)
     n_underlines: int = 0
+    # removed bars' bboxes (deskewed frame) — per-word ``underlined``
+    # attribution overlays these on the word boxes
+    underline_bars: list = field(default_factory=list)
 
 
 def _grade_blobs(stats: np.ndarray) -> np.ndarray:
@@ -675,7 +678,9 @@ def analyze_page(
     if wide.any():
         from .underline import separate_underlines_page
 
-        res.n_underlines = separate_underlines_page(ink, labels, n, stats)
+        res.n_underlines = separate_underlines_page(
+            ink, labels, n, stats, bars=res.underline_bars
+        )
         if res.n_underlines:
             labels, n, stats = label_and_stats(ink)
 
@@ -723,6 +728,16 @@ def analyze_page(
             sh_r = int(round(skew * max(l, r - 1)))
             lo, hi = min(sh_l, sh_r), max(sh_l, sh_r)
             g.bbox = (l, t - hi, r, b - lo)
+        # underline bars share the deskewed frame with the word boxes
+        res.underline_bars = [
+            (
+                l,
+                t - max(int(round(skew * l)), int(round(skew * max(l, r - 1)))),
+                r,
+                b - min(int(round(skew * l)), int(round(skew * max(l, r - 1)))),
+            )
+            for (l, t, r, b) in res.underline_bars
+        ]
         text_mask = unshear(mask_of(labels, n, keep_idx), skew)
         labels, n, stats = label_and_stats(text_mask)
         grade = _grade_blobs(stats)

@@ -76,6 +76,13 @@ class WordRec:
     italic: int = 0
     mono: int = 0
     pointsize: int = 0
+    # is_smallcaps (WERD_RES::small_caps read by WordFontAttributes,
+    # ltrresultiterator.cpp:182): capital shapes at lowercase size
+    smallcaps: int = 0
+    # is_underlined: a removed underline bar lies under this word —
+    # improving on the reference, which hard-codes false
+    # (ltrresultiterator.cpp:175 "TODO(rays) fix this!")
+    underlined: int = 0
 
 
 def _merge_boxes(
@@ -616,6 +623,7 @@ def recognize_page_detail(
                     and used_strip is row.alt_strip
                 ):
                     baseline_y -= 4 * row.scale
+                u_bars = getattr(layout, "underline_bars", None) or []
                 prev_right: int | None = None
                 for wi, w in enumerate(row_decoded[i]):
                     if wi < len(boxes) and len(boxes) == len(row_decoded[i]):
@@ -656,6 +664,20 @@ def recognize_page_detail(
                             bold=int(getattr(w, "font_face", "") == "bold"),
                             italic=int(
                                 getattr(w, "font_face", "") == "italic"
+                            ),
+                            smallcaps=int(
+                                getattr(w, "font_face", "") == "smallcaps"
+                            ),
+                            underlined=int(
+                                any(
+                                    min(int(r), ur) - max(int(l), ul)
+                                    > 0.5 * max(1, int(r) - int(l))
+                                    and (ut + ub) / 2.0
+                                    >= baseline_y - 2 * row.scale
+                                    and (ut + ub) / 2.0
+                                    <= int(b) + 6 * row.scale
+                                    for (ul, ut, ur, ub) in u_bars
+                                )
                             ),
                             mono=int(getattr(w, "mono_face", False)),
                             # printer points from the row height

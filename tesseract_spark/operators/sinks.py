@@ -64,6 +64,12 @@ WORDS_SCHEMA = T.StructType(
         T.StructField("italic", T.IntegerType()),
         T.StructField("mono", T.IntegerType()),
         T.StructField("pointsize", T.IntegerType()),
+        T.StructField("smallcaps", T.IntegerType()),
+        # underlined words come from the underline-removal operator's
+        # bar boxes (the reference's WordFontAttributes hard-codes
+        # is_underlined=false, ltrresultiterator.cpp:175) — filled even
+        # without font_attrs, the bars are always detected
+        T.StructField("underlined", T.IntegerType()),
     ]
 )
 
@@ -119,6 +125,8 @@ def _words_udf(
                         "italic": 0,
                         "mono": 0,
                         "pointsize": 0,
+                        "smallcaps": 0,
+                        "underlined": 0,
                     }
                 )
                 continue
@@ -148,6 +156,8 @@ def _words_udf(
                         "italic": int(w.italic),
                         "mono": int(w.mono),
                         "pointsize": int(w.pointsize),
+                        "smallcaps": int(w.smallcaps),
+                        "underlined": int(w.underlined),
                     }
                 )
         yield pd.DataFrame(rows, columns=[f.name for f in WORDS_SCHEMA.fields])

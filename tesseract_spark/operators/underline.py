@@ -97,10 +97,16 @@ def separate_underlines_page(
     labels: np.ndarray,
     n: int,
     stats: np.ndarray,
+    bars: list | None = None,
 ) -> int:
     """Find underline/overline bars merged with (or abutting) character
     ink and erase them from ``ink`` in place, restoring the characters.
-    Returns the number of bars removed (0 = mask untouched)."""
+    Returns the number of bars removed (0 = mask untouched).
+
+    ``bars``: optional list the removed bars' page bboxes (l, t, r, b)
+    are appended to — the source of the per-word ``underlined``
+    attribute (WordFontAttributes is_underlined, which the reference
+    itself leaves TODO-false, ltrresultiterator.cpp:175)."""
     n_found = 0
     for i in range(n):
         l, t, r, b = (int(v) for v in stats[i][:4])
@@ -120,6 +126,8 @@ def separate_underlines_page(
             if h <= 6 and w >= 8 * h:
                 ink[t:b, l:r] &= ~comp
                 n_found += 1
+                if bars is not None:
+                    bars.append((l, t, r, b))
             continue
         # merged case: try the bottom-most run as an underline, the
         # top-most as an overline (test_underline checks both sides)
@@ -161,5 +169,7 @@ def separate_underlines_page(
             if restored is not None:
                 ink[t:b, l:r] |= restored
             n_found += 1
+            if bars is not None:
+                bars.append((l, t + bt, r, t + be))
             break
     return n_found

@@ -152,3 +152,48 @@ def test_hocr_strong_em_markup(spark):
     html2 = to_hocr(plain_words).collect()[0].hocr
     assert "<strong>" in html2 or True  # columns exist but all-zero
     assert "<strong>bold" not in html2
+
+
+# ----------------------------------------------------- smallcaps/underline --
+
+
+def test_smallcaps_decode_and_attribution():
+    # capital shapes at lowercase size (WERD_RES::small_caps,
+    # ltrresultiterator.cpp:182): decodes as uppercase text with the
+    # smallcaps face elected
+    from tesseract_spark.functions.fonts import get_font_smallcaps
+
+    sc = get_font_smallcaps()
+    g = sc["A"]
+    assert not g[:4].any() and not g[12:].any()  # x-height band only
+    net = get_net_fonts()
+    strip = render_line_styled("SMALL CAPS", "smallcaps")
+    _s, words, _l = recognize_page_detail(
+        _page([strip]), net=net, font_attrs=True
+    )
+    assert [w.text for w in words] == ["SMALL", "CAPS"]
+    assert all(w.smallcaps == 1 for w in words)
+    # full-size caps are NOT smallcaps
+    strip = render_line_styled("SMALL CAPS", "normal")
+    _s, words, _l = recognize_page_detail(
+        _page([strip]), net=net, font_attrs=True
+    )
+    assert all(w.smallcaps == 0 for w in words)
+
+
+def test_underlined_word_attribution():
+    # a removed underline bar marks exactly the words above it —
+    # improving on the reference's hard-coded false
+    # (ltrresultiterator.cpp:175)
+    from tesseract_spark.functions.fonts import glyph_width, render_line
+
+    line = render_line("hello world")
+    h, w = line.shape
+    pg = np.zeros((h + 24, w + 24), dtype=bool)
+    pg[12 : 12 + h, 12 : 12 + w] = line
+    w_hello = sum(glyph_width(c) for c in "hello") + 4
+    pg[25:27, 12 : 12 + w_hello] = True  # bar under the first word
+    _s, words, layout = recognize_page_detail(mask_to_gray(pg))
+    assert [x.text for x in words] == ["hello", "world"]
+    assert len(layout.underline_bars) == 1
+    assert [x.underlined for x in words] == [1, 0]
