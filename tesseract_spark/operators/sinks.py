@@ -400,12 +400,27 @@ def to_hocr(
         b_open=b_open, i_open=i_open, i_close=i_close, b_close=b_close,
         fs=fs,
     )
+    is_rtl = F.when(
+        F.col("text").rlike("[\u0590-\u08ff]"), 1
+    ).otherwise(0)
     lines = words.groupBy(
         "doc_id", "media_ref", "block_num", "par_num", "line_num"
-    ).agg(F.expr(line_sql).alias("html"))
+    ).agg(
+        F.expr(line_sql).alias("html"),
+        F.sum(is_rtl).alias("n_rtl"),
+        F.count("*").alias("n_w"),
+    )
+    # paragraph direction attribute (hocrrenderer.cpp:217-226): dir='rtl'
+    # when strong-RTL words dominate.  (Word-level dir overrides,
+    # :291-296, are not emitted — the word text is already in logical
+    # order from the bidi walk.)
     paras = lines.groupBy("doc_id", "media_ref", "block_num", "par_num").agg(
         F.concat(
-            F.lit('  <p class="ocr_par">\n'),
+            F.lit('  <p class="ocr_par"'),
+            F.when(
+                F.sum("n_rtl") * 2 > F.sum("n_w"), F.lit(" dir='rtl'")
+            ).otherwise(F.lit("")),
+            F.lit('>\n'),
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("line_num", "html"))),

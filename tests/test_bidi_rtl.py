@@ -134,3 +134,27 @@ def test_ltr_pages_unaffected_by_rtl_net():
     assert [(s.kind, s.text) for s in spans] == [
         ("text", "plain english text\nstays the same")
     ]
+
+
+def test_hocr_paragraph_dir_attribute(spark):
+    """dir='rtl' on ocr_par when strong-RTL words dominate
+    (hocrrenderer.cpp:217-226); LTR paragraphs carry no dir."""
+    import pandas as pd
+
+    from tesseract_spark.operators.sinks import WORDS_SCHEMA, to_hocr
+
+    def wrow(doc, text, wn):
+        return dict(
+            doc_id=doc, media_ref="m-" + doc, block_num=1, par_num=1,
+            line_num=1, word_num=wn, left=10 * wn, top=0, width=8,
+            height=12, conf=95.0, text=text, baseline=12, choices=[],
+            blanks=min(wn - 1, 1), font="", bold=0, italic=0, mono=0,
+            pointsize=0, smallcaps=0, underlined=0,
+        )
+
+    rows = [wrow("rtl", "אבג", 1), wrow("rtl", "דהו", 2),
+            wrow("ltr", "abc", 1), wrow("ltr", "def", 2)]
+    words = spark.createDataFrame(pd.DataFrame(rows), schema=WORDS_SCHEMA)
+    out = {r.doc_id: r.hocr for r in to_hocr(words).collect()}
+    assert "<p class=\"ocr_par\" dir='rtl'>" in out["rtl"]
+    assert "dir='rtl'" not in out["ltr"]
