@@ -236,13 +236,18 @@ def get_font_italic() -> dict[str, np.ndarray]:
 
 def render_line_styled(text: str, style: str = "normal") -> np.ndarray:
     """render_line with a font face: 'normal' | 'bold' | 'italic'."""
-    font = {
-        "normal": get_font(),
-        "bold": get_font_bold(),
-        "italic": get_font_italic(),
+    # lazy dispatch: only the requested bank is built
+    if style == "normal":
+        font = get_font()
+    elif style == "bold":
+        font = get_font_bold()
+    elif style == "italic":
+        font = get_font_italic()
+    elif style == "smallcaps":
         # smallcaps covers uppercase only; everything else keeps its face
-        "smallcaps": {**get_font(), **get_font_smallcaps()},
-    }[style]
+        font = {**get_font(), **get_font_smallcaps()}
+    else:
+        raise ValueError(f"unknown style {style!r}")
     cols: list[np.ndarray] = []
     for i, ch in enumerate(text):
         if ch == " ":

@@ -169,6 +169,11 @@ def write_squished_dawg(dawg: Dawg, unicharset_size: int | None = None) -> bytes
     ucs = unicharset_size if unicharset_size is not None else len(dawg.charset)
     if ucs < len(dawg.charset):
         raise ValueError("unicharset_size smaller than the dawg charset")
+    if dawg.n_edges == 0:
+        # the reference's reader rejects num_edges == 0 (dawg.cpp:370) —
+        # make the write side fail loudly instead of producing an
+        # unreadable header-only blob
+        raise ValueError("empty dawg: nothing to serialize")
     fsb = _flag_start_bit(ucs)
     # file offset of each non-empty node's first edge; root (node 0)
     # leads even when empty-rooted dawgs are degenerate

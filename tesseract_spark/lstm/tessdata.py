@@ -879,7 +879,9 @@ def save_traineddata(model: LstmModel, version: str = "5.5.3-spark") -> bytes:
         (TESSDATA_LSTM_NUMBER_DAWG, model.number_dawg),
         (TESSDATA_LSTM_PUNC_DAWG, model.punc_dawg),
     ):
-        if dawg is not None:
+        if dawg is not None and getattr(dawg, "n_edges", 0) > 0:
+            # empty dictionaries are omitted, not serialized: the
+            # squished format cannot represent zero edges (dawg.cpp:370)
             entries[sec] = write_squished_dawg(
                 dawg, unicharset_size=len(model.unicharset.chars)
             )

@@ -921,7 +921,11 @@ def analyze_page(
         # paragraph pass does not split them off
         for row in rows:
             for cr_row in rows:
-                if cr_row.cap_bbox is None:
+                if cr_row.cap_bbox is None or cr_row is row:
+                    # the FIRST line's margin is measured relative to the
+                    # block, not past its own cap (ocrblock.cpp:322-325) —
+                    # padding it would suppress the indent break that
+                    # separates a drop-cap paragraph from its predecessor
                     continue
                 cl, ct2, cr2, cb = cr_row.cap_bbox
                 if row.bbox[1] < cb and row.bbox[3] > ct2:

@@ -189,7 +189,17 @@ def _decode_row(
             cap_lp[:, list(disabled)] = -1e9
         cap_text = greedy_decode(cap_lp, net.charset, net.blank).strip()
         if cap_text:
-            res[1][0].text = cap_text + res[1][0].text
+            w0 = res[1][0]
+            w0.text = cap_text + w0.text
+            # keep per-char parallels aligned: the cap has no timestep in
+            # the MAIN strip (sentinel -1; consumers skip negatives), and
+            # the choice lattice gets a rank-1-only entry per cap char
+            w0.char_ts = (-1,) * len(cap_text) + tuple(w0.char_ts)
+            if getattr(w0, "char_choices", ()):
+                w0.char_choices = (
+                    tuple([(c, 100.0)] for c in cap_text)
+                    + tuple(w0.char_choices)
+                )
             res = (" ".join(w.text for w in res[1]),) + res[1:]
     # pass-2 sub/superscript fix (SubAndSuperscriptFix,
     # src/ccmain/superscript.cpp:106-227): decode the split-off y-outlier
@@ -528,7 +538,7 @@ def recognize_page_detail(
                 votes: Counter = Counter()
                 for ch, t in zip(w.text, w.char_ts):
                     code = net.charset.find(ch)
-                    if code < 0 or t >= len(cols):
+                    if code < 0 or t < 0 or t >= len(cols):
                         continue
                     votes[net.font_of_char(strip, int(cols[t]), code)] += 1
                 fid = votes.most_common(1)[0][0] if votes else 0

@@ -838,7 +838,11 @@ def q_ocr_font_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["doc_id"], pdf["i"], pdf["chunk_text"]
             ):
                 doc_id, i = int(doc_id), int(i)
-                words = chunk.split(" ")
+                # empty words (double spaces in the source text) render
+                # nothing — drop them on BOTH sides (oracle: list_filter)
+                words = [w for w in chunk.split(" ") if w]
+                if not words:
+                    continue
                 # 4-word lines, each word in its cyclic face
                 lines = []
                 for j0 in range(0, len(words), 4):
@@ -889,7 +893,8 @@ WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
 ), c AS (
   SELECT doc_id, CAST(g.i AS INT) AS "offset",
-         list_slice(words, g.i*12 + 1, g.i*12 + 12) AS cw
+         list_filter(list_slice(words, g.i*12 + 1, g.i*12 + 12),
+                     x -> x <> '') AS cw
   FROM w, LATERAL (
     SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
   ) g

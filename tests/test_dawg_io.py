@@ -139,3 +139,26 @@ def test_traineddata_dawg_sections_roundtrip():
         assert back.word_dawg.accepts(w)
     assert not back.word_dawg.accepts("zzz")
     assert back.number_dawg is None and back.punc_dawg is None
+
+
+def test_empty_dawg_write_rejected_and_section_omitted():
+    # the squished format cannot represent zero edges (the reference's
+    # reader rejects num_edges == 0, dawg.cpp:370): write fails loudly,
+    # and save_traineddata omits an empty dictionary section
+    import dataclasses
+
+    from tesseract_spark.lstm.fixture_model import get_vgsl_model
+    from tesseract_spark.lstm.tessdata import (
+        TESSDATA_LSTM_SYSTEM_DAWG,
+        load_traineddata,
+        read_container,
+        save_traineddata,
+    )
+
+    with pytest.raises(ValueError, match="empty dawg"):
+        write_squished_dawg(Dawg("ab", []))
+    base = get_vgsl_model()
+    model = dataclasses.replace(base, word_dawg=Dawg(base.charset, []))
+    blob = save_traineddata(model)
+    assert TESSDATA_LSTM_SYSTEM_DAWG not in read_container(blob)
+    assert load_traineddata(blob).word_dawg is None

@@ -107,3 +107,47 @@ def test_uniform_large_scale_page_unaffected():
         r.has_drop_cap for g in layout.regions if g.kind == "text"
         for r in g.rows
     )
+
+
+def test_dropcap_word_font_attribution_not_garbage():
+    """The cap prefix must not shift char_ts alignment: font votes pair
+    each char with ITS OWN timestep (cap chars carry sentinel -1 and
+    abstain), so a normal-face drop-cap page elects 'normal'."""
+    from tesseract_spark.lstm.templates import get_net_fonts
+
+    _s, words, _l = recognize_page_detail(
+        _dropcap_page("O"), net=get_net_fonts(), font_attrs=True
+    )
+    assert words[0].text == "Once"
+    assert words[0].font == "normal" and words[0].smallcaps == 0
+
+
+def test_dropcap_paragraph_breaks_from_predecessor():
+    """The FIRST line's margin is measured relative to the block, not
+    past its own cap (ocrblock.cpp:322-325): a drop-cap paragraph at
+    normal line pitch still breaks from the preceding plain paragraph
+    via the indent rule."""
+    cap = _cap("O", 3)
+    l0a, l0b = _line("plain text here"), _line("more plain text")
+    l1, l2 = _line("nce upon a"), _line("time there was")
+    w = max(
+        cap.shape[1] + 4 + max(l1.shape[1], l2.shape[1]),
+        l0a.shape[1],
+        l0b.shape[1],
+    )
+    page = np.zeros((4 * CELL_H + 3 * VGAP + 24, w + 24), dtype=bool)
+    x0, y = 12, 12
+    for ln in (l0a, l0b):
+        page[y : y + CELL_H, x0 : x0 + ln.shape[1]] = ln
+        y += CELL_H + VGAP
+    page[y : y + cap.shape[0], x0 : x0 + cap.shape[1]] = cap
+    tx = x0 + cap.shape[1] + 4
+    page[y : y + CELL_H, tx : tx + l1.shape[1]] = l1
+    page[y + CELL_H + VGAP : y + 2 * CELL_H + VGAP, tx : tx + l2.shape[1]] = l2
+    spans, _w, layout = recognize_page_detail(mask_to_gray(page))
+    assert [s.text for s in spans if s.kind == "text"] == [
+        "plain text here\nmore plain text",
+        "Once upon a\ntime there was",
+    ]
+    reg = next(g for g in layout.regions if g.kind == "text")
+    assert reg.paragraphs == [[0, 1], [2, 3]]

@@ -150,8 +150,8 @@ def test_hocr_strong_em_markup(spark):
     # without font columns requested the markup is absent
     plain_words = ocr_words(spark, docs, media)
     html2 = to_hocr(plain_words).collect()[0].hocr
-    assert "<strong>" in html2 or True  # columns exist but all-zero
-    assert "<strong>bold" not in html2
+    # columns exist but all-zero: no style markup anywhere
+    assert "<strong>" not in html2 and "<em>" not in html2
 
 
 # ----------------------------------------------------- smallcaps/underline --
