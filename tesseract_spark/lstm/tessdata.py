@@ -239,6 +239,21 @@ class Unicharset:
             u.properties.append(props)
         return u
 
+    @classmethod
+    def from_texts(cls, texts) -> "Unicharset":
+        """The unicharset_extractor training tool
+        (src/training/unicharset_extractor.cpp:50-85): collect the
+        distinct characters of training texts (whitespace folds to the
+        single space row) and derive the property bits.  Deterministic:
+        characters sort by codepoint, matching no particular reference
+        order but stable across partitionings — the Spark-scale variant
+        is queries.q_charset_extract."""
+        seen: set[str] = set()
+        for t in texts:
+            for ch in t or "":
+                seen.add(" " if ch.isspace() else ch)
+        return cls.from_charset("".join(sorted(seen)))
+
     def id_of(self, ch: str) -> int:
         return self.chars.index(ch)
 

@@ -1759,6 +1759,57 @@ FROM documents
 """
 
 
+def q_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unicharset extraction — the unicharset_extractor
+    training tool (src/training/unicharset_extractor.cpp) as ONE
+    hash aggregation over the corpus: every distinct character with its
+    frequency and the unicharset property bits
+    (UNICHARSET::set_isalpha family, unicharset.h:240-280).
+
+    At 100 TB this is the right shape: map-side partial counts, one
+    shuffle keyed by character (tiny key space), no collect."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = F.explode(
+        F.regexp_extract_all(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(r"[\s\S]"), F.lit(0)
+        )
+    ).alias("ch")
+    return (
+        docs.select(ch)
+        .filter(F.col("ch") != " ")
+        .groupBy("ch")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "ch",
+            "n",
+            F.col("ch").rlike("[a-zA-Z]").cast("int").alias("is_alpha"),
+            F.col("ch").rlike("[a-z]").cast("int").alias("is_lower"),
+            F.col("ch").rlike("[A-Z]").cast("int").alias("is_upper"),
+            F.col("ch").rlike("[0-9]").cast("int").alias("is_digit"),
+            F.col("ch")
+            .rlike("[^a-zA-Z0-9\\s]")
+            .cast("int")
+            .alias("is_punct"),
+        )
+    )
+
+
+ORACLE_CHARSET_EXTRACT = """
+WITH chars AS (
+  SELECT unnest(regexp_extract_all(coalesce(text, ''), '[\s\S]')) AS ch
+  FROM documents
+)
+SELECT ch, count(*) AS n,
+  CAST(regexp_matches(ch, '[a-zA-Z]') AS INT) AS is_alpha,
+  CAST(regexp_matches(ch, '[a-z]') AS INT) AS is_lower,
+  CAST(regexp_matches(ch, '[A-Z]') AS INT) AS is_upper,
+  CAST(regexp_matches(ch, '[0-9]') AS INT) AS is_digit,
+  CAST(regexp_matches(ch, '[^a-zA-Z0-9\s]') AS INT) AS is_punct
+FROM chars WHERE ch <> ' '
+GROUP BY ch
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword-style token counting — the BPE pre-tokenizer shape (the
     GPT-2 split regex, simplified to the lookahead-free core): a token
@@ -3332,6 +3383,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ocr_symbol_choices": (q_ocr_symbol_choices, ORACLE_OCR_SYMBOL_CHOICES),
     "ocr_font_attrs": (q_ocr_font_attrs, ORACLE_OCR_FONT_ATTRS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
+    "charset_extract": (q_charset_extract, ORACLE_CHARSET_EXTRACT),
     "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),

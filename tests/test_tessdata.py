@@ -254,3 +254,22 @@ def test_container_byte_layout_acceptance():
         blob[offs[td.TESSDATA_LSTM] : offs[td.TESSDATA_VERSION]]
     )
     assert model2.unicharset is not None
+
+
+def test_unicharset_from_texts_extractor():
+    """unicharset_extractor analogue (unicharset_extractor.cpp:50-85):
+    distinct chars with property bits, whitespace folds to the space
+    row, round-trips through the text format."""
+    from tesseract_spark.lstm.tessdata import Unicharset
+
+    u = Unicharset.from_texts(["Hello world 42!", "tab\there"])
+    assert " " in u.chars and "\t" not in u.chars
+    assert "H" in u.chars and "2" in u.chars and "!" in u.chars
+    i_h = u.chars.index("h")
+    assert u.properties[i_h] & 0x1 and u.properties[i_h] & 0x2  # alpha+lower
+    i_H = u.chars.index("H")
+    assert u.properties[i_H] & 0x4  # upper
+    i_bang = u.chars.index("!")
+    assert u.properties[i_bang] & 0x10  # punctuation
+    u2 = Unicharset.load(u.save())
+    assert u2.chars == u.chars and u2.properties == u.properties
