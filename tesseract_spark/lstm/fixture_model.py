@@ -170,13 +170,23 @@ def get_vgsl_model() -> LstmModel:
 # ---------------------------------------------------------------------------
 
 
-def decode_strips(model: LstmModel, strips: list[np.ndarray]) -> list[str]:
+def decode_strips(
+    model: LstmModel,
+    strips: list[np.ndarray],
+    disabled_uids: frozenset[int] | None = None,
+) -> list[str]:
     """Decode canonical 16-row bool strips to text, batched by width.
 
     StrideMap-style width bucketing (vgsl.bucket_by_width semantics) keeps
     the conv forward one BLAS call per bucket; greedy CTC collapse +
     recoder decode per line (RecodeBeamSearch::ExtractBestPaths with
     SimpleTextOutput, recodebeam.cpp:200-237).
+
+    ``disabled_uids``: charset ids suppressed by the char white/black
+    lists (the recodebeam.cpp:959 get_enabled skip applied to
+    lstm_unicharset, tesseractclass.cpp:538).  Divergence note: the
+    greedy path DROPS a disabled emission rather than rerouting its
+    probability to the runner-up the way the full beam does.
     """
     if not strips:
         return []
@@ -207,6 +217,8 @@ def decode_strips(model: LstmModel, strips: list[np.ndarray]) -> list[str]:
             keep[1:] = seq[1:] != seq[:-1]
             codes = [int(c) for c in seq[keep] if c != null_code]
             uids = model.recoder.decode_codes(codes)
+            if disabled_uids:
+                uids = [u for u in uids if u not in disabled_uids]
             text = "".join(
                 " " if u == space_uid else charset[u] for u in uids
             )

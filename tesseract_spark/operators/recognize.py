@@ -337,7 +337,8 @@ def process_page(
 
 
 def recognize_page_vgsl(
-    gray: np.ndarray, dpi: int = 300, model=None
+    gray: np.ndarray, dpi: int = 300, model=None,
+    charlists: tuple[str, str, str] | None = None,
 ) -> tuple[list[SubSpan], PageResult]:
     """recognize_page on the VGSL engine: same layout stage, but every row
     strip is decoded by the tessdata-loaded VGSL conv stack (batched
@@ -350,6 +351,13 @@ def recognize_page_vgsl(
     from ..lstm.fixture_model import decode_strips, get_vgsl_model
 
     model = model or get_vgsl_model()
+    disabled_uids: frozenset[int] | None = None
+    if charlists is not None:
+        from ..config import charlist_disabled
+
+        disabled_uids = frozenset(
+            charlist_disabled(model.charset, *charlists)
+        )
     layout = analyze_page(gray, dpi)
     # gather all strips (and alt hypotheses) into ONE batched decode
     jobs: list[tuple[int, int, int]] = []  # (region, row, 0=main|1=alt)
@@ -363,7 +371,7 @@ def recognize_page_vgsl(
             if getattr(row, "alt_strip", None) is not None:
                 jobs.append((ri, i, 1))
                 strips.append(row.alt_strip)
-    texts = decode_strips(model, strips)
+    texts = decode_strips(model, strips, disabled_uids=disabled_uids)
     decoded: dict[tuple[int, int], str] = {}
     for (ri, i, alt), text in zip(jobs, texts):
         cur = decoded.get((ri, i))

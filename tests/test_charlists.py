@@ -193,3 +193,25 @@ def test_pipeline_charlists_threaded(spark):
         spark, docs, media, charlists=("l", "", "")
     ).collect()
     assert [r.text for r in out] == ["heo word"]
+
+
+# --------------------------------------------------------------- vgsl --
+
+
+def test_vgsl_engine_honors_charlists():
+    # the lists apply to the LSTM engine's unicharset too
+    # (tesseractclass.cpp:538-541); greedy drops disabled emissions
+    # (recodebeam.cpp:959 get_enabled skip)
+    from tesseract_spark.functions.fonts import render_line
+    from tesseract_spark.operators.recognize import recognize_page_vgsl
+
+    line = render_line("hello world")
+    pg = np.zeros((line.shape[0] + 24, line.shape[1] + 24), dtype=bool)
+    pg[12 : 12 + line.shape[0], 12 : 12 + line.shape[1]] = line
+    g = mask_to_gray(pg)
+    assert [s.text for s in recognize_page_vgsl(g)[0]] == ["hello world"]
+    out = [
+        s.text
+        for s in recognize_page_vgsl(g, charlists=("l", "", ""))[0]
+    ]
+    assert out == ["heo word"]
