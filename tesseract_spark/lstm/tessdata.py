@@ -903,6 +903,90 @@ def save_traineddata(model: LstmModel, version: str = "5.5.3-spark") -> bytes:
     return write_container(entries)
 
 
+def _recoder_bytes(rec: UnicharCompress) -> bytes:
+    w = Writer()
+    rec.write(w)
+    return w.buf.getvalue()
+
+
+def combine_lang_model(
+    unicharset: Unicharset,
+    words: list[str] | None = None,
+    puncs: list[str] | None = None,
+    numbers: list[str] | None = None,
+    version: str = "5.5.3-spark",
+) -> bytes:
+    """The combine_lang_model training tool
+    (src/training/combine_lang_model.cpp:30-80 via
+    LanguageModelBuilder): package a STARTER traineddata — unicharset,
+    recoder, and wordlist dawgs, no network — ready for lstmtraining to
+    attach a net.  Loading it with load_traineddata raises (no LSTM
+    section), exactly as the runtime cannot recognize with a starter;
+    read it back with read_lang_model."""
+    from .dawg import Dawg, write_squished_dawg
+
+    cs = "".join(unicharset.chars)
+    entries = {
+        TESSDATA_LSTM_UNICHARSET: unicharset.save(),
+        TESSDATA_LSTM_RECODER: _recoder_bytes(
+            UnicharCompress.pass_through(len(unicharset.chars))
+        ),
+        TESSDATA_VERSION: version.encode("utf-8"),
+    }
+    for sec, wl in (
+        (TESSDATA_LSTM_SYSTEM_DAWG, words),
+        (TESSDATA_LSTM_PUNC_DAWG, puncs),
+        (TESSDATA_LSTM_NUMBER_DAWG, numbers),
+    ):
+        if wl:
+            d = Dawg(cs, wl)
+            if d.n_edges:
+                entries[sec] = write_squished_dawg(
+                    d, unicharset_size=len(unicharset.chars)
+                )
+    return write_container(entries)
+
+
+def read_lang_model(data: bytes):
+    """Inspect a starter traineddata: returns (unicharset, recoder,
+    {section: Dawg}) — the inverse of combine_lang_model."""
+    from .dawg import read_squished_dawg
+
+    entries = read_container(data)
+    if TESSDATA_LSTM_UNICHARSET not in entries:
+        raise ValueError("lang model has no unicharset")
+    ucs = Unicharset.load(entries[TESSDATA_LSTM_UNICHARSET])
+    recoder = (
+        UnicharCompress.read(Reader(entries[TESSDATA_LSTM_RECODER]))
+        if TESSDATA_LSTM_RECODER in entries
+        else UnicharCompress.pass_through(len(ucs.chars))
+    )
+    cs = "".join(ucs.chars)
+    dawgs = {
+        sec: read_squished_dawg(entries[sec], cs)
+        for sec in (
+            TESSDATA_LSTM_SYSTEM_DAWG,
+            TESSDATA_LSTM_PUNC_DAWG,
+            TESSDATA_LSTM_NUMBER_DAWG,
+        )
+        if sec in entries
+    }
+    return ucs, recoder, dawgs
+
+
+def merge_unicharsets(a: Unicharset, b: Unicharset) -> Unicharset:
+    """merge_unicharsets tool (src/training/merge_unicharsets.cpp):
+    a's rows keep their ids, b's unseen chars append in b's order."""
+    out = Unicharset(chars=list(a.chars), properties=list(a.properties))
+    have = set(a.chars)
+    for ch, pr in zip(b.chars, b.properties):
+        if ch not in have:
+            out.chars.append(ch)
+            out.properties.append(pr)
+            have.add(ch)
+    return out
+
+
 def load_traineddata(data: bytes) -> LstmModel:
     entries = read_container(data)
     if TESSDATA_LSTM not in entries:

@@ -273,3 +273,45 @@ def test_unicharset_from_texts_extractor():
     assert u.properties[i_bang] & 0x10  # punctuation
     u2 = Unicharset.load(u.save())
     assert u2.chars == u.chars and u2.properties == u.properties
+
+
+def test_combine_lang_model_starter_roundtrip():
+    """combine_lang_model (src/training/combine_lang_model.cpp:30-80):
+    a STARTER traineddata carries unicharset + recoder + wordlist dawgs
+    and no network — lstmtraining's input shape.  The runtime loader
+    rejects it (no LSTM section), read_lang_model inspects it."""
+    import pytest
+
+    from tesseract_spark.lstm.tessdata import (
+        TESSDATA_LSTM_PUNC_DAWG,
+        TESSDATA_LSTM_SYSTEM_DAWG,
+        Unicharset,
+        combine_lang_model,
+        load_traineddata,
+        read_lang_model,
+    )
+
+    u = Unicharset.from_texts(["the cat sat ."])
+    blob = combine_lang_model(
+        u, words=["the", "cat", "sat"], puncs=["."]
+    )
+    ucs, recoder, dawgs = read_lang_model(blob)
+    assert ucs.chars == u.chars
+    assert recoder.code_range >= len(u.chars)
+    assert dawgs[TESSDATA_LSTM_SYSTEM_DAWG].accepts("cat")
+    assert not dawgs[TESSDATA_LSTM_SYSTEM_DAWG].accepts("dog")
+    assert dawgs[TESSDATA_LSTM_PUNC_DAWG].accepts(".")
+    with pytest.raises(ValueError, match="no LSTM section"):
+        load_traineddata(blob)
+
+
+def test_merge_unicharsets_tool():
+    """merge_unicharsets (src/training/merge_unicharsets.cpp): first
+    set's ids stable, second set's new chars append in order."""
+    from tesseract_spark.lstm.tessdata import Unicharset, merge_unicharsets
+
+    a = Unicharset.from_charset("abc")
+    b = Unicharset.from_charset("bcdx")
+    m = merge_unicharsets(a, b)
+    assert m.chars == ["a", "b", "c", "d", "x"]
+    assert m.properties[0] == a.properties[0]
