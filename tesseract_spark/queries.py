@@ -2736,6 +2736,99 @@ K_IVF_LISTS = 8  # coarse-quantizer cells (seeded, not trained)
 K_IVF_PROBES = 2  # inverted lists probed per query
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    drop within-cluster near-duplicates above a cosine threshold,
+    keeping one deterministic representative per duplicate group (the
+    lowest vec_id).
+
+    Scale shape — the whole point of the method: pairwise similarity is
+    confined to CLUSTERS (cluster size ~ N/K, chosen so each cell's
+    pairwise pass is tractable), never all-pairs.  Assignment reuses
+    the IVF broadcast + map-side argmax (no KxN shuffle); the pairwise
+    pass is ONE self-join co-partitioned on cluster id.
+
+    Returns every vector with its cluster and kept flag (kept=0 means a
+    lower-id near-duplicate exists in its cluster)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    seeds = emb.filter(F.col("vec_id") < K_IVF_LISTS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dot_c = _dot_expr("v", "cv")
+    sim = F.expr(f"{dot_c} / ({_norm_expr('v')} * {_norm_expr('cv')})")
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "v", "cid", sim.alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("csim"), (-F.col("cid")).alias("nc"),
+                         F.col("cid"))
+            ).alias("best"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", F.col("best.cid").alias("cid"))
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dot_ab = _dot_expr("a.v", "b.v")
+    cos = F.expr(
+        f"{dot_ab} / ({_norm_expr('a.v')} * {_norm_expr('b.v')})"
+    )
+    # a lower-id near-neighbour in the same cluster marks b as a dup
+    dropped = (
+        a.join(b, F.col("a.cid") == F.col("b.cid"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= K_EMBED_DUP_COS)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("dup").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.v, s.cid,
+    list_sum(list_transform(generate_series(1, len(e.v)),
+                            i -> e.v[i] * s.cv[i])) /
+    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+     sqrt(list_sum(list_transform(s.cv, x -> x * x)))) AS csim
+  FROM e, seeds s
+), assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY csim DESC, cid ASC) AS r FROM scored) WHERE r = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+                                i -> a.v[i] * b.v[i])) /
+        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+)
+SELECT a.vec_id, a.cid,
+  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (the inverted-file scale path, complementing the
     sign-LSH variants): vectors partition into K_IVF_LISTS cells by
@@ -3384,6 +3477,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ocr_font_attrs": (q_ocr_font_attrs, ORACLE_OCR_FONT_ATTRS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
     "charset_extract": (q_charset_extract, ORACLE_CHARSET_EXTRACT),
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
