@@ -2736,6 +2736,152 @@ K_IVF_LISTS = 8  # coarse-quantizer cells (seeded, not trained)
 K_IVF_PROBES = 2  # inverted lists probed per query
 
 
+def q_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring duplication (the suffix-array
+    dedup signal of Lee et al. 2022, arXiv:2107.06499, re-expressed on
+    token shingles): every 8-token window is a key; a window appearing
+    in >= 2 documents is duplicated text.  Per document: total windows,
+    duplicated windows, and the duplicated fraction — the pruning
+    signal a training pipeline thresholds on.
+
+    Scale shape: one hash aggregation keyed by shingle (map-side
+    partials), one broadcast-back join is avoided by re-grouping on
+    (doc, shingle) pairs — two shuffles total, both on hashed keys; no
+    suffix array materialization, no all-pairs."""
+    K = 8
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("ws")
+    )
+    sh = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("ws") - K, F.lit(-1)),
+                ),
+                lambda i: F.array_join(F.slice("ws", i + 1, K), " "),
+            )
+        ).alias("shingle"),
+    )
+    # distinct docs per shingle (exact duplication = seen in >= 2 docs)
+    counts = sh.groupBy("shingle").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        sh.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("n_docs") >= 2).cast("int")).alias("dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "dup_windows",
+            F.round(F.col("dup_windows") / F.col("n_windows"), 4).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+    return per_doc
+
+
+ORACLE_DUP_SUBSTRINGS = """
+WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, g.i + 1, g.i + 8), ' ') AS shingle
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, len(ws) - 8)) AS i
+  ) g
+  WHERE len(ws) >= 8
+), counts AS (
+  SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id, count(*) AS n_windows,
+  CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS dup_windows,
+  round(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 4)
+    AS dup_fraction
+FROM sh JOIN counts c ON sh.shingle = c.shingle
+GROUP BY sh.doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass — the standard pre-training redaction step:
+    emails, bare IPv4s and long digit runs (phone-like) replace with
+    typed placeholder tokens; per document the pass reports the scrubbed
+    text and the per-category counts a compliance audit needs.
+
+    The fixture corpus carries no natural PII, so the query INJECTS a
+    deterministic per-document marker (user<doc_id>@example.com,
+    10.0.<doc_id mod 256>.1) before scrubbing — injection and scrub are
+    both part of the query definition, mirrored exactly in the oracle,
+    so a green row proves the redaction regexes and counting.
+
+    Pure JVM-side column expressions; one narrow projection."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    PHONE = r"\b\d{7,15}\b"
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 or 5551234567"),
+    )
+    n_email = F.size(
+        F.regexp_extract_all(injected, F.lit(EMAIL), F.lit(0))
+    )
+    scrub1 = F.regexp_replace(injected, EMAIL, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(scrub1, F.lit(IPV4), F.lit(0)))
+    scrub2 = F.regexp_replace(scrub1, IPV4, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(scrub2, F.lit(PHONE), F.lit(0)))
+    scrub3 = F.regexp_replace(scrub2, PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_phone.alias("n_phone"),
+        F.md5(scrub3).alias("scrubbed_md5"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH inj AS (
+  SELECT doc_id,
+    coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.1 or 5551234567' AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t,
+        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+    regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                   '<EMAIL>', 'g') AS t
+  FROM inj
+), s2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(t,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+    regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '<IP>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, n_email, n_ip,
+  len(regexp_extract_all(t, '\b\d{7,15}\b')) AS n_phone,
+  md5(regexp_replace(t, '\b\d{7,15}\b', '<PHONE>', 'g')) AS scrubbed_md5
+FROM s2
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
@@ -3478,6 +3624,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
     "charset_extract": (q_charset_extract, ORACLE_CHARSET_EXTRACT),
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    "dup_substrings": (q_dup_substrings, ORACLE_DUP_SUBSTRINGS),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
