@@ -48,3 +48,33 @@ def apply_ambigs(
                 break
         out.append(fixed)
     return " ".join(out)
+
+
+def ambiguous_words(
+    wordlist: list[str],
+    dawg: "Dawg",
+    table: tuple[tuple[str, str], ...] = DEFAULT_AMBIGS,
+) -> list[tuple[str, str]]:
+    """The ambiguous_words training tool
+    (src/training/ambiguous_words.cpp:24-65): for each word, list the
+    single-substitution ambiguity variants that are ALSO dictionary
+    words — the pairs a language pack author reviews before shipping a
+    unicharambigs file.  Returns sorted (word, variant) pairs.
+
+    Both directions of each table entry are probed (the tool walks the
+    full ambig table; our DEFAULT_AMBIGS stores one canonical direction
+    per confusion)."""
+    pairs: set[tuple[str, str]] = set()
+    for w in wordlist:
+        for wrong, right in table:
+            for a, b in ((wrong, right), (right, wrong)):
+                start = 0
+                while True:
+                    i = w.find(a, start)
+                    if i < 0:
+                        break
+                    v = w[:i] + b + w[i + len(a):]
+                    if v != w and dawg.accepts(v):
+                        pairs.add((w, v))
+                    start = i + 1
+    return sorted(pairs)

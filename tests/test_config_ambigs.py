@@ -31,3 +31,21 @@ def test_ambigs_keep_dict_and_unfixable():
     assert apply_ambigs("corn", d) == "corn"
     # unfixable stays as-is
     assert apply_ambigs("xyz123", d) == "xyz123"
+
+
+def test_ambiguous_words_tool():
+    """ambiguous_words (src/training/ambiguous_words.cpp:24-65): for
+    each word, the single-substitution ambig variants that are also
+    dictionary words, both confusion directions probed."""
+    from tesseract_spark.functions.ambigs import ambiguous_words
+    from tesseract_spark.lstm.dawg import Dawg
+
+    cs = "abcdefghijklmnopqrstuvwxyz015"
+    d = Dawg(cs, ["hello", "he1lo", "modern", "modem", "mass", "ma55"])
+    pairs = ambiguous_words(["hello", "modern", "mass"], d)
+    assert ("hello", "he1lo") in pairs  # l -> 1
+    assert ("modern", "modem") in pairs  # rn -> m
+    assert all(w != v for w, v in pairs)
+    # 'ma55' needs TWO substitutions — single-substitution semantics
+    # exclude it, and no other variant of 'mass' is a dict word
+    assert not any(w == "mass" for w, _v in pairs)
