@@ -286,8 +286,15 @@ def read_squished_dawg(data: bytes, charset: str) -> Dawg:
 
 def wordlist2dawg(words: list[str], charset: str) -> bytes:
     """The wordlist2dawg tool (src/training/wordlist2dawg.cpp:34-95):
-    build + squish + serialize."""
-    return write_squished_dawg(Dawg(charset, words))
+    build + squish + serialize.  Words pass through the unicharset's
+    ingest cleanup first (kCleanupMaps: tatweel deleted, fi/fl
+    ligatures expanded — the DictIgnoresTatweel contract,
+    unittest/tatweel_test.cc:62-75)."""
+    from .tessdata import Unicharset
+
+    return write_squished_dawg(
+        Dawg(charset, [Unicharset.cleanup_string(w) for w in words])
+    )
 
 
 def dawg2wordlist(data: bytes, charset: str) -> list[str]:

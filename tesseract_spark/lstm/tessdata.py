@@ -239,6 +239,19 @@ class Unicharset:
             u.properties.append(props)
         return u
 
+    # kCleanupMaps (unicharset.cpp:72-77): substitutions applied when
+    # ingesting strings from the outside — TATWEEL deleted, fi/fl
+    # ligatures expanded (the TatweelTest contract,
+    # unittest/tatweel_test.cc:54-60)
+    CLEANUP_MAPS = (("\u0640", ""), ("\ufb01", "fi"), ("\ufb02", "fl"))
+
+    @classmethod
+    def cleanup_string(cls, s: str) -> str:
+        """UNICHARSET::CleanupString (unicharset.h:265)."""
+        for a, b in cls.CLEANUP_MAPS:
+            s = s.replace(a, b)
+        return s
+
     @classmethod
     def from_texts(cls, texts) -> "Unicharset":
         """The unicharset_extractor training tool
@@ -250,7 +263,7 @@ class Unicharset:
         is queries.q_charset_extract."""
         seen: set[str] = set()
         for t in texts:
-            for ch in t or "":
+            for ch in cls.cleanup_string(t or ""):
                 seen.add(" " if ch.isspace() else ch)
         return cls.from_charset("".join(sorted(seen)))
 

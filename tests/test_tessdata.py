@@ -315,3 +315,22 @@ def test_merge_unicharsets_tool():
     m = merge_unicharsets(a, b)
     assert m.chars == ["a", "b", "c", "d", "x"]
     assert m.properties[0] == a.properties[0]
+
+
+def test_cleanup_string_tatweel_and_ligatures():
+    """kCleanupMaps ingest substitutions (unicharset.cpp:72-77) and the
+    TatweelTest contracts (unittest/tatweel_test.cc): the unicharset
+    never contains tatweel, the dictionary ignores it."""
+    from tesseract_spark.lstm.dawg import read_squished_dawg, wordlist2dawg
+    from tesseract_spark.lstm.tessdata import Unicharset
+
+    assert Unicharset.cleanup_string("aـb") == "ab"
+    assert Unicharset.cleanup_string("ﬁsh ﬂy") == "fish fly"
+    u = Unicharset.from_texts(["aـb ﬁsh"])
+    assert "ـ" not in u.chars and "ﬁ" not in u.chars
+    cs = "abcfish"
+    d = read_squished_dawg(
+        wordlist2dawg(["aـbc", "ﬁsh"], cs), cs
+    )
+    assert d.accepts("abc") and d.accepts("fish")
+    assert not d.accepts("aـbc")
