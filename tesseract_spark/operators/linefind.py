@@ -261,12 +261,29 @@ def _filter_false_positives(
                 # columns within the window (kerning + word gaps); a
                 # paragraph separator has none within ~1mm at 300dpi.
                 # The mirrored below-check protects overlines.
+                #
+                # The x-window extends ~1mm past the candidate: the
+                # hollow-mask extraction SEGMENTS a bar that text
+                # crosses (descenders fuse bar+glyph into the solid
+                # mask), and a surviving word-gap segment has no text
+                # over its OWN x-range — the neighbouring words' ink
+                # identifies it.  The test is one-sided (XOR): an
+                # underline/overline has text on exactly one side,
+                # a strike-through rule (line_removal golden) has text
+                # on BOTH sides and must stay on the separator path.
                 win = max(12, 3 * bh)
-                above = nonline[max(0, t - win) : t, l:r]
-                below = nonline[b : b + win, l:r]
-                if (above.size and above.any(axis=0).sum() >= 0.35 * bw) or (
-                    below.size and below.any(axis=0).sum() >= 0.35 * bw
-                ):
+                ext = max(4 * bh, resolution // 10)
+                xl, xr = max(0, l - ext), min(nonline.shape[1], r + ext)
+                span = xr - xl
+                above = nonline[max(0, t - win) : t, xl:xr]
+                below = nonline[b : b + win, xl:xr]
+                above_cov = bool(
+                    above.size and above.any(axis=0).sum() >= 0.35 * span
+                )
+                below_cov = bool(
+                    below.size and below.any(axis=0).sum() >= 0.35 * span
+                )
+                if above_cov != below_cov:
                     bad = True
         if bad:
             line_pix[t:b, l:r] &= ~comp

@@ -617,6 +617,7 @@ def analyze_page(
         # unshear before splitting.
         from .devanagari import split_shiro_rekha_page
 
+        base_ink = ink
         _l0, _n0, stats0 = label_and_stats(ink)
         pre_skew = estimate_skew(stats0)
         if pre_skew != 0.0:
@@ -624,6 +625,22 @@ def analyze_page(
         ink, res.deva_splits, deva_mask = split_shiro_rekha_page(
             ink, return_mask=True
         )
+        # Residual check: the conjoined-blob estimate can land one grid
+        # step off (wide components stress the integer-edge model), and
+        # TWO quantized unshears do not compose to one —
+        # round(s1*x) + round(s2*x) != round((s1+s2)*x) — leaving
+        # internally sheared glyphs the exact template gate rejects.
+        # Re-estimate on the SPLIT cells (narrow blobs, the estimator's
+        # validated regime) and, on a residual, redo from the original
+        # ink in a single transform.
+        _l1, _n1, stats1 = label_and_stats(ink)
+        residual = estimate_skew(stats1)
+        if residual != 0.0:
+            pre_skew = pre_skew + residual
+            ink = unshear(base_ink, pre_skew) if pre_skew != 0.0 else base_ink
+            ink, res.deva_splits, deva_mask = split_shiro_rekha_page(
+                ink, return_mask=True
+            )
 
     # Morphological pre-passes in the reference's order
     # (pagesegmain.cpp:287-293): rule-line find/remove FIRST
