@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .fixture_model import PAD
 from .training import line_sample, trainable_slots, unflatten
 from .vgsl import VGSLNetwork
 
@@ -40,41 +39,35 @@ def levenshtein(a, b) -> int:
 def decode_lines(
     net: VGSLNetwork, texts: list[str], charset: str, blank: int
 ) -> list[str]:
-    """Greedy-decode rendered line texts, width-bucketed (one forward
-    per bucket — the StrideMap batching of the production decoder)."""
+    """Greedy-decode rendered line texts via the SHARED bucketed
+    forward + collapse helpers (fixture_model.bucket_strips /
+    greedy_collapse) so eval decode can never silently diverge from
+    the production decoder's batching."""
+    from .fixture_model import bucket_strips, greedy_collapse, trim_edge_spaces
+
     strips = [line_sample(t) for t in texts]
     space_id = charset.index(" ")
-    buckets: dict[int, list[int]] = {}
-    for i, s in enumerate(strips):
-        w = s.shape[1] + 2 * PAD
-        buckets.setdefault(-(-w // 32), []).append(i)
     out = [""] * len(texts)
-    for key in sorted(buckets):
-        idxs = buckets[key]
-        wmax = key * 32
-        x = np.zeros((len(idxs), 1, wmax, 16), dtype=np.float32)
-        for j, i in enumerate(idxs):
-            s = strips[i].astype(np.float32)
-            x[j, 0, PAD : PAD + s.shape[1], :] = s.T
+    for idxs, x, t_reals in bucket_strips(strips):
         logp = net.forward(x)
+        best = np.argmax(logp, axis=2)
         for j, i in enumerate(idxs):
-            t_real = strips[i].shape[1] + 2 * PAD
-            best = np.argmax(logp[j, :t_real], axis=1)
-            keep = np.ones(len(best), bool)
-            keep[1:] = best[1:] != best[:-1]
-            dec = [int(c) for c in best[keep] if c != blank]
-            while dec and dec[0] == space_id:
-                dec.pop(0)
-            while dec and dec[-1] == space_id:
-                dec.pop()
+            dec = trim_edge_spaces(
+                greedy_collapse(best[j, : t_reals[j]], blank), space_id
+            )
             out[i] = "".join(charset[c] for c in dec)
     return out
 
 
 def _error_counts(truths: list[str], preds: list[str]):
-    """(char_errs, n_chars, word_errs, n_words, n_exact)."""
+    """(char_errs, n_chars, word_errs, n_words, n_exact).
+
+    Edge spaces strip from BOTH sides: the decoder trims them
+    (end-of-line is indistinguishable from a word gap), so a truth
+    carrying edge whitespace must not count as error."""
     ce = nc = we = nw = ex = 0
     for t, p in zip(truths, preds):
+        t = t.strip(" ")
         ce += levenshtein(t, p)
         nc += len(t)
         tw, pw = t.split(), p.split()

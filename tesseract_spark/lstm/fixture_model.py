@@ -170,6 +170,50 @@ def get_vgsl_model() -> LstmModel:
 # ---------------------------------------------------------------------------
 
 
+def bucket_strips(
+    strips: list[np.ndarray], quantum: int = 32
+) -> list[tuple[list[int], np.ndarray, list[int]]]:
+    """Width-bucket canonical strips for batched forwards (the StrideMap
+    batching shape).  Returns [(indices, x [N,1,Wmax,16], real widths)]
+    — the ONE shared implementation the evaluator and the production
+    decoder both use (a silent divergence here would make eval error
+    rates incomparable with production decode)."""
+    buckets: dict[int, list[int]] = {}
+    for i, st in enumerate(strips):
+        w = st.shape[1] + 2 * PAD
+        buckets.setdefault(-(-w // quantum), []).append(i)
+    out = []
+    for key in sorted(buckets):
+        idxs = buckets[key]
+        wmax = key * quantum
+        x = np.zeros((len(idxs), 1, wmax, 16), dtype=np.float32)
+        t_reals = []
+        for j, i in enumerate(idxs):
+            st = strips[i].astype(np.float32)
+            x[j, 0, PAD : PAD + st.shape[1], :] = st.T
+            t_reals.append(st.shape[1] + 2 * PAD)
+        out.append((idxs, x, t_reals))
+    return out
+
+
+def greedy_collapse(seq: np.ndarray, blank: int) -> list[int]:
+    """Greedy CTC collapse: drop repeats, then blanks
+    (ExtractBestPaths/SimpleTextOutput, recodebeam.cpp:200-237)."""
+    keep = np.ones(len(seq), bool)
+    keep[1:] = seq[1:] != seq[:-1]
+    return [int(c) for c in seq[keep] if c != blank]
+
+
+def trim_edge_spaces(codes: list[int], space: int) -> list[int]:
+    """Strip leading/trailing space codes: end-of-line is
+    indistinguishable from a word gap."""
+    while codes and codes[0] == space:
+        codes.pop(0)
+    while codes and codes[-1] == space:
+        codes.pop()
+    return codes
+
+
 def decode_strips(
     model: LstmModel,
     strips: list[np.ndarray],
@@ -193,29 +237,12 @@ def decode_strips(
     charset = model.charset
     null_code = model.null_char
     space_uid = charset.index(" ")
-    # bucket by padded width
-    buckets: dict[int, list[int]] = {}
-    quantum = 32
-    for i, s in enumerate(strips):
-        w = s.shape[1] + 2 * PAD
-        buckets.setdefault(-(-w // quantum), []).append(i)
     out = [""] * len(strips)
-    for key in sorted(buckets):
-        idxs = buckets[key]
-        wmax = key * quantum
-        x = np.zeros((len(idxs), 1, wmax, 16), dtype=np.float32)
-        for j, i in enumerate(idxs):
-            s = strips[i].astype(np.float32)  # [16, W]
-            x[j, 0, PAD : PAD + s.shape[1], :] = s.T
+    for idxs, x, t_reals in bucket_strips(strips):
         log_probs = model.net.forward(x)  # [N, W', C]
         best = np.argmax(log_probs, axis=2)  # [N, W']
         for j, i in enumerate(idxs):
-            w_real = strips[i].shape[1] + 2 * PAD
-            seq = best[j, :w_real]
-            # CTC collapse: drop repeats then nulls
-            keep = np.ones(len(seq), dtype=bool)
-            keep[1:] = seq[1:] != seq[:-1]
-            codes = [int(c) for c in seq[keep] if c != null_code]
+            codes = greedy_collapse(best[j, : t_reals[j]], null_code)
             uids = model.recoder.decode_codes(codes)
             if disabled_uids:
                 uids = [u for u in uids if u not in disabled_uids]

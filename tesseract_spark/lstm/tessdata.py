@@ -952,7 +952,10 @@ def combine_lang_model(
         (TESSDATA_LSTM_NUMBER_DAWG, numbers),
     ):
         if wl:
-            d = Dawg(cs, wl)
+            # same ingest cleanup as wordlist2dawg (kCleanupMaps): a
+            # tatweel-bearing word cleans to its canonical form instead
+            # of being dropped for out-of-charset characters
+            d = Dawg(cs, [Unicharset.cleanup_string(w) for w in wl])
             if d.n_edges:
                 entries[sec] = write_squished_dawg(
                     d, unicharset_size=len(unicharset.chars)

@@ -244,7 +244,10 @@ def _harvest_adaptable(adapted, net: TemplateNet, strip, words, col_of_t) -> Non
         chars = [
             (code_of[ch], int(col_of_t[t]))
             for ch, t in zip(w.text, w.char_ts)
-            if ch in code_of
+            # t = -1 is the drop-cap sentinel (no timestep in the MAIN
+            # strip); negative indexing would harvest the strip's last
+            # column as the cap's template
+            if ch in code_of and 0 <= t < len(col_of_t)
         ]
         harvest_word(adapted, strip, chars, net.width_by_code)
 
@@ -535,7 +538,10 @@ def recognize_page_detail(
         for (ri_i, res) in decoded.items():
             _t, ws, _m, _d, cols, strip = res
             starts = [
-                int(cols[t]) for w in ws for t in w.char_ts if t < len(cols)
+                int(cols[t])
+                for w in ws
+                for t in w.char_ts
+                if 0 <= t < len(cols)  # skip the drop-cap sentinel -1
             ]
             mono = (
                 bool(detect_pitch(np.asarray(starts, dtype=np.float64))[0])

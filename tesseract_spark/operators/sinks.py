@@ -400,9 +400,12 @@ def to_hocr(
         b_open=b_open, i_open=i_open, i_close=i_close, b_close=b_close,
         fs=fs,
     )
-    is_rtl = F.when(
-        F.col("text").rlike("[\u0590-\u08ff]"), 1
-    ).otherwise(0)
+    from .bidi import _RTL_RANGES
+
+    rtl_cls = "[" + "".join(
+        f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in _RTL_RANGES
+    ) + "]"
+    is_rtl = F.when(F.col("text").rlike(rtl_cls), 1).otherwise(0)
     lines = words.groupBy(
         "doc_id", "media_ref", "block_num", "par_num", "line_num"
     ).agg(

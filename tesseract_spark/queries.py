@@ -1767,12 +1767,23 @@ def q_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (UNICHARSET::set_isalpha family, unicharset.h:240-280).
 
     At 100 TB this is the right shape: map-side partial counts, one
-    shuffle keyed by character (tiny key space), no collect."""
+    shuffle keyed by character (tiny key space), no collect.  The same
+    ingest normalization as Unicharset.from_texts applies first:
+    kCleanupMaps (tatweel deleted, fi/fl ligatures expanded,
+    unicharset.cpp:72-77) and whitespace folding to the space row —
+    then space itself is excluded from the rows."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    "\u0640", ""),
+                "\uFB01", "fi"),
+            "\uFB02", "fl"),
+        r"\s", " ")
     ch = F.explode(
-        F.regexp_extract_all(
-            F.coalesce(F.col("text"), F.lit("")), F.lit(r"[\s\S]"), F.lit(0)
-        )
+        F.regexp_extract_all(cleaned, F.lit(r"[\s\S]"), F.lit(0))
     ).alias("ch")
     return (
         docs.select(ch)
@@ -1796,7 +1807,12 @@ def q_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CHARSET_EXTRACT = """
 WITH chars AS (
-  SELECT unnest(regexp_extract_all(coalesce(text, ''), '[\s\S]')) AS ch
+  SELECT unnest(regexp_extract_all(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      coalesce(text, ''),
+      chr(1600), '', 'g'), chr(64257), 'fi', 'g'), chr(64258), 'fl', 'g'),
+      '\s', ' ', 'g'),
+    '[\s\S]')) AS ch
   FROM documents
 )
 SELECT ch, count(*) AS n,
@@ -2752,15 +2768,14 @@ def q_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = docs.select(
         "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("ws")
-    )
+    ).filter(F.size("ws") >= K)  # short docs have no windows (Spark's
+    # sequence(0, -1) is the DESCENDING [0, -1], not empty — the oracle
+    # likewise excludes them via len(ws) >= 8)
     sh = words.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.size("ws") - K, F.lit(-1)),
-                ),
+                F.sequence(F.lit(0), F.size("ws") - K),
                 lambda i: F.array_join(F.slice("ws", i + 1, K), " "),
             )
         ).alias("shingle"),

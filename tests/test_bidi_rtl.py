@@ -158,3 +158,21 @@ def test_hocr_paragraph_dir_attribute(spark):
     out = {r.doc_id: r.hocr for r in to_hocr(words).collect()}
     assert "<p class=\"ocr_par\" dir='rtl'>" in out["rtl"]
     assert "dir='rtl'" not in out["ltr"]
+
+
+def test_hocr_dir_covers_presentation_forms(spark):
+    """The RTL class derives from bidi's ranges: presentation-form
+    codepoints (U+FB1D-FDFF, U+FE70-FEFF) count as strong RTL for the
+    paragraph dir attribute, matching the walk that ordered the text."""
+    import pandas as pd
+
+    from tesseract_spark.operators.sinks import WORDS_SCHEMA, to_hocr
+
+    rows = [dict(
+        doc_id="d", media_ref="m", block_num=1, par_num=1, line_num=1,
+        word_num=1, left=0, top=0, width=8, height=12, conf=95.0,
+        text="ﺍﺎ", baseline=12, choices=[], blanks=0, font="",
+        bold=0, italic=0, mono=0, pointsize=0, smallcaps=0, underlined=0,
+    )]
+    words = spark.createDataFrame(pd.DataFrame(rows), schema=WORDS_SCHEMA)
+    assert "dir='rtl'" in to_hocr(words).collect()[0].hocr

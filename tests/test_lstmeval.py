@@ -75,3 +75,12 @@ def test_distributed_eval_matches_local(spark):
         spark, df, net.spec, vec, CHARS, BLANK
     )
     assert dist == local
+
+
+def test_edge_space_truth_scores_zero():
+    # a ground-truth line carrying edge spaces must not count as error:
+    # the decoder trims them (end-of-line == word gap), so the counter
+    # strips both sides
+    net = build_fixture_net()
+    m = evaluate_lines_local(net, ["  the fox  "], CHARS, BLANK)
+    assert m["char_error_pct"] == 0.0 and m["exact_line_fraction"] == 1.0

@@ -237,3 +237,21 @@ def test_lsh_hot_bucket_guard_on_degenerate_corpus(spark):
     )
     nk = _lsh_sign_keyed(normal, ["vec_id", "v"], cap=4096)
     assert nk.filter(F.col("sub") != 0).count() == 0
+
+
+def test_dup_substrings_tolerates_short_docs(spark, tmp_path):
+    """Docs with <8 words (incl. null/empty text) have no windows and
+    must not crash the job: Spark's sequence(0, -1) is the DESCENDING
+    [0, -1], not empty — the engine filters them like the oracle."""
+    import pandas as pd
+
+    from tesseract_spark.queries import REGISTRY
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, ""), (4, " ".join(["w"] * 12))],
+        "doc_id long, text string",
+    ).write.parquet(f"{d}/documents.parquet")
+    fn, _sql = REGISTRY["dup_substrings"]
+    out = fn(spark, d).collect()
+    assert sorted((r.doc_id, r.n_windows) for r in out) == [(4, 5)]
