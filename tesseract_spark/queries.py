@@ -2752,6 +2752,70 @@ K_IVF_LISTS = 8  # coarse-quantizer cells (seeded, not trained)
 K_IVF_PROBES = 2  # inverted lists probed per query
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity quality filter — the CCNet-style
+    pruning signal (Wenzek et al. 2020, arXiv:1911.00359): score each
+    document's character trigrams against the corpus trigram model and
+    report per-doc cross-entropy (low = fluent for this corpus, high =
+    outlier/noise).  Self-scored here (the corpus IS the model), so
+    every trigram has mass and no smoothing constant enters the oracle.
+
+    Scale shape: the trigram vocabulary is alphabet-bounded (tiny), so
+    the count table BROADCASTS — per-doc scoring is a map-side join +
+    one hash aggregation on doc_id.  Two shuffles total (vocab agg,
+    doc agg), never a row-wise sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length(F.coalesce("text", F.lit(""))) - 2,
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.substring(F.coalesce("text", F.lit("")), i, 3),
+            )
+        ).alias("tri"),
+    ).filter(F.length("tri") == 3)
+    counts = tri.groupBy("tri").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))  # one row
+    scored = (
+        tri.join(F.broadcast(counts), "tri")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(
+                -F.avg(F.log(F.col("c") / F.col("n"))), 4
+            ).alias("cross_entropy"),
+        )
+    )
+    return scored
+
+
+ORACLE_LM_PERPLEXITY = """
+WITH tri AS (
+  SELECT doc_id, substr(coalesce(text, ''), g.i, 3) AS tri
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(
+      1, greatest(len(coalesce(text, '')) - 2, 0))) AS i
+  ) g
+  WHERE len(coalesce(text, '')) >= 3
+), counts AS (
+  SELECT tri, count(*) AS c FROM tri GROUP BY tri
+), total AS (
+  SELECT sum(c) AS n FROM counts
+)
+SELECT t.doc_id, count(*) AS n_trigrams,
+  round(-avg(ln(c.c / tot.n)), 4) AS cross_entropy
+FROM tri t JOIN counts c ON t.tri = c.tri, total tot
+GROUP BY t.doc_id
+"""
+
+
 def q_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cross-document substring duplication (the suffix-array
     dedup signal of Lee et al. 2022, arXiv:2107.06499, re-expressed on
@@ -3641,6 +3705,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "dup_substrings": (q_dup_substrings, ORACLE_DUP_SUBSTRINGS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
+    "lm_perplexity": (q_lm_perplexity, ORACLE_LM_PERPLEXITY),
     "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
