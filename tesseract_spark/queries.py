@@ -3686,6 +3686,365 @@ FROM top2 t LEFT JOIN dup3 d USING (doc_id)
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-overlap check every serious
+    pre-training pipeline runs (the GPT-3 appendix-C / PaLM 13-gram
+    protocol, re-expressed on 8-token shingles): documents whose text
+    shares an n-token window with a held-out benchmark set are flagged
+    so they can be dropped from the training mix.
+
+    The fixture corpus has no natural benchmark, so the query DEFINES
+    one deterministically: docs with doc_id % 97 == 0 are the "eval
+    set"; all other docs are the corpus.  To prove the mechanism fires,
+    a fixed canary sentence is appended to every eval doc and to corpus
+    docs with doc_id % 13 == 0 (mirrored exactly in the oracle — those
+    corpus docs are contaminated by construction; organic 8-token
+    overlaps across the split are caught too).
+
+    Scale shape: the eval shingle set is tiny relative to the corpus
+    (an eval suite is KBs against 100 TB), so its distinct shingles
+    BROADCAST; the corpus side is one scan + map-side semi-join + one
+    doc-keyed aggregation.  No shuffle touches the full corpus-shingle
+    expansion."""
+    K = 8
+    CANARY = (
+        "the quick brown fox jumps over the lazy benchmark sentinel"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_eval = (F.col("doc_id") % 97) == 0
+    inject = is_eval | ((F.col("doc_id") % 13) == 0)
+    text = F.when(
+        inject,
+        F.concat(F.coalesce("text", F.lit("")), F.lit(" " + CANARY)),
+    ).otherwise(F.coalesce("text", F.lit("")))
+    base = docs.select("doc_id", is_eval.alias("is_eval"),
+                       F.split(text, " ").alias("ws"))
+    sh = base.filter(F.size("ws") >= K).select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - K),
+                lambda i: F.array_join(F.slice("ws", i + 1, K), " "),
+            )
+        ).alias("shingle"),
+    )
+    eval_sh = sh.filter("is_eval").select("shingle").distinct()
+    corpus = sh.filter(~F.col("is_eval"))
+    hits = corpus.join(
+        F.broadcast(eval_sh.withColumn("hit", F.lit(1))), "shingle", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("eval_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "eval_windows",
+            F.round(F.col("eval_windows") / F.col("n_windows"), 4).alias(
+                "overlap_fraction"
+            ),
+            (F.col("eval_windows") > 0).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE = """
+WITH base AS (
+  SELECT doc_id, (doc_id % 97 = 0) AS is_eval,
+    string_split(
+      CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0
+           THEN coalesce(text, '') ||
+             ' the quick brown fox jumps over the lazy benchmark sentinel'
+           ELSE coalesce(text, '') END, ' ') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_eval,
+         array_to_string(list_slice(ws, g.i + 1, g.i + 8), ' ') AS shingle
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, len(ws) - 8)) AS i
+  ) g
+  WHERE len(ws) >= 8
+), ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE is_eval
+)
+SELECT s.doc_id, count(*) AS n_windows,
+  CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS eval_windows,
+  round(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        / count(*), 4) AS overlap_fraction,
+  sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+    AS contaminated
+FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+WHERE NOT s.is_eval
+GROUP BY s.doc_id
+"""
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the distributed inner step: corpus-wide
+    adjacent-symbol pair frequencies (the statistic one merge round of
+    byte-pair encoding maximizes; Sennrich et al. 2016,
+    arXiv:1508.07909).  Words come from the same lookahead-free GPT-2
+    pre-split as bpe_token_stats; the top-20 pairs by corpus count are
+    returned — rank 1 is the merge a BPE learner would take first.
+
+    Scale shape: the corpus first collapses to a WORD-FREQUENCY table
+    (one hash agg — the classic BPE trick: 100 TB of text is a few
+    hundred MB of distinct words), pairs explode off the compressed
+    table weighted by word count, and the final top-k is
+    TakeOrderedAndProject, never a global sort.  The full iterative
+    learner (functions/bpe.py) repeats exactly this step per merge."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pat = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(pat), F.lit(0),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+ORACLE_BPE_PAIR_COUNTS = """
+WITH words AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(regexp_extract_all(coalesce(text, ''),
+        ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS w
+    FROM documents
+  ) GROUP BY w
+), pairs AS (
+  SELECT substr(w, g.i, 2) AS pair, wc
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 1)) AS i
+  ) g
+  WHERE len(w) >= 2
+), agg AS (
+  SELECT pair, sum(wc) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+FROM agg ORDER BY n DESC, pair ASC LIMIT 20
+"""
+
+
+K_KMEANS = 8
+
+
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding column — the clustering
+    primitive behind SemDeDup cells, IVF list training, and
+    topic-balanced data mixes.  Deterministic Lloyd's: centroids
+    initialize to the K lowest vec_ids, run 2 update rounds, report
+    per-cluster size, distinct-label spread, and rounded inertia.
+
+    Scale shape: centroids are O(K x dim) — driver state, exactly like
+    the CC convergence counter.  Each round is ONE map-side argmin over
+    broadcast centroids (max-of-struct, no KxN window) + one
+    cluster-keyed mean; the corpus is scanned, never reshuffled by
+    vector.  Centroids quantize to 6 decimals each round in BOTH
+    engines — the cross-engine determinism contract (float-sum ordering
+    then cannot flip an assignment)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = emb.filter(F.col("vec_id") < K_KMEANS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    d2 = "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (s, x) -> s + x)"
+
+    def assign(e: DataFrame, c: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(c)).select(
+            "vec_id", "label", "v", "cid", F.expr(d2).alias("dist2")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist2", "cid")).alias("best"),
+                F.first("label").alias("label"),
+                F.first("v").alias("v"),
+            )
+            .select(
+                "vec_id", "label", "v",
+                F.col("best.cid").alias("cid"),
+                F.col("best.dist2").alias("dist2"),
+            )
+        )
+
+    cur = cents
+    assigned = None
+    for _ in range(2):
+        assigned = assign(emb, cur)
+        cur = (
+            assigned.select(
+                "cid", F.posexplode("v").alias("dim", "x")
+            )
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("p"))
+            .select("cid", F.transform("p", lambda s: s["m"]).alias("cv"))
+        )
+    final = assign(emb, cur)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").alias("size"),
+            F.count_distinct("label").alias("n_labels"),
+            F.round(F.sum("dist2"), 2).alias("inertia"),
+        )
+        .select(F.col("cid").alias("cluster_id"), "size", "n_labels", "inertia")
+    )
+
+
+ORACLE_EMBED_KMEANS = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8
+), a1 AS (
+  SELECT vec_id, label, v, cid, dist2 FROM (
+    SELECT e.vec_id, e.label, e.v, c.cid,
+      list_sum(list_transform(generate_series(1, len(e.v)),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist2,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_sum(list_transform(generate_series(1, len(e.v)),
+                 i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) ASC,
+        c.cid ASC) AS rn
+    FROM e, c0 c) WHERE rn = 1
+), c1 AS (
+  SELECT cid, list_transform(
+      list_sort(list_zip(list(dim), list(m))), z -> z[2]) AS cv
+  FROM (
+    SELECT cid, g.i AS dim, round(avg(v[g.i]), 6) AS m
+    FROM a1, LATERAL (
+      SELECT unnest(generate_series(1, len(v))) AS i) g
+    GROUP BY cid, g.i)
+  GROUP BY cid
+), a2 AS (
+  SELECT vec_id, label, v, cid, dist2 FROM (
+    SELECT a.vec_id, a.label, a.v, c.cid,
+      list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]))) AS dist2,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        list_sum(list_transform(generate_series(1, len(a.v)),
+                 i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]))) ASC,
+        c.cid ASC) AS rn
+    FROM a1 a, c1 c) WHERE rn = 1
+), c2 AS (
+  SELECT cid, list_transform(
+      list_sort(list_zip(list(dim), list(m))), z -> z[2]) AS cv
+  FROM (
+    SELECT cid, g.i AS dim, round(avg(v[g.i]), 6) AS m
+    FROM a2, LATERAL (
+      SELECT unnest(generate_series(1, len(v))) AS i) g
+    GROUP BY cid, g.i)
+  GROUP BY cid
+), a3 AS (
+  SELECT vec_id, label, cid, dist2 FROM (
+    SELECT a.vec_id, a.label, c.cid,
+      list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]))) AS dist2,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        list_sum(list_transform(generate_series(1, len(a.v)),
+                 i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]))) ASC,
+        c.cid ASC) AS rn
+    FROM a2 a, c2 c) WHERE rn = 1
+)
+SELECT cid AS cluster_id, count(*) AS size,
+  count(DISTINCT label) AS n_labels, round(sum(dist2), 2) AS inertia
+FROM a3 GROUP BY cid
+"""
+
+
+def q_data_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified data-mix sampling — the step that turns a filtered
+    corpus into a training mixture: strata are (lang x length bucket),
+    each stratum gets a target keep-rate, and the keep decision is a
+    DETERMINISTIC hash of the document id (md5 prefix vs a hex
+    threshold) so the sample is reproducible across runs, engines and
+    cluster sizes — no RNG, no seed plumbing.  Reports per-stratum
+    totals, kept counts and the realized rate.
+
+    Rates: long docs keep everything, medium keep half, short keep 10%
+    — the up-weight-long-documents mix shape.
+
+    Scale shape: pure map-side projection (md5 + comparisons) + one
+    hash aggregation on the tiny stratum key space.  The kept sample
+    itself never shuffles — a writer would stream it straight out."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.when(F.col("n_chars") >= 800, "long")
+        .when(F.col("n_chars") >= 200, "medium")
+        .otherwise("short")
+    )
+    rate_hex = (
+        F.when(bucket == "long", "ffffffff")
+        .when(bucket == "medium", "80000000")
+        .otherwise("19999999")
+    )
+    keep = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    ) < rate_hex
+    return (
+        docs.select(
+            "lang", bucket.alias("bucket"), keep.cast("int").alias("k")
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("k").alias("n_kept"),
+            F.round(F.sum("k") / F.count("*"), 4).alias("realized_rate"),
+        )
+    )
+
+
+ORACLE_DATA_MIX_SAMPLE = """
+WITH t AS (
+  SELECT lang,
+    CASE WHEN n_chars >= 800 THEN 'long'
+         WHEN n_chars >= 200 THEN 'medium' ELSE 'short' END AS bucket,
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN n_chars >= 800 THEN 'ffffffff'
+           WHEN n_chars >= 200 THEN '80000000' ELSE '19999999' END
+    THEN 1 ELSE 0 END AS k
+  FROM documents
+)
+SELECT lang, bucket, count(*) AS n_total,
+  CAST(sum(k) AS BIGINT) AS n_kept,
+  round(sum(k) / count(*), 4) AS realized_rate
+FROM t GROUP BY lang, bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3756,4 +4115,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embed_near_dup": (q_embed_near_dup, ORACLE_EMBED_NEAR_DUP),
     "audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
     "video_frame_sample": (q_video_frame_sample, ORACLE_VIDEO_FRAME_SAMPLE),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
+    "embed_kmeans": (q_embed_kmeans, ORACLE_EMBED_KMEANS),
+    "data_mix_sample": (q_data_mix_sample, ORACLE_DATA_MIX_SAMPLE),
 }

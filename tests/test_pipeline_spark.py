@@ -156,7 +156,7 @@ def test_topk_queries_compile_to_take_ordered(spark):
 
     sf = "/root/testdata/sf0.001"
     for name in ("ann_cosine_topk", "ann_lsh_bucket", "char_trigrams",
-                 "ann_ivf"):
+                 "ann_ivf", "bpe_pair_counts"):
         fn, _ = REGISTRY[name]
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, name
@@ -172,7 +172,8 @@ def test_no_single_partition_exchange_in_registry_lsh_queries(spark):
                  "audio_features", "video_frame_sample", "doc_quality",
                  "ann_ivf", "lsh_jaccard_verify", "semantic_dedup",
                  "charset_extract", "bpe_token_stats", "dup_substrings",
-                 "pii_scrub"):
+                 "pii_scrub", "decontaminate", "embed_kmeans",
+                 "data_mix_sample"):
         fn, _ = REGISTRY[name]
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, name
