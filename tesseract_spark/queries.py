@@ -4045,6 +4045,158 @@ FROM t GROUP BY lang, bucket
 """
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-quality signals (Rae et al. 2021,
+    arXiv:2112.11446, Table A1): per document, the fraction of
+    characters inside the most common word {2,3,4}-gram, the fraction
+    of characters inside duplicated {5,10}-grams, mean word length,
+    and the composite keep/drop verdict at the published thresholds
+    (top2<=0.20, top3<=0.18, top4<=0.16, dup5<=0.15, dup10<=0.10).
+    The corpus documents are single-line word streams, so the n-gram
+    repetition family (not the line-based rules) is the discriminating
+    subset here.
+
+    Scale shape: n-grams for all five sizes explode in ONE projection
+    off the token array, ONE hash agg to (doc_id, n, gram) counts with
+    map-side combine, ONE more to per-(doc,n) top/dup stats (the top
+    gram via max(struct(cnt, gram)) — an agg, not a window), then a
+    conditional-agg pivot back to one row per doc.  Two shuffles total,
+    both keyed by doc_id-prefixed composites — no skew (each doc
+    contributes its own key space) and no global ordering anywhere."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = [2, 3, 4, 5, 10]
+    gram_arrays = ", ".join(
+        f"transform(sequence(1, greatest(size(toks) - {n} + 1, 0)),"
+        f" i -> named_struct('n', {n},"
+        f" 'g', concat_ws(' ', slice(toks, i, {n}))))"
+        for n in sizes
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.expr(f"concat({gram_arrays})")).alias("s"),
+        )
+        .select("doc_id", "n_chars", "s.n", "s.g")
+    )
+    cnt = grams.groupBy("doc_id", "n_chars", "n", "g").agg(
+        F.count("*").alias("cnt")
+    )
+    per_n = cnt.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(F.struct("cnt", "g")).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dup_chars"),
+    )
+    top_chars = F.col("top.cnt") * F.length("top.g")
+    piv = per_n.groupBy("doc_id", "n_chars").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, top_chars)), F.lit(0)
+            ).alias(f"top{n}_chars")
+            for n in (2, 3, 4)
+        ],
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("dup_chars"))), F.lit(0)
+            ).alias(f"dup{n}_chars")
+            for n in (5, 10)
+        ],
+    )
+    mean_wl = F.expr(
+        "round(aggregate(split(coalesce(text, ''), ' '), 0,"
+        " (acc, t) -> acc + length(t))"
+        " / greatest(size(split(coalesce(text, ''), ' ')), 1), 4)"
+    )
+    out = piv.join(
+        docs.select("doc_id", mean_wl.alias("mean_word_len")), "doc_id"
+    )
+    fr = {
+        name: F.round(F.col(f"{name}_chars") / F.col("n_chars"), 6)
+        for name in ("top2", "top3", "top4", "dup5", "dup10")
+    }
+    keep = (
+        (fr["top2"] <= 0.20)
+        & (fr["top3"] <= 0.18)
+        & (fr["top4"] <= 0.16)
+        & (fr["dup5"] <= 0.15)
+        & (fr["dup10"] <= 0.10)
+    )
+    return out.select(
+        "doc_id",
+        fr["top2"].alias("top2_frac"),
+        fr["top3"].alias("top3_frac"),
+        fr["top4"].alias("top4_frac"),
+        fr["dup5"].alias("dup5_frac"),
+        fr["dup10"].alias("dup10_frac"),
+        "mean_word_len",
+        keep.cast("int").alias("keep"),
+    )
+
+
+_GOPHER_GRAM_SQL = " UNION ALL ".join(
+    f"""
+  SELECT doc_id, n_chars, {n} AS n,
+    array_to_string(list_slice(toks, i, i + {n} - 1), ' ') AS g
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(toks) - {n} + 1, 0))) AS i
+  ) gs"""
+    for n in (2, 3, 4, 5, 10)
+)
+
+ORACLE_GOPHER_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(coalesce(text, ''), ' ') AS toks
+  FROM documents
+), grams AS ({_GOPHER_GRAM_SQL}
+), cnt AS (
+  SELECT doc_id, n_chars, n, g, count(*) AS cnt
+  FROM grams GROUP BY ALL
+), per_n AS (
+  SELECT doc_id, n_chars, n,
+    (max(struct_pack(cnt := cnt, g := g))).cnt
+      * len((max(struct_pack(cnt := cnt, g := g))).g) AS top_chars,
+    sum(CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END) AS dup_chars
+  FROM cnt GROUP BY ALL
+), piv AS (
+  SELECT doc_id, n_chars,
+    coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS top2_chars,
+    coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS top3_chars,
+    coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0) AS top4_chars,
+    coalesce(max(CASE WHEN n = 5 THEN dup_chars END), 0) AS dup5_chars,
+    coalesce(max(CASE WHEN n = 10 THEN dup_chars END), 0) AS dup10_chars
+  FROM per_n GROUP BY ALL
+), mw AS (
+  SELECT doc_id,
+    round(list_sum(list_transform(string_split(coalesce(text, ''), ' '),
+                                  x -> len(x)))
+      / greatest(len(string_split(coalesce(text, ''), ' ')), 1), 4)
+      AS mean_word_len
+  FROM documents
+)
+SELECT p.doc_id,
+  round(top2_chars / n_chars, 6) AS top2_frac,
+  round(top3_chars / n_chars, 6) AS top3_frac,
+  round(top4_chars / n_chars, 6) AS top4_frac,
+  round(dup5_chars / n_chars, 6) AS dup5_frac,
+  round(dup10_chars / n_chars, 6) AS dup10_frac,
+  mean_word_len,
+  CAST(round(top2_chars / n_chars, 6) <= 0.20
+   AND round(top3_chars / n_chars, 6) <= 0.18
+   AND round(top4_chars / n_chars, 6) <= 0.16
+   AND round(dup5_chars / n_chars, 6) <= 0.15
+   AND round(dup10_chars / n_chars, 6) <= 0.10 AS INT) AS keep
+FROM piv p JOIN mw USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4094,6 +4246,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION_STATS),
     "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
+    "gopher_repetition": (q_gopher_repetition, ORACLE_GOPHER_REPETITION),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
