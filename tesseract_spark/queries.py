@@ -4197,6 +4197,73 @@ FROM piv p JOIN mw USING (doc_id)
 """
 
 
+SEQ_PACK_BLOCK = 256
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining — the concat-and-chunk shape:
+    within each shard (source), documents are concatenated in doc_id
+    order and the token stream is cut into fixed SEQ_PACK_BLOCK-token
+    training blocks.  Per document: its token offset in the shard
+    stream, the first/last block it lands in, and whether it straddles
+    a block boundary (the packing loss a pipeline budgets for).
+
+    Scale shape: ONE window partitioned by the shard key (never a
+    global window — each shard's cumsum is independent, so 100 TB packs
+    as one task per shard-partition with no SinglePartition exchange);
+    token counts are a pure column expression.  This is exactly how
+    production packing shards: concat order only needs to be stable
+    WITHIN a shard."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    t = docs.select("doc_id", "source", tok.alias("n_tokens"))
+    t = t.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    L = SEQ_PACK_BLOCK
+    first = F.floor(F.col("offset") / L)
+    last = F.floor((F.col("offset") + F.col("n_tokens") - 1) / L)
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "offset",
+        first.alias("first_block"),
+        last.alias("last_block"),
+        (last - first).cast("int").alias("n_boundary_crossings"),
+    )
+
+
+ORACLE_SEQ_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split(coalesce(text, ''), ' ')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS "offset"
+  FROM t
+)
+SELECT doc_id, source, n_tokens, "offset",
+  CAST(floor("offset" / {SEQ_PACK_BLOCK}) AS BIGINT) AS first_block,
+  CAST(floor(("offset" + n_tokens - 1) / {SEQ_PACK_BLOCK}) AS BIGINT)
+    AS last_block,
+  CAST(floor(("offset" + n_tokens - 1) / {SEQ_PACK_BLOCK})
+     - floor("offset" / {SEQ_PACK_BLOCK}) AS INT) AS n_boundary_crossings
+FROM o
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4247,6 +4314,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION_STATS),
     "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "gopher_repetition": (q_gopher_repetition, ORACLE_GOPHER_REPETITION),
+    "seq_packing": (q_seq_packing, ORACLE_SEQ_PACKING),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
