@@ -3845,7 +3845,7 @@ WITH words AS (
   ) g
   WHERE len(w) >= 2
 ), agg AS (
-  SELECT pair, sum(wc) AS n FROM pairs GROUP BY pair
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM pairs GROUP BY pair
 )
 SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
 FROM agg ORDER BY n DESC, pair ASC LIMIT 20

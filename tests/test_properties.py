@@ -141,3 +141,31 @@ def test_dawg_roundtrip_property(words):
 
     d = Dawg("abcdef ", words)
     assert d.all_words() == sorted(set(words))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abcdef 01.,!x", min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=0, max_value=30),
+)
+def test_bpe_encode_lossless_property(texts, n_merges):
+    """BPE encoding is lossless over the pre-tokenized text for ANY
+    learned merge table, and merges never increase the token count."""
+    from tesseract_spark.functions import bpe
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in bpe.pretokenize(t):
+            counts[w] = counts.get(w, 0) + 1
+    merges = bpe.learn_bpe(counts, n_merges)
+    ranks = bpe.merges_to_ranks(merges)
+    for t in texts:
+        toks = bpe.encode_text(t, ranks)
+        assert "".join(toks) == "".join(bpe.pretokenize(t))
+        assert len(toks) <= len(bpe.encode_text(t, {}))
