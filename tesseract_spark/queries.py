@@ -4264,6 +4264,110 @@ FROM o
 """
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attrition funnel a curation pipeline reports: documents
+    surviving each successive filter stage — length, lexical diversity,
+    the Gopher repetition gates, exact-dedup representative — with
+    per-stage in/out/drop counts.  Composes quality_score's diversity
+    signal, gopher_repetition's keep verdict, and dedup_exact's
+    min-id representative into ONE cumulative report (the number a
+    100 TB run publishes per snapshot).
+
+    Scale shape: the gopher subplan's two doc-keyed aggs plus one
+    md5-keyed agg for dedup; per-doc flags then collapse through one
+    map-side-combinable global count aggregation whose OUTPUT is 4
+    rows — the only single-partition data ever materialized is that
+    4-row funnel."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("diversity"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+    )
+    rep = base.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    keep = q_gopher_repetition(spark, sf_dir).select("doc_id", "keep")
+    t = (
+        base.join(rep, "h")
+        .join(keep, "doc_id")
+        .select(
+            (F.col("n_chars") >= 100).alias("s1"),
+            (F.col("diversity") >= 0.3).alias("s2"),
+            (F.col("keep") == 1).alias("s3"),
+            (F.col("doc_id") == F.col("rep_id")).alias("s4"),
+        )
+    )
+    agg = t.agg(
+        F.count("*").alias("c0"),
+        F.sum(F.col("s1").cast("long")).alias("c1"),
+        F.sum((F.col("s1") & F.col("s2")).cast("long")).alias("c2"),
+        F.sum((F.col("s1") & F.col("s2") & F.col("s3")).cast("long")).alias(
+            "c3"
+        ),
+        F.sum(
+            (F.col("s1") & F.col("s2") & F.col("s3") & F.col("s4")).cast(
+                "long"
+            )
+        ).alias("c4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("filter"),
+                F.col(f"c{i - 1}").alias("n_in"),
+                F.col(f"c{i}").alias("n_out"),
+            )
+            for i, name in enumerate(
+                ("length", "diversity", "gopher", "exact_dedup"), start=1
+            )
+        ]
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.filter", "s.n_in", "s.n_out")
+        .withColumn("n_dropped", F.col("n_in") - F.col("n_out"))
+    )
+
+
+ORACLE_CORPUS_FUNNEL = f"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+    len(list_distinct(string_split(coalesce(text, ''), ' ')))
+      / len(string_split(coalesce(text, ''), ' ')) AS diversity,
+    md5(coalesce(text, '')) AS h
+  FROM documents
+), rep AS (
+  SELECT h, min(doc_id) AS rep_id FROM base GROUP BY h
+), keepq AS (
+  SELECT doc_id, keep FROM ({ORACLE_GOPHER_REPETITION}) gq
+), flags AS (
+  SELECT (b.n_chars >= 100) AS s1,
+         (b.diversity >= 0.3) AS s2,
+         (k.keep = 1) AS s3,
+         (b.doc_id = r.rep_id) AS s4
+  FROM base b JOIN rep r USING (h) JOIN keepq k USING (doc_id)
+), c AS (
+  SELECT count(*) AS c0,
+    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+    CAST(sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+    CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c4
+  FROM flags
+)
+SELECT 1 AS stage, 'length' AS filter, c0 AS n_in, c1 AS n_out,
+       c0 - c1 AS n_dropped FROM c
+UNION ALL
+SELECT 2, 'diversity', c1, c2, c1 - c2 FROM c
+UNION ALL
+SELECT 3, 'gopher', c2, c3, c2 - c3 FROM c
+UNION ALL
+SELECT 4, 'exact_dedup', c3, c4, c3 - c4 FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4315,6 +4419,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "gopher_repetition": (q_gopher_repetition, ORACLE_GOPHER_REPETITION),
     "seq_packing": (q_seq_packing, ORACLE_SEQ_PACKING),
+    "corpus_funnel": (q_corpus_funnel, ORACLE_CORPUS_FUNNEL),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
