@@ -86,12 +86,20 @@ def decode_strip_legacy(
     clf: StaticShapeClassifier | None = None,
     cache: dict | None = None,
     disabled: frozenset[int] | None = None,
+    pitch: float | None = None,
 ) -> str:
     """One canonical row strip -> text via the static classifier.
 
     ``disabled``: char white/blacklist class suppression
     (intmatcher.cpp:244); the per-strip cache is only shared within one
-    call chain, so a constant mask per page keeps it coherent."""
+    call chain, so a constant mask per page keeps it coherent.
+
+    ``pitch``: when the row's fixed-pitch verdict supplies a pitch, a
+    multi-cell merged run is pre-chopped at the snapped lattice cuts
+    (fpchop.cpp:72-220 via pitch.fixed_pitch_cuts) BEFORE template
+    matching — the reference routes fixed-pitch rows through fpchop at
+    textord time, so touching monospace glyphs never reach the seam
+    chopper, which needs a thin seam the lattice doesn't."""
     clf = clf or get_static_classifier()
     cache = cache if cache is not None else {}
     space_px = space_px or WORD_GAP
@@ -116,12 +124,25 @@ def decode_strip_legacy(
             cur = ""
         prev_end = e
         sl = strip[:, s:e]
-        ch, rating = _classify_cached(clf, cache, sl, disabled)
-        if rating < K_CHOP_RATING:
-            chopped = _chop_classify(clf, cache, sl, disabled)
-            if chopped is not None and chopped[1] > rating:
-                ch = chopped[0]
-        cur += ch
+        pieces = [sl]
+        if pitch is not None and sl.shape[1] >= 1.5 * pitch:
+            from .pitch import fixed_pitch_cuts
+
+            cuts = fixed_pitch_cuts(sl, pitch)
+            if cuts:
+                bounds = [0] + cuts + [sl.shape[1]]
+                pieces = [
+                    sl[:, a:b] for a, b in zip(bounds, bounds[1:])
+                ]
+        for piece in pieces:
+            if not piece.any():
+                continue
+            ch, rating = _classify_cached(clf, cache, piece, disabled)
+            if rating < K_CHOP_RATING:
+                chopped = _chop_classify(clf, cache, piece, disabled)
+                if chopped is not None and chopped[1] > rating:
+                    ch = chopped[0]
+            cur += ch
     if cur:
         words.append(cur)
     return " ".join(words)

@@ -42,6 +42,40 @@ def detect_pitch(
     return True, pitch
 
 
+def fixed_pitch_cuts(
+    run: np.ndarray, pitch: float, tolerance: float = 0.15
+) -> list[int]:
+    """Chop positions inside ONE merged glyph run of a fixed-pitch row
+    (the fpchop operator, src/textord/fpchop.cpp:72-220
+    ``fixed_pitch_words`` / ``chop_blobs``): the run holds
+    round(width / pitch) cells, and each cell boundary becomes a cut —
+    snapped to the min-ink column inside a ±tolerance·pitch window
+    around the lattice position, the reference's limited cut
+    adjustment.  Unlike the concavity/seam chopper (chopper.cpp), this
+    cuts even where glyphs touch with NO thin seam — the lattice, not
+    the ink, decides.  Returns ascending cut x-offsets within the run
+    (empty when the run is a single cell)."""
+    w = run.shape[1]
+    n_cells = int(round(w / pitch))
+    if n_cells < 2:
+        return []
+    col_ink = run.sum(axis=0)
+    cuts: list[int] = []
+    half = max(1, int(round(tolerance * pitch)))
+    for k in range(1, n_cells):
+        x = int(round(k * w / n_cells))
+        lo = max((cuts[-1] + 1) if cuts else 1, x - half)
+        hi = min(w - 1, x + half + 1)
+        if lo >= hi:
+            continue
+        win = col_ink[lo:hi]
+        # min ink, ties broken toward the lattice position (the
+        # reference prefers the pitch-true cut among equal seams)
+        cand = lo + np.flatnonzero(win == win.min())
+        cuts.append(int(cand[np.argmin(np.abs(cand - x))]))
+    return cuts
+
+
 def segment_fixed_pitch_words(
     centers: np.ndarray, pitch: float, gap_cells: int = 1
 ) -> list[list[int]]:
