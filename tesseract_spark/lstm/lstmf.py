@@ -111,11 +111,20 @@ def read_lstmf(data: bytes) -> list[ImageSample]:
 
 
 def make_line_samples(
-    texts: list[str], language: str = "eng", name: str = "fixture"
+    texts: list[str],
+    language: str = "eng",
+    name: str = "fixture",
+    degrade_exposure: int | None = None,
+    seed: int = 0,
 ) -> list[ImageSample]:
     """text2image + tesstrain stand-in: render each training text with
     the fixture font and package it as an ImageData page whose single
-    box spans the line (y-up coordinates)."""
+    box spans the line (y-up coordinates).
+
+    ``degrade_exposure``: when set, each line passes through the
+    print/copy/scan degradation (degrade.degrade_line, the
+    degradeimage.cpp augmentation text2image applies with --degrade_image)
+    at that exposure, seeded per sample for reproducible corpora."""
     from ..functions.fonts import mask_to_gray
     from ..functions.png_codec import encode_gray_png
     from .training import line_sample
@@ -124,11 +133,18 @@ def make_line_samples(
     for i, t in enumerate(texts):
         strip = line_sample(t)
         h, w = strip.shape
+        gray = mask_to_gray(strip)
+        if degrade_exposure is not None:
+            from .degrade import degrade_line
+
+            gray = degrade_line(
+                gray, exposure=degrade_exposure, seed=seed + i
+            )
         out.append(
             ImageSample(
                 imagefilename=f"{name}.{i}.png",
                 page_number=i,
-                image_png=encode_gray_png(mask_to_gray(strip)),
+                image_png=encode_gray_png(gray),
                 language=language,
                 transcription=t,
                 boxes=[(0, 0, w, h)],
