@@ -137,3 +137,107 @@ def boilerplate_stats(html: str) -> tuple[int, int, int]:
     content = sum(len(b.text) for b in blocks if b.is_content)
     boiler = sum(len(b.text) for b in blocks if not b.is_content)
     return content, boiler, len(blocks)
+
+
+# ---------------------------------------------------------------------------
+# jusText (Pomikálek 2011, "Removing boilerplate and duplicate content
+# from web corpora", PhD thesis, Masaryk U.; published reference
+# implementation defaults).  Two passes: a context-free classification
+# of each block into good/bad/short/neargood by link density, copyright
+# marks, length and stopword density; then a context-sensitive revision
+# where short/neargood blocks take their final label from their nearest
+# classified neighbours (revised in place, in document order, exactly
+# like the published implementation — earlier revisions are visible to
+# later blocks on the prev side only).
+# ---------------------------------------------------------------------------
+
+JT_LENGTH_LOW = 70
+JT_LENGTH_HIGH = 200
+JT_STOPWORDS_LOW = 0.30
+JT_STOPWORDS_HIGH = 0.32
+JT_MAX_LINK_DENSITY = 0.2
+
+
+def justext_classify(
+    block: Block,
+    stoplist: frozenset[str] | set[str],
+    length_low: int = JT_LENGTH_LOW,
+    length_high: int = JT_LENGTH_HIGH,
+    stopwords_low: float = JT_STOPWORDS_LOW,
+    stopwords_high: float = JT_STOPWORDS_HIGH,
+    max_link_density: float = JT_MAX_LINK_DENSITY,
+) -> str:
+    """Context-free block class: good / bad / short / neargood."""
+    text = block.text.strip()
+    if block.link_density > max_link_density:
+        return "bad"
+    if "\xa9" in text or "©" in text or "&copy" in text:
+        return "bad"
+    if len(text) < length_low:
+        return "bad" if block.link_chars > 0 else "short"
+    words = text.split()
+    sd = sum(w in stoplist for w in words) / max(len(words), 1)
+    if sd >= stopwords_high:
+        return "good" if len(text) > length_high else "neargood"
+    if sd >= stopwords_low:
+        return "neargood"
+    return "bad"
+
+
+def _neighbour(classes: list[str], i: int, step: int, ignore_neargood: bool) -> str:
+    j = i + step
+    while 0 <= j < len(classes):
+        c = classes[j]
+        if c in ("good", "bad") or (c == "neargood" and not ignore_neargood):
+            return c
+        j += step
+    return "bad"  # document edges count as boilerplate
+
+
+def justext_revise(classes: list[str]) -> list[str]:
+    """Context-sensitive pass, revised in place in document order."""
+    cls = list(classes)
+    for i, c in enumerate(list(cls)):
+        c = cls[i]
+        if c == "short":
+            prev = _neighbour(cls, i, -1, ignore_neargood=True)
+            nxt = _neighbour(cls, i, +1, ignore_neargood=True)
+            if prev == "good" and nxt == "good":
+                cls[i] = "good"
+            elif prev == "bad" and nxt == "bad":
+                cls[i] = "bad"
+            elif (
+                prev == "bad"
+                and _neighbour(cls, i, -1, ignore_neargood=False) == "neargood"
+            ) or (
+                nxt == "bad"
+                and _neighbour(cls, i, +1, ignore_neargood=False) == "neargood"
+            ):
+                cls[i] = "good"
+            else:
+                cls[i] = "bad"
+        elif c == "neargood":
+            prev = _neighbour(cls, i, -1, ignore_neargood=True)
+            nxt = _neighbour(cls, i, +1, ignore_neargood=True)
+            cls[i] = "bad" if (prev, nxt) == ("bad", "bad") else "good"
+    return cls
+
+
+def justext_blocks(
+    html: str, stoplist: frozenset[str] | set[str], **params
+) -> list[tuple[str, str, str]]:
+    """[(text, ctx_free_class, final_class)] for every DOM block."""
+    blocks = dom_blocks(html)
+    ctx = [justext_classify(b, stoplist, **params) for b in blocks]
+    final = justext_revise(ctx)
+    return [(b.text, c, f) for b, c, f in zip(blocks, ctx, final)]
+
+
+def justext_extract(
+    html: str, stoplist: frozenset[str] | set[str], **params
+) -> str:
+    """Main content: final-good blocks joined by newline."""
+    return "\n".join(
+        t for t, _c, f in justext_blocks(html, stoplist, **params)
+        if f == "good"
+    )

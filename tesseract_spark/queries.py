@@ -4368,6 +4368,110 @@ SELECT 4, 'exact_dedup', c3, c4, c3 - c4 FROM c
 """
 
 
+# jusText wrapper template: nav (link-dense -> bad), the article <p>,
+# a SHORT caption, a stopword-saturated NEARGOOD deck, a © footer.
+# With a GOOD article the revision chain fires end-to-end: the caption
+# sits between good (article) and bad (footer behind the deck) with a
+# neargood adjacent on the bad side -> the published rescue promotes it
+# to good, and the deck then sees the revised-good caption on its prev
+# side and survives too.  With a non-good article everything dies.
+_JT_PRE = (
+    '<html><body><nav><a href="/">home</a> <a href="/a">about</a> '
+    '<a href="/p">products</a> <a href="/c">contact</a></nav><p>'
+)
+_JT_DECK = (
+    "the a row data join table hash scan batch customer "
+    "the a row data join table hash scan batch customer"
+)
+_JT_POST = (
+    f"</p><p>figure 1</p><p>{_JT_DECK}</p>"
+    "<footer>© copyright 2024 example corp</footer></body></html>"
+)
+_JT_STOPLIST = (
+    "the", "a", "row", "data", "join", "table", "hash", "scan",
+    "batch", "customer",
+)
+
+
+def q_justext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction via the full jusText two-pass algorithm
+    (Pomikálek 2011; published defaults): context-free good/bad/short/
+    neargood classes from link density / copyright marks / length /
+    stopword density, then the context-sensitive in-place revision where
+    short and neargood blocks take their final label from their nearest
+    classified neighbours.  Each document wraps in a deterministic page
+    (link-dense nav, the article, a short caption, a neargood deck, a ©
+    footer) so the per-doc outcome depends on the article's own stopword
+    density: a ctx-free GOOD article fires the full revision chain (the
+    caption's mixed good/bad neighbourhood is rescued by the adjacent
+    neargood deck; the deck then survives via the revised-good caption)
+    keeping all three blocks; any other article class drops everything.
+    The oracle replays the classification arithmetic in SQL.  One
+    mapInPandas, zero shuffles."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_JT_PRE),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_JT_POST),
+        ).alias("html"),
+    )
+    stop = frozenset(_JT_STOPLIST)
+
+    def udf(batches):
+        from .functions.html import justext_blocks
+
+        for pdf in batches:
+            mains, goods = [], []
+            for h in pdf["html"]:
+                blocks = justext_blocks(h, stop)
+                kept = [t for t, _c, f in blocks if f == "good"]
+                mains.append("\n".join(kept))
+                goods.append(len(kept))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "main_text": mains,
+                    "n_good": goods,
+                }
+            )
+
+    return wrapped.mapInPandas(
+        udf, schema="doc_id long, main_text string, n_good int"
+    )
+
+
+ORACLE_JUSTEXT_EXTRACT = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+    string_split(coalesce(text, ''), ' ') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+    CASE WHEN length(text) < 70 THEN 'short'
+         WHEN sd >= 0.32 AND length(text) > 200 THEN 'good'
+         WHEN sd >= 0.32 THEN 'neargood'
+         WHEN sd >= 0.30 THEN 'neargood'
+         ELSE 'bad' END AS cls
+  FROM (
+    SELECT doc_id, text,
+      len(list_filter(toks, x -> x IN
+        {tuple(_JT_STOPLIST)!r})) / greatest(len(toks), 1) AS sd
+    FROM t
+  )
+)
+SELECT doc_id,
+  CASE WHEN cls = 'good'
+       THEN text || chr(10) || 'figure 1' || chr(10) || '{_JT_DECK}'
+       ELSE '' END AS main_text,
+  CASE WHEN cls = 'good' THEN 3 ELSE 0 END AS n_good
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4420,6 +4524,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gopher_repetition": (q_gopher_repetition, ORACLE_GOPHER_REPETITION),
     "seq_packing": (q_seq_packing, ORACLE_SEQ_PACKING),
     "corpus_funnel": (q_corpus_funnel, ORACLE_CORPUS_FUNNEL),
+    "justext_extract": (q_justext_extract, ORACLE_JUSTEXT_EXTRACT),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),

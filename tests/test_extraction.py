@@ -92,3 +92,96 @@ def test_pdf_parse_rejects_non_pdf():
 
     with pytest.raises(ValueError):
         extract_pdf_words(b"not a pdf")
+
+
+# ---------------------------------------------------------------------------
+# jusText two-pass (Pomikálek 2011) — every classification branch
+# ---------------------------------------------------------------------------
+
+EN_STOP = frozenset(
+    "the a of and to in is on for it was as with his her they".split()
+)
+# stopword-rich filler: sd well above 0.32
+GOOD_SENT = (
+    "it was the best of the times and it was the worst of the times "
+    "for they were all in it together and the end of it was near "
+    "and the story goes on and on as it was told in the old days "
+    "and they kept it alive for the rest of the winter in the town"
+)
+LOW_SENT = (
+    "quantum chromodynamics lattice simulation requires careful "
+    "renormalization procedures across gauge field configurations "
+    "spanning multiple coupling regimes during thermalization sweeps"
+)
+
+
+def _jt(html):
+    from tesseract_spark.functions.html import justext_blocks
+
+    return justext_blocks(html, EN_STOP)
+
+
+def test_justext_ctx_free_classes():
+    from tesseract_spark.functions.html import justext_classify, dom_blocks
+
+    html = (
+        f"<p><a href='/'>all of this text lives entirely inside a link "
+        f"element here</a></p>"
+        f"<p>© 2024 somebody</p>"
+        f"<p>short note</p>"
+        f"<p>{GOOD_SENT}</p>"
+        f"<p>{GOOD_SENT[:150]}</p>"
+        f"<p>{LOW_SENT}</p>"
+    )
+    cls = [justext_classify(b, EN_STOP) for b in dom_blocks(html)]
+    assert cls == ["bad", "bad", "short", "good", "neargood", "bad"]
+
+
+def test_justext_short_promoted_between_goods():
+    html = f"<p>{GOOD_SENT}</p><p>figure 1</p><p>{GOOD_SENT}</p>"
+    final = [f for _t, _c, f in _jt(html)]
+    assert final == ["good", "good", "good"]
+
+
+def test_justext_short_between_bads_dies():
+    html = f"<p>{LOW_SENT}</p><p>figure 1</p><p>{LOW_SENT}</p>"
+    final = [f for _t, _c, f in _jt(html)]
+    assert final == ["bad", "bad", "bad"]
+
+
+def test_justext_neargood_rescue_chain():
+    """Mixed neighbourhood + adjacent neargood on the bad side -> the
+    published rescue promotes the short block, and the neargood then
+    survives via the revised-good prev (in-place propagation)."""
+    near = GOOD_SENT[:150]
+    html = (
+        f"<p>{GOOD_SENT}</p><p>figure 1</p><p>{near}</p>"
+        f"<p>© footer co</p>"
+    )
+    got = _jt(html)
+    assert [c for _t, c, _f in got] == ["good", "short", "neargood", "bad"]
+    assert [f for _t, _c, f in got] == ["good", "good", "good", "bad"]
+
+
+def test_justext_isolated_neargood_dies():
+    html = f"<p>© x</p><p>{GOOD_SENT[:150]}</p><p>© y</p>"
+    assert [f for _t, _c, f in _jt(html)] == ["bad", "bad", "bad"]
+
+
+def test_justext_neargood_next_to_good_survives():
+    html = f"<p>{GOOD_SENT}</p><p>{GOOD_SENT[:150]}</p>"
+    assert [f for _t, _c, f in _jt(html)] == ["good", "good"]
+
+
+def test_justext_extract_joins_good_blocks():
+    from tesseract_spark.functions.html import justext_extract
+
+    html = f"<p>{GOOD_SENT}</p><p>figure 1</p><p>{GOOD_SENT}</p>"
+    out = justext_extract(html, EN_STOP)
+    assert out.split("\n")[1] == "figure 1"
+    assert out.count(GOOD_SENT) == 2
+
+
+def test_justext_document_edges_default_bad():
+    # a lone short block has bad neighbours on both document edges
+    assert [f for _t, _c, f in _jt("<p>short note</p>")] == ["bad"]
