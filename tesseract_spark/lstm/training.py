@@ -464,15 +464,21 @@ def batch_gradients(
     texts: list[str],
     charset: str,
     blank: int,
+    strips: list[np.ndarray] | None = None,
 ) -> tuple[np.ndarray, float, int, int]:
     """Summed gradient over a list of lines (one forward per width
     bucket, per-line CTC on the real width).  Returns
     (grad_flat, loss_sum, n_lines, n_exact) — n_exact is the greedy
     decode exact-match count (the trainer's error-rate probe,
-    LSTMTrainer::ComputeErrorRates)."""
+    LSTMTrainer::ComputeErrorRates).
+
+    ``strips``: pre-rendered line images overriding the clean
+    text2image render — the degraded-corpus path (an .lstmf sample
+    carries its own image; degradeimage augmentation trains here)."""
     from .fixture_model import PAD
 
-    strips = [line_sample(t) for t in texts]
+    if strips is None:
+        strips = [line_sample(t) for t in texts]
     buckets: dict[int, list[int]] = {}
     for i, s in enumerate(strips):
         buckets.setdefault(-(-(s.shape[1] + 2 * PAD) // 32), []).append(i)

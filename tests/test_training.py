@@ -203,3 +203,35 @@ def test_distributed_finetune_recovers_damaged_output(spark):
     reloaded = load_traineddata(save_traineddata(model))
     strips = [T.line_sample(t) for t in held]
     assert decode_strips(reloaded, strips) == held
+
+
+def test_batch_gradients_accepts_carried_strips():
+    """.lstmf samples carry their own images: explicit strips equal the
+    default render path exactly, and a degraded corpus (degradeimage
+    augmentation) produces a genuinely different gradient/loss."""
+    from tesseract_spark.functions.fonts import mask_to_gray
+    from tesseract_spark.functions.image_ops import binarize_otsu
+    from tesseract_spark.lstm.degrade import degrade_line
+
+    net = build_fixture_net()
+    slots = T.trainable_slots(net, (len(net.layers) - 1,))
+    texts = _lines(3, 4)
+    g0, l0, n0, e0 = T.batch_gradients(net, slots, texts, CHARS, BLANK)
+    clean = [T.line_sample(t) for t in texts]
+    g1, l1, n1, e1 = T.batch_gradients(
+        net, slots, texts, CHARS, BLANK, strips=clean
+    )
+    assert (g0 == g1).all() and l0 == l1 and e0 == e1 == n1
+
+    deg = [
+        binarize_otsu(
+            degrade_line(mask_to_gray(s), exposure=0, seed=i)
+        ).astype(bool)
+        for i, s in enumerate(clean)
+    ]
+    g2, l2, _n2, e2 = T.batch_gradients(
+        net, slots, texts, CHARS, BLANK, strips=deg
+    )
+    assert l2 > l1  # the copy/scan cycle really is a harder domain
+    assert e2 < e1
+    assert (g2 != g1).any()
