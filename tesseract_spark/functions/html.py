@@ -33,6 +33,9 @@ MIN_CONTENT_CHARS = 20  # short stand-alone blocks are chrome unless
 #                         inside a semantic content container
 
 
+HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+
 @dataclass
 class Block:
     """One DOM text block with the densities the classifier scores."""
@@ -41,6 +44,7 @@ class Block:
     link_chars: int
     in_content: bool  # under <main>/<article>
     in_boiler: bool  # under <nav>/<header>/<footer>/<aside>
+    is_heading: bool = False  # any text collected inside <h1>..<h6>
 
     @property
     def link_density(self) -> float:
@@ -67,6 +71,8 @@ class _DomState(HTMLParser):
     _depth_link: int = 0
     _depth_content: int = 0
     _depth_boiler: int = 0
+    _depth_heading: int = 0
+    _saw_heading: bool = False
 
     def __post_init__(self) -> None:
         HTMLParser.__init__(self, convert_charrefs=True)
@@ -80,18 +86,22 @@ class _DomState(HTMLParser):
                     self._link_chars,
                     self._depth_content > 0,
                     self._depth_boiler > 0,
+                    self._saw_heading,
                 )
             )
         self._buf.clear()
         self._link_chars = 0
+        self._saw_heading = False
 
     def handle_starttag(self, tag, attrs):
         if tag in DROP_TAGS:
             self._depth_drop += 1
         if tag == "a":
             self._depth_link += 1
-        if tag in BLOCK_TAGS:
+        if tag in BLOCK_TAGS:  # includes h1..h6
             self._flush()
+        if tag in HEADING_TAGS:
+            self._depth_heading += 1
         if tag in CONTENT_TAGS:
             self._depth_content += 1
         if tag in BOILER_TAGS:
@@ -102,8 +112,10 @@ class _DomState(HTMLParser):
             self._depth_drop -= 1
         if tag == "a" and self._depth_link:
             self._depth_link -= 1
-        if tag in BLOCK_TAGS:
+        if tag in BLOCK_TAGS:  # includes h1..h6
             self._flush()
+        if tag in HEADING_TAGS and self._depth_heading:
+            self._depth_heading -= 1
         if tag in CONTENT_TAGS and self._depth_content:
             self._depth_content -= 1
         if tag in BOILER_TAGS and self._depth_boiler:
@@ -113,6 +125,8 @@ class _DomState(HTMLParser):
         if self._depth_drop:
             return
         self._buf.append(data)
+        if self._depth_heading:
+            self._saw_heading = True
         if self._depth_link:
             self._link_chars += len(data.strip())
 
@@ -171,7 +185,9 @@ def justext_classify(
     text = block.text.strip()
     if block.link_density > max_link_density:
         return "bad"
-    if "\xa9" in text or "©" in text or "&copy" in text:
+    # the parser decodes &copy; to U+00A9 (convert_charrefs), so the
+    # single code-point test covers the published raw-entity check too
+    if "\xa9" in text:
         return "bad"
     if len(text) < length_low:
         return "bad" if block.link_chars > 0 else "short"
@@ -194,10 +210,34 @@ def _neighbour(classes: list[str], i: int, step: int, ignore_neargood: bool) -> 
     return "bad"  # document edges count as boilerplate
 
 
-def justext_revise(classes: list[str]) -> list[str]:
-    """Context-sensitive pass, revised in place in document order."""
+MAX_HEADING_DISTANCE = 200
+
+
+def justext_revise(
+    classes: list[str],
+    texts: list[str] | None = None,
+    headings: list[bool] | None = None,
+) -> list[str]:
+    """Context-sensitive pass, revised in place in document order.
+
+    When heading flags are supplied, the published heading promotion
+    runs first: a short heading with a good block within
+    MAX_HEADING_DISTANCE chars below it becomes neargood (so the main
+    loop keeps the headline above its article)."""
     cls = list(classes)
-    for i, c in enumerate(list(cls)):
+    if headings is not None and texts is not None:
+        for i in range(len(cls)):
+            if not (headings[i] and cls[i] == "short"):
+                continue
+            dist = 0
+            for j in range(i + 1, len(cls)):
+                if dist > MAX_HEADING_DISTANCE:
+                    break
+                if cls[j] == "good":
+                    cls[i] = "neargood"
+                    break
+                dist += len(texts[j])
+    for i in range(len(cls)):
         c = cls[i]
         if c == "short":
             prev = _neighbour(cls, i, -1, ignore_neargood=True)
@@ -229,7 +269,11 @@ def justext_blocks(
     """[(text, ctx_free_class, final_class)] for every DOM block."""
     blocks = dom_blocks(html)
     ctx = [justext_classify(b, stoplist, **params) for b in blocks]
-    final = justext_revise(ctx)
+    final = justext_revise(
+        ctx,
+        texts=[b.text for b in blocks],
+        headings=[b.is_heading for b in blocks],
+    )
     return [(b.text, c, f) for b, c, f in zip(blocks, ctx, final)]
 
 

@@ -200,8 +200,7 @@ def train_templates_distributed(
         )
 
     rows = (
-        samples_df.repartition("ch")
-        .groupBy("ch")
+        samples_df.groupBy("ch")  # applyInPandas hash-partitions by key
         .applyInPandas(fit, "ch string, protos array<array<float>>")
         .collect()
     )

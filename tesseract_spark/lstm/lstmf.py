@@ -110,6 +110,17 @@ def read_lstmf(data: bytes) -> list[ImageSample]:
     return out
 
 
+def lstmf_to_df(spark, blob: bytes):
+    """.lstmf -> trainer bridge: the (text, image_png) sample table
+    distributed_finetune / distributed_gradient consume directly (the
+    carried images train, nothing re-renders)."""
+    samples = read_lstmf(blob)
+    return spark.createDataFrame(
+        [(s.transcription, bytearray(s.image_png)) for s in samples],
+        "text string, image_png binary",
+    )
+
+
 def make_line_samples(
     texts: list[str],
     language: str = "eng",

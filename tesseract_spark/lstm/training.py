@@ -559,8 +559,20 @@ def distributed_gradient(
         unflatten(net, t_slots, np.frombuffer(bc.value, np.float32).copy())
         gsum, loss, n, n_exact = None, 0.0, 0, 0
         for pdf in batches:
+            strips = None
+            if "image_png" in pdf.columns:
+                # the .lstmf image path: samples carry their own line
+                # images (e.g. degradeimage-augmented corpora);
+                # threshold 128 is the binarization the degraded grey
+                # levels are calibrated to (degradeimage.cpp:144-146)
+                from ..functions.png_codec import decode_gray_png
+
+                strips = [
+                    decode_gray_png(b) < 128 for b in pdf["image_png"]
+                ]
             g, ls, nn, ne = batch_gradients(
-                net, t_slots, list(pdf["text"]), _charset, _blank
+                net, t_slots, list(pdf["text"]), _charset, _blank,
+                strips=strips,
             )
             gsum = g if gsum is None else gsum + g
             loss += ls
@@ -608,12 +620,19 @@ def distributed_finetune(
     ``train_layers`` slice.  Deterministic up to float summation order;
     the demo nets converge to margins that make the decode invariant to
     it.  Early-exits when the whole batch greedy-decodes exactly (the
-    trainer's best-error stopping probe, lstmtrainer.cpp:240-262)."""
+    trainer's best-error stopping probe, lstmtrainer.cpp:240-262).
+
+    When ``texts_df`` carries an ``image_png`` column (an .lstmf-derived
+    sample table, e.g. lstmf_to_df below), training consumes the
+    carried images instead of re-rendering from text."""
     sc = spark.sparkContext
     base_vec = flatten(base_net, trainable_slots(base_net))
     base_bc = sc.broadcast(base_vec.tobytes())
     spec = base_net.spec
-    texts_df = texts_df.select("text").cache()
+    cols = ["text"] + (
+        ["image_png"] if "image_png" in texts_df.columns else []
+    )
+    texts_df = texts_df.select(*cols).cache()
     vec = init_vec.astype(np.float32)
     adam = Adam(len(vec), lr=lr)
     history: list[dict] = []

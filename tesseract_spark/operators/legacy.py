@@ -148,6 +148,31 @@ def decode_strip_legacy(
     return " ".join(words)
 
 
+def _row_pitch(strip: np.ndarray) -> float | None:
+    """Row-level fixed-pitch verdict from glyph-run centers (the
+    compute_rows_pitch entry, topitch.cpp:75-130): returns the pitch
+    when the row's run centers sit on a lattice, else None.  A fused
+    pair contributes one off-lattice center; detect_pitch's modal-
+    advance fraction and median phase residual tolerate a minority of
+    them (the reference likewise decides pitch from row statistics
+    BEFORE fpchop separates the joined blobs)."""
+    col = strip.any(axis=0).astype(np.int8)
+    if not col.any():
+        return None
+    d = np.diff(col)
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if col[0]:
+        starts = np.r_[0, starts]
+    if col[-1]:
+        ends = np.r_[ends, len(col)]
+    centers = (starts + ends) / 2.0
+    from .pitch import detect_pitch
+
+    ok, pitch = detect_pitch(centers)
+    return pitch if ok else None
+
+
 def recognize_page_legacy(
     gray: np.ndarray, dpi: int = 300,
     charlists: tuple[str, str, str] | None = None,
@@ -186,6 +211,7 @@ def recognize_page_legacy(
                 clf,
                 cache,
                 disabled,
+                pitch=_row_pitch(row.strip),
             )
             for row in region.rows
         ]

@@ -4065,10 +4065,15 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes its own key space) and no global ordering anywhere."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sizes = [2, 3, 4, 5, 10]
+    # CASE guard: a doc shorter than n tokens has NO n-grams (Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0], so the unguarded form
+    # would call slice(toks, 0, n) and throw on short documents)
     gram_arrays = ", ".join(
-        f"transform(sequence(1, greatest(size(toks) - {n} + 1, 0)),"
+        f"CASE WHEN size(toks) >= {n} THEN"
+        f" transform(sequence(1, size(toks) - {n} + 1),"
         f" i -> named_struct('n', {n},"
         f" 'g', concat_ws(' ', slice(toks, i, {n}))))"
+        f" ELSE array() END"
         for n in sizes
     )
     grams = (
@@ -4115,11 +4120,19 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (acc, t) -> acc + length(t))"
         " / greatest(size(split(coalesce(text, ''), ' ')), 1), 4)"
     )
-    out = piv.join(
-        docs.select("doc_id", mean_wl.alias("mean_word_len")), "doc_id"
-    )
+    # LEFT join from documents: a doc with no n-grams at all (< 2
+    # tokens) must still report zeros, not vanish from the result
+    out = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("doc_chars"),
+        mean_wl.alias("mean_word_len"),
+    ).join(piv.drop("n_chars"), "doc_id", "left")
     fr = {
-        name: F.round(F.col(f"{name}_chars") / F.col("n_chars"), 6)
+        name: F.round(
+            F.coalesce(F.col(f"{name}_chars"), F.lit(0))
+            / F.greatest(F.col("doc_chars"), F.lit(1)),
+            6,
+        )
         for name in ("top2", "top3", "top4", "dup5", "dup10")
     }
     keep = (
@@ -4181,19 +4194,22 @@ WITH t AS (
       AS mean_word_len
   FROM documents
 )
-SELECT p.doc_id,
-  round(top2_chars / n_chars, 6) AS top2_frac,
-  round(top3_chars / n_chars, 6) AS top3_frac,
-  round(top4_chars / n_chars, 6) AS top4_frac,
-  round(dup5_chars / n_chars, 6) AS dup5_frac,
-  round(dup10_chars / n_chars, 6) AS dup10_frac,
+SELECT d.doc_id,
+  round(coalesce(top2_chars, 0) / greatest(d.n_chars, 1), 6) AS top2_frac,
+  round(coalesce(top3_chars, 0) / greatest(d.n_chars, 1), 6) AS top3_frac,
+  round(coalesce(top4_chars, 0) / greatest(d.n_chars, 1), 6) AS top4_frac,
+  round(coalesce(dup5_chars, 0) / greatest(d.n_chars, 1), 6) AS dup5_frac,
+  round(coalesce(dup10_chars, 0) / greatest(d.n_chars, 1), 6) AS dup10_frac,
   mean_word_len,
-  CAST(round(top2_chars / n_chars, 6) <= 0.20
-   AND round(top3_chars / n_chars, 6) <= 0.18
-   AND round(top4_chars / n_chars, 6) <= 0.16
-   AND round(dup5_chars / n_chars, 6) <= 0.15
-   AND round(dup10_chars / n_chars, 6) <= 0.10 AS INT) AS keep
-FROM piv p JOIN mw USING (doc_id)
+  CAST(round(coalesce(top2_chars, 0) / greatest(d.n_chars, 1), 6) <= 0.20
+   AND round(coalesce(top3_chars, 0) / greatest(d.n_chars, 1), 6) <= 0.18
+   AND round(coalesce(top4_chars, 0) / greatest(d.n_chars, 1), 6) <= 0.16
+   AND round(coalesce(dup5_chars, 0) / greatest(d.n_chars, 1), 6) <= 0.15
+   AND round(coalesce(dup10_chars, 0) / greatest(d.n_chars, 1), 6) <= 0.10
+   AS INT) AS keep
+FROM documents d
+JOIN mw USING (doc_id)
+LEFT JOIN piv USING (doc_id)
 """
 
 
@@ -4411,13 +4427,23 @@ def q_justext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # sanitize before wrapping so ANY corpus text round-trips the HTML
+    # parser: © would trip the copyright rule (neutralized to '(c)' on
+    # both sides), &/</> are entity-escaped (the parser decodes them
+    # back, so the oracle sees the original characters)
+    clean = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), "©", "(c)"
+    )
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(clean, "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
     wrapped = docs.select(
         "doc_id",
-        F.concat(
-            F.lit(_JT_PRE),
-            F.coalesce(F.col("text"), F.lit("")),
-            F.lit(_JT_POST),
-        ).alias("html"),
+        F.concat(F.lit(_JT_PRE), esc, F.lit(_JT_POST)).alias("html"),
     )
     stop = frozenset(_JT_STOPLIST)
 
@@ -4446,9 +4472,14 @@ def q_justext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JUSTEXT_EXTRACT = f"""
 WITH t AS (
-  SELECT doc_id, coalesce(text, '') AS text,
-    string_split(coalesce(text, ''), ' ') AS toks
+  -- mirror the wrapper sanitization (© -> '(c)') and the DOM text
+  -- normalization (runs of whitespace collapse; edges trim)
+  SELECT doc_id,
+    trim(regexp_replace(replace(coalesce(text, ''), '©', '(c)'),
+                        '[ \t\n\r]+', ' ', 'g')) AS text
   FROM documents
+), ts AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM t
 ), c AS (
   SELECT doc_id, text,
     CASE WHEN length(text) < 70 THEN 'short'
@@ -4460,7 +4491,7 @@ WITH t AS (
     SELECT doc_id, text,
       len(list_filter(toks, x -> x IN
         {tuple(_JT_STOPLIST)!r})) / greatest(len(toks), 1) AS sd
-    FROM t
+    FROM ts
   )
 )
 SELECT doc_id,

@@ -185,3 +185,19 @@ def test_justext_extract_joins_good_blocks():
 def test_justext_document_edges_default_bad():
     # a lone short block has bad neighbours on both document edges
     assert [f for _t, _c, f in _jt("<p>short note</p>")] == ["bad"]
+
+
+def test_justext_heading_promotion():
+    """The published heading rule: a short <h2> with a good block
+    within MAX_HEADING_DISTANCE below it is promoted (neargood ->
+    good); the same heading above only boilerplate dies."""
+    html = f"<h2>the story</h2><p>{GOOD_SENT}</p>"
+    got = _jt(html)
+    assert [c for _t, c, _f in got] == ["short", "good"]
+    assert [f for _t, _c, f in got] == ["good", "good"]
+    # non-heading short in the same position still needs the edge rule
+    html2 = f"<p>the story</p><p>{GOOD_SENT}</p>"
+    assert [f for _t, _c, f in _jt(html2)][0] == "bad"
+    # heading with no good block below: no promotion
+    html3 = f"<h2>the story</h2><p>{LOW_SENT}</p>"
+    assert [f for _t, _c, f in _jt(html3)] == ["bad", "bad"]

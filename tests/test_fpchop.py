@@ -69,3 +69,50 @@ def test_detect_pitch_feeds_the_chopper():
     assert is_fp and abs(pitch - w) < 0.5
     strip = _mono("NHN", w)
     assert decode_strip_legacy(strip, pitch=pitch) == "NHN"
+
+
+def test_fused_monospace_page_end_to_end():
+    """Production wiring (the review gap): recognize_page_legacy itself
+    detects the row's pitch from run centers and routes the fused pair
+    through the lattice chopper — no caller-supplied pitch."""
+    from tesseract_spark.functions.fonts import mask_to_gray
+    from tesseract_spark.operators.legacy import (
+        _row_pitch,
+        decode_strip_legacy,
+        recognize_page_legacy,
+    )
+
+    font = get_font()
+    PITCH = 9
+    chars = "HNKNZEHNKZBE"
+    row = np.zeros((CELL_H, len(chars) * PITCH), dtype=bool)
+    for k, ch in enumerate(chars):
+        g = font[ch]
+        row[:, k * PITCH : k * PITCH + g.shape[1]] = g
+    # copier smear fuses glyphs 3 and 4 across the cell gap
+    row[4:8, 3 * PITCH + 6 : 4 * PITCH + 1] = True
+
+    assert _row_pitch(row) == PITCH
+    # without the pitch the seam chopper garbles the fused pair
+    assert decode_strip_legacy(row, space_px=99) != chars
+
+    page = np.zeros((40, row.shape[1] + 16), dtype=bool)
+    page[12:28, 8 : 8 + row.shape[1]] = row
+    spans, _layout = recognize_page_legacy(mask_to_gray(page))
+    assert spans == [("text", chars)]
+
+
+def test_proportional_row_not_fixed_pitch():
+    """Proportional fixture text must NOT get a pitch verdict (a false
+    positive would lattice-chop real glyphs)."""
+    from tesseract_spark.functions.fonts import render_line
+    from tesseract_spark.operators.legacy import _row_pitch
+
+    for text in ("the quick fox ran over it", "Spark joins rows fast"):
+        assert _row_pitch(render_line(text, 1)) is None, text
+    # single-char words ARE on a lattice (a true verdict) — but the
+    # pitch then exceeds every run width, so the chopper never engages
+    strip = render_line("a b c d e f g h", 1)
+    p = _row_pitch(strip)
+    assert p is not None and p > 9
+    assert decode_strip_legacy(strip, pitch=p) == "a b c d e f g h"

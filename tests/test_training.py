@@ -235,3 +235,46 @@ def test_batch_gradients_accepts_carried_strips():
     assert l2 > l1  # the copy/scan cycle really is a harder domain
     assert e2 < e1
     assert (g2 != g1).any()
+
+
+def test_distributed_gradient_consumes_lstmf_images(spark):
+    """The .lstmf image path end-to-end: a sample table built from an
+    .lstmf blob trains on its CARRIED images — clean images reproduce
+    the text-rendered gradient exactly; a degradeimage-augmented blob
+    produces a different, harder one."""
+    from tesseract_spark.lstm.lstmf import (
+        lstmf_to_df,
+        make_line_samples,
+        write_lstmf,
+    )
+
+    texts = _lines(7, 4)
+    net = build_fixture_net()
+    out_layer = (len(net.layers) - 1,)
+    vec = T.flatten(net, T.trainable_slots(net, out_layer))
+    base_bc = spark.sparkContext.broadcast(
+        T.flatten(net, T.trainable_slots(net)).tobytes()
+    )
+
+    def grad(df):
+        return T.distributed_gradient(
+            spark, df, net.spec, base_bc, vec, CHARS, BLANK, out_layer
+        )
+
+    texts_only = spark.createDataFrame([(t,) for t in texts], "text string")
+    g_text, l_text, n_t, e_t = grad(texts_only)
+
+    clean = lstmf_to_df(spark, write_lstmf(make_line_samples(texts)))
+    g_img, l_img, n_i, e_i = grad(clean)
+    assert n_t == n_i and e_t == e_i
+    assert abs(l_text - l_img) < 1e-9
+    assert np.allclose(g_text, g_img)
+
+    deg = lstmf_to_df(
+        spark,
+        write_lstmf(make_line_samples(texts, degrade_exposure=1, seed=3)),
+    )
+    g_deg, l_deg, _n, e_deg = grad(deg)
+    assert l_deg > l_img and e_deg < e_i
+    assert not np.allclose(g_deg, g_img)
+    base_bc.destroy()
