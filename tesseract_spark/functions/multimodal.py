@@ -127,3 +127,21 @@ def make_fixture_video(doc_id: int) -> bytes:
         for k in range(n)
     ]
     return encode_video(frames)
+
+
+def make_fixture_image(doc_id: int) -> bytes:
+    """Deterministic grayscale page thumbnail as a REAL PNG (the engine's
+    own codec, functions/png_codec.py — zlib/filter/CRC round-trip, not a
+    toy container): white field with one black ink rectangle whose
+    geometry is a pure function of doc_id, so ink counts, mean intensity
+    and the nearest-neighbour 8x8 thumbnail are all analytically known to
+    a SQL oracle."""
+    from .png_codec import encode_gray_png
+
+    h = 24 + (doc_id % 8) * 4
+    w = 48 + (doc_id % 16) * 4
+    h_ink = h // 2
+    w_ink = w // 3 + doc_id % 7
+    img = np.full((h, w), 255, dtype=np.uint8)
+    img[2 : 2 + h_ink, 2 : 2 + w_ink] = 0
+    return encode_gray_png(img)

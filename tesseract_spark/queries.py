@@ -2748,6 +2748,89 @@ FROM f WHERE frame_idx % 2 = 0
 """
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image column: per-doc deterministic page thumbnail
+    encoded as a REAL PNG (the engine codec, functions/png_codec.py),
+    decoded and featurized inside ONE mapInPandas — dimensions, ink
+    pixel count/fraction, mean intensity, and the ink count of a real
+    nearest-neighbour 8x8 thumbnail (multimodal.resize_image).  This is
+    the image leg of the image/audio/video multimodal trio: the decode
+    boundary is exercised at byte level (zlib/filter/CRC), every
+    downstream feature is real numpy, and the fixture geometry is a
+    pure function of doc_id so the SQL oracle replays the arithmetic.
+    Embarrassingly parallel: zero shuffles."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def udf(batches):
+        from .functions.multimodal import make_fixture_image, resize_image
+        from .functions.png_codec import decode_gray_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                img = decode_gray_png(make_fixture_image(int(doc_id)))
+                h, w = img.shape
+                ink = int((img < 128).sum())
+                thumb = resize_image(img, 8, 8)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "height": h,
+                        "width": w,
+                        "ink_px": ink,
+                        "ink_frac": float(ink) / (h * w),
+                        "mean_px": float(img.mean()),
+                        "thumb_ink": int((thumb < 128).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width", "ink_px",
+                    "ink_frac", "mean_px", "thumb_ink",
+                ],
+            )
+
+    return docs.mapInPandas(
+        udf,
+        schema="doc_id long, height int, width int, ink_px long, "
+        "ink_frac double, mean_px double, thumb_ink long",
+    )
+
+
+# The fixture rectangle spans rows [2, 2+h/2) and cols [2, 2+w/3+doc%7);
+# the 8x8 nearest-neighbour thumbnail samples row i at (i*h)//8 and col
+# j at (j*w)//8, so its ink count factorizes into (#sampled rows inside
+# the band) x (#sampled cols inside the band) — replayed below with
+# list_filter.  mean intensity is exact in float64 on both sides
+# (integer-valued sums below 2^53).
+ORACLE_IMAGE_FEATURES = """
+WITH g AS (
+  SELECT doc_id,
+         24 + (doc_id % 8) * 4 AS h,
+         48 + (doc_id % 16) * 4 AS w,
+         (24 + (doc_id % 8) * 4) // 2 AS h_ink,
+         (48 + (doc_id % 16) * 4) // 3 + doc_id % 7 AS w_ink
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h AS INT) AS height,
+       CAST(w AS INT) AS width,
+       CAST(h_ink * w_ink AS BIGINT) AS ink_px,
+       CAST(h_ink * w_ink AS DOUBLE) / (h * w) AS ink_frac,
+       255.0 * (h * w - h_ink * w_ink) / (h * w) AS mean_px,
+       CAST(
+         len(list_filter(range(0, 8), i -> (i * h) // 8 >= 2
+                                      AND (i * h) // 8 < 2 + h_ink))
+         * len(list_filter(range(0, 8), j -> (j * w) // 8 >= 2
+                                      AND (j * w) // 8 < 2 + w_ink))
+         AS BIGINT) AS thumb_ink
+FROM g
+"""
+
+
 K_IVF_LISTS = 8  # coarse-quantizer cells (seeded, not trained)
 K_IVF_PROBES = 2  # inverted lists probed per query
 
@@ -4577,6 +4660,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embed_near_dup": (q_embed_near_dup, ORACLE_EMBED_NEAR_DUP),
     "audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
     "video_frame_sample": (q_video_frame_sample, ORACLE_VIDEO_FRAME_SAMPLE),
+    "image_features": (q_image_features, ORACLE_IMAGE_FEATURES),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     "embed_kmeans": (q_embed_kmeans, ORACLE_EMBED_KMEANS),

@@ -94,3 +94,22 @@ def test_spark_media_resize_plumbing(spark, corpus):
 
     t = decode_gray_png(bytes(rows[0].thumb_png))
     assert t.shape == (16, 16)
+
+
+def test_fixture_image_png_and_features():
+    """make_fixture_image emits a REAL PNG whose decoded features match
+    the analytic geometry the SQL oracle replays (image_features)."""
+    from tesseract_spark.functions.multimodal import make_fixture_image
+    from tesseract_spark.functions.png_codec import decode_gray_png
+
+    for doc_id in (0, 7, 13, 123, 499):
+        img = decode_gray_png(make_fixture_image(doc_id))
+        h, w = 24 + (doc_id % 8) * 4, 48 + (doc_id % 16) * 4
+        assert img.shape == (h, w)
+        h_ink, w_ink = h // 2, w // 3 + doc_id % 7
+        assert int((img < 128).sum()) == h_ink * w_ink
+        # thumbnail ink factorizes into rows-in-band x cols-in-band
+        thumb = resize_image(img, 8, 8)
+        rows_in = sum(1 for i in range(8) if 2 <= (i * h) // 8 < 2 + h_ink)
+        cols_in = sum(1 for j in range(8) if 2 <= (j * w) // 8 < 2 + w_ink)
+        assert int((thumb < 128).sum()) == rows_in * cols_in
