@@ -138,7 +138,14 @@ def decode_strip_legacy(
             if not piece.any():
                 continue
             ch, rating = _classify_cached(clf, cache, piece, disabled)
-            if rating < K_CHOP_RATING:
+            # a lattice cell is ONE character by the fixed-pitch
+            # contract (fpchop emits one blob per cell): only consult
+            # the seam chopper when the piece is wide enough to hold
+            # two cells — e.g. copier smear attached to a cell must not
+            # re-split into phantom punctuation
+            if rating < K_CHOP_RATING and (
+                pitch is None or piece.shape[1] >= 1.5 * pitch
+            ):
                 chopped = _chop_classify(clf, cache, piece, disabled)
                 if chopped is not None and chopped[1] > rating:
                     ch = chopped[0]

@@ -116,3 +116,52 @@ def test_proportional_row_not_fixed_pitch():
     p = _row_pitch(strip)
     assert p is not None and p > 9
     assert decode_strip_legacy(strip, pitch=p) == "a b c d e f g h"
+
+
+def test_pitch_sync_dp_semantics():
+    """check_pitch_sync (pithsync.cpp:291-470 re-expression): cuts in
+    real gaps are free and non-faked; cutting through ink marks fakes;
+    the sync cost is the reference's sq - mean^2/n statistic."""
+    from tesseract_spark.operators.pitch import check_pitch_sync
+
+    # three 6-wide glyph boxes on a 10px pitch: gaps at [6,10), [16,20)
+    proj = np.zeros(26, dtype=np.int64)
+    for left in (0, 10, 20):
+        proj[left : left + 6] = 8
+    boxes = [(0, 6), (10, 16), (20, 26)]
+    cuts, cost, fakes, mids = check_pitch_sync(proj, boxes, 10, 1)
+    assert fakes == 0 and mids == 0
+    assert len(cuts) == 2
+    for c, (glo, ghi) in zip(cuts, ((6, 10), (16, 20))):
+        assert glo <= c <= ghi, (c, cuts)
+    # with a loose tolerance (+-30%) the terminal parsimony gate
+    # (pithsync.cpp:417-419: index+fakes may not grow) legitimately
+    # prefers FEWER stretched segments — pinned so nobody "fixes" it
+    cuts_loose, _, _, _ = check_pitch_sync(proj, boxes, 10, 3)
+    assert len(cuts_loose) == 1
+    # a solid ink bar: deep interior cuts are free MID cuts
+    # (pitsync_joined_edge rule), counted separately from fakes
+    solid = np.full(26, 8, dtype=np.int64)
+    cuts2, _cost2, fakes2, mids2 = check_pitch_sync(solid, [(0, 26)], 10, 1)
+    assert len(cuts2) == 2 and fakes2 == 0 and mids2 == 2
+    # cuts forced NEAR (but not at) blob edges are FAKED and charged ink:
+    # two 15-wide boxes overlapping the 10px lattice
+    proj3 = np.full(30, 8, dtype=np.int64)
+    proj3[15] = 0
+    cuts3, cost3, fakes3, _ = check_pitch_sync(
+        proj3, [(0, 15), (16, 30)], 10, 1
+    )
+    assert fakes3 >= 1 and cost3 > cost
+
+
+def test_pitch_sync_snaps_into_gap():
+    """An off-lattice gap within the pitch tolerance attracts the cut
+    (the offset/balance charges): ink-aware placement, not blind
+    lattice rounding."""
+    from tesseract_spark.operators.pitch import check_pitch_sync
+
+    # two 9-wide cells; the real seam sits at x=8 (1 px early)
+    proj = np.full(18, 6, dtype=np.int64)
+    proj[8] = 0
+    cuts, _cost, fakes, _ = check_pitch_sync(proj, [(0, 18)], 9, 2)
+    assert cuts == [8] and fakes == 0
