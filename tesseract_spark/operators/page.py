@@ -215,115 +215,273 @@ def unshear(mask: np.ndarray, slope: float) -> np.ndarray:
     return out
 
 
-def _find_gutters(stats: np.ndarray, page_w: int, min_gutter: int) -> list[int]:
-    """Column gutters: x-bands with no text ink (colfind column DP stand-in)."""
-    prof = np.zeros(page_w + 1, dtype=np.int64)
-    for l, _t, r, _b, _a in stats:
-        prof[l] += 1
-        prof[r] -= 1
-    cov = np.cumsum(prof[:-1]) > 0
-    gutters: list[int] = []
-    x = 0
-    if not cov.any():
-        return gutters
-    first, last = int(np.argmax(cov)), page_w - 1 - int(np.argmax(cov[::-1]))
-    run, run_start = 0, 0
-    for x in range(first, last + 1):
-        if not cov[x]:
-            if run == 0:
-                run_start = x
-            run += 1
+# the reference allows at most this many incompatible strips to be
+# bridged when extending a column range (colfind.cpp:48)
+K_MAX_INCOMPATIBLE = 2
+
+
+def _strip_partitions(
+    sub: np.ndarray, min_gutter: int
+) -> list[tuple[int, int]]:
+    """One row strip's ColPartitionSet: its x-coverage intervals merged
+    across gaps narrower than a gutter (MakeColPartSets granularity —
+    word gaps do not split a partition, gutters do)."""
+    iv = sorted((int(l), int(r)) for l, r in zip(sub[:, 0], sub[:, 2]))
+    cols: list[list[int]] = [[iv[0][0], iv[0][1]]]
+    for l, r in iv[1:]:
+        if l - cols[-1][1] >= min_gutter:
+            cols.append([l, r])
         else:
-            if run >= min_gutter:
-                gutters.append(run_start + run // 2)
-            run = 0
-    return gutters
+            cols[-1][1] = max(cols[-1][1], r)
+    return [(a, b) for a, b in cols]
 
 
 def _column_sets(
     stats: np.ndarray, page_w: int, min_gutter: int
 ) -> tuple[list[np.ndarray], list[int]]:
-    """Strip-banded column-set selection (colfind.cpp:548-927 DP,
-    tabfind.cpp:938-1080 column evaluation, re-expressed).
+    """Column-set candidate assignment (ColumnFinder::MakeColumns /
+    AssignColumns, colfind.cpp:548-927, with the ColPartitionSet
+    compatibility semantics of colpartitionset.cpp:230-330,
+    re-expressed on row strips).
 
-    Row strips (y-band clusters) each vote a gutter signature; gutter
-    clusters are ACCEPTED when supported by more strips than cross them
-    (ImproveColumnCandidates' best-coverage choice).  Strips whose ink
-    crosses an accepted gutter become full-width pullout bands; the rest
-    split at the accepted gutters.  Returns (blocks, run_of): blob-index
-    arrays per text block, in run-major reading order, plus each block's
-    run index (vertical band) so callers order pullouts between the
-    column bands above and below them.
+    Every row strip's partition signature is a column-set CANDIDATE;
+    the full-width single column is always added as the backup
+    (MakeSingleColumnSet).  A strip is compatible with a candidate when
+    each of its partitions has both edges inside candidate columns, no
+    good-width partition spans two columns, and no two adjacent
+    good-width partitions share one column (a column layout change,
+    colpartitionset.cpp:285-303); the cost of a compatible pair is the
+    UnmatchedWidth — blob width whose x-middle lies outside every
+    column.  Assignment is the reference's greedy modal algorithm:
+    repeatedly take the biggest unassigned strip range, its modal
+    candidate, shrink to that candidate's longest run, extend past
+    incompatibility gaps of at most kMaxIncompatibleColumnCount strips
+    when the compatible region beyond is at least as big, and assign.
+
+    Returns (blocks, run_of): blob-index arrays per text block in
+    run-major reading order, plus each block's run index (a vertical
+    band of uniform column layout) so callers order pullouts between
+    the column bands above and below them.
     """
+    if len(stats) == 0:
+        return [], [0]
     strips = _cluster_rows(stats)
     strips.sort(key=lambda g: int(stats[g, 1].min()))
+    slack = min_gutter  # column margins (ColPartition left/right_margin)
+    good_w = 2 * min_gutter  # good_width(): wide enough to be a column
 
-    def compatible(sub: np.ndarray, gx: int) -> bool:
-        """True if the strip does NOT cross gutter x: it lies entirely
-        on one side, or has a gutter-sized coverage hole there.  The
-        granularity is the strip's x-coverage (ColPartition-level, not
-        single blobs: a gutter falling inside a word gap of a
-        full-width line must still count as crossed)."""
-        if sub[:, 2].max() <= gx or sub[:, 0].min() >= gx:
-            return True
-        iv = sorted((int(l), int(r)) for l, r, in zip(sub[:, 0], sub[:, 2]))
-        cov_end = iv[0][1]
-        for l, r in iv[1:]:
-            if l - cov_end >= min_gutter and cov_end <= gx <= l:
-                return True
-            cov_end = max(cov_end, r)
-        return False
+    sigs = [_strip_partitions(stats[g], min_gutter) for g in strips]
 
-    # gutter clusters across strips (1-D linkage within min_gutter)
-    votes: list[tuple[int, int]] = []  # (x, strip_idx)
-    for si, g in enumerate(strips):
-        for x in _find_gutters(stats[g], page_w, min_gutter):
-            votes.append((x, si))
-    clusters: list[list[tuple[int, int]]] = []
-    for x, si in sorted(votes):
-        if clusters and x - clusters[-1][-1][0] <= min_gutter:
-            clusters[-1].append((x, si))
-        else:
-            clusters.append([(x, si)])
-    accepted: list[int] = []
-    for cl in clusters:
-        gx = int(round(sum(x for x, _ in cl) / len(cl)))
-        # coverage-weighted vote (ImproveColumnCandidates scores a
-        # candidate by how much good text it covers, colfind.cpp:595-668):
-        # weigh each strip by blob count so a narrow aligned table cannot
-        # out-vote prose that flows across the gutter
-        sup_strips = {si for _x, si in cl}
-        support = sum(len(strips[si]) for si in sup_strips)
-        crossing = sum(
-            len(g) for g in strips if not compatible(stats[g], gx)
+    span_l = int(stats[:, 0].min())
+    span_r = int(stats[:, 2].max())
+
+    def same_set(a: list[tuple[int, int]], b: list[tuple[int, int]]) -> bool:
+        return len(a) == len(b) and all(
+            abs(x1 - x2) <= min_gutter and abs(y1 - y2) <= min_gutter
+            for (x1, y1), (x2, y2) in zip(a, b)
         )
-        if support > crossing:
-            accepted.append(gx)
-    if not accepted:
-        return [np.arange(len(stats))] if len(stats) else [], [0]
-    # assign strips: 'cols' unless the strip crosses an accepted gutter
-    assign: list[bool] = [
-        any(not compatible(stats[g], gx) for gx in accepted) for g in strips
-    ]
-    # merge consecutive same-assignment strips into runs; emit blocks
-    bounds = [0] + accepted + [page_w]
+
+    def col_of(cand: list[tuple[int, int]], x: float) -> int:
+        for ci, (l, r) in enumerate(cand):
+            if l - slack <= x <= r + slack:
+                return ci
+        return -1
+
+    def compat(sig: list[tuple[int, int]], cand: list[tuple[int, int]]) -> bool:
+        for pi, (l, r) in enumerate(sig):
+            lc, rc = col_of(cand, l), col_of(cand, r)
+            if lc < 0 or rc < 0:
+                return False  # a partition edge outside all columns
+            if lc != rc and r - l >= good_w:
+                return False  # good-width partition spans columns
+            if pi + 1 < len(sig):
+                nl, nr = sig[pi + 1]
+                if col_of(cand, nl) == rc and r - l >= good_w \
+                        and nr - nl >= good_w:
+                    return False  # column layout change inside one column
+        return True
+
+    # candidate pool ordered by quality — good (column-width) coverage
+    # first, then good-column count, then total coverage — with the
+    # reference's compatibility dedup: a new set whose partitions all
+    # fit an existing better-or-equal set is a duplicate
+    # (AddToColumnSetsIfUnique, colpartitionset.cpp:178-226); the
+    # full-width single column is always appended as the backup
+    # (MakeSingleColumnSet)
+    def quality(c: list[tuple[int, int]]) -> tuple[int, int, int]:
+        good = [(r - l) for l, r in c if r - l >= good_w]
+        bad = [(r - l) for l, r in c if r - l < good_w]
+        return (sum(good), len(good), sum(bad))
+
+    pool: list[list[tuple[int, int]]] = []
+    for sig in sigs + [[(span_l, span_r)]]:
+        q = quality(sig)
+        dup = False
+        at = len(pool)
+        for i, c in enumerate(pool):
+            if quality(c) < q:
+                at = i
+                break
+            if same_set(sig, c) or compat(sig, c):
+                dup = True
+                break
+        if not dup:
+            pool.insert(at, sig)
+
+    def unmatched(gidx: np.ndarray, cand: list[tuple[int, int]]) -> int:
+        mids = (stats[gidx, 0] + stats[gidx, 2]) / 2.0
+        w = stats[gidx, 2] - stats[gidx, 0]
+        out = np.fromiter(
+            (col_of(cand, m) < 0 for m in mids), dtype=bool, count=len(mids)
+        )
+        return int(w[out].sum())
+
+    S, C = len(strips), len(pool)
+    INF = 1 << 60
+    costs = [[INF] * C for _ in range(S)]
+    possible = [False] * S
+    for si in range(S):
+        for ci in range(C):
+            if compat(sigs[si], pool[ci]):
+                costs[si][ci] = unmatched(strips[si], pool[ci])
+                possible[si] = True
+
+    assigned: list[int | None] = [None] * S
+    acost = [INF] * S
+
+    def biggest_unassigned() -> tuple[int, int] | None:
+        best = (0, -1, -1)
+        end = 0
+        start = 0
+        while start < S:
+            while start < S and not (
+                assigned[start] is None and possible[start]
+            ):
+                start += 1
+            size = 1
+            end = start + 1
+            while end < S and assigned[end] is None:
+                if possible[end]:
+                    size += 1
+                end += 1
+            if start < S and size > best[0]:
+                best = (size, start, end)
+            start = end
+        return (best[1], best[2]) if best[0] > 0 else None
+
+    def modal(start: int, end: int) -> int:
+        votes = [0] * C
+        for si in range(start, end):
+            for ci in range(C):
+                if costs[si][ci] < acost[si]:
+                    votes[ci] += 1
+        return int(np.argmax(votes))
+
+    def shrink(cid: int, ostart: int, oend: int) -> tuple[int, int]:
+        bs, be, bsize = oend, oend, 0
+        end = oend
+        start = ostart
+        while start < oend:
+            while start < oend and not (
+                costs[start][cid] < acost[start] or not possible[start]
+            ):
+                start += 1
+            end = start + 1
+            while end < oend and not (
+                costs[end][cid] >= acost[start] and possible[end]
+            ):
+                end += 1
+            if start < oend and end - start > bsize:
+                bsize, bs, be = end - start, start, end
+            start = end
+        return bs, be
+
+    def extend(cid: int, pos: int, step: int, limit: int) -> int:
+        if pos == limit:
+            return pos
+        while True:
+            barrier = 0
+            i = pos + step
+            while i != limit:
+                if costs[i][cid] < acost[i]:
+                    break
+                if possible[i]:
+                    barrier += 1
+                i += step
+            if barrier > K_MAX_INCOMPATIBLE:
+                return pos
+            if i == limit:
+                return i - step
+            good = 1
+            i += step
+            while i != limit:
+                if costs[i][cid] < acost[i]:
+                    good += 1
+                elif possible[i]:
+                    break
+                i += step
+            if good >= barrier:
+                pos = i - step
+            else:
+                return pos
+
+    while True:
+        rng = biggest_unassigned()
+        if rng is None:
+            break
+        cid = modal(*rng)
+        s2, e2 = shrink(cid, *rng)
+        s3 = extend(cid, s2, -1, -1)
+        e3 = extend(cid, e2 - 1, 1, S) + 1
+        for si in range(s3, e3):
+            assigned[si] = cid
+            acost[si] = costs[si][cid]
+    # leftover strips (no compatible candidate at all): nearest
+    # assigned neighbour; a fully-unassignable page gets set 0
+    if all(a is None for a in assigned):
+        assigned = [0] * S
+    for si in range(S):
+        if assigned[si] is None:
+            assigned[si] = assigned[si - 1] if si > 0 else next(
+                a for a in assigned if a is not None
+            )
+    for si in range(S - 1, -1, -1):
+        if assigned[si] is None:
+            assigned[si] = assigned[si + 1]
+
+    # emit blocks: a strip incompatible with its assigned set (the
+    # range extension bridges up to kMaxIncompatibleColumnCount of
+    # them) holds a partition SPANNING the set's columns — the
+    # reference types those partitions as pull-outs
+    # (ColumnSpanningType -> PT_PULLOUT_TEXT) rather than splitting
+    # them, so such strips become their own full-width band; runs of
+    # compatible strips sharing a set split into the set's columns by
+    # x-middle (run-major reading order)
+    crossing = [costs[si][assigned[si]] >= INF for si in range(S)]
     blocks: list[np.ndarray] = []
     run_of: list[int] = []
     run_idx = -1
     i = 0
-    while i < len(strips):
+    while i < S:
         j = i
-        while j < len(strips) and assign[j] == assign[i]:
+        while (j < S and assigned[j] == assigned[i]
+               and crossing[j] == crossing[i]):
             j += 1
         run_idx += 1
         members = np.concatenate([strips[k] for k in range(i, j)])
-        if assign[i]:
+        cand = pool[assigned[i]]
+        if crossing[i] or len(cand) == 1:
             blocks.append(members)
             run_of.append(run_idx)
         else:
             cx = (stats[members, 0] + stats[members, 2]) / 2.0
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                sel = members[(cx >= lo) & (cx < hi)]
+            col_idx = np.array([col_of(cand, m) for m in cx])
+            # outliers join the nearest column
+            for k in np.flatnonzero(col_idx < 0):
+                centers = np.array([(l + r) / 2 for l, r in cand])
+                col_idx[k] = int(np.argmin(np.abs(centers - cx[k])))
+            for ci in range(len(cand)):
+                sel = members[col_idx == ci]
                 if len(sel):
                     blocks.append(sel)
                     run_of.append(run_idx)

@@ -268,3 +268,48 @@ def test_alt_baseline_row_reports_true_baseline():
     bottom = max(w.top + w.height for w in words)
     for w in words:
         assert w.baseline == bottom - 4 * row.scale, (w.baseline, bottom)
+
+
+def test_column_layout_change_down_the_page():
+    """A page whose column layout CHANGES between vertical bands — a
+    long single-column head over a two-column body — assigns a
+    different column set per band (AssignColumns' modal ranges,
+    colfind.cpp:715-765), the case a single global gutter vote cannot
+    represent: the head's full-width lines would out-vote the body's
+    gutter and flatten the page to one column."""
+    import numpy as np
+
+    from tesseract_spark.functions.fonts import mask_to_gray, render_line
+    from tesseract_spark.operators.recognize import recognize_page
+
+    head = [
+        "a very long single column heading line here",
+        "and a second full width heading line too",
+        "and a third one so the head has the votes",
+        "plus a fourth full width line of the head",
+    ]
+    body = [
+        ("left one", "right one"),
+        ("left two", "right two"),
+        ("left three", "right three"),
+    ]
+    W, H = 380, 240
+    mask = np.zeros((H, W), dtype=bool)
+    y = 12
+    for text in head:
+        lm = render_line(text)
+        mask[y : y + lm.shape[0], 12 : 12 + lm.shape[1]] |= lm
+        y += 22
+    y += 10
+    for lt, rt in body:
+        for text, x in ((lt, 12), (rt, 220)):
+            lm = render_line(text)
+            mask[y : y + lm.shape[0], x : x + lm.shape[1]] |= lm
+        y += 22
+    spans, _layout = recognize_page(mask_to_gray(mask))
+    got = [s.text for s in spans if s.kind == "text"]
+    assert got == [
+        "\n".join(head),
+        "left one\nleft two\nleft three",
+        "right one\nright two\nright three",
+    ], got
