@@ -174,10 +174,17 @@ def _row_pitch(strip: np.ndarray) -> float | None:
     if col[-1]:
         ends = np.r_[ends, len(col)]
     centers = (starts + ends) / 2.0
-    from .pitch import detect_pitch
+    from .pitch import detect_pitch, tune_pitch
 
     ok, pitch = detect_pitch(centers)
-    return pitch if ok else None
+    if not ok:
+        return None
+    # refine the statistical estimate by sync cost (tune_row_pitch,
+    # topitch.cpp:1066-1160) before the chopper consumes it
+    boxes = [(int(s), int(e)) for s, e in zip(starts, ends)]
+    proj = strip.sum(axis=0).astype(np.int64)
+    tuned, _cost = tune_pitch(proj, boxes, int(round(pitch)))
+    return float(tuned)
 
 
 def recognize_page_legacy(

@@ -229,6 +229,42 @@ def check_pitch_sync(
     return cuts, sync, int(fake[end]), int(mids[end])
 
 
+def tune_pitch(
+    projection: np.ndarray,
+    boxes: list[tuple[int, int]],
+    pitch: int,
+    pitch_range: int = 2,
+    tolerance: float = 0.15,
+) -> tuple[int, float]:
+    """Pitch tuning by sync cost (``tune_row_pitch``,
+    src/textord/topitch.cpp:1066-1160 with textord_pitch_range=2): run
+    the pitch-sync DP at the initial pitch and at +-1..pitch_range and
+    keep the pitch whose segmentation has the least sync cost — the
+    reference's refinement of the statistical pitch estimate before
+    chopping.  The sync statistic scores the SEGMENTATION, so
+    neighbouring pitches that land on the same cut sequence tie; the
+    returned pitch is therefore derived from the winning segmentation's
+    cell widths (the reference likewise recomputes row->fixed_pitch
+    from the chosen cell list, topitch.cpp:475-520).  Returns
+    (best_pitch, best_cost)."""
+    best_p, best_c = int(pitch), np.inf
+    best_cuts: list[int] = []
+    for delta in range(-pitch_range, pitch_range + 1):
+        p = int(pitch) + delta
+        if p < 3:
+            continue
+        err = max(1, int(round(tolerance * p)))
+        cuts, cost, fakes, _m = check_pitch_sync(projection, boxes, p, err)
+        # faked (through-ink) cuts disqualify a pitch when a fake-free
+        # competitor exists (compute_pitch_sd sums occupied-cell costs)
+        cost = cost + fakes * max(1.0, float(np.max(projection))) ** 2
+        if cost < best_c:
+            best_p, best_c, best_cuts = p, cost, cuts
+    if len(best_cuts) >= 2:
+        best_p = int(round(float(np.median(np.diff(best_cuts)))))
+    return best_p, best_c
+
+
 def fixed_pitch_cuts(
     run: np.ndarray, pitch: float, tolerance: float = 0.15
 ) -> list[int]:

@@ -165,3 +165,34 @@ def test_pitch_sync_snaps_into_gap():
     proj[8] = 0
     cuts, _cost, fakes, _ = check_pitch_sync(proj, [(0, 18)], 9, 2)
     assert cuts == [8] and fakes == 0
+
+
+def test_tune_pitch_recovers_true_pitch():
+    """tune_row_pitch analogue: a deliberately-off initial estimate is
+    pulled back to the true pitch by the sync cost (topitch.cpp:
+    1066-1160), and the production row path still reports the exact
+    pitch after tuning."""
+    from tesseract_spark.operators.legacy import _row_pitch
+    from tesseract_spark.operators.pitch import tune_pitch
+
+    font = get_font()
+    PITCH = 9
+    chars = "HNKNZEHNKZBE"
+    row = np.zeros((CELL_H, len(chars) * PITCH), dtype=bool)
+    for k, ch in enumerate(chars):
+        g = font[ch]
+        row[:, k * PITCH : k * PITCH + g.shape[1]] = g
+    col = row.any(axis=0).astype(np.int8)
+    d = np.diff(col)
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if col[0]:
+        starts = np.r_[0, starts]
+    if col[-1]:
+        ends = np.r_[ends, len(col)]
+    boxes = [(int(s), int(e)) for s, e in zip(starts, ends)]
+    proj = row.sum(axis=0).astype(np.int64)
+    for guess in (PITCH - 2, PITCH - 1, PITCH, PITCH + 1, PITCH + 2):
+        tuned, _cost = tune_pitch(proj, boxes, guess)
+        assert tuned == PITCH, (guess, tuned)
+    assert _row_pitch(row) == PITCH
