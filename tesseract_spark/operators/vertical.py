@@ -77,23 +77,88 @@ def is_vertical_page(stats: np.ndarray) -> bool:
     return 0.0 <= col_gap < row_gap
 
 
-def cjk_pitch_cells(
-    tops: np.ndarray, bottoms: np.ndarray
-) -> tuple[float, list[list[int]]]:
-    """Fixed-pitch cell assignment for one vertical column.
+K_FP_TOLERANCE = 0.1  # kFPTolerance, cjkpitch.cpp:35
 
-    Estimates the glyph pitch from successive cell starts (compute_pitch,
-    cjkpitch.cpp FPRow::EstimatePitch) and snaps every component to its
-    grid slot, merging multi-component glyphs that share a slot.
-    Returns (pitch, cells) with cells listing component indices in
-    top-to-bottom order."""
+
+def cjk_pitch_cells(
+    tops: np.ndarray,
+    bottoms: np.ndarray,
+    lefts: np.ndarray | None = None,
+    rights: np.ndarray | None = None,
+) -> tuple[float, list[list[int]]]:
+    """Fixed-pitch cell assignment for one vertical column — the FPRow
+    good-character pitch estimation (cjkpitch.cpp FPRow::Pass1Analyze
+    :703-724 + EstimatePitch :615-684, axes swapped for vertical flow).
+
+    A character is GOOD when its neighbour pitches agree within
+    kFPTolerance and no participating box exceeds the pitch by more
+    than the tolerance (is_good_pitch, cjkpitch.cpp:431-443); the row
+    pitch is the median of pitches between good characters (pitches
+    closer than half the 87.5%ile character height are same-cell
+    fragments and ignored), falling back to the median of all pitches
+    when fewer than two good ones exist — run once without an estimate
+    and once against it (the analyzer's pass structure).  Components
+    then snap to the pitch grid, merging multi-component glyphs that
+    share a slot.  Returns (pitch, cells) with cells listing component
+    indices in top-to-bottom order."""
     order = np.argsort(tops, kind="stable")
     t = tops[order].astype(np.float64)
     if len(t) < 2:
         return 0.0, [list(order)]
-    gaps = np.diff(t)
-    real = gaps[gaps > 2]  # ignore same-cell components (dot over body)
-    pitch = float(np.median(real)) if len(real) else 0.0
+    b = bottoms[order].astype(np.float64)
+    c = (t + b) / 2.0
+    h = b - t  # flow-direction extent
+    if lefts is not None and rights is not None:
+        w = rights[order].astype(np.float64) - lefts[order].astype(np.float64)
+    else:
+        w = h
+    height = float(np.percentile(h, 87.5))
+
+    def is_good_pitch(p: float, i: int, j: int) -> bool:
+        if p <= 0:
+            return False
+        lim = p * (1.0 + K_FP_TOLERANCE)
+        if h[i] >= lim or h[j] >= lim or w[i] >= lim or w[j] >= lim:
+            return False
+        return abs((c[j] - c[i]) - p) < p * K_FP_TOLERANCE
+
+    def estimate(good: np.ndarray, est: float) -> float:
+        good_p: list[float] = []
+        all_p: list[float] = []
+        prev_good = bool(good[0])
+        for i in range(1, len(c)):
+            p = c[i] - c[i - 1]
+            if p > height * 0.5:
+                all_p.append(p)
+                if good[i]:
+                    if est <= 0.0 or (
+                        prev_good and abs(est - p) < K_FP_TOLERANCE * est
+                    ):
+                        good_p.append(p)
+                    prev_good = True
+                else:
+                    prev_good = False
+        if not all_p:
+            return 0.0
+        if len(good_p) < 2:
+            return float(np.median(all_p))
+        return float(np.median(good_p))
+
+    n = len(c)
+    good = np.zeros(n, dtype=bool)
+    for i in range(2, n):
+        if is_good_pitch(c[i - 1] - c[i - 2], i - 1, i):
+            good[i - 1] = True
+    pitch = estimate(good, 0.0)
+    if pitch > 0:
+        good2 = np.zeros(n, dtype=bool)
+        for i in range(2, n):
+            if is_good_pitch(pitch, i - 2, i - 1) and is_good_pitch(
+                pitch, i - 1, i
+            ):
+                good2[i - 1] = True
+        if good2.any():
+            pitch = estimate(good2, pitch) or pitch
     if pitch <= 0:
         return 0.0, [list(order)]
     cells: list[list[int]] = []
@@ -147,7 +212,9 @@ def recognize_vertical_page(gray: np.ndarray) -> list[str]:
     out: list[str] = []
     for g in cols:
         sub = stats[g]
-        _pitch, cells = cjk_pitch_cells(sub[:, 1], sub[:, 3])
+        _pitch, cells = cjk_pitch_cells(
+            sub[:, 1], sub[:, 3], sub[:, 0], sub[:, 2]
+        )
         # build the horizontal strip: cells left-to-right in top order
         crops: list[np.ndarray] = []
         for cell in cells:

@@ -79,3 +79,19 @@ def test_recognize_page_auto_routes_both_ways():
     spans_h, layout_h = recognize_page_auto(page.image)
     assert layout_h is not None
     assert [(s.kind, s.text) for s in spans_h] == page.golden
+
+
+def test_cjk_pitch_ignores_same_cell_fragment_pitches():
+    """FPRow::EstimatePitch (cjkpitch.cpp:615-684): center advances
+    closer than half the 87.5%ile character height are same-cell
+    fragments and must not vote for the pitch — a column where every
+    glyph carries a low fragment 6px below its top would otherwise
+    report the fragment spacing as the pitch."""
+    tops, bottoms = [], []
+    for cell in (0, 20, 40, 60):
+        tops += [cell, cell + 6]
+        bottoms += [cell + 16, cell + 9]  # body h=16, fragment h=3
+    tops, bottoms = np.array(tops), np.array(bottoms)
+    pitch, cells = cjk_pitch_cells(tops, bottoms)
+    assert 18 <= pitch <= 22, pitch
+    assert [sorted(c) for c in cells] == [[0, 1], [2, 3], [4, 5], [6, 7]]
