@@ -179,6 +179,39 @@ def micro_features(mask: np.ndarray, y_frame: int = 0) -> np.ndarray:
     return np.asarray(feats, dtype=np.float32)
 
 
+def int_features(feats: np.ndarray) -> np.ndarray:
+    """INT_FEATURE_STRUCT re-encoding (intfx.cpp ExtractFeatures ->
+    intproto.h:121-131: uint8 X, Y, Theta over the normalized char
+    frame, INT_CHAR_NORM_RANGE=256 angular units): X maps [-1,1) cell
+    units to 0..255, Y maps [0,2) to 0..255, Theta is the direction in
+    256ths of a turn.  Returns [n, 4] uint8/float rows
+    (X, Y, Theta, length) — length stays float because the reference
+    implicitly carries it by emitting one unit-step feature per outline
+    pixel while this matcher's kernel keeps the mfx length term (noted
+    divergence; resolution is what the encoding proves)."""
+    if len(feats) == 0:
+        return np.zeros((0, 4), dtype=np.float32)
+    X = np.clip(np.round((feats[:, 0] + 1.0) * 128.0), 0, 255)
+    Y = np.clip(np.round(feats[:, 1] * 128.0), 0, 255)
+    T = np.round(feats[:, 3] * 256.0).astype(np.int64) % 256
+    return np.stack(
+        [X, Y, T.astype(np.float64), feats[:, 2]], axis=1
+    ).astype(np.float32)
+
+
+def dequantize_int_features(ifeats: np.ndarray) -> np.ndarray:
+    """uint8 (X, Y, Theta, length) back to the matcher's float frame —
+    the integer matcher consumes the uint8 domain directly via lookup
+    tables (intmatcher.cpp); here the dequantized features feed the
+    same kernels, proving the uint8 resolution carries the decode."""
+    if len(ifeats) == 0:
+        return np.zeros((0, 4), dtype=np.float32)
+    fx = ifeats[:, 0] / 128.0 - 1.0
+    fy = ifeats[:, 1] / 128.0
+    fd = (ifeats[:, 2] / 256.0) % 1.0
+    return np.stack([fx, fy, ifeats[:, 3], fd], axis=1).astype(np.float32)
+
+
 def _quantize(feats: np.ndarray) -> set[tuple[int, int, int]]:
     """(x, y, dir) bucket triples of a feature set (the ClassPruner
     quantization, intmatcher.cpp:166-172)."""
@@ -261,6 +294,7 @@ class StaticShapeClassifier:
     def classify(
         self, mask: np.ndarray, y_frame: int = 0, top_k: int = 3,
         disabled: frozenset[int] | None = None,
+        int_encode: bool = False,
     ) -> list[tuple[str, float]]:
         """Blob mask -> [(char, rating)] best-first, pruner then match
         (CharNormClassifier -> PruneClasses -> Match, the adaptmatch
@@ -268,8 +302,14 @@ class StaticShapeClassifier:
 
         ``disabled``: class indices suppressed by the char white/black
         lists — the pruner drops them before matching (the
-        get_enabled gates, intmatcher.cpp:244 / adaptmatch.cpp:1133)."""
+        get_enabled gates, intmatcher.cpp:244 / adaptmatch.cpp:1133).
+
+        ``int_encode``: round-trip the features through the uint8
+        INT_FEATURE encoding (intfx.cpp) before matching — the
+        reference's integer feature domain."""
         feats = micro_features(mask, y_frame)
+        if int_encode and len(feats):
+            feats = dequantize_int_features(int_features(feats))
         if len(feats) == 0:
             return []
         cand = self.prune(feats)

@@ -121,3 +121,34 @@ def test_page_parity_with_skew_and_scale():
             "alpha beta gamma delta\nepsilon zeta eta theta\niota kap lam mu",
         )
     ]
+
+
+def test_int_feature_encoding_carries_the_decode():
+    """intfx analogue: micro-features round-tripped through the uint8
+    INT_FEATURE_STRUCT domain (X, Y, Theta in 0..255, intproto.h:
+    121-131) decode the full charset identically — the integer
+    resolution suffices, as in the reference's integer matcher."""
+    import numpy as np
+
+    from tesseract_spark.functions.fonts import get_font
+    from tesseract_spark.lstm.intproto import (
+        dequantize_int_features,
+        get_static_classifier,
+        int_features,
+        micro_features,
+    )
+
+    clf = get_static_classifier()
+    font = get_font()
+    for ch in clf.glyphs:
+        plain = clf.classify(font[ch].astype(bool))
+        viaint = clf.classify(font[ch].astype(bool), int_encode=True)
+        assert plain[0][0] == viaint[0][0] == ch
+        assert abs(plain[0][1] - viaint[0][1]) < 1e-3
+    # quantization error bounds: one half-step of the 1/128 grid
+    f = micro_features(font["W"].astype(bool))
+    back = dequantize_int_features(int_features(f))
+    assert np.abs(back[:, 0] - f[:, 0]).max() <= 1 / 256 + 1e-6
+    assert np.abs(back[:, 1] - f[:, 1]).max() <= 1 / 256 + 1e-6
+    dd = np.abs(back[:, 3] - f[:, 3])
+    assert np.minimum(dd, 1 - dd).max() <= 1 / 512 + 1e-6
