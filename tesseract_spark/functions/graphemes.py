@@ -8,11 +8,13 @@ this pass: badly formed Indic vowel pairs, double viramas, Thai
 tone-mark misplacement and lonely joiners silently poison recognition
 training sets; this operator counts and flags them per document.
 
-Scope: the generic pair-rule validator (validate_grapheme.cpp) and the
-ISCII Indic family validator (validate_indic.cpp, Devanagari..Sinhala).
-Myanmar/Khmer/Javanese route to the generic validator — a documented
-simplification of the reference's three extra subclasses
-(validate_myanmar/khmer/javanese.cpp).
+Scope: the generic pair-rule validator (validate_grapheme.cpp), the
+ISCII Indic family validator (validate_indic.cpp, Devanagari..Sinhala),
+the Khmer syllable validator (validate_khmer.cpp) and the Myanmar
+syllable validator (validate_myanmar.cpp) — both passing the
+reference's own unittest fixtures with exact per-mode grapheme counts.
+Javanese routes to the generic validator — a documented simplification
+of the remaining subclass (validate_javanese.cpp).
 
 ICU replacements (cross-checked against the reference call sites):
 - u_hasBinaryProperty(UCHAR_GRAPHEME_LINK) -> canonical combining class 9
@@ -75,6 +77,7 @@ C_ZWNJ = "z"
 C_ZWJ = "Z"
 C_VEDIC = "v"
 C_NUKTA = "N"
+C_ROBAT = "R"
 C_OTHER = "O"
 C_WHITESPACE = " "
 C_COMBINER = "c"
@@ -552,10 +555,258 @@ class IndicValidator(Validator):
         return True
 
 
+class KhmerValidator(Validator):
+    """validate_khmer.cpp — the Khmer syllable grammar from the unicode
+    standard ch16 BNF, in CharClass codes:
+    C {R | N} {HC {R}}* {{Z|z} M{P}} {D} {HC}
+    (R = robat, N repurposed as the consonant shifters; independent
+    vowels are folded into the consonant class)."""
+
+    def unicode_to_charclass(self, cp: int) -> str:
+        # validate_khmer.cpp:104-142
+        if is_vedic_accent(cp):
+            return C_VEDIC
+        if cp == 0x200C:
+            return C_ZWNJ
+        if cp == 0x200D:
+            return C_ZWJ
+        off = cp - self.script
+        if off < 0 or off >= _CODEPAGE:
+            return C_OTHER
+        if off <= 0x33:
+            return C_CONSONANT
+        if off <= 0x45:
+            return C_MATRA
+        if off == 0x46:
+            return C_MATRA_PIECE
+        if off == 0x4C:
+            return C_ROBAT
+        if off in (0x49, 0x4A):
+            return C_NUKTA
+        if off <= 0x51:
+            return C_VOWEL_MOD
+        if off == 0x52:
+            return C_VIRAMA
+        return C_OTHER
+
+    def consume_grapheme_if_valid(self) -> bool:
+        # validate_khmer.cpp:20-101
+        codes, n = self.codes, len(self.codes)
+        if self.codes_used == n:
+            return False
+        if codes[self.codes_used][0] == C_OTHER:
+            self.use_multi_code(1)
+            return True
+        if codes[self.codes_used][0] != C_CONSONANT:
+            return False  # invalid start of Khmer syllable
+        if self.use_multi_code(1):
+            return True
+        if codes[self.codes_used][0] in (C_ROBAT, C_NUKTA):
+            if self.use_multi_code(1):
+                return True
+        while (
+            self.codes_used + 1 < n
+            and codes[self.codes_used][0] == C_VIRAMA
+            and codes[self.codes_used + 1][0] == C_CONSONANT
+        ):
+            assert not self.code_only_to_output()
+            if self.use_multi_code(2):
+                return True
+            if codes[self.codes_used][0] == C_ROBAT:
+                if self.use_multi_code(1):
+                    return True
+        num_matra_parts = 0
+        if codes[self.codes_used][1] in (0x200C, 0x200D):
+            if self.code_only_to_output():
+                return False  # unterminated joiner
+            num_matra_parts += 1
+        # the matra piece is allowed as a matra on its own or in addition
+        if codes[self.codes_used][0] in (C_MATRA, C_MATRA_PIECE):
+            num_matra_parts += 1
+            if self.use_multi_code(num_matra_parts):
+                return True
+        elif num_matra_parts:
+            return False  # joiner with a non-dependent vowel after it
+        if (
+            codes[self.codes_used][0] == C_MATRA_PIECE
+            and codes[self.codes_used - 1][0] != C_MATRA_PIECE
+        ):
+            if self.use_multi_code(1):
+                return True
+        if codes[self.codes_used][0] == C_VOWEL_MOD:
+            if self.use_multi_code(1):
+                return True
+        if (
+            self.codes_used + 1 < n
+            and codes[self.codes_used][0] == C_VIRAMA
+            and codes[self.codes_used + 1][0] == C_CONSONANT
+        ):
+            assert not self.code_only_to_output()
+            if self.use_multi_code(2):
+                return True
+        return True
+
+
+_MYANMAR_ASAT = 0x103A
+_MYANMAR_MEDIAL_YA = 0x103B
+
+
+def _is_myanmar_letter(cp: int) -> bool:
+    """validate_myanmar.cpp:168-178 IsMyanmarLetter: consonants AND
+    independent vowels, including the extension blocks."""
+    return (
+        0x1000 <= cp <= 0x102A or cp == 0x103F
+        or 0x104C <= cp <= 0x1055 or 0x105A <= cp <= 0x105D
+        or cp in (0x1061, 0x1065, 0x1066)
+        or 0x106E <= cp <= 0x1070 or 0x1075 <= cp <= 0x1081
+        or cp == 0x108E
+        or 0xA9E0 <= cp <= 0xA9E4 or 0xA9E7 <= cp <= 0xA9EF
+        or 0xA9FA <= cp <= 0xA9FE
+        or 0xAA60 <= cp <= 0xAA6F or 0xAA71 <= cp <= 0xAA73
+        or cp in (0xAA7A, 0xAA7E, 0xAA7F)
+    )
+
+
+def _is_myanmar_other(cp: int) -> bool:
+    """validate_myanmar.cpp:183-194 IsMyanmarOther: non-Myanmar-script
+    codepoints (uscript_getScript re-expressed as the three Myanmar
+    blocks) plus digits/symbols/logograms that take no part in a
+    syllable."""
+    in_myanmar = (
+        0x1000 <= cp <= 0x109F
+        or 0xA9E0 <= cp <= 0xA9FF
+        or 0xAA60 <= cp <= 0xAA7F
+    )
+    if not in_myanmar and cp not in (0x200C, 0x200D):
+        return True
+    return (
+        0x1040 <= cp <= 0x104F or 0x1090 <= cp <= 0x1099
+        or 0x109E <= cp <= 0x109F or 0xA9F0 <= cp <= 0xA9F9
+        or cp in (0xA9E6, 0xAA70) or 0xAA74 <= cp <= 0xAA79
+    )
+
+
+class MyanmarValidator(Validator):
+    """validate_myanmar.cpp — the Myanmar syllable walk of unicode table
+    16-3: optional kinzi, a required base letter, at most one subscript
+    consonant, then a long ordered chain of optional medials, vowel
+    signs and tone marks.  Everything but the base is optional, so the
+    base is the only place invalid input is detected."""
+
+    def unicode_to_charclass(self, cp: int) -> str:
+        # validate_myanmar.cpp:62-67 (no intermediate coding)
+        return C_CONSONANT if _is_myanmar_letter(cp) else C_OTHER
+
+    def consume_grapheme_if_valid(self) -> bool:
+        # validate_myanmar.cpp:13-52
+        codes, n = self.codes, len(self.codes)
+        if self.codes_used == n:
+            return True
+        if _is_myanmar_other(codes[self.codes_used][1]):
+            self.use_multi_code(1)
+            return True
+        # kinzi: NGA + asat + virama riding the next base
+        if (
+            self.codes_used + 2 < n
+            and codes[self.codes_used][1] == 0x1004
+            and codes[self.codes_used + 1][1] == _MYANMAR_ASAT
+            and codes[self.codes_used + 2][1] == _MYANMAR_VIRAMA
+        ):
+            assert not self.code_only_to_output()
+            assert not self.code_only_to_output()
+            if self.use_multi_code(3):
+                return True
+        if _is_myanmar_letter(codes[self.codes_used][1]):
+            if self.use_multi_code(1):
+                return True
+        else:
+            return False  # a base letter is required
+        if self._consume_subscript_if_present():
+            return True
+        self._consume_optional_signs_if_present()
+        return True
+
+    def _consume_subscript_if_present(self) -> bool:
+        # validate_myanmar.cpp:71-84 — at most one subscript consonant
+        codes, n = self.codes, len(self.codes)
+        if (
+            self.codes_used + 1 < n
+            and codes[self.codes_used][1] == _MYANMAR_VIRAMA
+            and _is_myanmar_letter(codes[self.codes_used + 1][1])
+        ):
+            assert not self.code_only_to_output()
+            if self.use_multi_code(2):
+                return True
+        return False
+
+    def _consume_optional_signs_if_present(self) -> bool:
+        # validate_myanmar.cpp:88-160 — the ordered optional chain
+        codes = self.codes
+
+        def cur() -> int:
+            return codes[self.codes_used][1]
+
+        # medials (asat folded into medial-ya)
+        for ch in (
+            _MYANMAR_ASAT, _MYANMAR_MEDIAL_YA, 0x103C, 0x103D, 0x103E,
+            0x105E, 0x105F, 0x1060, 0x1081, 0x1031,
+        ):
+            if cur() == ch:
+                if self.use_multi_code(1):
+                    return True
+                if ch == _MYANMAR_MEDIAL_YA and cur() == _MYANMAR_ASAT:
+                    if self.use_multi_code(1):
+                        return True
+        # vowel sign i, ii, ai
+        if cur() in (0x102D, 0x102E, 0x1032):
+            if self.use_multi_code(1):
+                return True
+        # vowel sign u, uu, and extensions
+        ch = cur()
+        if (
+            ch in (0x102F, 0x1030, 0x1062, 0x1067, 0x1068, 0x109C, 0x109D)
+            or 0x1056 <= ch <= 0x1059 or 0x1071 <= ch <= 0x1074
+            or 0x1083 <= ch <= 0x1086
+        ):
+            if self.use_multi_code(1):
+                return True
+        # tall aa, aa with optional asat
+        if cur() in (0x102B, 0x102C):
+            if self.use_multi_code(1):
+                return True
+            if cur() == _MYANMAR_ASAT:
+                if self.use_multi_code(1):
+                    return True
+        # anusvar, dot below, visarga — in sequence
+        for ch in (0x1036, 0x1037, 0x1038):
+            if cur() == ch:
+                if self.use_multi_code(1):
+                    return True
+        # tone mark extensions
+        ch = cur()
+        if (
+            ch in (0x102C, 0x1038, _MYANMAR_ASAT, 0x108F, 0x109A, 0x109B)
+            or 0x1062 <= ch <= 0x1064 or 0x1069 <= ch <= 0x106D
+            or 0x1087 <= ch <= 0x108D or 0xAA7B <= ch <= 0xAA7D
+        ):
+            if self.use_multi_code(1):
+                return True
+        # Sgaw tones need asat; W Pwo tones may take dot below / visarga
+        if cur() in (_MYANMAR_ASAT, 0x1037, 0x1038):
+            if self.use_multi_code(1):
+                return True
+        return False
+
+
 def script_validator(script: int) -> Validator:
-    """validator.cpp:72-83 factory.  Myanmar/Khmer/Javanese fall back to
-    the generic pair-rule validator (documented simplification)."""
-    if script == NONVIRAMA or script in (MYANMAR, KHMER, JAVANESE):
+    """validator.cpp:72-83 factory.  Javanese falls back to the generic
+    pair-rule validator (documented simplification); Khmer and Myanmar
+    have their reference validators."""
+    if script == KHMER:
+        return KhmerValidator(script)
+    if script == MYANMAR:
+        return MyanmarValidator(script)
+    if script == NONVIRAMA or script == JAVANESE:
         return GraphemeValidator(script)
     return IndicValidator(script)
 
@@ -566,7 +817,7 @@ def validate_clean_and_segment(
     """validator.cpp:41-68 ValidateCleanAndSegment."""
     dest: list[list[int]] = []
     script = most_frequent_virama_script(cps)
-    if script == NONVIRAMA or script in (MYANMAR, KHMER, JAVANESE):
+    if script == NONVIRAMA or script == JAVANESE:
         # the grapheme segmenter's max segmentation is the grapheme unit,
         # so up the mode by one to get the desired effect
         g_mode = {COMBINED: GLYPH_SPLIT, GLYPH_SPLIT: INDIVIDUAL}.get(

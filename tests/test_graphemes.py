@@ -111,3 +111,54 @@ def test_explicit_virama_gets_zwnj():
     ok, g = normalize_clean_and_segment("क्", g_mode=COMBINED)
     assert ok
     assert "".join(g) == "क्‌"  # trailing ZWNJ added
+
+
+# --- Khmer (validate_khmer.cpp via validate_khmer_test.cc fixtures) ---
+
+KHMER_GOOD = [
+    ("ព័ត៏មានប្លែកៗ", (13, 12, 7)),
+    ("ទំនុកច្រៀង", (10, 9, 5)),
+    ("កាលីហ្វូញ៉ា", (11, 10, 4)),
+    ("ចាប់ពីផ្លូវ", (11, 10, 5)),
+]
+# multiple dependent vowels / shifters / signs are not allowed
+KHMER_BAD = ["ពាិ", "ម៉៊", "កា់៍"]
+
+MYANMAR_GOOD = [
+    ("လျှာကသိသည် ", (11, 11, 5)),  # no viramas in this one
+    ("တုန္လႈပ္မႈ ", (11, 9, 4)),
+]
+MYANMAR_BAD = ["က်န္းမာေရး", "ခုႏွစ္"]
+
+
+def _mode_counts(s):
+    out = []
+    for m in (INDIVIDUAL, GLYPH_SPLIT, COMBINED):
+        ok, g = normalize_clean_and_segment(s, g_mode=m)
+        assert ok and "".join(g) == s, (m, s, g)
+        out.append(len(g))
+    return tuple(out)
+
+
+@pytest.mark.parametrize("s,counts", KHMER_GOOD)
+def test_good_khmer_words(s, counts):
+    # validate_khmer_test.cc:19-28 GoodKhmerWords — exact per-mode counts
+    assert _mode_counts(s) == counts
+
+
+@pytest.mark.parametrize("s", KHMER_BAD)
+def test_bad_khmer_words(s):
+    # validate_khmer_test.cc:31-45 BadKhmerWords
+    assert not validate_text(s)
+
+
+@pytest.mark.parametrize("s,counts", MYANMAR_GOOD)
+def test_good_myanmar_words(s, counts):
+    # validate_myanmar_test.cc:19-24 GoodMyanmarWords — exact counts
+    assert _mode_counts(s) == counts
+
+
+@pytest.mark.parametrize("s", MYANMAR_BAD)
+def test_bad_myanmar_words(s):
+    # validate_myanmar_test.cc:27-50 BadMyanmarWords (dotted circles)
+    assert not validate_text(s)
