@@ -8,13 +8,13 @@ this pass: badly formed Indic vowel pairs, double viramas, Thai
 tone-mark misplacement and lonely joiners silently poison recognition
 training sets; this operator counts and flags them per document.
 
-Scope: the generic pair-rule validator (validate_grapheme.cpp), the
-ISCII Indic family validator (validate_indic.cpp, Devanagari..Sinhala),
-the Khmer syllable validator (validate_khmer.cpp) and the Myanmar
-syllable validator (validate_myanmar.cpp) — both passing the
-reference's own unittest fixtures with exact per-mode grapheme counts.
-Javanese routes to the generic validator — a documented simplification
-of the remaining subclass (validate_javanese.cpp).
+Scope: the full validator family — the generic pair-rule validator
+(validate_grapheme.cpp), the ISCII Indic family validator
+(validate_indic.cpp, Devanagari..Sinhala), the Khmer and Myanmar
+syllable validators (validate_khmer/myanmar.cpp — both passing the
+reference's own unittest fixtures with exact per-mode grapheme counts)
+and the Javanese validator (validate_javanese.cpp, pengkal/cakra
+medials + tarung two-part vowels).
 
 ICU replacements (cross-checked against the reference call sites):
 - u_hasBinaryProperty(UCHAR_GRAPHEME_LINK) -> canonical combining class 9
@@ -320,6 +320,12 @@ class IndicValidator(Validator):
     vowel grapheme V[D](v)*; consonant grapheme
     (C[N](H|HZ|Hz|ZH)?)*C[N](H|Hz)?[M[P]][D](v)*."""
 
+    # the post-virama medial conjunct characters (Sinhala yansaya /
+    # rakaransaya; Javanese overrides with pengkal/cakra) and the
+    # stand-alone-repaya base
+    _MEDIALS: tuple[int, int] = (_YAYANA, _RAYANA)
+    _REPAYA: int = _RAYANA
+
     def unicode_to_charclass(self, cp: int) -> str:
         # validate_indic.cpp:46-143
         if is_vedic_accent(cp):
@@ -409,9 +415,9 @@ class IndicValidator(Validator):
                     return False  # ZWJ after a post-matra virama
                 if (
                     self.codes_used + 1 < num
-                    and self.codes[self.codes_used - 2][1] != _RAYANA
+                    and self.codes[self.codes_used - 2][1] != self._REPAYA
                     and self.codes[self.codes_used + 1][1]
-                    in (0x200C, _YAYANA, _RAYANA)
+                    in (0x200C,) + self._MEDIALS
                 ):
                     # picked up later (Sinhala conjuncts)
                     assert not self.code_only_to_output()
@@ -426,7 +432,7 @@ class IndicValidator(Validator):
                 ):
                     if (
                         self.output_used == len(self.output)
-                        or self.output[self.output_used] != _RAYANA
+                        or self.output[self.output_used] != self._REPAYA
                     ):
                         return False  # virama ZWJ ZWNJ outside Sinhala
                     if self.use_multi_code(4):  # stand-alone repaya
@@ -462,7 +468,7 @@ class IndicValidator(Validator):
             idx = len(self.output) - 3
             if (
                 self.output_used + 3 <= len(self.output)
-                and self.output[-1] in (_YAYANA, _RAYANA)
+                and self.output[-1] in self._MEDIALS
                 and is_virama(self.output[idx])
                 and self.output[idx + 1] == 0x200D
             ):
@@ -798,15 +804,89 @@ class MyanmarValidator(Validator):
         return False
 
 
+_PENGKAL = 0xA9BE  # Javanese medial ya (validate_javanese.h:55)
+_CAKRA = 0xA9BF  # Javanese medial ra
+
+
+class JavaneseValidator(IndicValidator):
+    """validate_javanese.cpp — the aksara jawa orthographic syllable
+    [(V|C[N])(H)] (V|C[N]) [[N]N] [M[D]] [v]: the Indic consonant
+    machinery with pengkal/cakra as the post-virama medials
+    (in place of Sinhala yansaya/rakaransaya) and the tarung
+    matra-piece repetition (taling + tarung two-part vowels,
+    validate_javanese.cpp:220-229)."""
+
+    _MEDIALS = (_PENGKAL, _CAKRA)
+    _REPAYA = _CAKRA
+
+    def unicode_to_charclass(self, cp: int) -> str:
+        # validate_javanese.cpp:280-320
+        if cp == 0x200C:
+            return C_ZWNJ
+        if cp == 0x200D:
+            return C_ZWJ
+        off = cp - self.script
+        if off < 0 or off >= _CODEPAGE:
+            return C_OTHER
+        if off < 0x4:
+            return C_VOWEL_MOD
+        if off <= 0x32:
+            return C_CONSONANT  # includes independent vowels
+        if off == 0x33:
+            return C_NUKTA  # A9B3 cecak telu
+        if off == 0x34:
+            return C_MATRA_PIECE  # A9B4 tarung (two-part vowels)
+        if off <= 0x39:
+            return C_MATRA
+        if off == 0x3A:
+            return C_CONSONANT  # A9BA taling — pre-base vowel
+        if off <= 0x3D:
+            return C_MATRA
+        if off <= 0x3F:
+            return C_NUKTA  # A9BE-A9BF pengkal/cakra medials
+        if off == 0x40:
+            return C_VIRAMA  # A9C0 pangkon
+        return C_OTHER
+
+    def _consume_consonant_tail(self) -> bool:
+        # validate_javanese.cpp:206-255: as Indic, plus tarung may
+        # repeat after a matra (taling + tarung long vowels)
+        if self.codes_used == len(self.codes):
+            return True
+        if self.codes[self.codes_used][0] == C_MATRA:
+            if self.use_multi_code(1):
+                return True
+            if self.codes[self.codes_used][0] == C_MATRA_PIECE:
+                if self.use_multi_code(1):
+                    return True
+        while self.codes[self.codes_used][0] == C_MATRA_PIECE:
+            if self.use_multi_code(1):
+                return True
+        while self.codes[self.codes_used][0] == C_VOWEL_MOD:
+            if self.use_multi_code(1):
+                return True
+            break
+        while self.codes[self.codes_used][0] == C_VEDIC:
+            if self.use_multi_code(1):
+                return True
+        if self.codes[self.codes_used][0] == C_VIRAMA:
+            if not self._consume_virama((C_OTHER, 0), True):
+                return False
+        if self.output_used < len(self.output):
+            self.multi_code_part(1)
+        return True
+
+
 def script_validator(script: int) -> Validator:
-    """validator.cpp:72-83 factory.  Javanese falls back to the generic
-    pair-rule validator (documented simplification); Khmer and Myanmar
-    have their reference validators."""
+    """validator.cpp:72-83 factory: every virama script has its
+    reference validator."""
     if script == KHMER:
         return KhmerValidator(script)
     if script == MYANMAR:
         return MyanmarValidator(script)
-    if script == NONVIRAMA or script == JAVANESE:
+    if script == JAVANESE:
+        return JavaneseValidator(script)
+    if script == NONVIRAMA:
         return GraphemeValidator(script)
     return IndicValidator(script)
 
@@ -817,7 +897,7 @@ def validate_clean_and_segment(
     """validator.cpp:41-68 ValidateCleanAndSegment."""
     dest: list[list[int]] = []
     script = most_frequent_virama_script(cps)
-    if script == NONVIRAMA or script == JAVANESE:
+    if script == NONVIRAMA:
         # the grapheme segmenter's max segmentation is the grapheme unit,
         # so up the mode by one to get the desired effect
         g_mode = {COMBINED: GLYPH_SPLIT, GLYPH_SPLIT: INDIVIDUAL}.get(

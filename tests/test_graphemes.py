@@ -162,3 +162,25 @@ def test_good_myanmar_words(s, counts):
 def test_bad_myanmar_words(s):
     # validate_myanmar_test.cc:27-50 BadMyanmarWords (dotted circles)
     assert not validate_text(s)
+
+
+# --- Javanese (validate_javanese.cpp; no reference unittest exists —
+# vectors from the unicode standard examples cited in its comments) ---
+
+def test_javanese_conjunct_and_taling_tarung():
+    # ka + pangkon + ka is one aksara (combined), half-form split in
+    # glyph mode (validate_javanese.cpp:109-140)
+    ok, g = normalize_clean_and_segment("ꦏ꧀ꦏ", g_mode=COMBINED)
+    assert ok and g == ["ꦏ꧀ꦏ"]
+    ok, g = normalize_clean_and_segment("ꦏ꧀ꦏ", g_mode=GLYPH_SPLIT)
+    assert ok and len(g) == 2
+    # taling + tarung two-part vowel groups (validate_javanese.cpp:
+    # 220-229 "Taling + Tarung is valid eg. ꦏ + ◌ꦺ + ◌ꦴ")
+    ok, g = normalize_clean_and_segment("ꦏꦺꦴ", g_mode=COMBINED)
+    assert ok and g == ["ꦏ", "ꦺꦴ"]
+
+
+def test_javanese_bad_starts():
+    # a grapheme may not start with pangkon (virama) or a vowel modifier
+    assert not validate_text("꧀ꦏ")
+    assert not validate_text("ꦀꦏ")
