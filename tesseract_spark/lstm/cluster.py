@@ -38,6 +38,7 @@ import pandas as pd
 
 from .intproto import SIGMA_DIR, SIGMA_LEN, SIGMA_XY, StaticShapeClassifier
 from .intproto import _quantize, micro_features
+from .kdtree import KDTree
 
 # CLUSTERCONFIG analogues (cluster.cpp:45-60: Independence, Confidence,
 # MinSamples): merge radius in sigma-normalized feature units, and the
@@ -79,6 +80,96 @@ def _to_feat(vec: np.ndarray) -> np.ndarray:
     )
 
 
+def _cluster_tree(
+    vecs: np.ndarray,
+    sums: list[np.ndarray],
+    counts: list[int],
+    samples: list[set],
+    merge_dist: float,
+) -> list[int]:
+    """CreateClusterTree (cluster.cpp:1719-1770): best-first
+    agglomerative merge driven by a heap of potential clusters, each a
+    cluster paired with its kd-tree nearest neighbor
+    (MakePotentialClusters :1781-1792, FindNearestNeighbor :1807-1830
+    = 2-nearest search minus self).  Popping the heap:
+
+    - main cluster already merged away -> drop the entry;
+    - neighbor merged away -> re-find the nearest, re-push
+      (cluster.cpp:1743-1748);
+    - both alive -> make the merge permanent: delete both from the
+      tree, insert the centroid (MakeNewCluster :1842-1865), push the
+      new cluster's own potential entry.
+
+    Because a new cluster's entry key is its distance to its OWN
+    nearest neighbor, the minimum heap key always equals the current
+    global nearest-pair distance, so the merge order is exactly the
+    brute-force global-min order (ties broken by (dist, low id,
+    high id)).  The reference builds the full tree to the root and
+    lets MakePrototype walk it; this path keeps the repo's flat
+    semantics — the loop stops once the closest pair is >= merge_dist
+    apart (no pair below the radius remains, by the same argument).
+    Mutates sums/counts/samples in place; returns live cluster ids.
+    """
+    import heapq
+
+    n = len(vecs)
+    if n <= 1:
+        return list(range(n))
+    tree = KDTree.from_items(vecs.shape[1], [(vecs[i], i) for i in range(n)])
+    cents: dict[int, np.ndarray] = {i: vecs[i] for i in range(n)}
+    slot = {i: i for i in range(n)}  # cluster id -> state-slot index
+    merged = {i: False for i in range(n)}  # CLUSTER::Clustered
+    next_id = n
+
+    def find_nearest(cid: int):
+        # FindNearestNeighbor: 2 nearest, skip self
+        for data, d in tree.nearest(cents[cid], k=2):
+            if data != cid:
+                return data, d
+        return None, None
+
+    heap: list[tuple[float, int, int]] = []  # (dist, state slot, id)
+    for i in range(n):  # MakePotentialClusters
+        nb, d = find_nearest(i)
+        if nb is not None:
+            heapq.heappush(heap, (d, slot[i], i))
+
+    while heap:
+        d, _s, main = heapq.heappop(heap)
+        if merged[main]:
+            continue  # entry's main cluster is spoken for
+        nb, d2 = find_nearest(main)
+        if nb is None:
+            break  # main is the last cluster standing
+        if d2 > d:  # neighbor died since push; re-queue at the exact key
+            heapq.heappush(heap, (d2, slot[main], main))
+            continue
+        # d2 <= d = the heap minimum, and every both-alive entry's key
+        # is its exact pair distance, so d2 is the GLOBAL nearest-pair
+        # distance: merge, or stop when it leaves the radius
+        if d2 >= merge_dist:
+            break
+        # MakeNewCluster: retire both, insert the merged centroid
+        sa, sb = sorted((slot[main], slot[nb]))
+        tree.delete(cents[main], main)
+        tree.delete(cents[nb], nb)
+        merged[main] = merged[nb] = True
+        sums[sa] += sums[sb]
+        counts[sa] += counts[sb]
+        samples[sa] |= samples[sb]
+        new = next_id
+        next_id += 1
+        merged[new] = False
+        slot[new] = sa
+        cents[new] = sums[sa] / counts[sa]
+        tree.store(cents[new], new)
+        nb2, dn = find_nearest(new)
+        if nb2 is not None:
+            heapq.heappush(heap, (dn, sa, new))
+
+    return sorted(slot[cid] for cid, dead in merged.items() if not dead)
+
+
 def cluster_class_features(
     sample_feats: list[np.ndarray],
     merge_dist: float = MERGE_DIST,
@@ -105,20 +196,7 @@ def cluster_class_features(
     sums = [v.copy() for v in vecs]
     counts = [1] * len(vecs)
     samples = [{owners[i]} for i in range(len(vecs))]
-    alive = list(range(len(vecs)))
-
-    while len(alive) > 1:
-        cents = np.array([sums[i] / counts[i] for i in alive])
-        d = np.linalg.norm(cents[:, None, :] - cents[None, :, :], axis=2)
-        np.fill_diagonal(d, np.inf)
-        i, j = np.unravel_index(np.argmin(d), d.shape)
-        if d[i, j] >= merge_dist:
-            break
-        a, b = sorted((alive[i], alive[j]))
-        sums[a] += sums[b]
-        counts[a] += counts[b]
-        samples[a] |= samples[b]
-        alive.remove(b)
+    alive = _cluster_tree(vecs, sums, counts, samples, merge_dist)
 
     min_n = max(1, int(np.ceil(min_sample_frac * n_samples)))
     protos = [
