@@ -1,0 +1,192 @@
+"""Dictionary word-choice adjustment — the wordrec language model's
+path-cost arithmetic (src/dict/dict.cpp ``Dict::adjust_word``:711-792,
+src/dict/context.cpp ``case_ok``:28-64 / ``valid_punctuation``
+dict.cpp:-, src/wordrec/language_model.cpp:224 ``UpdateState`` ->
+``ComputeAdjustedPathCost``:1100-1160).
+
+The legacy engine never picks a segmentation by raw classifier rating
+alone: every candidate WERD_CHOICE is re-rated by a multiplicative
+penalty keyed on what validated it — a frequent dictionary word keeps
+its rating (factor 1.0), a case-consistent dictionary word pays 1.1, a
+case-consistent non-word 1.25, a case-broken dictionary word 1.3125,
+garbage 1.5 (the ``segment_penalty_*`` params, dict.cpp:74-92) — and
+the winner is the minimum ADJUSTED rating.  That is how 'modern' with
+a fused rn beats 'modem': the chop segmentation's small extra raw cost
+is repaid by the dictionary factor.
+
+Rating domain note: the reference pads ratings with ``kRatingPad = 4``
+(dict.h:62) before multiplying so that near-zero ratings cannot
+nullify the penalties; its ratings run a few units per word.  This
+engine's word rating is ``sum(1 - match_frac)`` over pieces — a clean
+word costs ~0.1 — so the pad scales to 0.2 here (same ratio of pad to
+a typical clean-word rating); the adjustment algebra
+``new = (r + pad) * factor - pad`` is otherwise literal.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# PermuterType (src/ccstruct/ratngs.h:235-251)
+NO_PERM = "no_perm"
+PUNC_PERM = "punc"
+TOP_CHOICE_PERM = "top_choice"
+NUMBER_PERM = "number"
+USER_PATTERN_PERM = "user_pattern"
+SYSTEM_DAWG_PERM = "system_dawg"
+USER_DAWG_PERM = "user_dawg"
+FREQ_DAWG_PERM = "freq_dawg"
+
+# segment_penalty_* defaults (dict.cpp:74-92)
+PENALTY_DICT_FREQUENT = 1.0
+PENALTY_DICT_CASE_OK = 1.1
+PENALTY_DICT_CASE_BAD = 1.3125
+PENALTY_DICT_NONWORD = 1.25
+PENALTY_GARBAGE = 1.50
+
+K_RATING_PAD = 0.2  # kRatingPad=4 (dict.h:62), scaled — see module doc
+
+# case_state_table (context.cpp:28-44); columns: punct, upper, lower, digit
+_CASE_STATES = [
+    [0, 1, 5, 4],  # 0: beginning of word
+    [0, 3, 2, 4],  # 1: after initial capital
+    [0, -1, 2, -1],  # 2: after lower case
+    [0, 3, -1, 4],  # 3: after upper case
+    [0, -1, -1, 4],  # 4: after a digit
+    [5, -1, 2, -1],  # 5: after initial lower case
+]
+
+
+def case_ok(word: str) -> bool:
+    """Dict::case_ok (context.cpp:45-64): walk the case state machine;
+    any -1 transition (e.g. lower->upper) is bad; a single lower-case
+    letter (terminal state 5) is bad."""
+    state = 0
+    for ch in word:
+        if ch.isupper():
+            state = _CASE_STATES[state][1]
+        elif ch.islower():
+            state = _CASE_STATES[state][2]
+        elif ch.isdigit():
+            state = _CASE_STATES[state][3]
+        else:
+            state = _CASE_STATES[state][0]
+        if state == -1:
+            return False
+    return state != 5
+
+
+# The eng punctuation-DAWG pattern inventory (trailing/leading marks
+# around one alnum core), standing in for the punc dawg probe of
+# Dict::valid_punctuation (dict.cpp:640-668: non-punct chars collapse
+# to one kPatternUnicharID, the pattern word must be in the punc dawg).
+_PUNC_PATTERNS = {
+    "*", "*.", "*,", "*;", "*:", "*!", "*?", "*'", '*"',
+    "'*'", '"*"', "(*)", "[*]", "{*}", "(*", "*)", "'*", '"*',
+    "*'.", '*".', "*',", '*",', "*...", "*.)",
+}
+
+
+def valid_punctuation(word: str) -> bool:
+    """Collapse alnum runs to '*' and probe the pattern set.  A char
+    that is neither punctuation nor alnum fails outright
+    (dict.cpp:650-653)."""
+    if not word:
+        return False
+    pat = []
+    for ch in word:
+        if ch.isalnum():
+            if not pat or pat[-1] != "*":
+                pat.append("*")
+        elif ch.isspace():
+            return False
+        else:
+            pat.append(ch)
+    return "".join(pat) in _PUNC_PATTERNS
+
+
+def _core(word: str) -> str:
+    """The alnum core the dawgs are probed with (punctuation handled by
+    the punc-pattern channel, as the reference's punc dawg does)."""
+    return word.strip("".join(c for c in word if not c.isalnum()) or None)
+
+
+@dataclass
+class AdjustedChoice:
+    text: str
+    rating: float  # raw rating (sum of piece costs, lower better)
+    adjusted: float  # rating after the dictionary adjustment
+    permuter: str
+    adjust_factor: float
+
+
+def adjust_word(
+    text: str,
+    rating: float,
+    dawg=None,
+    user_dawg=None,
+    freq_words: frozenset[str] | set[str] | None = None,
+) -> AdjustedChoice:
+    """Dict::adjust_word (dict.cpp:711-792) at word granularity.
+
+    ``dawg``/``user_dawg``: objects with ``accepts(word) -> bool``
+    (lstm.dawg.Dawg); probed with the alnum core, also case-folded.  ``freq_words``: the frequent
+    -word dawg contents (FREQ_DAWG_PERM keeps factor 1.0).
+    X-height consistency terms are owned by the layout stage here
+    (rows arrive x-height-normalized), so additional_adjust = 0.
+    """
+    core = _core(text) or text
+    is_number = bool(core) and all(c.isdigit() for c in core)
+    in_user = user_dawg is not None and user_dawg.accepts(core.lower())
+    in_sys = dawg is not None and (
+        dawg.accepts(core) or dawg.accepts(core.lower())
+    )
+    nonword = not (in_user or in_sys or is_number)
+    c_ok = case_ok(core or text)
+    p_ok = (not nonword) or core == text or valid_punctuation(text)
+
+    padded = rating + K_RATING_PAD
+    if nonword:
+        if c_ok and p_ok:
+            factor = PENALTY_DICT_NONWORD
+            permuter = TOP_CHOICE_PERM
+        else:
+            factor = PENALTY_GARBAGE
+            permuter = NO_PERM
+    else:
+        if is_number and not (in_user or in_sys):
+            # adjust_number path (dict.cpp:695-708): digits rate as a
+            # case-ok dictionary entry through the number dawg
+            factor = PENALTY_DICT_CASE_OK
+            permuter = NUMBER_PERM
+        elif c_ok:
+            if freq_words and core.lower() in freq_words:
+                factor = PENALTY_DICT_FREQUENT
+                permuter = FREQ_DAWG_PERM
+            else:
+                factor = PENALTY_DICT_CASE_OK
+                permuter = USER_DAWG_PERM if in_user else SYSTEM_DAWG_PERM
+        else:
+            factor = PENALTY_DICT_CASE_BAD
+            permuter = USER_DAWG_PERM if in_user else SYSTEM_DAWG_PERM
+    adjusted = padded * factor - K_RATING_PAD
+    return AdjustedChoice(text, rating, adjusted, permuter, factor)
+
+
+def choose_segmentation(
+    candidates: list[tuple[str, float]],
+    dawg=None,
+    user_dawg=None,
+    freq_words=None,
+) -> AdjustedChoice:
+    """SegSearch's best-choice election (segsearch.cpp:33 over
+    ComputeAdjustedPathCost): every candidate (text, raw rating) is
+    adjusted and the minimum adjusted rating wins; ties break to the
+    lower raw rating, then lexicographic (deterministic)."""
+    if not candidates:
+        raise ValueError("no segmentation candidates")
+    adj = [
+        adjust_word(t, r, dawg=dawg, user_dawg=user_dawg, freq_words=freq_words)
+        for t, r in candidates
+    ]
+    return min(adj, key=lambda a: (a.adjusted, a.rating, a.text))

@@ -34,6 +34,7 @@ import numpy as np
 
 from ..functions.fonts import WORD_GAP
 from ..lstm.intproto import StaticShapeClassifier, get_static_classifier
+from ..lstm.langmodel import choose_segmentation
 
 # a glyph run below this rating retries the chop path (the reference
 # chops while the word is not acceptable, chopper.cpp:403-420)
@@ -46,11 +47,27 @@ def _classify_cached(
     clf: StaticShapeClassifier, cache: dict, sl: np.ndarray,
     disabled: frozenset[int] | None = None,
 ):
+    return _classify_top(clf, cache, sl, disabled)[0]
+
+
+# a runner-up blob choice joins the language-model lattice when its
+# rating is within this margin of the best (the ranked BLOB_CHOICE
+# list every segmentation state carries, ratngs.h / language_model.cpp
+# GetNextParentVSE consults choices beyond the top one)
+K_CHOICE_MARGIN = 0.15
+
+
+def _classify_top(
+    clf: StaticShapeClassifier, cache: dict, sl: np.ndarray,
+    disabled: frozenset[int] | None = None,
+) -> list[tuple[str, float]]:
+    """Ranked [(char, rating)] for one slice, memoized; at least one
+    entry (the empty reading when nothing classifies)."""
     key = (sl.shape[1], sl.tobytes())
     hit = cache.get(key)
     if hit is None:
         res = clf.classify(sl, disabled=disabled)
-        hit = res[0] if res else ("", 0.0)
+        hit = res[:2] if res else [("", 0.0)]
         cache[key] = hit
     return hit
 
@@ -58,10 +75,12 @@ def _classify_cached(
 def _chop_classify(
     clf: StaticShapeClassifier, cache: dict, sl: np.ndarray,
     disabled: frozenset[int] | None = None,
-) -> tuple[str, float] | None:
+) -> tuple[str, float, float] | None:
     """Chop one slice at its best interior ink-minimum pair of pieces
     (chop_word_main compressed to a single column cut; the 2-piece case
-    of templates.chop_run's DP).  Returns (text, joint rating) or None."""
+    of templates.chop_run's DP).  Returns (text, joint rating,
+    summed piece cost) or None — the cost is the WERD_CHOICE rating
+    accumulation ((1-ra) + (1-rb)) the language model adjusts."""
     col_ink = sl.sum(axis=0)
     W = sl.shape[1]
     best = None
@@ -76,7 +95,7 @@ def _chop_classify(
             continue
         joint = float(np.sqrt(ra * rb))
         if best is None or joint > best[1]:
-            best = (ca + cb, joint)
+            best = (ca + cb, joint, float((1.0 - ra) + (1.0 - rb)))
     return best
 
 
@@ -87,6 +106,10 @@ def decode_strip_legacy(
     cache: dict | None = None,
     disabled: frozenset[int] | None = None,
     pitch: float | None = None,
+    dawg=None,
+    user_dawg=None,
+    freq_words=None,
+    details: list | None = None,
 ) -> str:
     """One canonical row strip -> text via the static classifier.
 
@@ -99,7 +122,19 @@ def decode_strip_legacy(
     (fpchop.cpp:72-220 via pitch.fixed_pitch_cuts) BEFORE template
     matching — the reference routes fixed-pitch rows through fpchop at
     textord time, so touching monospace glyphs never reach the seam
-    chopper, which needs a thin seam the lattice doesn't."""
+    chopper, which needs a thin seam the lattice doesn't.
+
+    ``dawg``/``user_dawg``/``freq_words``: with a dictionary, word
+    choice runs the wordrec language model (lstm/langmodel.py —
+    Dict::adjust_word dict.cpp:711-792 over SegSearch's candidate
+    election): each word keeps BOTH the unchopped and the chopped
+    reading of every ambiguous run as segmentation candidates, and the
+    minimum dictionary-ADJUSTED rating wins — 'modern' with a fused rn
+    beats 'modem' because the chop's extra raw cost is repaid by the
+    dict factor.  Without a dictionary the per-piece greedy choice of
+    the plain chop path is preserved exactly.  ``details``, when a
+    list, receives one AdjustedChoice per word (text, raw/adjusted
+    rating, permuter — the WERD_CHOICE::permuter attribution)."""
     clf = clf or get_static_classifier()
     cache = cache if cache is not None else {}
     space_px = space_px or WORD_GAP
@@ -114,14 +149,43 @@ def decode_strip_legacy(
         starts = [0] + starts
     if col_ink[-1]:
         ends = ends + [len(col_ink)]
+    use_lm = dawg is not None or user_dawg is not None
     words: list[str] = []
-    cur = ""
+    # per piece: [(text, cost)] candidates, the plain-path default first
+    word_alts: list[list[tuple[str, float]]] = []
+
+    def flush() -> None:
+        if not word_alts:
+            return
+        if not use_lm:
+            text = "".join(a[0][0] for a in word_alts)
+            if text:
+                words.append(text)
+            word_alts.clear()
+            return
+        # SegSearch candidate election: fold the per-piece alternatives
+        # into word candidates, prune to the 16 cheapest raw ratings
+        # (the lattice beam), adjust each with the dictionary
+        cands: list[tuple[str, float]] = [("", 0.0)]
+        for alts in word_alts:
+            cands = [(t + at, c + ac) for t, c in cands for at, ac in alts]
+            cands.sort(key=lambda tc: (tc[1], tc[0]))
+            del cands[16:]
+        cands = [(t, c) for t, c in cands if t]
+        word_alts.clear()
+        if not cands:
+            return
+        choice = choose_segmentation(
+            cands, dawg=dawg, user_dawg=user_dawg, freq_words=freq_words
+        )
+        words.append(choice.text)
+        if details is not None:
+            details.append(choice)
+
     prev_end = None
     for s, e in zip(starts, ends):
         if prev_end is not None and s - prev_end >= space_px:
-            if cur:
-                words.append(cur)
-            cur = ""
+            flush()
         prev_end = e
         sl = strip[:, s:e]
         pieces = [sl]
@@ -137,21 +201,37 @@ def decode_strip_legacy(
         for piece in pieces:
             if not piece.any():
                 continue
-            ch, rating = _classify_cached(clf, cache, piece, disabled)
+            ranked = _classify_top(clf, cache, piece, disabled)
+            ch, rating = ranked[0]
             # a lattice cell is ONE character by the fixed-pitch
             # contract (fpchop emits one blob per cell): only consult
             # the seam chopper when the piece is wide enough to hold
             # two cells — e.g. copier smear attached to a cell must not
             # re-split into phantom punctuation
-            if rating < K_CHOP_RATING and (
-                pitch is None or piece.shape[1] >= 1.5 * pitch
+            chop_allowed = pitch is None or piece.shape[1] >= 1.5 * pitch
+            chopped = None
+            if chop_allowed and (
+                rating < K_CHOP_RATING
+                or (use_lm and piece.shape[1] >= 2 * K_MIN_PIECE_W)
             ):
                 chopped = _chop_classify(clf, cache, piece, disabled)
-                if chopped is not None and chopped[1] > rating:
-                    ch = chopped[0]
-            cur += ch
-    if cur:
-        words.append(cur)
+            default = (ch, 1.0 - rating)
+            alts = [default]
+            if use_lm and len(ranked) > 1 and ranked[1][1] >= rating - K_CHOICE_MARGIN:
+                # the runner-up blob choice enters the lattice; the
+                # dictionary adjustment arbitrates (a damaged o that
+                # reads c first flips back inside a dict word)
+                alts.append((ranked[1][0], 1.0 - ranked[1][1]))
+            if chopped is not None:
+                alt = (chopped[0], chopped[2])
+                if chopped[1] > rating and rating < K_CHOP_RATING:
+                    # the plain path's greedy winner (chop beats the
+                    # template read) stays the default
+                    alts.insert(0, alt)
+                else:
+                    alts.append(alt)
+            word_alts.append(alts)
+    flush()
     return " ".join(words)
 
 
@@ -190,6 +270,9 @@ def _row_pitch(strip: np.ndarray) -> float | None:
 def recognize_page_legacy(
     gray: np.ndarray, dpi: int = 300,
     charlists: tuple[str, str, str] | None = None,
+    dawg=None,
+    user_dawg=None,
+    freq_words=None,
 ):
     """recognize_page on the legacy engine: same layout stage, every row
     decoded by the static shape classifier (the OEM_TESSERACT_ONLY
@@ -226,6 +309,9 @@ def recognize_page_legacy(
                 cache,
                 disabled,
                 pitch=_row_pitch(row.strip),
+                dawg=dawg,
+                user_dawg=user_dawg,
+                freq_words=freq_words,
             )
             for row in region.rows
         ]

@@ -1,0 +1,191 @@
+"""The wordrec language model: dictionary-adjusted word choice
+(dict.cpp Dict::adjust_word:711-792, context.cpp case_ok:28-64,
+language_model.cpp ComputeAdjustedPathCost) and its wiring into the
+legacy chop path."""
+
+import numpy as np
+import pytest
+
+from tesseract_spark.functions.fonts import KERN, get_font
+from tesseract_spark.lstm.dawg import Dawg
+from tesseract_spark.lstm.intproto import get_static_classifier
+from tesseract_spark.lstm.langmodel import (
+    FREQ_DAWG_PERM,
+    NO_PERM,
+    NUMBER_PERM,
+    PENALTY_DICT_CASE_OK,
+    PENALTY_DICT_NONWORD,
+    SYSTEM_DAWG_PERM,
+    TOP_CHOICE_PERM,
+    K_RATING_PAD,
+    adjust_word,
+    case_ok,
+    choose_segmentation,
+    valid_punctuation,
+)
+from tesseract_spark.operators.legacy import decode_strip_legacy
+
+
+# --- case_ok: the 6x4 case state machine (context.cpp:28-64) ---
+
+@pytest.mark.parametrize(
+    "word,ok",
+    [
+        ("hello", True),
+        ("Hello", True),
+        ("HELLO", True),
+        ("hELLO", False),  # lower -> upper is the -1 transition
+        ("HeLLo", False),
+        ("h", False),  # single lower ends in state 5
+        ("H", True),
+        ("1234", True),
+        ("A1", True),
+        ("a1", False),  # state 5 -> digit is -1
+        ("Ab3", False),  # lower -> digit is -1 too
+        ("3a", False),  # digit -> lower is -1
+    ],
+)
+def test_case_ok(word, ok):
+    assert case_ok(word) is ok
+
+
+def test_valid_punctuation():
+    assert valid_punctuation("word.")
+    assert valid_punctuation("(word)")
+    assert valid_punctuation('"word"')
+    assert valid_punctuation("word,")
+    assert not valid_punctuation("wo rd")
+    assert not valid_punctuation("word-.-")
+
+
+# --- adjust_word arithmetic (dict.cpp:711-792) ---
+
+def _dawg(words):
+    from tesseract_spark.lstm.templates import get_net
+
+    return Dawg(get_net().charset, words)
+
+
+def test_adjust_dict_word_case_ok():
+    d = _dawg(["clam"])
+    a = adjust_word("clam", 0.30, dawg=d)
+    assert a.permuter == SYSTEM_DAWG_PERM
+    assert a.adjust_factor == PENALTY_DICT_CASE_OK
+    assert a.adjusted == pytest.approx(
+        (0.30 + K_RATING_PAD) * PENALTY_DICT_CASE_OK - K_RATING_PAD
+    )
+
+
+def test_adjust_nonword_and_garbage():
+    a = adjust_word("zorp", 0.30)
+    assert a.permuter == TOP_CHOICE_PERM
+    assert a.adjust_factor == PENALTY_DICT_NONWORD
+    g = adjust_word("zO@p!x", 0.30)
+    assert g.permuter == NO_PERM
+    assert g.adjust_factor == pytest.approx(1.5)
+    assert g.adjusted > a.adjusted
+
+
+def test_adjust_number_and_freq():
+    n = adjust_word("1944", 0.30)
+    assert n.permuter == NUMBER_PERM
+    f = adjust_word("the", 0.30, dawg=_dawg(["the"]), freq_words={"the"})
+    assert f.permuter == FREQ_DAWG_PERM
+    assert f.adjusted == pytest.approx(0.30)  # factor 1.0 is a no-op
+
+
+def test_trailing_punct_keeps_dict_status():
+    a = adjust_word("clam.", 0.30, dawg=_dawg(["clam"]))
+    assert a.permuter == SYSTEM_DAWG_PERM
+
+
+def test_choose_segmentation_prefers_dict_word():
+    # modem reads cheaper raw, but modern is in the dictionary: the
+    # adjusted rating flips the choice (the fused-rn election)
+    # the flip margin: (r_non + pad)(1.25 - 1.1)/1.1 ~ 0.068 extra raw
+    # cost is repaid by the dictionary at r_non = 0.30
+    d = _dawg(["modern"])
+    c = choose_segmentation([("modem", 0.30), ("modern", 0.36)], dawg=d)
+    assert c.text == "modern"
+    assert c.permuter == SYSTEM_DAWG_PERM
+    # without the dictionary the raw rating stands
+    c2 = choose_segmentation([("modem", 0.30), ("modern", 0.36)])
+    assert c2.text == "modem"
+
+
+def test_dict_preference_is_bounded():
+    # a dictionary word does NOT win at any cost: past the penalty
+    # margin the better-rated nonword keeps the choice
+    d = _dawg(["modern"])
+    c = choose_segmentation([("modem", 0.05), ("modern", 0.80)], dawg=d)
+    assert c.text == "modem"
+
+
+# --- the legacy chop path election (fused rn vs m) ---
+
+def _fused_rn_strip(prefix: str, suffix: str) -> np.ndarray:
+    font = get_font()
+    cells = []
+    for ch in prefix:
+        cells.append(font[ch].astype(bool))
+        cells.append(np.zeros((cells[-1].shape[0], KERN), dtype=bool))
+    r, n = font["r"].astype(bool), font["n"].astype(bool)
+    fused = np.concatenate([r, n], axis=1)
+    fused[8, r.shape[1] - 1 : r.shape[1] + 1] = True
+    cells.append(fused)
+    for ch in suffix:
+        cells.append(np.zeros((fused.shape[0], KERN), dtype=bool))
+        cells.append(font[ch].astype(bool))
+    return np.concatenate(cells, axis=1)
+
+
+def test_legacy_decode_dict_resolves_fused_word():
+    # 'mode' + fused 'rn': the chop path reads the letters either way;
+    # the language model must elect the dictionary word
+    strip = _fused_rn_strip("mode", "")
+    d = _dawg(["modern"])
+    details: list = []
+    out = decode_strip_legacy(strip, dawg=d, details=details)
+    assert out == "modern"
+    assert details[0].permuter == SYSTEM_DAWG_PERM
+    # without a dictionary the plain chop path still decodes the run
+    # (the joined-glyph guarantee of test_legacy stands)
+    assert decode_strip_legacy(strip) in ("modern", "modem")
+
+
+def test_blob_choice_arbitration():
+    # ranked BLOB_CHOICEs in the lattice: a damaged 'c' classifies ';'
+    # first with 'c' as runner-up inside K_CHOICE_MARGIN; the plain
+    # path keeps ';' (rating is acceptable, no chop retry) but inside
+    # the dictionary word the adjusted rating elects 'c'
+    font = get_font()
+    c = font["c"].astype(bool).copy()
+    for y, x in ((8, 4), (8, 6), (11, 4)):
+        c[y, x] = False
+    clf = get_static_classifier()
+    ranked = clf.classify(c)
+    assert ranked[0][0] == ";" and ranked[1][0] == "c"
+    cells = [c]
+    for ch in "at":
+        cells.append(np.zeros((c.shape[0], KERN), dtype=bool))
+        cells.append(font[ch].astype(bool))
+    strip = np.concatenate(cells, axis=1)
+    assert decode_strip_legacy(strip) == ";at"
+    details: list = []
+    out = decode_strip_legacy(strip, dawg=_dawg(["cat"]), details=details)
+    assert out == "cat"
+    assert details[0].permuter == SYSTEM_DAWG_PERM
+
+
+def test_legacy_decode_details_permuters():
+    font = get_font()
+    cells = []
+    for i, ch in enumerate("to"):
+        if i:
+            cells.append(np.zeros((font[ch].shape[0], KERN), dtype=bool))
+        cells.append(font[ch].astype(bool))
+    strip = np.concatenate(cells, axis=1)
+    details: list = []
+    out = decode_strip_legacy(strip, dawg=_dawg(["to"]), details=details)
+    assert out == "to"
+    assert [d.permuter for d in details] == [SYSTEM_DAWG_PERM]
