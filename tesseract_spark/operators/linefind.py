@@ -588,12 +588,23 @@ def find_images(ink: np.ndarray) -> np.ndarray:
     pixht &= _expand2(fine, 4, ink.shape)
     if not pixht.any():
         return pixht
-    # Reclaim text wrongly caught by the mask: the reference re-examines
-    # image partitions and returns text-like ones to the text pipeline
-    # (ImageFind partition filtering, imagefind.cpp:1106-1180; blob-size
-    # reasoning as in ccnontextdetect.cpp).  At full resolution a genuine
-    # image region is either a halftone (many tiny dot CCs) or mostly
-    # solid ink; a text region is a handful of glyph-sized components.
+    return _reclaim_text(pixht, ink)
+
+
+def _reclaim_text(pixht: np.ndarray, ink: np.ndarray) -> np.ndarray:
+    """Reclaim text wrongly caught by the mask: the reference
+    re-examines image partitions and returns text-like ones to the text
+    pipeline (ImageFind partition filtering, imagefind.cpp:1106-1180;
+    blob-size reasoning as in ccnontextdetect.cpp).  At full resolution
+    a genuine image region is either a halftone (many tiny dot CCs) or
+    mostly solid ink; a text region is a handful of glyph-sized
+    components.  Where the size stats are ambiguous — glyphs as small
+    as halftone dots — the textline PROJECTION arbitrates
+    (EvaluateColPartition via operators/projection.py): text rows band
+    the projection and their boxes score strongly-in-textline, a dot
+    field floods it uniformly and scores ~zero."""
+    from .projection import construct_projection, strongly_in_textline_fraction
+
     _mlab, mn, mstats = label_and_stats(pixht)
     for i in range(mn):
         l, t, r, b, _a = (int(v) for v in mstats[i])
@@ -604,6 +615,12 @@ def find_images(ink: np.ndarray) -> np.ndarray:
         areas = cstats[:cn, 4]
         is_halftone = cn >= 30 and float(np.median(areas)) <= 16.0
         is_solid = float(areas.max()) >= 0.5 * (r - l) * (b - t)
+        if is_halftone and not is_solid:
+            # the projection veto: a "halftone" whose components sit in
+            # textline bands is a dense small-glyph paragraph
+            proj = construct_projection(cstats[:cn], (b - t, r - l))
+            if strongly_in_textline_fraction(proj, cstats[:cn]) >= 0.5:
+                is_halftone = False
         if not (is_halftone or is_solid):
             pixht[t:b, l:r] = False
     return pixht

@@ -1,0 +1,110 @@
+"""Textline projection (textlineprojection.cpp): the projection map,
+box evaluation, and the ImageFind text-reclaim arbitration."""
+
+import numpy as np
+
+from tesseract_spark.functions.fonts import CELL_H, KERN, get_font
+from tesseract_spark.operators.linefind import _reclaim_text, label_and_stats
+from tesseract_spark.operators.projection import (
+    box_out_of_textline,
+    construct_projection,
+    evaluate_box,
+    strongly_in_textline_fraction,
+)
+
+
+def _text_page(lines: list[str], gap: int = 8) -> np.ndarray:
+    font = get_font()
+    rows = []
+    for line in lines:
+        cells = []
+        for i, ch in enumerate(line):
+            if i:
+                cells.append(np.zeros((CELL_H, KERN), dtype=bool))
+            if ch == " ":
+                cells.append(np.zeros((CELL_H, 5), dtype=bool))
+            else:
+                cells.append(font[ch].astype(bool))
+        rows.append(np.concatenate(cells, axis=1))
+    W = max(r.shape[1] for r in rows)
+    out = [np.zeros((6, W), dtype=bool)]
+    for r in rows:
+        pad = np.zeros((CELL_H, W - r.shape[1]), dtype=bool)
+        out.append(np.concatenate([r, pad], axis=1))
+        out.append(np.zeros((gap, W), dtype=bool))
+    return np.concatenate(out, axis=0)
+
+
+def _dot_field(h: int, w: int, period: int = 4) -> np.ndarray:
+    m = np.zeros((h, w), dtype=bool)
+    m[::period, ::period] = True
+    m[1::period, ::period] = True
+    m[::period, 1::period] = True
+    m[1::period, 1::period] = True
+    return m
+
+
+def test_projection_bands_along_textlines():
+    page = _text_page(["hello there", "more words"])
+    _lab, n, stats = label_and_stats(page)
+    proj = construct_projection(stats[:n], page.shape)
+    # band rows (inside a textline) are brighter than gap rows
+    ys, xs = np.where(page)
+    band_y = int(np.median(ys))
+    gap_y = int(page.shape[0] - 3)
+    assert proj[band_y].mean() > proj[gap_y].mean()
+
+
+def test_glyph_boxes_evaluate_in_textline():
+    page = _text_page(["hello there", "more words"])
+    _lab, n, stats = label_and_stats(page)
+    proj = construct_projection(stats[:n], page.shape)
+    # most glyph boxes score positive textlineiness and are not
+    # out-of-textline (EvaluateBox > 0; BoxOutOfTextline false)
+    scores = [
+        evaluate_box(proj, tuple(int(v) for v in row[:4]))
+        for row in stats[:n]
+    ]
+    assert np.mean([s > 0 for s in scores]) >= 0.7
+    assert strongly_in_textline_fraction(proj, stats[:n]) >= 0.5
+
+
+def test_between_line_speck_is_out_of_textline():
+    page = _text_page(["hello there", "more words"], gap=12)
+    _lab, n, stats = label_and_stats(page)
+    proj = construct_projection(stats[:n], page.shape)
+    # a speck centered in the inter-line gap: negative gradients
+    tops = stats[:n, 1]
+    bots = stats[:n, 3]
+    first_bot = int(np.percentile(bots[tops < np.median(tops)], 90))
+    # adjacent to the band edge: the projection falls away entering the
+    # speck from above (negative gradient); a speck DEEP in whitespace
+    # sees a zero projection either way (the reference relies on its
+    # distance metric there, not the gradient test)
+    speck = (20, first_bot + 1, 23, first_bot + 4)
+    assert box_out_of_textline(proj, speck)
+
+
+def test_dot_field_is_not_textline():
+    dots = _dot_field(60, 80)
+    _lab, n, stats = label_and_stats(dots)
+    proj = construct_projection(stats[:n], dots.shape)
+    assert strongly_in_textline_fraction(proj, stats[:n]) < 0.2
+
+
+def test_reclaim_keeps_halftone_drops_small_text():
+    # both regions have many tiny CCs (the size stats alone cannot
+    # tell them apart); the projection arbitration must keep the dot
+    # field in the mask and return the text paragraph to the pipeline
+    text = _text_page(["tiny text line one", "tiny text line two",
+                       "tiny text line three"])
+    dots = _dot_field(text.shape[0], 80)
+    ink = np.concatenate(
+        [text, np.zeros((text.shape[0], 20), dtype=bool), dots], axis=1
+    )
+    mask = np.zeros_like(ink)
+    mask[:, : text.shape[1]] = True  # text wrongly caught
+    mask[:, text.shape[1] + 20 :] = True  # genuine halftone
+    out = _reclaim_text(mask.copy(), ink)
+    assert not out[:, : text.shape[1]].any(), "text must leave the mask"
+    assert out[:, text.shape[1] + 20 :].any(), "halftone must stay"
