@@ -4587,6 +4587,89 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, arXiv:1910.10683,
+    §2.2): keep only lines ending in terminal punctuation with at
+    least 5 words; drop any page with fewer than 3 retained sentences,
+    any page containing 'lorem ipsum', and any page containing a curly
+    brace.
+
+    The fixture corpus is an unpunctuated word stream, so the page
+    structure is INJECTED deterministically from (doc_id, text) — the
+    same provability device as pii_scrub: line i of a document is its
+    i-th 6-word chunk, it carries terminal punctuation iff
+    (doc_id + i) % 3 != 0, it is truncated under the 5-word bar iff
+    (doc_id + i) % 11 == 0, and pages with doc_id % 37 == 0 / % 41 == 0
+    carry a lorem-ipsum / brace injection.  The oracle replays the
+    identical arithmetic, so a green row proves the line-retention
+    logic and the page gates.
+
+    Scale shape: one narrow zero-shuffle projection — the line walk is
+    a higher-order filter over sequence(), never an explode."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = F.expr(
+        """
+        size(filter(
+          sequence(0, int(ceil(size(split(coalesce(text, ''), ' ')) / 6.0)) - 1),
+          i -> ((doc_id + i) % 3 != 0)
+               AND ((doc_id + i) % 11 != 0)
+               AND (least(6, size(split(coalesce(text, ''), ' ')) - 6 * i) >= 5)
+        ))
+        """
+    )
+    has_lorem = (
+        (F.col("doc_id") % 37 == 0)
+        | F.coalesce(F.col("text"), F.lit("")).contains("lorem ipsum")
+    ).cast("int")
+    has_brace = (
+        (F.col("doc_id") % 41 == 0)
+        | F.coalesce(F.col("text"), F.lit("")).contains("{")
+    ).cast("int")
+    n_lines = F.expr(
+        "int(ceil(size(split(coalesce(text, ''), ' ')) / 6.0))"
+    )
+    out = docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        kept.cast("long").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+    )
+    keep = (
+        (F.col("n_kept") >= 3)
+        & (F.col("has_lorem") == 0)
+        & (F.col("has_brace") == 0)
+    ).cast("int")
+    return out.withColumn("keep", keep)
+
+
+ORACLE_C4_FILTERS = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(str_split(coalesce(text, ''), ' ')) AS n_words,
+    coalesce(text, '') AS t
+  FROM documents
+), l AS (
+  SELECT doc_id, t,
+    CAST(ceil(n_words / 6.0) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(
+      range(0, CAST(ceil(n_words / 6.0) AS BIGINT)),
+      i -> ((doc_id + i) % 3 <> 0)
+           AND ((doc_id + i) % 11 <> 0)
+           AND (least(6, n_words - 6 * i) >= 5)
+    )) AS BIGINT) AS n_kept
+  FROM s
+)
+SELECT doc_id, n_lines, n_kept,
+  CAST(doc_id % 37 = 0 OR contains(t, 'lorem ipsum') AS INT) AS has_lorem,
+  CAST(doc_id % 41 = 0 OR contains(t, '{') AS INT) AS has_brace,
+  CAST(n_kept >= 3
+       AND NOT (doc_id % 37 = 0 OR contains(t, 'lorem ipsum'))
+       AND NOT (doc_id % 41 = 0 OR contains(t, '{')) AS INT) AS keep
+FROM l
+"""
+
+
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4636,6 +4719,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION_STATS),
     "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "gopher_repetition": (q_gopher_repetition, ORACLE_GOPHER_REPETITION),
+    "c4_filters": (q_c4_filters, ORACLE_C4_FILTERS),
     "seq_packing": (q_seq_packing, ORACLE_SEQ_PACKING),
     "corpus_funnel": (q_corpus_funnel, ORACLE_CORPUS_FUNNEL),
     "justext_extract": (q_justext_extract, ORACLE_JUSTEXT_EXTRACT),

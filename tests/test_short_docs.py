@@ -25,7 +25,8 @@ DOCS = [
 ]
 
 QUERIES = ["gopher_repetition", "seq_packing", "corpus_funnel",
-           "justext_extract", "quality_score", "bpe_token_stats"]
+           "justext_extract", "quality_score", "bpe_token_stats",
+           "c4_filters"]
 
 
 @pytest.fixture(scope="module")
