@@ -614,8 +614,37 @@ def _row_metrics(
     rises = (baseline_y - tops).astype(np.int64)
     drops = (bottoms - baseline_y).astype(np.int64)
     if best_score <= 0:
-        # fallback for degenerate rows (every glyph damaged): consensus
-        # bottoms vote + nearest scale from the modal rise
+        # fallback for degenerate rows (every glyph damaged): the
+        # model-free partition fitter first (oldbasel.cpp — the
+        # reference's default fitter assumes nothing about glyph
+        # heights), then the consensus bottoms vote when the partition
+        # verdict is unconfident
+        if len(gboxes) >= 4:
+            from .oldbasel import fit_old_baseline
+
+            ob = fit_old_baseline(gboxes)
+            if ob.ok and (ob.partids == ob.biggest).mean() >= 0.5:
+                xmid = float((gboxes[:, 0].min() + gboxes[:, 2].max()) / 2)
+                baseline_y = int(round(ob.y(xmid)))
+                rises = (baseline_y - tops).astype(np.int64)
+                drops = (bottoms - baseline_y).astype(np.int64)
+                vals, counts = np.unique(
+                    rises[rises > 0], return_counts=True
+                )
+                modal = (
+                    float(vals[np.argmax(counts)])
+                    if len(vals)
+                    else X_HEIGHT_CANON
+                )
+                best_s = max(1, int(round(modal / X_HEIGHT_CANON)))
+                s_fin = best_s
+                ambiguous = bool(
+                    len(bottoms) > 0
+                    and (drops == 0).all()
+                    and (rises >= 12 * s_fin - 2).all()
+                )
+                return baseline_y, X_HEIGHT_CANON * best_s, best_s, ambiguous
+        # consensus bottoms vote + nearest scale from the modal rise
         baseline_y, best_n = int(bottoms.min()), -1
         for b in np.unique(bottoms):
             d = bottoms - b
