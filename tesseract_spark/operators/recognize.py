@@ -23,6 +23,7 @@ from ..lstm.ctc import (
     symbol_choices,
 )
 from ..lstm.dawg import Dawg
+from ..lstm.langmodel import adjust_word
 from ..lstm.templates import TemplateNet, get_net
 from .bidi import char_is_rtl, render_line_text, word_direction
 from .equation import is_equation_text
@@ -83,6 +84,11 @@ class WordRec:
     # improving on the reference, which hard-codes false
     # (ltrresultiterator.cpp:175 "TODO(rays) fix this!")
     underlined: int = 0
+    # WERD_CHOICE::permuter (ratngs.h:235): which validation channel
+    # owns the word choice — system_dawg/user_dawg/number when a
+    # dictionary confirmed it, top_choice for a case-consistent
+    # non-word, no_perm for garbage (lstm/langmodel.py attribution)
+    permuter: str = "top_choice"
 
 
 def _merge_boxes(
@@ -678,6 +684,9 @@ def recognize_page_detail(
                             conf=round(float(w.confidence), 2),
                             text=w.text,
                             baseline=baseline_y,
+                            permuter=adjust_word(
+                                w.text, 0.0, dawg=dawg
+                            ).permuter,
                             script_pos=",".join(
                                 f"{sd}:{sp}:{n}"
                                 for sd, sp, n in getattr(w, "script_pos", ())

@@ -38,6 +38,9 @@ WORDS_SCHEMA = T.StructType(
         T.StructField("conf", T.DoubleType()),
         T.StructField("text", T.StringType()),
         T.StructField("baseline", T.IntegerType()),
+        # WERD_CHOICE::permuter attribution (ratngs.h:235 via
+        # lstm/langmodel.py) — the data model's permuter column
+        T.StructField("permuter", T.StringType()),
         # per-symbol alternative choices (ChoiceIterator / lstm_choice_mode
         # surface, ltrresultiterator.cpp:368-470): one confidence-sorted
         # (ch, conf) list per character of ``text``
@@ -118,6 +121,7 @@ def _words_udf(
                         "conf": -1.0,
                         "text": "",
                         "baseline": 0,
+                        "permuter": "no_perm",
                         "choices": [],
                         "blanks": 0,
                         "font": "",
@@ -146,6 +150,7 @@ def _words_udf(
                         "conf": w.conf,
                         "text": w.text,
                         "baseline": w.baseline,
+                        "permuter": w.permuter,
                         "choices": [
                             [{"ch": ch, "conf": cf} for ch, cf in sym]
                             for sym in w.choices

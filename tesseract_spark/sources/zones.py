@@ -80,6 +80,7 @@ def recognize_zones(
                     height=wd.height,
                     conf=wd.conf,
                     text=wd.text,
+                    permuter=wd.permuter,
                 )
             )
     return all_spans, all_words

@@ -189,3 +189,23 @@ def test_legacy_decode_details_permuters():
     out = decode_strip_legacy(strip, dawg=_dawg(["to"]), details=details)
     assert out == "to"
     assert [d.permuter for d in details] == [SYSTEM_DAWG_PERM]
+
+
+def test_word_sink_carries_permuter(tmp_path):
+    # the WERD_CHOICE permuter column reaches the word surface
+    from tesseract_spark.operators.recognize import recognize_page_detail
+    from tesseract_spark.functions.compose import PageSpec, compose_page
+
+    spec = PageSpec(paragraphs=[["the cat sat 42"]])
+    page = compose_page(spec)
+    d = _dawg(["the", "cat", "sat"])
+    _spans, words, _layout = recognize_page_detail(page.image, spec.dpi, d)
+    by_text = {w.text: w.permuter for w in words}
+    assert by_text["the"] == SYSTEM_DAWG_PERM
+    assert by_text["cat"] == SYSTEM_DAWG_PERM
+    assert by_text["42"] == NUMBER_PERM
+    # without a dictionary: numbers keep NUMBER, words fall to top_choice
+    _spans, words, _layout = recognize_page_detail(page.image, spec.dpi)
+    by_text = {w.text: w.permuter for w in words}
+    assert by_text["the"] == TOP_CHOICE_PERM
+    assert by_text["42"] == NUMBER_PERM
