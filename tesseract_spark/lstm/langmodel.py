@@ -178,15 +178,145 @@ def choose_segmentation(
     dawg=None,
     user_dawg=None,
     freq_words=None,
+    params_model: "ParamsModel | None" = None,
 ) -> AdjustedChoice:
     """SegSearch's best-choice election (segsearch.cpp:33 over
     ComputeAdjustedPathCost): every candidate (text, raw rating) is
     adjusted and the minimum adjusted rating wins; ties break to the
-    lower raw rating, then lexicographic (deterministic)."""
+    lower raw rating, then lexicographic (deterministic).
+
+    ``params_model``: when a trained ParamsModel is supplied, the cost
+    is its weighted feature dot product instead of the heuristic
+    penalty algebra — the two branches of ComputeAdjustedPathCost
+    (language_model.cpp:1100-1140: ``params_model_.Initialized()``
+    picks the trained path)."""
     if not candidates:
         raise ValueError("no segmentation candidates")
     adj = [
         adjust_word(t, r, dawg=dawg, user_dawg=user_dawg, freq_words=freq_words)
         for t, r in candidates
     ]
+    if params_model is not None and params_model.initialized:
+        for a in adj:
+            a.adjusted = params_model.compute_cost(
+                extract_features(a)
+            ) * max(1, len(a.text))
     return min(adj, key=lambda a: (a.adjusted, a.rating, a.text))
+
+
+# ---------------------------------------------------------------------------
+# ParamsModel — the trained path-cost model
+# (src/wordrec/params_model.cpp; features
+# src/ccstruct/params_training_featdef.h:40-72)
+# ---------------------------------------------------------------------------
+
+# kParamsTrainingFeatureType, in enum order
+FEATURE_NAMES = [
+    "PTRAIN_DIGITS_SHORT", "PTRAIN_DIGITS_MED", "PTRAIN_DIGITS_LONG",
+    "PTRAIN_NUM_SHORT", "PTRAIN_NUM_MED", "PTRAIN_NUM_LONG",
+    "PTRAIN_DOC_SHORT", "PTRAIN_DOC_MED", "PTRAIN_DOC_LONG",
+    "PTRAIN_DICT_SHORT", "PTRAIN_DICT_MED", "PTRAIN_DICT_LONG",
+    "PTRAIN_FREQ_SHORT", "PTRAIN_FREQ_MED", "PTRAIN_FREQ_LONG",
+    "PTRAIN_SHAPE_COST_PER_CHAR", "PTRAIN_NGRAM_COST_PER_CHAR",
+    "PTRAIN_NUM_BAD_PUNC", "PTRAIN_NUM_BAD_CASE",
+    "PTRAIN_XHEIGHT_CONSISTENCY", "PTRAIN_NUM_BAD_CHAR_TYPE",
+    "PTRAIN_NUM_BAD_SPACING", "PTRAIN_NUM_BAD_FONT",
+    "PTRAIN_RATING_PER_CHAR",
+]
+K_MAX_SMALL_WORD = 3  # kMaxSmallWordUnichars (params_training_featdef.h:29)
+K_MAX_MEDIUM_WORD = 6  # kMaxMediumWordUnichars (:30)
+
+
+def _num_bad_case(word: str) -> int:
+    """NumInconsistentCase analogue: failed transitions of the case
+    state machine, counted with a reset after each failure."""
+    state, bad = 0, 0
+    for ch in word:
+        if ch.isupper():
+            nxt = _CASE_STATES[state][1]
+        elif ch.islower():
+            nxt = _CASE_STATES[state][2]
+        elif ch.isdigit():
+            nxt = _CASE_STATES[state][3]
+        else:
+            nxt = _CASE_STATES[state][0]
+        if nxt == -1:
+            bad += 1
+            state = 0
+        else:
+            state = nxt
+    return bad
+
+
+def extract_features(choice: AdjustedChoice) -> list[float]:
+    """ExtractFeaturesFromPath (language_model.cpp:1335-1382) at word
+    granularity: the permuter one-hot in its length bucket, the case/
+    char-type consistency counts, and the per-char rating.  Shape,
+    ngram, spacing and font terms are owned elsewhere in this engine
+    (layout/CTC) and stay zero, as the reference itself zeroes its
+    disabled features."""
+    f = [0.0] * len(FEATURE_NAMES)
+    core = _core(choice.text) or choice.text
+    n = max(1, len(core))
+    bucket = 0 if n <= K_MAX_SMALL_WORD else (1 if n <= K_MAX_MEDIUM_WORD else 2)
+    if choice.permuter in (NUMBER_PERM, USER_PATTERN_PERM):
+        if all(c.isdigit() for c in core):
+            f[0 + bucket] = 1.0  # PTRAIN_DIGITS_*
+        else:
+            f[3 + bucket] = 1.0  # PTRAIN_NUM_*
+    elif choice.permuter in (SYSTEM_DAWG_PERM, USER_DAWG_PERM):
+        f[9 + bucket] = 1.0  # PTRAIN_DICT_*
+    elif choice.permuter == FREQ_DAWG_PERM:
+        f[12 + bucket] = 1.0  # PTRAIN_FREQ_*
+    f[18] = float(_num_bad_case(core))  # PTRAIN_NUM_BAD_CASE
+    if choice.permuter in (NO_PERM, TOP_CHOICE_PERM):
+        # PTRAIN_NUM_BAD_CHAR_TYPE: only scored without a dawg match
+        f[20] = float(
+            sum(1 for c in choice.text if not (c.isalnum() or c in ".,;:!?'\"()[]{}-"))
+        )
+    f[23] = choice.rating / n  # PTRAIN_RATING_PER_CHAR
+    return f
+
+
+class ParamsModel:
+    """ParamsModel::ComputeCost (params_model.cpp:81-88: the weighted
+    feature dot product) with the reference's text weights format
+    (LoadFromFp :109-140: one ``NAME value`` line per feature; a file
+    missing any feature is rejected and leaves the model
+    uninitialized)."""
+
+    def __init__(self, weights: list[float] | None = None) -> None:
+        if weights is not None and len(weights) != len(FEATURE_NAMES):
+            raise ValueError("weights length != feature count")
+        self.weights = list(weights) if weights is not None else []
+
+    @property
+    def initialized(self) -> bool:
+        return len(self.weights) == len(FEATURE_NAMES)
+
+    def compute_cost(self, features: list[float]) -> float:
+        return float(
+            sum(w * f for w, f in zip(self.weights, features))
+        )
+
+    def dumps(self) -> str:
+        return "".join(
+            f"{name} {w}\n" for name, w in zip(FEATURE_NAMES, self.weights)
+        )
+
+    @classmethod
+    def loads(cls, text: str) -> "ParamsModel":
+        present: dict[str, float] = {}
+        for line in text.splitlines():
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            if parts[0] not in FEATURE_NAMES:
+                continue  # Unknown parameter — skipped, as the reference
+            try:
+                present[parts[0]] = float(parts[1])
+            except ValueError:
+                continue
+        if len(present) != len(FEATURE_NAMES):
+            return cls()  # incomplete file: uninitialized model
+        return cls([present[n] for n in FEATURE_NAMES])

@@ -209,3 +209,65 @@ def test_word_sink_carries_permuter(tmp_path):
     by_text = {w.text: w.permuter for w in words}
     assert by_text["the"] == TOP_CHOICE_PERM
     assert by_text["42"] == NUMBER_PERM
+
+
+# --- ParamsModel (params_model.cpp / params_training_featdef.h) ---
+
+def test_params_model_roundtrip_and_rejection():
+    from tesseract_spark.lstm.langmodel import FEATURE_NAMES, ParamsModel
+
+    w = [0.01 * i for i in range(len(FEATURE_NAMES))]
+    m = ParamsModel(w)
+    assert m.initialized
+    m2 = ParamsModel.loads(m.dumps())
+    assert m2.weights == pytest.approx(w)
+    # a file missing any feature leaves the model uninitialized
+    # (LoadFromFp's completeness gate)
+    lines = m.dumps().splitlines()
+    m3 = ParamsModel.loads("\n".join(lines[:-1]))
+    assert not m3.initialized
+
+
+def test_params_model_features_and_cost():
+    from tesseract_spark.lstm.langmodel import (
+        FEATURE_NAMES,
+        ParamsModel,
+        extract_features,
+    )
+
+    d = _dawg(["modern"])
+    dict_choice = adjust_word("modern", 0.30, dawg=d)
+    feats = extract_features(dict_choice)
+    # 6-char dict word: PTRAIN_DICT_MED one-hot + rating per char
+    assert feats[FEATURE_NAMES.index("PTRAIN_DICT_MED")] == 1.0
+    assert feats[FEATURE_NAMES.index("PTRAIN_RATING_PER_CHAR")] == (
+        pytest.approx(0.05)
+    )
+    num = extract_features(adjust_word("1944", 0.0))
+    assert num[FEATURE_NAMES.index("PTRAIN_DIGITS_MED")] == 1.0
+    bad = extract_features(adjust_word("hELLo", 0.0))
+    assert bad[FEATURE_NAMES.index("PTRAIN_NUM_BAD_CASE")] >= 1.0
+
+
+def test_params_model_branch_overrides_heuristic():
+    # ComputeAdjustedPathCost's trained branch: a model that charges
+    # only the rating ranks candidates by raw rating, undoing the
+    # heuristic dictionary preference
+    from tesseract_spark.lstm.langmodel import FEATURE_NAMES, ParamsModel
+
+    w = [0.0] * len(FEATURE_NAMES)
+    w[FEATURE_NAMES.index("PTRAIN_RATING_PER_CHAR")] = 1.0
+    m = ParamsModel(w)
+    d = _dawg(["modern"])
+    c = choose_segmentation(
+        [("modem", 0.30), ("modern", 0.36)], dawg=d, params_model=m
+    )
+    assert c.text == "modem"
+    # while a model that rewards dict words keeps the dictionary choice
+    w2 = list(w)
+    w2[FEATURE_NAMES.index("PTRAIN_DICT_MED")] = -1.0
+    c2 = choose_segmentation(
+        [("modem", 0.30), ("modern", 0.36)], dawg=d,
+        params_model=ParamsModel(w2),
+    )
+    assert c2.text == "modern"
