@@ -216,6 +216,13 @@ def q_equation_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     math glyphs via the extended 'equ' net, and emit kind='equation' for
     exactly that span while the prose paragraph stays kind='text'.
 
+    INLINE equations (PT_INLINE_EQUATION, equationdetect.cpp:805-820):
+    1 + (doc_id + offset) % 2 prose words are REPLACED by deterministic
+    math tokens; the paragraph must stay kind='text' (a math partition
+    with same-line text neighbours keeps the text flow) while
+    inline_equation_words counts exactly the injected tokens —
+    ``n_inline`` is replayed arithmetically in the oracle.
+
     Zero shuffles: one mapInPandas; each chunk row is a complete result."""
     import pandas as pd
 
@@ -228,6 +235,7 @@ def q_equation_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     def udf(batches):
         from .functions.compose import PageSpec, compose_page
         from .lstm.templates import get_net_math
+        from .operators.equation import inline_equation_words
         from .operators.recognize import recognize_page
 
         net = get_net_math()
@@ -241,12 +249,24 @@ def q_equation_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b = (doc_id * 13 + i * 5) % 90 + 10
                 eq = f"{a}+{b}={a + b} {a}<{a + b}"
                 words = chunk.split(" ")
+                # inline injection: replace 1-2 prose words with math
+                # tokens (adjacent slots, deterministic position)
+                n_inj = min(1 + (doc_id + i) % 2, len(words))
+                k1 = (doc_id + 3 * i) % len(words)
+                for j in range(n_inj):
+                    words[(k1 + j) % len(words)] = f"{a + j}+{b}"
                 lines = [
                     " ".join(words[j * WORDS_PER_LINE : (j + 1) * WORDS_PER_LINE])
                     for j in range(-(-len(words) // WORDS_PER_LINE))
                 ]
                 page = compose_page(PageSpec(paragraphs=[lines, [eq]]))
                 spans, _ = recognize_page(page.image, 300, net=net)
+                prose_words = [
+                    w
+                    for s in spans
+                    if s.kind == "text"
+                    for w in s.text.split()
+                ]
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -255,14 +275,18 @@ def q_equation_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "eq_text": "\n".join(
                             s.text for s in spans if s.kind == "equation"
                         ),
+                        "n_inline": len(inline_equation_words(prose_words)),
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "offset", "kinds", "eq_text"]
+                rows,
+                columns=["doc_id", "offset", "kinds", "eq_text", "n_inline"],
             )
 
     return ch.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        udf, schema="doc_id long, offset int, kinds string, eq_text string"
+        udf,
+        schema="doc_id long, offset int, kinds string, eq_text string,"
+        " n_inline long",
     )
 
 
@@ -275,15 +299,19 @@ WITH w AS (
     SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
   ) g
 ), e AS (
-  SELECT doc_id, "offset",
-         (doc_id*7 + "offset"*3) % 90 + 10 AS a,
-         (doc_id*13 + "offset"*5) % 90 + 10 AS b
-  FROM c WHERE "offset" % 3 <> 0 AND doc_id % 11 = 0
+  SELECT c.doc_id, "offset",
+         (c.doc_id*7 + "offset"*3) % 90 + 10 AS a,
+         (c.doc_id*13 + "offset"*5) % 90 + 10 AS b,
+         least(12, len(w.words) - 12*"offset") AS chunk_len
+  FROM c JOIN w ON c.doc_id = w.doc_id
+  WHERE "offset" % 3 <> 0 AND c.doc_id % 11 = 0
 )
 SELECT doc_id, "offset", 'text,equation' AS kinds,
        CAST(a AS VARCHAR) || '+' || CAST(b AS VARCHAR) || '=' ||
        CAST(a + b AS VARCHAR) || ' ' || CAST(a AS VARCHAR) || '<' ||
-       CAST(a + b AS VARCHAR) AS eq_text
+       CAST(a + b AS VARCHAR) AS eq_text,
+       CAST(least(1 + (doc_id + "offset") % 2, chunk_len) AS BIGINT)
+         AS n_inline
 FROM e
 """
 
