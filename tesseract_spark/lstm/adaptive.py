@@ -8,7 +8,10 @@ re-classified against the adapted templates (AdaptiveClassifier,
 adaptmatch.cpp:202-234).  Adaptability gate: bounded word length
 (MAX_ADAPTABLE_WERD_SIZE = 40, adaptmatch.cpp:85), dictionary-accepted
 best choice with all alternatives clearly worse (AdaptableWord,
-adaptmatch.cpp:811-829).
+adaptmatch.cpp:811-829; the mode-flag variant ``word_adaptable`` in
+src/ccmain/adaptions.cpp:32-118 gates on the same acceptable/
+one-dict-choice predicates — tessedit_tess_adaption_mode's default
+mask 0x27 enables them all, which is the behavior here).
 
 Here the unit is the canonical 16-row glyph bitmap: pass 1 decodes a page
 and harvests bitmaps from adaptable words; pass 2 re-decodes rows whose

@@ -2,7 +2,10 @@
 
 The reference finds tab stops — vertical lines through aligned blob
 edges with clear gutters beside them — as its primary column-structure
-evidence (``TabFind::FindInitialTabVectors`` src/textord/tabfind.cpp:512,
+evidence (``TabFind::FindInitialTabVectors`` src/textord/tabfind.cpp:512
+over ``AlignedBlob::FindVerticalAlignment`` src/textord/alignedblob.cpp
+:252-340 — the edge-stepping search this module's x-edge clustering
+replaces,
 candidate boxes :FindTabBoxes, merge/sort/evaluate :938-1080).  Here the
 same evidence comes from box statistics:
 
