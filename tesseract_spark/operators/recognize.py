@@ -89,6 +89,37 @@ class WordRec:
     # dictionary confirmed it, top_choice for a case-consistent
     # non-word, no_perm for garbage (lstm/langmodel.py attribution)
     permuter: str = "top_choice"
+    # WERD_CHOICE::rating / certainty (ratngs.h:84-88): rating is a
+    # length-accumulating cost (sum over symbols of -log2 of the
+    # best-choice probability), certainty the worst-case per-symbol
+    # bound on the reference's [-20, 0] scale (the same mapping the
+    # OSD script detector uses, osdetect.cpp choices)
+    rating: float = 0.0
+    certainty: float = 0.0
+
+
+def _word_rating(w) -> float:
+    """Symbol-summed -log2 cost (the recodebeam path's rating
+    accumulation): per-symbol best-choice confidences when the choice
+    lattice is present, else the word mean confidence per symbol."""
+    import math
+
+    confs = [
+        (c[0][1] if c else w.confidence)
+        for c in (getattr(w, "char_choices", ()) or ())
+    ] or [w.confidence] * max(1, len(w.text))
+    return round(
+        sum(-math.log2(max(cf / 100.0, 1e-6)) for cf in confs), 4
+    )
+
+
+def _word_certainty(w) -> float:
+    """Worst-case symbol certainty on the [-20, 0] scale."""
+    confs = [
+        (c[0][1] if c else w.confidence)
+        for c in (getattr(w, "char_choices", ()) or ())
+    ] or [w.confidence]
+    return round(20.0 * (min(confs) / 100.0 - 1.0), 4)
 
 
 def _merge_boxes(
@@ -687,6 +718,8 @@ def recognize_page_detail(
                             permuter=adjust_word(
                                 w.text, 0.0, dawg=dawg
                             ).permuter,
+                            rating=_word_rating(w),
+                            certainty=_word_certainty(w),
                             script_pos=",".join(
                                 f"{sd}:{sp}:{n}"
                                 for sd, sp, n in getattr(w, "script_pos", ())

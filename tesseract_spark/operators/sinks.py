@@ -39,8 +39,11 @@ WORDS_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
         T.StructField("baseline", T.IntegerType()),
         # WERD_CHOICE::permuter attribution (ratngs.h:235 via
-        # lstm/langmodel.py) — the data model's permuter column
+        # lstm/langmodel.py) and rating/certainty (ratngs.h:84-88) —
+        # the data model's word-choice columns
         T.StructField("permuter", T.StringType()),
+        T.StructField("rating", T.DoubleType()),
+        T.StructField("certainty", T.DoubleType()),
         # per-symbol alternative choices (ChoiceIterator / lstm_choice_mode
         # surface, ltrresultiterator.cpp:368-470): one confidence-sorted
         # (ch, conf) list per character of ``text``
@@ -122,6 +125,8 @@ def _words_udf(
                         "text": "",
                         "baseline": 0,
                         "permuter": "no_perm",
+                        "rating": 0.0,
+                        "certainty": -20.0,
                         "choices": [],
                         "blanks": 0,
                         "font": "",
@@ -151,6 +156,8 @@ def _words_udf(
                         "text": w.text,
                         "baseline": w.baseline,
                         "permuter": w.permuter,
+                        "rating": float(w.rating),
+                        "certainty": float(w.certainty),
                         "choices": [
                             [{"ch": ch, "conf": cf} for ch, cf in sym]
                             for sym in w.choices

@@ -81,6 +81,8 @@ def recognize_zones(
                     conf=wd.conf,
                     text=wd.text,
                     permuter=wd.permuter,
+                    rating=wd.rating,
+                    certainty=wd.certainty,
                 )
             )
     return all_spans, all_words

@@ -148,7 +148,7 @@ def test_hocr_paragraph_dir_attribute(spark):
             doc_id=doc, media_ref="m-" + doc, block_num=1, par_num=1,
             line_num=1, word_num=wn, left=10 * wn, top=0, width=8,
             height=12, conf=95.0, text=text, baseline=12,
-            permuter="top_choice", choices=[],
+            permuter="top_choice", rating=0.1, certainty=-1.0, choices=[],
             blanks=min(wn - 1, 1), font="", bold=0, italic=0, mono=0,
             pointsize=0, smallcaps=0, underlined=0,
         )
@@ -172,8 +172,8 @@ def test_hocr_dir_covers_presentation_forms(spark):
     rows = [dict(
         doc_id="d", media_ref="m", block_num=1, par_num=1, line_num=1,
         word_num=1, left=0, top=0, width=8, height=12, conf=95.0,
-        text="ﺍﺎ", baseline=12, permuter="top_choice", choices=[],
-        blanks=0, font="",
+        text="ﺍﺎ", baseline=12, permuter="top_choice", rating=0.1,
+        certainty=-1.0, choices=[], blanks=0, font="",
         bold=0, italic=0, mono=0, pointsize=0, smallcaps=0, underlined=0,
     )]
     words = spark.createDataFrame(pd.DataFrame(rows), schema=WORDS_SCHEMA)

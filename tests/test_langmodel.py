@@ -271,3 +271,20 @@ def test_params_model_branch_overrides_heuristic():
         params_model=ParamsModel(w2),
     )
     assert c2.text == "modern"
+
+
+def test_word_rating_certainty_columns():
+    # ratngs.h:84-88 semantics on the word surface: clean decodes rate
+    # near zero cost with certainty near 0; rating accumulates with
+    # length; certainty is the worst-case symbol bound
+    from tesseract_spark.operators.recognize import recognize_page_detail
+    from tesseract_spark.functions.compose import PageSpec, compose_page
+
+    spec = PageSpec(paragraphs=[["the dictionary words here"]])
+    page = compose_page(spec)
+    _s, words, _l = recognize_page_detail(page.image, spec.dpi)
+    for w in words:
+        assert w.rating >= 0.0
+        assert -20.0 <= w.certainty <= 0.0
+    by_text = {w.text: w for w in words}
+    assert by_text["dictionary"].rating >= by_text["the"].rating
