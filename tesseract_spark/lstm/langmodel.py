@@ -126,6 +126,7 @@ def adjust_word(
     dawg=None,
     user_dawg=None,
     freq_words: frozenset[str] | set[str] | None = None,
+    doc_words: "DocumentWords | None" = None,
 ) -> AdjustedChoice:
     """Dict::adjust_word (dict.cpp:711-792) at word granularity.
 
@@ -141,7 +142,12 @@ def adjust_word(
     in_sys = dawg is not None and (
         dawg.accepts(core) or dawg.accepts(core.lower())
     )
-    nonword = not (in_user or in_sys or is_number)
+    in_doc = (
+        not (in_user or in_sys)
+        and doc_words is not None
+        and doc_words.accepts(core)
+    )
+    nonword = not (in_user or in_sys or in_doc or is_number)
     c_ok = case_ok(core or text)
     p_ok = (not nonword) or core == text or valid_punctuation(text)
 
@@ -165,10 +171,18 @@ def adjust_word(
                 permuter = FREQ_DAWG_PERM
             else:
                 factor = PENALTY_DICT_CASE_OK
-                permuter = USER_DAWG_PERM if in_user else SYSTEM_DAWG_PERM
+                permuter = (
+                    DOC_DAWG_PERM
+                    if in_doc
+                    else USER_DAWG_PERM if in_user else SYSTEM_DAWG_PERM
+                )
         else:
             factor = PENALTY_DICT_CASE_BAD
-            permuter = USER_DAWG_PERM if in_user else SYSTEM_DAWG_PERM
+            permuter = (
+                DOC_DAWG_PERM
+                if in_doc
+                else USER_DAWG_PERM if in_user else SYSTEM_DAWG_PERM
+            )
     adjusted = padded * factor - K_RATING_PAD
     return AdjustedChoice(text, rating, adjusted, permuter, factor)
 
@@ -202,6 +216,67 @@ def choose_segmentation(
                 extract_features(a)
             ) * max(1, len(a.text))
     return min(adj, key=lambda a: (a.adjusted, a.rating, a.text))
+
+
+# ---------------------------------------------------------------------------
+# Document words — in-document terminology learning
+# (Dict::add_document_word dict.cpp:648-708; document_words_ /
+# pending_words_ tries probed by def_letter_is_okay)
+# ---------------------------------------------------------------------------
+
+DOC_DAWG_PERM = "doc_dawg"
+
+K_DOC_DICT_MAX_REP_CHARS = 4  # dict.h:73
+# doc_dict_pending/certainty_threshold (dict.cpp:136-138: 0.0 / -2.25)
+# scaled to this engine's certainty domain: the reference's clean
+# decodes sit near -0.5 on its [-20, 0] axis, ours near -4..-6 (the
+# CTC softmax is softer), so the direct-admission bar sits just below
+# the clean band and the pending bar one reject-band lower — the same
+# relative placement
+DOC_DICT_PENDING_THRESHOLD = -8.0
+DOC_DICT_CERTAINTY_THRESHOLD = -6.5
+
+
+class DocumentWords:
+    """The document dawg pair: confidently-read NON-dictionary words
+    become document vocabulary so later sightings validate
+    (add_document_word dict.cpp:648-708).  A word whose certainty
+    clears doc_dict_certainty_threshold (and is longer than 2) joins
+    document_words directly; weaker-but-pending sightings (or 2-char
+    words, capitalized-pair only) wait in pending_words and promote on
+    the second sighting.  Runs of >= kDocDictMaxRepChars repeated
+    characters never qualify."""
+
+    def __init__(self) -> None:
+        self.pending: set[str] = set()
+        self.words: set[str] = set()
+
+    def accepts(self, word: str) -> bool:
+        return word in self.words
+
+    @staticmethod
+    def _has_rep_run(word: str) -> bool:
+        run = 1
+        for a, b in zip(word, word[1:]):
+            run = run + 1 if a == b else 1
+            if run >= K_DOC_DICT_MAX_REP_CHARS:
+                return True
+        return False
+
+    def add(self, word: str, certainty: float, is_valid: bool = False) -> None:
+        """``is_valid``: already a dictionary word — the reference
+        returns early (valid_word gate, dict.cpp:661)."""
+        n = len(word)
+        if is_valid or n < 2 or self._has_rep_run(word):
+            return
+        if certainty < DOC_DICT_CERTAINTY_THRESHOLD or n == 2:
+            if certainty < DOC_DICT_PENDING_THRESHOLD:
+                return
+            if word not in self.pending:
+                if n > 2 or (n == 2 and word[0].isupper() and word[1].isupper()):
+                    self.pending.add(word)
+                return
+        self.words.add(word)
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +339,8 @@ def extract_features(choice: AdjustedChoice) -> list[float]:
             f[0 + bucket] = 1.0  # PTRAIN_DIGITS_*
         else:
             f[3 + bucket] = 1.0  # PTRAIN_NUM_*
+    elif choice.permuter == DOC_DAWG_PERM:
+        f[6 + bucket] = 1.0  # PTRAIN_DOC_*
     elif choice.permuter in (SYSTEM_DAWG_PERM, USER_DAWG_PERM):
         f[9 + bucket] = 1.0  # PTRAIN_DICT_*
     elif choice.permuter == FREQ_DAWG_PERM:

@@ -23,7 +23,7 @@ from ..lstm.ctc import (
     symbol_choices,
 )
 from ..lstm.dawg import Dawg
-from ..lstm.langmodel import adjust_word
+from ..lstm.langmodel import adjust_word, _core as _word_core
 from ..lstm.templates import TemplateNet, get_net
 from .bidi import char_is_rtl, render_line_text, word_direction
 from .equation import is_equation_text
@@ -96,6 +96,24 @@ class WordRec:
     # OSD script detector uses, osdetect.cpp choices)
     rating: float = 0.0
     certainty: float = 0.0
+
+
+def _attribute_word(w, dawg, doc_words) -> str:
+    """Permuter attribution + document-vocabulary learning: the word is
+    attributed against the dawgs INCLUDING the document words learned
+    so far, then — in reading order, as recog_all_words does — a
+    confident non-dictionary word feeds the document dawg
+    (add_document_word, dict.cpp:648-708) so later sightings in the
+    same document validate as DOC_DAWG_PERM."""
+    choice = adjust_word(w.text, 0.0, dawg=dawg, doc_words=doc_words)
+    if doc_words is not None:
+        doc_words.add(
+            _word_core(w.text) or w.text,
+            _word_certainty(w),
+            is_valid=choice.permuter
+            in ("system_dawg", "user_dawg", "freq_dawg", "doc_dawg"),
+        )
+    return choice.permuter
 
 
 def _word_rating(w) -> float:
@@ -461,6 +479,7 @@ def recognize_page_detail(
     want_choices: bool = False,
     charlists: tuple[str, str, str] | None = None,
     font_attrs: bool = False,
+    doc_words=None,
 ) -> tuple[list[SubSpan], list[WordRec], PageResult]:
     """Like recognize_page but also returns per-word records with page
     boxes for the TSV/hOCR/ALTO sinks.
@@ -715,9 +734,9 @@ def recognize_page_detail(
                             conf=round(float(w.confidence), 2),
                             text=w.text,
                             baseline=baseline_y,
-                            permuter=adjust_word(
-                                w.text, 0.0, dawg=dawg
-                            ).permuter,
+                            permuter=_attribute_word(
+                                w, dawg, doc_words
+                            ),
                             rating=_word_rating(w),
                             certainty=_word_certainty(w),
                             script_pos=",".join(

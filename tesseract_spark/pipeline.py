@@ -101,6 +101,10 @@ def _make_ocr_udf(
         # consecutively and share learned glyph templates
         carry_doc = None
         carry_templates = None
+        # document-words dawg carried with the templates: vocabulary
+        # learned on page 1 validates terminology on page N
+        # (Dict::document_words_, dict.cpp:648-708)
+        carry_doc_words = None
         for pdf in batches:
             rows = []
             for doc_id, pos, ref, png, dpi in zip(
@@ -141,13 +145,16 @@ def _make_ocr_udf(
                         if adapt_carryover and dawg is not None:
                             if doc_id != carry_doc:
                                 from .lstm.adaptive import AdaptiveTemplates
+                                from .lstm.langmodel import DocumentWords
 
                                 carry_doc = doc_id
                                 carry_templates = AdaptiveTemplates()
+                                carry_doc_words = DocumentWords()
                             spans, _words, _layout = recognize_page_detail(
                                 img, int(dpi), dawg, net,
                                 carry_adapted=carry_templates,
                                 charlists=charlists,
+                                doc_words=carry_doc_words,
                             )
                         else:
                             spans, _layout = recognize_page(

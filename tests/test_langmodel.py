@@ -288,3 +288,66 @@ def test_word_rating_certainty_columns():
         assert -20.0 <= w.certainty <= 0.0
     by_text = {w.text: w for w in words}
     assert by_text["dictionary"].rating >= by_text["the"].rating
+
+
+# --- DocumentWords (Dict::add_document_word, dict.cpp:648-708) ---
+
+def test_document_words_promotion_rules():
+    from tesseract_spark.lstm.langmodel import DocumentWords
+
+    dw = DocumentWords()
+    # confident long word joins directly
+    dw.add("zyxwv", -1.0)
+    assert dw.accepts("zyxwv")
+    # dictionary-valid words never join
+    dw.add("plain", -1.0, is_valid=True)
+    assert not dw.accepts("plain")
+    # weak sighting pends, second sighting promotes
+    dw.add("qqword", -7.0)
+    assert not dw.accepts("qqword")  # pending, not yet promoted
+    dw.add("qqword", -7.0)
+    assert dw.accepts("qqword")  # second sighting promotes
+    # below the pending bar: dropped entirely
+    dw.add("zzword", -9.0)
+    dw.add("zzword", -9.0)
+    assert not dw.accepts("zzword")
+    dw.add("okword", 0.0)
+    assert dw.accepts("okword")  # direct (cert >= threshold, len > 2)
+    # 2-char words pend even when confident; upper-pair only
+    dw.add("Xq", 0.0)
+    assert not dw.accepts("Xq")
+    dw.add("XQ", 0.0)
+    assert not dw.accepts("XQ")
+    dw.add("XQ", 0.0)  # second sighting promotes
+    assert dw.accepts("XQ")
+    # repeated-char runs never qualify
+    dw.add("aaaab", 0.0)
+    assert not dw.accepts("aaaab")
+
+
+def test_doc_dawg_permuter_attribution():
+    from tesseract_spark.lstm.langmodel import DOC_DAWG_PERM, DocumentWords
+
+    dw = DocumentWords()
+    dw.add("kwyjibo", -1.0)
+    a = adjust_word("kwyjibo", 0.3, doc_words=dw)
+    assert a.permuter == DOC_DAWG_PERM
+    assert a.adjust_factor == PENALTY_DICT_CASE_OK
+
+
+def test_doc_words_learned_across_page(tmp_path):
+    # the same non-dictionary term twice on one page: first sighting
+    # attributes top_choice and learns it, second attributes doc_dawg
+    from tesseract_spark.lstm.langmodel import DOC_DAWG_PERM, DocumentWords
+    from tesseract_spark.operators.recognize import recognize_page_detail
+    from tesseract_spark.functions.compose import PageSpec, compose_page
+
+    spec = PageSpec(paragraphs=[["kwyjibo first here", "kwyjibo again now"]])
+    page = compose_page(spec)
+    dw = DocumentWords()
+    d = _dawg(["first", "here", "again", "now"])
+    _s, words, _l = recognize_page_detail(
+        page.image, spec.dpi, d, doc_words=dw
+    )
+    perms = [w.permuter for w in words if w.text == "kwyjibo"]
+    assert perms == [TOP_CHOICE_PERM, DOC_DAWG_PERM]
