@@ -149,7 +149,10 @@ def adjust_word(
     )
     nonword = not (in_user or in_sys or in_doc or is_number)
     c_ok = case_ok(core or text)
-    p_ok = (not nonword) or core == text or valid_punctuation(text)
+    # punc_is_ok = !nonword || valid_punctuation (adjust_word
+    # dict.cpp:716): interior punctuation must pass the pattern probe
+    # too — 'foo.bar' collapses to '*.*', fails, and rates garbage
+    p_ok = (not nonword) or valid_punctuation(text)
 
     padded = rating + K_RATING_PAD
     if nonword:

@@ -210,10 +210,11 @@ def decode_strip_legacy(
             # re-split into phantom punctuation
             chop_allowed = pitch is None or piece.shape[1] >= 1.5 * pitch
             chopped = None
-            if chop_allowed and (
-                rating < K_CHOP_RATING
-                or (use_lm and piece.shape[1] >= 2 * K_MIN_PIECE_W)
-            ):
+            # chop only while the read is not acceptable
+            # (chopper.cpp:403-420) — with OR without a dictionary; an
+            # acceptable misread flips through the runner-up blob
+            # choice, which costs nothing extra
+            if chop_allowed and rating < K_CHOP_RATING:
                 chopped = _chop_classify(clf, cache, piece, disabled)
             default = (ch, 1.0 - rating)
             alts = [default]

@@ -617,9 +617,16 @@ def _reclaim_text(pixht: np.ndarray, ink: np.ndarray) -> np.ndarray:
         is_solid = float(areas.max()) >= 0.5 * (r - l) * (b - t)
         if is_halftone and not is_solid:
             # the projection veto: a "halftone" whose components sit in
-            # textline bands is a dense small-glyph paragraph
+            # textline bands is a dense small-glyph paragraph.  A real
+            # 300-dpi halftone carries tens of thousands of dot CCs —
+            # the fraction estimate doesn't need them all, so the vote
+            # runs over a deterministic stride sample (the projection
+            # itself still builds from every box: one vectorized
+            # increment per component, cheap; the per-box gradient
+            # walk is the Python-loop part being bounded)
             proj = construct_projection(cstats[:cn], (b - t, r - l))
-            if strongly_in_textline_fraction(proj, cstats[:cn]) >= 0.5:
+            sample = cstats[: cn : max(1, cn // 512)]
+            if strongly_in_textline_fraction(proj, sample) >= 0.5:
                 is_halftone = False
         if not (is_halftone or is_solid):
             pixht[t:b, l:r] = False

@@ -109,59 +109,49 @@ def merge_oldbl_parts(
     biggestpart: int,
     jumplimit: float,
 ) -> None:
-    """merge_oldbl_parts (oldbasel.cpp:748-855): an adjacent run of
-    blobs in another partition rejoins the main one when each member's
-    bottom fits within jumplimit of the line through its nearest
-    main-partition neighbors."""
+    """merge_oldbl_parts (oldbasel.cpp:748-849), ported exactly: only
+    a LONG run (> MAXBADRUN blobs — short runs are descenders and must
+    stay separate) in another partition is a merge candidate; a line
+    fits through the RUN's own bottoms, the nearest main-partition
+    blob on either side is found by expanding search, and the run
+    rejoins the main partition when that blob lies within jumplimit of
+    the run's fitted line.  A trailing run at the array end never
+    merges (the reference only tests on a partition change)."""
     n = len(partids)
-    main_idx = np.flatnonzero(partids == biggestpart)
-    if len(main_idx) == 0:
-        return
     xc = (boxes[:, 0] + boxes[:, 2]) / 2.0
-    i = 0
-    while i < n:
-        if partids[i] == biggestpart:
-            i += 1
-            continue
-        j = i
-        while j < n and partids[j] != biggestpart:
-            j += 1
-        # neighbors in the main part around the run [i, j)
-        left = main_idx[main_idx < i]
-        right = main_idx[main_idx >= j]
-        ref_pts = []
-        if len(left):
-            ref_pts.append(left[-1])
-        if len(right):
-            ref_pts.append(right[0])
-        if ref_pts:
-            if len(ref_pts) == 2:
-                a, b = ref_pts
-                xa, xb = xc[a], xc[b]
-                ya, yb = float(boxes[a, 3]), float(boxes[b, 3])
-
-                def interp(x):
-                    if xb == xa:
-                        return ya
-                    return ya + (yb - ya) * (x - xa) / (xb - xa)
-
-            else:
-                y0 = float(boxes[ref_pts[0], 3])
-
-                def interp(x):
-                    return y0
-
-            run = np.arange(i, j)
-            fits = [
-                abs(float(boxes[k, 3]) - interp(xc[k])) <= jumplimit
-                for k in run
-            ]
-            if all(fits):
-                for k in run:
-                    partsizes[partids[k]] -= 1
-                    partids[k] = biggestpart
-                    partsizes[biggestpart] += 1
-        i = j
+    prevpart = biggestpart
+    runlength = 0
+    startx = 0
+    for blobindex in range(n):
+        if partids[blobindex] != prevpart:
+            if prevpart != biggestpart and runlength > MAXBADRUN:
+                run = np.arange(startx, blobindex)
+                m, c = (
+                    np.polyfit(xc[run], boxes[run, 3].astype(np.float64), 1)
+                    if len(run) >= 2
+                    else (0.0, float(boxes[run[0], 3]))
+                )
+                found_one = close_one = False
+                t = 1
+                while not found_one and (
+                    startx - t >= 0 or blobindex + t <= n
+                ):
+                    for k in (startx - t, blobindex + t - 1):
+                        if 0 <= k < n and partids[k] == biggestpart:
+                            found_one = True
+                            diff = m * xc[k] + c - float(boxes[k, 3])
+                            if abs(diff) < jumplimit:
+                                close_one = True
+                    t += 1
+                if close_one:
+                    partsizes[prevpart] -= runlength
+                    partsizes[biggestpart] += runlength
+                    partids[startx:blobindex] = biggestpart
+            prevpart = partids[blobindex]
+            runlength = 1
+            startx = blobindex
+        else:
+            runlength += 1
 
 
 def partition_line(
@@ -218,11 +208,11 @@ def fit_old_baseline(
     xc = ((boxes[:, 0] + boxes[:, 2]) // 2).astype(np.float64)
     yb = boxes[:, 3].astype(np.float64)
     if jumplimit is None:
-        # jumplimit = textord_oldbl_jumplimit x line size
-        # (find_textlines oldbasel.cpp:344); median blob height stands
-        # in for the block's line_size estimate
+        # jumplimit = textord_oldbl_jumplimit x line height, clamped
+        # below at MINASCRISE (find_textlines oldbasel.cpp:354-358);
+        # median blob height stands in for the lineheight estimate
         h = float(np.median(boxes[:, 3] - boxes[:, 1]))
-        jumplimit = max(1.0, JUMPLIMIT_FRACT * h)
+        jumplimit = max(MINASCRISE, JUMPLIMIT_FRACT * h)
     if n == 1:
         return OldBaseline((0.0, 0.0, float(yb[0])), np.zeros(1, np.int64), 0, 0.0, True)
     # make_first_baseline: the 1-segment linear least squares

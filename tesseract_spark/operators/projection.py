@@ -40,16 +40,27 @@ def construct_projection(
     projection (IncrementRectangle8Bit; saturating at 255).
 
     ``stats``: component stats rows (left, top, right, bottom, area)
-    — the label_and_stats layout used across the page stage."""
-    proj = np.zeros(shape, dtype=np.int32)
+    — the label_and_stats layout used across the page stage.
+    Vectorized as a 2-D difference array (+1/-1 at box corners, then a
+    double cumsum): O(n + H*W) regardless of component count, so a
+    50k-dot halftone costs the same as a 50-glyph paragraph."""
     H, W = shape
-    for row in stats:
-        l, t, r, b = (int(v) for v in row[:4])
-        h = b - t
-        pad = (h * K_DEFAULT_PAD_FACTOR) // 2
-        l2, r2 = max(0, l - pad), min(W, r + pad)
-        if l2 < r2 and t < b:
-            proj[max(0, t) : min(H, b), l2:r2] += 1
+    if len(stats) == 0:
+        return np.zeros(shape, dtype=np.uint8)
+    s = np.asarray(stats[:, :4], dtype=np.int64)
+    l, t, r, b = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+    pad = ((b - t) * K_DEFAULT_PAD_FACTOR) // 2
+    l2 = np.clip(l - pad, 0, W)
+    r2 = np.clip(r + pad, 0, W)
+    t2 = np.clip(t, 0, H)
+    b2 = np.clip(b, 0, H)
+    ok = (l2 < r2) & (t2 < b2)
+    diff = np.zeros((H + 1, W + 1), dtype=np.int32)
+    np.add.at(diff, (t2[ok], l2[ok]), 1)
+    np.add.at(diff, (b2[ok], l2[ok]), -1)
+    np.add.at(diff, (t2[ok], r2[ok]), -1)
+    np.add.at(diff, (b2[ok], r2[ok]), 1)
+    proj = diff.cumsum(axis=0).cumsum(axis=1)[:H, :W]
     return np.minimum(proj, 255).astype(np.uint8)
 
 

@@ -81,7 +81,8 @@ WORDS_SCHEMA = T.StructType(
 
 
 def _words_udf(
-    batches: Iterator[pd.DataFrame], font_attrs: bool = False
+    batches: Iterator[pd.DataFrame], font_attrs: bool = False,
+    wordlist: list[str] | None = None,
 ) -> Iterator[pd.DataFrame]:
     from ..functions.png_codec import decode_gray_png
     from .recognize import recognize_page_detail
@@ -91,6 +92,14 @@ def _words_udf(
         from ..lstm.templates import get_net_fonts
 
         net = get_net_fonts()
+    dawg = None
+    doc_words_of: dict = {}
+    if wordlist is not None:
+        from ..lstm.dawg import Dawg
+        from ..lstm.langmodel import DocumentWords
+        from ..lstm.templates import get_net
+
+        dawg = Dawg(get_net().charset, list(wordlist))
     for pdf in batches:
         rows = []
         for doc_id, ref, png, dpi in zip(
@@ -98,10 +107,20 @@ def _words_udf(
         ):
             if png is None:
                 continue
+            # per-document vocabulary learning (Dict::document_words_):
+            # pages of one document share a DocumentWords; the word
+            # sink's batches are only doc-grouped within a partition,
+            # so cross-partition documents learn per-partition (the
+            # pipeline's adapt_carryover path is the strictly-ordered
+            # variant)
+            doc_words = None
+            if wordlist is not None:
+                doc_words = doc_words_of.setdefault(doc_id, DocumentWords())
             try:
                 _spans, words, _layout = recognize_page_detail(
-                    decode_gray_png(bytes(png)), int(dpi), net=net,
+                    decode_gray_png(bytes(png)), int(dpi), dawg, net=net,
                     want_choices=True, font_attrs=font_attrs,
+                    doc_words=doc_words,
                 )
             except Exception:
                 # per-page isolation (control.cpp:314-322 semantics): emit a
@@ -180,24 +199,29 @@ def ocr_words(
     docs: DataFrame,
     media: DataFrame,
     font_attrs: bool = False,
+    wordlist: list[str] | None = None,
 ) -> DataFrame:
     """Word-level OCR results (TSV level 5) for every media span.
 
     ``font_attrs``: recognize with the font-variant template bank and
     fill the font/bold/italic/mono/pointsize columns (WordFontAttributes
     surface).  Off by default — the variant bank costs extra template
-    matches, the lazy-consumer discipline of the choice lattice."""
+    matches, the lazy-consumer discipline of the choice lattice.
+
+    ``wordlist``: dictionary words — recognition runs dawg-assisted and
+    the permuter column carries real attribution (system_dawg /
+    doc_dawg / number / top_choice) instead of the no-dictionary
+    defaults; the list ships to executors inside the UDF closure (KBs,
+    the broadcast-small-side discipline)."""
     media_rows = (
         docs.select("doc_id", F.explode("spans").alias("span"))
         .filter(F.col("span.kind") == "media")
         .select("doc_id", F.col("span.media_ref").alias("media_ref"))
         .join(media.select("media_ref", "png", "dpi"), "media_ref", "left")
     )
-    udf = (
-        (lambda b: _words_udf(b, font_attrs=True))
-        if font_attrs
-        else _words_udf
-    )
+    def udf(b):
+        return _words_udf(b, font_attrs=font_attrs, wordlist=wordlist)
+
     return media_rows.mapInPandas(udf, schema=WORDS_SCHEMA)
 
 

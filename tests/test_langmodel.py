@@ -94,6 +94,14 @@ def test_adjust_number_and_freq():
     assert f.adjusted == pytest.approx(0.30)  # factor 1.0 is a no-op
 
 
+def test_interior_punct_rates_garbage():
+    # 'foo.bar' collapses to the pattern '*.*', which the punc-pattern
+    # probe rejects: garbage factor 1.5, NO_PERM (dict.cpp:716,757)
+    a = adjust_word("foo.bar", 0.30)
+    assert a.permuter == NO_PERM
+    assert a.adjust_factor == pytest.approx(1.5)
+
+
 def test_trailing_punct_keeps_dict_status():
     a = adjust_word("clam.", 0.30, dawg=_dawg(["clam"]))
     assert a.permuter == SYSTEM_DAWG_PERM
@@ -351,3 +359,34 @@ def test_doc_words_learned_across_page(tmp_path):
     )
     perms = [w.permuter for w in words if w.text == "kwyjibo"]
     assert perms == [TOP_CHOICE_PERM, DOC_DAWG_PERM]
+
+
+def test_ocr_words_wordlist_attribution(spark):
+    # the production word surface carries real dictionary attribution
+    # when ocr_words runs with a wordlist (review finding: without
+    # this, system_dawg was structurally unreachable in production)
+    import pyspark.sql.functions as F
+
+    from tesseract_spark.fixtures import build_corpus
+    from tesseract_spark.operators.sinks import ocr_words
+
+    paths = build_corpus("/tmp/lm_corpus", n_docs=4)
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media"])
+    # the fixture corpus vocabulary
+    vocab = sorted(
+        {
+            w
+            for r in docs.select("spans").collect()
+            for s_ in r["spans"]
+            if s_["kind"] == "text" and s_["text"]
+            for w in s_["text"].split()
+            if w.isalpha()
+        }
+    )
+    words = ocr_words(spark, docs, media, wordlist=vocab)
+    perms = {
+        r["permuter"]: r["count"]
+        for r in words.groupBy("permuter").count().collect()
+    }
+    assert perms.get("system_dawg", 0) > 0

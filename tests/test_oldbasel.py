@@ -71,15 +71,44 @@ def test_curved_baseline_quadratic_fit():
         assert base.y(x) == pytest.approx(curve(x), abs=1.0)
 
 
-def test_merge_rejoins_suspect_run():
-    # one blob nudged just past jumplimit/2 opens a run, but it fits
-    # between its main-partition neighbors and must merge back
-    xs = np.arange(10) * 12
-    bottoms = [100] * 10
-    bottoms[5] = 101  # within jumplimit of the neighbor line
+def test_merge_rejoins_long_sloped_run():
+    # merge_oldbl_parts (oldbasel.cpp:777-849): only a run LONGER than
+    # MAXBADRUN is a candidate, and it rejoins when the run's OWN
+    # fitted line extrapolates to within jumplimit of the nearest
+    # main-partition blob — a sloped run descending back toward the
+    # baseline (flat offset runs never pass both gates: an offset
+    # beyond jumplimit keeps the line beyond jumplimit too)
+    from tesseract_spark.operators.oldbasel import merge_oldbl_parts
+
+    xs = np.arange(12) * 12
+    bottoms = [100.0] * 12
+    run_bottoms = {4: 105, 5: 103.5, 6: 102, 7: 100.5}
+    for k, b in run_bottoms.items():
+        bottoms[k] = b
+    boxes = _boxes(xs, [int(round(b)) for b in bottoms])
+    partids = np.zeros(12, dtype=np.int64)
+    for k in run_bottoms:
+        partids[k] = 1
+    partsizes = np.array([8, 4], dtype=np.int64)
+    merge_oldbl_parts(boxes, partids, partsizes, 0, 2.0)
+    assert (partids == 0).all()
+    assert partsizes.tolist() == [12, 0]
+
+
+def test_short_descender_run_never_merges():
+    # a 2-blob run (<= MAXBADRUN) with the SAME favorable geometry
+    # must stay in its own partition — short runs are descenders
+    from tesseract_spark.operators.oldbasel import merge_oldbl_parts
+
+    xs = np.arange(12) * 12
+    bottoms = [100] * 12
+    bottoms[5], bottoms[6] = 102, 100
     boxes = _boxes(xs, bottoms)
-    base = fit_old_baseline(boxes, jumplimit=1.8)
-    assert (base.partids == base.biggest).all()
+    partids = np.zeros(12, dtype=np.int64)
+    partids[5] = partids[6] = 1
+    partsizes = np.array([10, 2], dtype=np.int64)
+    merge_oldbl_parts(boxes, partids, partsizes, 0, 2.0)
+    assert partids[5] == 1 and partids[6] == 1
 
 
 def test_bad_run_fails_row():
