@@ -222,6 +222,103 @@ def choose_segmentation(
 
 
 # ---------------------------------------------------------------------------
+# Stopper — when is a word choice ACCEPTABLE
+# (src/dict/stopper.cpp AcceptableChoice:42-108, UniformCertainties
+# :464-505; params dict.cpp:107-118)
+# ---------------------------------------------------------------------------
+
+# stopper_nondict_certainty_base = -2.50 / stopper_certainty_per_char
+# = -0.50 (dict.cpp:107-113), scaled to this engine's certainty domain
+# the same way the doc-dict thresholds are: the reference's base sits
+# ~2 units below its clean band (~-0.5); ours sits below the -4..-6
+# clean band at -8, with the per-char dictionary relief scaled by the
+# same ~3x ratio
+STOPPER_NONDICT_CERTAINTY_BASE = -8.0
+STOPPER_CERTAINTY_PER_CHAR = -1.5
+STOPPER_SMALLWORD_SIZE = 2  # dict.cpp:111 (unscaled: a word count)
+STOPPER_ALLOWABLE_CHARACTER_BADNESS = 3.0  # dict.cpp:117 (a sigma count)
+
+_VALID_WORD_PERMUTERS = frozenset(
+    # valid_word_permuter(perm, numbers_ok=false), dict.h:435-439
+    {SYSTEM_DAWG_PERM, FREQ_DAWG_PERM, USER_DAWG_PERM, USER_PATTERN_PERM}
+)
+
+
+def _shortest_alpha_run(word: str) -> int:
+    """LengthOfShortestAlphaRun (stopper.cpp): the shortest maximal
+    run of alphabetic characters (0 when there are none)."""
+    runs, cur = [], 0
+    for ch in word:
+        if ch.isalpha():
+            cur += 1
+        elif cur:
+            runs.append(cur)
+            cur = 0
+    if cur:
+        runs.append(cur)
+    return min(runs) if runs else 0
+
+
+def uniform_certainties(
+    char_certainties: list[float], word_certainty: float
+) -> bool:
+    """UniformCertainties (stopper.cpp:464-505): the word's certainty
+    may not fall more than stopper_allowable_character_badness sigmas
+    below the mean of its characters' certainties (worst character
+    excluded from the statistics); words under 3 chars always pass."""
+    n = len(char_certainties)
+    if n < 3:
+        return True
+    worst = min(char_certainties)
+    rest = list(char_certainties)
+    rest.remove(worst)
+    m = len(rest)
+    mean = sum(rest) / m
+    var = (
+        m * sum(c * c for c in rest) - sum(rest) ** 2
+    ) / (m * (m - 1))
+    std = max(var, 0.0) ** 0.5
+    threshold = min(
+        mean - STOPPER_ALLOWABLE_CHARACTER_BADNESS * std,
+        STOPPER_NONDICT_CERTAINTY_BASE,
+    )
+    return word_certainty >= threshold
+
+
+# "doc_dawg" also counts as a valid word in AcceptableChoice via its
+# permuter check once DOC_DAWG_PERM exists (dict.h:437 lists it)
+
+
+def acceptable_choice(
+    text: str,
+    certainty: float,
+    permuter: str,
+    char_certainties: list[float] | None = None,
+    dangerous_ambig: bool = False,
+) -> bool:
+    """AcceptableChoice (stopper.cpp:42-108): the word is DONE — no
+    second pass / retry needed — when it has no dangerous ambiguity,
+    its certainty clears the (dictionary-relieved) threshold, and its
+    per-character certainties are uniform.  The x-height consistency
+    input is owned by the layout stage here (rows arrive normalized),
+    so xheight_consistency = XH_GOOD."""
+    if not text:
+        return False
+    is_valid = permuter in _VALID_WORD_PERMUTERS or permuter == "doc_dawg"
+    threshold = STOPPER_NONDICT_CERTAINTY_BASE
+    if is_valid and case_ok(_core(text) or text):
+        ws = max(0, _shortest_alpha_run(text) - STOPPER_SMALLWORD_SIZE)
+        threshold += ws * STOPPER_CERTAINTY_PER_CHAR
+    if dangerous_ambig:
+        return False
+    if certainty <= threshold:
+        return False
+    if char_certainties is not None:
+        return uniform_certainties(char_certainties, certainty)
+    return True
+
+
+# ---------------------------------------------------------------------------
 # Document words — in-document terminology learning
 # (Dict::add_document_word dict.cpp:648-708; document_words_ /
 # pending_words_ tries probed by def_letter_is_okay)

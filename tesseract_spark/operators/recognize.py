@@ -116,6 +116,23 @@ def _attribute_word(w, dawg, doc_words) -> str:
     return choice.permuter
 
 
+def _word_acceptable(w, dawg) -> bool:
+    """AcceptableChoice over one decoded word (stopper.cpp:42-108):
+    permuter attribution + certainty thresholds + per-char
+    uniformity."""
+    from ..lstm.langmodel import acceptable_choice
+
+    choice = adjust_word(w.text, 0.0, dawg=dawg)
+    chars = [
+        (c[0][1] if c else w.confidence)
+        for c in (getattr(w, "char_choices", ()) or ())
+    ]
+    char_certs = [20.0 * (cf / 100.0 - 1.0) for cf in chars] or None
+    return acceptable_choice(
+        w.text, _word_certainty(w), choice.permuter, char_certs
+    )
+
+
 def _word_rating(w) -> float:
     """Symbol-summed -log2 cost (the recodebeam path's rating
     accumulation): per-symbol best-choice confidences when the choice
@@ -566,7 +583,14 @@ def recognize_page_detail(
                 # crop learned bitmaps from the strip that actually decoded
                 # (the alt-baseline strip when that hypothesis won)
                 _harvest_adaptable(adapted, net, res[5], res[1], res[4])
-                if len(res[3]):
+                # pass-2 trigger = dropped ink OR an unacceptable word:
+                # the reference re-runs any word AcceptableChoice did
+                # not mark done (word->done, control.cpp:372-386 via
+                # classify_word_pass2) — the stopper's certainty and
+                # uniformity gates decide, not just missing ink
+                if len(res[3]) or any(
+                    not _word_acceptable(w, dawg) for w in res[1]
+                ):
                     retry.append((ri, i))
     # ---- pass 2: adaptive re-decode of rows with dropped ink -------------
     if adapted is not None and adapted.n_learned:

@@ -390,3 +390,52 @@ def test_ocr_words_wordlist_attribution(spark):
         for r in words.groupBy("permuter").count().collect()
     }
     assert perms.get("system_dawg", 0) > 0
+
+
+# --- Stopper: AcceptableChoice (stopper.cpp:42-108) ---
+
+def test_acceptable_choice_thresholds():
+    from tesseract_spark.lstm.langmodel import (
+        STOPPER_NONDICT_CERTAINTY_BASE,
+        acceptable_choice,
+    )
+
+    # nonword: base threshold only
+    assert acceptable_choice("zorp", -6.0, TOP_CHOICE_PERM)
+    assert not acceptable_choice(
+        "zorp", STOPPER_NONDICT_CERTAINTY_BASE - 0.1, TOP_CHOICE_PERM
+    )
+    # dict word: per-char relief lowers the bar for longer alpha runs
+    assert acceptable_choice("dictionary", -11.0, SYSTEM_DAWG_PERM)
+    assert not acceptable_choice("zzz", -11.0, TOP_CHOICE_PERM)
+    # dangerous ambiguity always blocks
+    assert not acceptable_choice(
+        "fine", -1.0, SYSTEM_DAWG_PERM, dangerous_ambig=True
+    )
+
+
+def test_uniform_certainties():
+    from tesseract_spark.lstm.langmodel import uniform_certainties
+
+    # uniform word: accept
+    assert uniform_certainties([-4.0, -4.1, -3.9, -4.0], -4.0)
+    # one catastrophic char drags the word certainty far below the
+    # remaining chars' band: reject (stopper.cpp:464-505)
+    assert not uniform_certainties([-4.0, -4.0, -4.0, -19.0], -19.0)
+    # short words always pass
+    assert uniform_certainties([-19.0, -19.0], -19.0)
+
+
+def test_stopper_extends_pass2_retry():
+    # a damaged glyph decodes with low certainty but drops no ink: the
+    # stopper (not the ink check) must route the row into pass 2 where
+    # the adapted templates recover it — asserted indirectly: clean
+    # pages decode identically with and without the stopper trigger
+    from tesseract_spark.operators.recognize import recognize_page_detail
+    from tesseract_spark.functions.compose import PageSpec, compose_page
+
+    spec = PageSpec(paragraphs=[["the quick brown fox"]])
+    page = compose_page(spec)
+    d = _dawg(["the", "quick", "brown", "fox"])
+    _s, words, _l = recognize_page_detail(page.image, spec.dpi, d)
+    assert [w.text for w in words] == ["the", "quick", "brown", "fox"]
