@@ -78,3 +78,28 @@ def ambiguous_words(
                         pairs.add((w, v))
                     start = i + 1
     return sorted(pairs)
+
+
+def has_dangerous_ambig(
+    word: str,
+    dawg: "Dawg",
+    table: tuple[tuple[str, str], ...] = DEFAULT_AMBIGS,
+) -> bool:
+    """NoDangerousAmbig's veto input (stopper.cpp:158-300 inverted
+    sense): the read is DANGEROUS when some single table substitution
+    (either direction — the reference's table carries both as separate
+    entries) turns it into a DIFFERENT valid dictionary word, i.e. the
+    classifier output is ambiguous between two plausible words and the
+    stopper must not mark it done on certainty alone."""
+    for wrong, right in table:
+        for a, b in ((wrong, right), (right, wrong)):
+            start = 0
+            while True:
+                i = word.find(a, start)
+                if i < 0:
+                    break
+                v = word[:i] + b + word[i + len(a):]
+                if v != word and dawg.accepts(v):
+                    return True
+                start = i + 1
+    return False

@@ -120,6 +120,7 @@ def _word_acceptable(w, dawg) -> bool:
     """AcceptableChoice over one decoded word (stopper.cpp:42-108):
     permuter attribution + certainty thresholds + per-char
     uniformity."""
+    from ..functions.ambigs import has_dangerous_ambig
     from ..lstm.langmodel import acceptable_choice
 
     choice = adjust_word(w.text, 0.0, dawg=dawg)
@@ -129,7 +130,13 @@ def _word_acceptable(w, dawg) -> bool:
     ]
     char_certs = [20.0 * (cf / 100.0 - 1.0) for cf in chars] or None
     return acceptable_choice(
-        w.text, _word_certainty(w), choice.permuter, char_certs
+        w.text,
+        _word_certainty(w),
+        choice.permuter,
+        char_certs,
+        dangerous_ambig=(
+            dawg is not None and has_dangerous_ambig(w.text, dawg)
+        ),
     )
 
 

@@ -439,3 +439,14 @@ def test_stopper_extends_pass2_retry():
     d = _dawg(["the", "quick", "brown", "fox"])
     _s, words, _l = recognize_page_detail(page.image, spec.dpi, d)
     assert [w.text for w in words] == ["the", "quick", "brown", "fox"]
+
+
+def test_dangerous_ambig_veto():
+    from tesseract_spark.functions.ambigs import has_dangerous_ambig
+
+    d = _dawg(["modern", "woman"])
+    # 'modem' is one rn->m substitution from dict 'modern'
+    assert has_dangerous_ambig("modem", d)
+    # 'wornan' is one rn->m from 'woman' (reverse direction too)
+    assert has_dangerous_ambig("wornan", d)
+    assert not has_dangerous_ambig("plainly", d)
