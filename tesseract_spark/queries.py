@@ -4698,6 +4698,117 @@ FROM l
 """
 
 
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-break dehyphenation — the standard extraction cleanup (and
+    the corpus-side analogue of the engine's hyphenated-word
+    continuation state, src/dict/hyphen.cpp reset/set_hyphen_word: the
+    reference validates 'exam-' + 'ple' against the dictionary as one
+    word across the line break).
+
+    The corpus has no line breaks, so hyphenation is INJECTED
+    deterministically: word k = (doc_id + 7) % n_words is split as
+    'wo-\\nrd' when it has >= 6 chars, and a false compound 'qz-\\nxv'
+    (whose join is not corpus vocabulary) is appended.  The cleanup
+    rule — join iff the merged token is document vocabulary, else keep
+    the hyphen and drop the break — must join exactly the real word
+    and keep the false compound.  Oracle replays both sides.
+
+    Zero-shuffle: the token walk is a higher-order transform; the
+    vocabulary probe is array_contains against the document's OWN
+    token array (no join, no broadcast)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id",
+        F.split(F.coalesce("text", F.lit("")), " ").alias("vocab"),
+    )
+    k = F.pmod(F.col("doc_id") + 7, F.size("vocab"))
+    target = F.element_at("vocab", (k + 1).cast("int"))
+    do_inj = F.length(target) >= 6
+    hyph = F.concat(
+        F.substring(target, 1, 3),
+        F.lit("-\n"),
+        F.expr("substring(element_at(vocab, cast(pmod(doc_id + 7, size(vocab)) + 1 as int)), 4)"),
+    )
+    injected = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.size("vocab")),
+            lambda i: F.when(
+                do_inj & (i == (k + 1).cast("int")), hyph
+            ).otherwise(F.element_at("vocab", i.cast("int"))),
+        ),
+        F.lit("qz-\nxv"),
+    )
+    toks = F.split(injected, " ")
+    joined_tok = F.transform(
+        toks,
+        lambda t: F.when(
+            t.contains("-\n")
+            & F.array_contains(
+                F.col("vocab"), F.regexp_replace(t, "-\n", "")
+            ),
+            F.regexp_replace(t, "-\n", ""),
+        ).otherwise(F.regexp_replace(t, "-\n", "-")),
+    )
+    n_joined = F.size(
+        F.filter(
+            toks,
+            lambda t: t.contains("-\n")
+            & F.array_contains(
+                F.col("vocab"), F.regexp_replace(t, "-\n", "")
+            ),
+        )
+    )
+    n_kept = F.size(
+        F.filter(
+            toks,
+            lambda t: t.contains("-\n")
+            & ~F.array_contains(
+                F.col("vocab"), F.regexp_replace(t, "-\n", "")
+            ),
+        )
+    )
+    return base.select(
+        "doc_id",
+        n_joined.cast("long").alias("n_joined"),
+        n_kept.cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", joined_tok)).alias("clean_md5"),
+    )
+
+
+ORACLE_DEHYPHENATE = r"""
+WITH s AS (
+  SELECT doc_id, str_split(coalesce(text, ''), ' ') AS vocab
+  FROM documents
+), inj AS (
+  SELECT doc_id, vocab,
+    CAST((doc_id + 7) % len(vocab) AS BIGINT) AS k,
+    vocab[CAST((doc_id + 7) % len(vocab) AS BIGINT) + 1] AS tgt
+  FROM s
+), built AS (
+  SELECT doc_id, vocab,
+    list_transform(range(1, len(vocab) + 1), i ->
+      CASE WHEN len(tgt) >= 6 AND i = k + 1
+           THEN substr(tgt, 1, 3) || '-' || chr(10) || substr(tgt, 4)
+           ELSE vocab[i] END) || ['qz-' || chr(10) || 'xv'] AS toks
+  FROM inj
+)
+SELECT doc_id,
+  CAST(len(list_filter(toks, t -> contains(t, '-' || chr(10))
+       AND list_contains(vocab, replace(t, '-' || chr(10), ''))))
+       AS BIGINT) AS n_joined,
+  CAST(len(list_filter(toks, t -> contains(t, '-' || chr(10))
+       AND NOT list_contains(vocab, replace(t, '-' || chr(10), ''))))
+       AS BIGINT) AS n_kept,
+  md5(array_to_string(list_transform(toks, t ->
+    CASE WHEN contains(t, '-' || chr(10))
+              AND list_contains(vocab, replace(t, '-' || chr(10), ''))
+         THEN replace(t, '-' || chr(10), '')
+         ELSE replace(t, '-' || chr(10), '-') END), ' ')) AS clean_md5
+FROM built
+"""
+
+
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4748,6 +4859,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "gopher_repetition": (q_gopher_repetition, ORACLE_GOPHER_REPETITION),
     "c4_filters": (q_c4_filters, ORACLE_C4_FILTERS),
+    "dehyphenate": (q_dehyphenate, ORACLE_DEHYPHENATE),
     "seq_packing": (q_seq_packing, ORACLE_SEQ_PACKING),
     "corpus_funnel": (q_corpus_funnel, ORACLE_CORPUS_FUNNEL),
     "justext_extract": (q_justext_extract, ORACLE_JUSTEXT_EXTRACT),

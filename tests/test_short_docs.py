@@ -26,7 +26,7 @@ DOCS = [
 
 QUERIES = ["gopher_repetition", "seq_packing", "corpus_funnel",
            "justext_extract", "quality_score", "bpe_token_stats",
-           "c4_filters"]
+           "c4_filters", "dehyphenate"]
 
 
 @pytest.fixture(scope="module")
