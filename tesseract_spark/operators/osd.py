@@ -18,11 +18,15 @@ from ..lstm.templates import get_net
 from .page import analyze_page
 
 
-def orientation_scores(gray: np.ndarray) -> dict[int, float]:
+def orientation_scores(gray: np.ndarray, net=None) -> dict[int, float]:
     """Score each rotation (degrees clockwise needed to make the page
     upright): sum of best template match fractions over the rows the
-    layout stage finds at that rotation, weighted by glyph count."""
-    net = get_net()
+    layout stage finds at that rotation, weighted by glyph count.
+
+    ``net``: the recognition charset to vote with — a multi-language
+    session passes its combined net, the reference's single classifier
+    over the union unicharset of all loaded langs."""
+    net = net or get_net()
     scores: dict[int, float] = {}
     img = gray
     for rot in (0, 90, 180, 270):
@@ -45,9 +49,11 @@ def orientation_scores(gray: np.ndarray) -> dict[int, float]:
     return scores
 
 
-def detect_orientation(gray: np.ndarray) -> tuple[int, dict[int, float]]:
+def detect_orientation(
+    gray: np.ndarray, net=None
+) -> tuple[int, dict[int, float]]:
     """(rotation_to_upright_degrees, per-rotation scores)."""
-    scores = orientation_scores(gray)
+    scores = orientation_scores(gray, net=net)
     best = max(sorted(scores), key=lambda r: scores[r])
     return best, scores
 
@@ -61,8 +67,14 @@ K_NON_AMBIGUOUS_MARGIN = 1.0  # osdetect.cpp:49
 
 
 def script_of_char(ch: str) -> str:
-    """Unicharset script assignment for the fixture charset: letters are
-    Latin; digits and punctuation are Common (eng unicharset semantics)."""
+    """Unicharset script assignment (the unicharset script ids the
+    ScriptDetector votes over, osdetect.cpp:455-510): block-mapped for
+    the loaded fixture alphabets; digits and punctuation are Common."""
+    o = ord(ch)
+    if 0x0590 <= o <= 0x05FF:
+        return "Hebrew"
+    if 0x0900 <= o <= 0x097F:
+        return "Devanagari"
     return "Latin" if ch.isalpha() else "Common"
 
 
@@ -115,17 +127,19 @@ def best_script(scores: dict[str, float]) -> tuple[str, float]:
 
 
 def detect_script(
-    gray: np.ndarray, rot: int | None = None
+    gray: np.ndarray, rot: int | None = None, net=None
 ) -> tuple[str, float]:
     """Page-level script detection at the upright orientation: each
     candidate glyph's ranked template matches become (script, certainty)
     choices (certainty = 20*(frac-1), the reference's [-20,0] range).
 
     ``rot``: pass a pre-computed orientation to skip re-detection (the
-    OSD sink computes it once for both halves of the report)."""
-    net = get_net()
+    OSD sink computes it once for both halves of the report).
+    ``net``: the charset to vote over — pass the combined multi-lang
+    net (e.g. templates.get_net_rtl) and Hebrew pages report Hebrew."""
+    net = net or get_net()
     if rot is None:
-        rot, _scores = detect_orientation(gray)
+        rot, _scores = detect_orientation(gray, net=net)
     # orientation_scores tests candidate r on rot90(img, -(r//90)), so
     # the upright image is the NEGATIVE rotation (a positive k here left
     # 90/270-rotated pages upside down; the single-script fixture masked
@@ -156,15 +170,15 @@ def detect_script(
     return best_script(script_vote(blob_choices))
 
 
-def get_osd_text(gray: np.ndarray, page_number: int = 0) -> str:
+def get_osd_text(gray: np.ndarray, page_number: int = 0, net=None) -> str:
     """GetOsdText sink (baseapi.cpp:1689-1718): the six-line OSD report
     with orientation + script and their confidences."""
-    rot, scores = detect_orientation(gray)
+    rot, scores = detect_orientation(gray, net=net)
     ranked = sorted(scores.values(), reverse=True)
     orient_conf = (
         round(ranked[0] / max(ranked[1], 1e-9), 2) if len(ranked) > 1 else 2.0
     )
-    script, script_conf = detect_script(gray, rot=rot)
+    script, script_conf = detect_script(gray, rot=rot, net=net)
     orient_deg = rot
     rotate = (360 - orient_deg) % 360
     return (

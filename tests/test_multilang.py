@@ -221,3 +221,21 @@ def test_dict_words_still_arbitrate_under_packs():
     packs = get_lang_packs("eng+heb", dict_words=["the", "quick", "fox"])
     spans, words, _l = recognize_page_detail(page.image, 300, packs=packs)
     assert spans[0].text == "the quick fox"
+
+
+def test_osd_script_detection_multilang():
+    # ScriptDetector over the combined unicharset (osdetect.cpp:455-510
+    # votes scripts from ALL loaded langs): a Hebrew page reports
+    # Hebrew, a Latin page Latin, through the same combined net
+    from tesseract_spark.lstm.templates import get_net_rtl
+    from tesseract_spark.operators.osd import detect_script, get_osd_text
+
+    heb = compose_page(PageSpec(paragraphs=[[f"{H[0:3]} {H[3:6]}",
+                                             f"{H[6:9]} {H[1:4]}"]]))
+    script, conf = detect_script(heb.image, net=get_net_rtl())
+    assert script == "Hebrew" and conf > 0
+    lat = compose_page(PageSpec(paragraphs=[["the quick fox"]]))
+    script, conf = detect_script(lat.image, net=get_net_rtl())
+    assert script == "Latin" and conf > 0
+    report = get_osd_text(heb.image, net=get_net_rtl())
+    assert "Script: Hebrew" in report
