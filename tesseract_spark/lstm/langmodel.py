@@ -25,7 +25,11 @@ a typical clean-word rating); the adjustment algebra
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+
+_NUMBER_RE = re.compile(r"\d+([.,]\d+)*")
+_COMPOUND_SPLIT = re.compile(r"[-/]")
 
 # PermuterType (src/ccstruct/ratngs.h:235-251)
 NO_PERM = "no_perm"
@@ -36,6 +40,8 @@ USER_PATTERN_PERM = "user_pattern"
 SYSTEM_DAWG_PERM = "system_dawg"
 USER_DAWG_PERM = "user_dawg"
 FREQ_DAWG_PERM = "freq_dawg"
+COMPOUND_PERM = "compound"
+DOC_DAWG_PERM = "doc_dawg"
 
 # segment_penalty_* defaults (dict.cpp:74-92)
 PENALTY_DICT_FREQUENT = 1.0
@@ -137,7 +143,9 @@ def adjust_word(
     (rows arrive x-height-normalized), so additional_adjust = 0.
     """
     core = _core(text) or text
-    is_number = bool(core) and all(c.isdigit() for c in core)
+    # the number dawg's pattern shape: digits with interior . or ,
+    # separators (3.14, 12,000) — valid_number's accept set
+    is_number = bool(_NUMBER_RE.fullmatch(core))
     in_user = user_dawg is not None and user_dawg.accepts(core.lower())
     in_sys = dawg is not None and (
         dawg.accepts(core) or dawg.accepts(core.lower())
@@ -147,7 +155,19 @@ def adjust_word(
         and doc_words is not None
         and doc_words.accepts(core)
     )
-    nonword = not (in_user or in_sys or in_doc or is_number)
+    # hyphen/slash compounds: every part a dictionary word restarts
+    # the dawg at the marker and keeps COMPOUND_PERM
+    # (compound_marker, dict.h:116; letter_is_okay dict.cpp:561-565)
+    is_compound = False
+    if not (in_user or in_sys or in_doc) and dawg is not None and (
+        "-" in core or "/" in core
+    ):
+        parts = [p for p in _COMPOUND_SPLIT.split(core)]
+        is_compound = all(
+            p and (dawg.accepts(p) or dawg.accepts(p.lower()))
+            for p in parts
+        ) and len(parts) >= 2
+    nonword = not (in_user or in_sys or in_doc or is_number or is_compound)
     c_ok = case_ok(core or text)
     # punc_is_ok = !nonword || valid_punctuation (adjust_word
     # dict.cpp:716): interior punctuation must pass the pattern probe
@@ -175,14 +195,18 @@ def adjust_word(
             else:
                 factor = PENALTY_DICT_CASE_OK
                 permuter = (
-                    DOC_DAWG_PERM
+                    COMPOUND_PERM
+                    if is_compound
+                    else DOC_DAWG_PERM
                     if in_doc
                     else USER_DAWG_PERM if in_user else SYSTEM_DAWG_PERM
                 )
         else:
             factor = PENALTY_DICT_CASE_BAD
             permuter = (
-                DOC_DAWG_PERM
+                COMPOUND_PERM
+                if is_compound
+                else DOC_DAWG_PERM
                 if in_doc
                 else USER_DAWG_PERM if in_user else SYSTEM_DAWG_PERM
             )
@@ -240,7 +264,8 @@ STOPPER_ALLOWABLE_CHARACTER_BADNESS = 3.0  # dict.cpp:117 (a sigma count)
 
 _VALID_WORD_PERMUTERS = frozenset(
     # valid_word_permuter(perm, numbers_ok=false), dict.h:435-439
-    {SYSTEM_DAWG_PERM, FREQ_DAWG_PERM, USER_DAWG_PERM, USER_PATTERN_PERM}
+    {SYSTEM_DAWG_PERM, FREQ_DAWG_PERM, USER_DAWG_PERM, USER_PATTERN_PERM,
+     COMPOUND_PERM, DOC_DAWG_PERM}
 )
 
 
@@ -285,10 +310,6 @@ def uniform_certainties(
     return word_certainty >= threshold
 
 
-# "doc_dawg" also counts as a valid word in AcceptableChoice via its
-# permuter check once DOC_DAWG_PERM exists (dict.h:437 lists it)
-
-
 def acceptable_choice(
     text: str,
     certainty: float,
@@ -304,7 +325,7 @@ def acceptable_choice(
     so xheight_consistency = XH_GOOD."""
     if not text:
         return False
-    is_valid = permuter in _VALID_WORD_PERMUTERS or permuter == "doc_dawg"
+    is_valid = permuter in _VALID_WORD_PERMUTERS
     threshold = STOPPER_NONDICT_CERTAINTY_BASE
     if is_valid and case_ok(_core(text) or text):
         ws = max(0, _shortest_alpha_run(text) - STOPPER_SMALLWORD_SIZE)
@@ -323,8 +344,6 @@ def acceptable_choice(
 # (Dict::add_document_word dict.cpp:648-708; document_words_ /
 # pending_words_ tries probed by def_letter_is_okay)
 # ---------------------------------------------------------------------------
-
-DOC_DAWG_PERM = "doc_dawg"
 
 K_DOC_DICT_MAX_REP_CHARS = 4  # dict.h:73
 # doc_dict_pending/certainty_threshold (dict.cpp:136-138: 0.0 / -2.25)

@@ -450,3 +450,20 @@ def test_dangerous_ambig_veto():
     # 'wornan' is one rn->m from 'woman' (reverse direction too)
     assert has_dangerous_ambig("wornan", d)
     assert not has_dangerous_ambig("plainly", d)
+
+
+def test_number_patterns_and_compounds():
+    from tesseract_spark.lstm.langmodel import COMPOUND_PERM
+
+    # the number dawg's pattern shape: separators inside digits
+    assert adjust_word("3.14", 0.1).permuter == NUMBER_PERM
+    assert adjust_word("12,000", 0.1).permuter == NUMBER_PERM
+    assert adjust_word("1.a", 0.1).permuter == NO_PERM
+    # hyphen/slash compounds of dictionary parts keep COMPOUND_PERM
+    d = _dawg(["mother", "in", "law", "and", "or"])
+    a = adjust_word("mother-in-law", 0.1, dawg=d)
+    assert a.permuter == COMPOUND_PERM
+    assert a.adjust_factor == PENALTY_DICT_CASE_OK
+    assert adjust_word("and/or", 0.1, dawg=d).permuter == COMPOUND_PERM
+    # a compound with a non-dict part is not a compound
+    assert adjust_word("mother-in-lax", 0.1, dawg=d).permuter == NO_PERM
