@@ -842,6 +842,44 @@ def analyze_page(
     ink, v_vecs, h_vecs, music_mask = find_and_remove_lines(
         ink, dpi, protect=deva_mask if deva_split else None
     )
+    if not v_vecs and not h_vecs and music_mask is None:
+        # skew retry: a thin rule on a sheared page staircases into
+        # short segments the straight-run morphology cannot see (a 1px
+        # rule at slope s has runs of ~1/|s| px per row).  Estimate the
+        # shear from the components, re-run the finder on a DESKEWED
+        # copy, and map the removed pixels and boxes back through the
+        # exact integer shear (unshear with the negated slope inverts
+        # the quantized column shifts exactly).  Straight pages never
+        # reach this (skew 0); sheared rule-less pages pay one extra
+        # lazily-gated pass.  The reference tolerates slope later, at
+        # TabVector fitting — this engine's quantized-shear model makes
+        # the deskew-retry the faithful equivalent.
+        _lr, _nr, st_r = label_and_stats(ink)
+        _sk = estimate_skew(st_r)
+        if _sk != 0.0:
+            _desk = unshear(ink, _sk)
+            _clean2, v2, h2, music2 = find_and_remove_lines(
+                _desk, dpi, protect=None
+            )
+            if v2 or h2 or music2 is not None:
+                removed = _desk & ~_clean2
+                ink = ink & ~unshear(removed, -_sk)
+
+                def _shear_box(b):
+                    l, t, r, bb = b
+                    sh = [round(_sk * l), round(_sk * max(l, r - 1))]
+                    return (l, t + min(sh), r, bb + max(sh))
+
+                v_vecs = [
+                    type(v)(kind=v.kind, bbox=_shear_box(v.bbox))
+                    for v in v2
+                ]
+                h_vecs = [
+                    type(h)(kind=h.kind, bbox=_shear_box(h.bbox))
+                    for h in h2
+                ]
+                if music2 is not None:
+                    music_mask = unshear(music2, -_sk)
     res.v_rules, res.h_rules = len(v_vecs), len(h_vecs)
     res.has_music = music_mask is not None
     pre_regions: list[Region] = [

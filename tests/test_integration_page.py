@@ -1,0 +1,93 @@
+"""Integration goldens: many features interacting on ONE page.
+
+Each engine feature has its own golden; real documents stack them.
+These pages combine skew + rules + photos + indentation + noise +
+scale + a second column and must decode EXACTLY — any interaction bug
+between the passes (deskew before rule removal, photo mask vs column
+DP, noise filtering vs small glyphs) breaks span equality."""
+
+import numpy as np
+import pytest
+
+from tesseract_spark.functions.compose import PageSpec, compose_page
+from tesseract_spark.operators.legacy import recognize_page_legacy
+from tesseract_spark.operators.recognize import recognize_page
+
+
+def _texts(spans):
+    return [(s.kind, s.text) for s in spans]
+
+
+def test_everything_page_decodes_exactly():
+    spec = PageSpec(
+        paragraphs=[
+            ["the quick brown fox", "jumps over the dog"],
+            ["second paragraph here", "with more words"],
+            ["a third paragraph too"],
+        ],
+        indent_paras=(1,),
+        rules=(0,),
+        photos=((1, 60, 44),),
+        noise_dots=6,
+        skew=0.02,
+        scale=2,
+    )
+    page = compose_page(spec)
+    spans, layout = recognize_page(page.image, spec.dpi)
+    assert _texts(spans) == page.golden
+    assert layout.h_rules >= 1
+
+
+def test_everything_page_with_dictionary():
+    from tesseract_spark.lstm.dawg import Dawg
+    from tesseract_spark.lstm.templates import get_net
+
+    spec = PageSpec(
+        paragraphs=[
+            ["the quick brown fox", "jumps over the dog"],
+            ["second paragraph here"],
+        ],
+        rules=(0,),
+        noise_dots=4,
+        skew=-0.02,
+    )
+    page = compose_page(spec)
+    words = sorted(
+        {w for _k, t in page.golden if t for w in t.split() if w.isalpha()}
+    )
+    dawg = Dawg(get_net().charset, words)
+    spans, _ = recognize_page(page.image, spec.dpi, dawg=dawg)
+    assert _texts(spans) == page.golden
+
+
+def test_everything_page_two_columns():
+    spec = PageSpec(
+        paragraphs=[
+            ["left column text", "more left words"],
+            ["left second para"],
+        ],
+        column2=[["right column text", "other right words"]],
+        noise_dots=3,
+        scale=2,
+    )
+    page = compose_page(spec)
+    spans, _ = recognize_page(page.image, spec.dpi)
+    assert _texts(spans) == page.golden
+
+
+def test_everything_page_engines_agree():
+    # the BasicTesseractTest contract under stacked stress: legacy and
+    # template engines read the same text from the same busy page
+    spec = PageSpec(
+        paragraphs=[
+            ["the quick brown fox", "jumps over the dog"],
+            ["second paragraph here"],
+        ],
+        rules=(0,),
+        noise_dots=4,
+    )
+    page = compose_page(spec)
+    lstm_spans, _ = recognize_page(page.image, spec.dpi)
+    legacy_spans, _ = recognize_page_legacy(page.image, spec.dpi)
+    assert legacy_spans == _texts(lstm_spans)
+    assert _texts(lstm_spans) == page.golden
