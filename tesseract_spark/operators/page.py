@@ -839,6 +839,7 @@ def analyze_page(
     from .linefind import find_and_remove_lines, find_images
     from .superscript import find_script_segments
 
+    _cc_cache = None
     ink, v_vecs, h_vecs, music_mask = find_and_remove_lines(
         ink, dpi, protect=deva_mask if deva_split else None
     )
@@ -855,7 +856,10 @@ def analyze_page(
         # TabVector fitting — this engine's quantized-shear model makes
         # the deskew-retry the faithful equivalent.
         _lr, _nr, st_r = label_and_stats(ink)
-        _sk = estimate_skew(st_r)
+        # reusable downstream while the ink is untouched (the common
+        # sheared text page pays for this labeling ONCE)
+        _cc_cache = (_lr, _nr, st_r)
+        _sk = estimate_skew(st_r[:_nr])
         if _sk != 0.0:
             _desk = unshear(ink, _sk)
             _clean2, v2, h2, music2 = find_and_remove_lines(
@@ -864,6 +868,7 @@ def analyze_page(
             if v2 or h2 or music2 is not None:
                 removed = _desk & ~_clean2
                 ink = ink & ~unshear(removed, -_sk)
+                _cc_cache = None
 
                 def _shear_box(b):
                     l, t, r, bb = b
@@ -888,6 +893,7 @@ def analyze_page(
     photo_mask = find_images(ink)
     if photo_mask.any():
         ink = ink & ~photo_mask
+        _cc_cache = None
     if music_mask is not None:
         photo_mask = photo_mask | music_mask
     if photo_mask.any():
@@ -907,7 +913,10 @@ def analyze_page(
         res.regions = regions
         return res
 
-    labels, n, stats = label_and_stats(ink)
+    if _cc_cache is not None:
+        labels, n, stats = _cc_cache
+    else:
+        labels, n, stats = label_and_stats(ink)
 
     # underline/overline separation (makerow.cpp:1771 separate_underlines
     # + underlin.cpp restore): bars merged with character ink are erased
