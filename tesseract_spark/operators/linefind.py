@@ -344,24 +344,43 @@ def _filter_music(
     return music
 
 
-def _vectors_of(line_pix: np.ndarray, kind: str) -> list[LineVector]:
+def _vectors_of(
+    line_pix: np.ndarray, kind: str, ink: np.ndarray | None = None
+) -> list[LineVector]:
     """Remaining line-mask CCs -> frozen line vectors, with collinear
     segments merged into one logical separator (the reference builds
     TabVectors from the same boxes then merges them,
     TabVector::MergeSimilarTabVectors at linefind.cpp:614,650 — a rule
-    broken by dense ink crossings is still ONE rule)."""
+    broken by dense ink crossings is still ONE rule).
+
+    Two collinear segments merge only when the gap between them is
+    CROSSED by ink (the striking glyph that broke the rule, the pixels
+    SubtractLinesAndResidue later restores): an EMPTY gap means two
+    separate separators — e.g. the per-column rules of a two-column
+    page must not fuse across the gutter."""
     _lab, n, stats = label_and_stats(line_pix)
     segs = [
         [int(l), int(t), int(r), int(b)] for l, t, r, b, _a in stats[:n]
     ]
-    # sort along the line direction; merge segments whose cross-direction
-    # bands overlap (collinear) regardless of the along-direction gap
     lo, hi = (1, 3) if kind == "h" else (0, 2)  # cross-direction interval
-    segs.sort(key=lambda s: (s[lo], s[hi]))
+    al, ah = (0, 2) if kind == "h" else (1, 3)  # along-direction interval
+    segs.sort(key=lambda s: (s[lo], s[hi], s[al]))
     merged: list[list[int]] = []
     for s in segs:
         for m in merged:
-            if s[lo] < m[hi] and s[hi] > m[lo]:  # cross-bands overlap
+            if not (s[lo] < m[hi] and s[hi] > m[lo]):
+                continue  # not collinear
+            g0, g1 = min(m[ah], s[ah]), max(m[al], s[al])
+            gap_ok = g1 <= g0  # overlapping/abutting along the line
+            if not gap_ok and ink is not None:
+                b0, b1 = min(m[lo], s[lo]), max(m[hi], s[hi])
+                if kind == "h":
+                    gap_ok = bool(ink[b0:b1, g0:g1].any())
+                else:
+                    gap_ok = bool(ink[g0:g1, b0:b1].any())
+            elif not gap_ok:
+                gap_ok = True  # no ink supplied: legacy permissive merge
+            if gap_ok:
                 m[0], m[1] = min(m[0], s[0]), min(m[1], s[1])
                 m[2], m[3] = max(m[2], s[2]), max(m[3], s[3])
                 break
@@ -493,7 +512,7 @@ def find_and_remove_lines(
     v_vectors: list[LineVector] = []
     h_vectors: list[LineVector] = []
     if not v_empty:
-        v_vectors = _vectors_of(vline, "v")
+        v_vectors = _vectors_of(vline, "v", ink=src)
         _subtract_lines_and_residue(src, vline, non_vline)
     if not h_empty:
         # re-filter h candidates against fresh intersections
@@ -501,7 +520,7 @@ def find_and_remove_lines(
         if not v_empty:
             inter = vline & hline
             _il, _inn, inter_stats = label_and_stats(inter)
-        h_vectors = _vectors_of(hline, "h")
+        h_vectors = _vectors_of(hline, "h", ink=src)
         _subtract_lines_and_residue(src, hline, non_hline)
     if not v_empty and not h_empty:
         # remove crossing-join residue (linefind.cpp:730-741)

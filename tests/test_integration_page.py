@@ -91,3 +91,34 @@ def test_everything_page_engines_agree():
     legacy_spans, _ = recognize_page_legacy(page.image, spec.dpi)
     assert legacy_spans == _texts(lstm_spans)
     assert _texts(lstm_spans) == page.golden
+
+
+def test_everything_page_pullout_rules_per_column():
+    # per-column rules under a pullout heading: the collinear rules of
+    # the two columns must stay TWO separators (the merge criterion is
+    # an ink-crossed gap, and the gutter gap is empty)
+    spec = PageSpec(
+        paragraphs=[
+            ["left body text", "more left here", "third left line"],
+        ],
+        column2=[
+            ["right body text", "right second line", "third right line"],
+        ],
+        pullout_lines=["wide heading line"],
+        rules=(0,),
+    )
+    page = compose_page(spec)
+    spans, layout = recognize_page(page.image, spec.dpi)
+    assert _texts(spans) == page.golden
+    assert layout.h_rules == 2
+
+
+def test_everything_page_inverted_photo():
+    spec = PageSpec(
+        paragraphs=[["first paragraph text", "second line here"]],
+        photos=((0, 60, 44),),
+        inverted=True,
+    )
+    page = compose_page(spec)
+    spans, _ = recognize_page(page.image, spec.dpi)
+    assert _texts(spans) == page.golden
