@@ -122,3 +122,36 @@ def test_everything_page_inverted_photo():
     page = compose_page(spec)
     spans, _ = recognize_page(page.image, spec.dpi)
     assert _texts(spans) == page.golden
+
+
+def test_superscript_and_underline_together():
+    # a footnote marker on an underlined phrase: the split/re-recognize
+    # marker pass and the underline separation must not disturb each
+    # other — text exact, marker flagged, underline attributed to the
+    # words over the bar only
+    from tesseract_spark.functions.fonts import BASELINE, mask_to_gray, render_line
+    from tesseract_spark.operators.recognize import recognize_page_detail
+
+    def paste(c, m, y, x):
+        c[y : y + m.shape[0], x : x + m.shape[1]] |= m
+
+    canvas = np.zeros((110, 680), dtype=bool)
+    part1 = render_line("the speaker", scale=2)
+    marker = render_line("21", scale=1)
+    part2 = render_line("said", scale=2)
+    x0, y0 = 40, 30
+    paste(canvas, part1, y0, x0)
+    xm = x0 + part1.shape[1] + 2
+    paste(canvas, marker, y0 + 4, xm)
+    paste(canvas, part2, y0, xm + marker.shape[1] + 12)
+    uy = y0 + BASELINE * 2 + 1
+    canvas[uy : uy + 3, x0 - 2 : x0 + part1.shape[1] + 2] = True
+    spans, words, layout = recognize_page_detail(mask_to_gray(canvas))
+    assert [(s.kind, s.text) for s in spans] == [
+        ("text", "the speaker21 said")
+    ]
+    flags = {w.text: (w.script_pos, w.underlined) for w in words}
+    assert flags["speaker21"] == ("trail:super:2", 1)
+    assert flags["the"] == ("", 1)
+    assert flags["said"] == ("", 0)
+    assert layout.n_underlines == 1
