@@ -57,12 +57,22 @@ def _flow_gap(stats: np.ndarray, groups: list[np.ndarray], axis: int) -> float:
     return float(np.median(gaps)) if gaps else float("inf")
 
 
+def _filter_specks(stats: np.ndarray) -> np.ndarray:
+    """Drop 1-2 px specks before direction detection and column
+    clustering — the vertical check runs on FILTERED blobs in the
+    reference too (after filter_blobs); a few dust pixels must not
+    spawn phantom columns or flip the flow-direction vote.  Glyph dots
+    (i/j) are 4+ px and stay."""
+    return stats[stats[:, 4] > 2]
+
+
 def is_vertical_page(stats: np.ndarray) -> bool:
     """True when text flows vertically: glyphs pack tighter along y
     within x-band columns than along x within y-band rows — the
     direction test of the reference's vertical check
     (pagesegmain.cpp:272-413), expressed on box statistics.  Both
     clusterings must produce real runs (>= 3-glyph medians) to vote."""
+    stats = _filter_specks(stats)
     if len(stats) < 4:
         return False
     rows = _cluster_rows(stats)
@@ -206,6 +216,7 @@ def recognize_vertical_page(gray: np.ndarray) -> list[str]:
     if not ink.any():
         return []
     _labels, _n, stats = label_and_stats(ink)
+    stats = _filter_specks(stats)
     cols = _cluster_columns(stats)
     # reading order: right-to-left by column center x
     cols.sort(key=lambda g: -float((stats[g, 0] + stats[g, 2]).mean() / 2))

@@ -95,3 +95,18 @@ def test_cjk_pitch_ignores_same_cell_fragment_pitches():
     pitch, cells = cjk_pitch_cells(tops, bottoms)
     assert 18 <= pitch <= 22, pitch
     assert [sorted(c) for c in cells] == [[0, 1], [2, 3], [4, 5], [6, 7]]
+
+
+def test_vertical_survives_noise_specks():
+    # dust pixels must neither spawn phantom columns nor flip the
+    # flow-direction verdict (the speck filter mirrors the page
+    # stage's noise grading; glyph dots are 4+ px and stay)
+    gray = compose_vertical(["table", "sort", "key"])
+    rng = np.random.RandomState(3)
+    g = gray.copy()
+    ys = rng.randint(0, g.shape[0], 5)
+    xs = rng.randint(0, g.shape[1], 5)
+    g[ys, xs] = 0
+    stats = label_and_stats(binarize_otsu(g))[2]
+    assert is_vertical_page(stats)
+    assert recognize_vertical_page(g) == ["table", "sort", "key"]
