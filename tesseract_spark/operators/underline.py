@@ -24,6 +24,15 @@ drops any far-side fragments left disconnected — the analogue of the
 reference keeping chopped character cells and discarding residual
 underline pieces.
 
+Sloped bars: the reference's find_underlined_blobs fits a QUADRATIC
+baseline under the blob (underlin.cpp:155-190 QSPLINE), so a bar on a
+skewed page is separated as naturally as a flat one.  This pass runs
+before the page deskew, so it gets the same power from a quantized
+shear search (the page's own shear model, operators.page.SKEW_GRID):
+when the flat-frame band test fails on a wide component, the component
+is locally unsheared at the peak-projection slope and the band test,
+erase and restore all run in that frame before shearing the edits back.
+
 Divergence note: the reference runs this after row construction with the
 row's fitted baseline; here it runs on the page mask before rows exist,
 using each component's own projection structure in place of the baseline
@@ -92,6 +101,96 @@ def _restore_component(
     return seedfill(seed, out)
 
 
+def _detect_band(comp: np.ndarray) -> tuple[str, int, int, bool] | None:
+    """Run the band tests on one component mask.  Returns
+    ``(kind, bt, be, overline)`` with kind ``'bar'`` (the component IS a
+    free-standing bar) or ``'merged'`` (band rows [bt, be) of a merged
+    bar+character component), or None.  ``comp`` may be a padded frame
+    (the sloped retry's unsheared window) — positional gates use the ink
+    extent, not the array height."""
+    w = comp.shape[1]
+    proj = comp.sum(axis=1)
+    ink_rows = np.flatnonzero(proj)
+    if ink_rows.size == 0:
+        return None
+    y0, hi = int(ink_rows[0]), int(ink_rows[-1]) + 1 - int(ink_rows[0])
+    band = proj >= UNDERLINE_THRESHOLD * w
+    runs = _band_runs(band)
+    if not runs:
+        return None
+    # the pure-bar case: the whole component IS the band
+    # (separate_underlines pulling a free-standing underline out of
+    # the text stream; _grade_blobs only catches the page-wide ones)
+    if all(band[proj > 0]):
+        if hi <= 6 and w >= 8 * hi:
+            return ("bar", y0, y0 + hi, False)
+        return None
+    # merged case: try the bottom-most run as an underline, the
+    # top-most as an overline (test_underline checks both sides)
+    for bt, be, overline in ((*runs[-1], False), (*runs[0], True)):
+        if be - bt > MAX_BAND_FRACTION * hi:
+            continue
+        # trim the run to its flat near-full-width core: the bar rows
+        # themselves.  Divergence note vs blkocc.cpp:99's pure 2x
+        # occupancy ratio: a word whose every glyph carries a dense
+        # body row projects ~the glyph-width sum at that row, and on
+        # an all-descender line that inflates x_occ past the 2x gate;
+        # the flatness requirement separates the bar (continuous
+        # across gaps) from glyph rows (broken at kerning/word gaps).
+        core = np.flatnonzero(proj[bt:be] >= FLAT_FRACTION * w)
+        if core.size == 0:
+            continue
+        bt2, be2 = bt + int(core[0]), bt + int(core[-1]) + 1
+        # positional gate: an underline band lives in the lower half
+        # of the merged component, an overline in the upper half
+        if overline and be2 - y0 > 0.5 * hi:
+            continue
+        if not overline and bt2 - y0 < 0.5 * hi:
+            continue
+        outside = proj.copy()
+        outside[bt2:be2] = 0
+        x_occ = int(outside.max())
+        band_max = int(proj[bt2:be2].max())
+        if band_max <= 1.5 * x_occ:  # blkocc.cpp:99, relaxed (above)
+            continue
+        # character ink must exist on the character side of the band
+        char_rows = int((outside[be2:] > 0).sum()) if overline else int(
+            (outside[:bt2] > 0).sum()
+        )
+        if char_rows < 2:
+            continue
+        return ("merged", bt2, be2, overline)
+    return None
+
+
+def _best_bar_slope(comp: np.ndarray, l: int) -> tuple[float, int]:
+    """Quantized shear slope maximizing the peak row projection of the
+    locally-unsheared component — a sloped bar flattens to ~full width
+    at the page's true shear (the exact integer inverse of the render
+    model, so the retry frame is as clean as a flat page's)."""
+    from .page import SKEW_GRID
+
+    ys, xs = np.nonzero(comp)
+    xs_abs = xs + l
+
+    def conc(rows: np.ndarray) -> int:
+        # Σh² histogram concentration (estimate_skew's criterion): a bare
+        # peak ties across neighbouring grid slopes once one row fills,
+        # but only the true slope stacks EVERY bar row to full width
+        h = np.bincount(rows - rows.min())
+        return int((h.astype(np.int64) ** 2).sum())
+
+    best_slope, best_score = 0.0, conc(ys)
+    for slope in SKEW_GRID:
+        if slope == 0.0:
+            continue
+        sh = -np.round(slope * xs_abs).astype(np.int64)
+        score = conc(ys + sh)
+        if score > best_score:
+            best_slope, best_score = float(slope), score
+    return best_slope, best_score
+
+
 def separate_underlines_page(
     ink: np.ndarray,
     labels: np.ndarray,
@@ -114,62 +213,50 @@ def separate_underlines_page(
         if w < WIDE_MULT * h or w < 16 or h < 2:
             continue
         comp = labels[t:b, l:r] == i + 1
-        proj = comp.sum(axis=1)
-        band = proj >= UNDERLINE_THRESHOLD * w
-        runs = _band_runs(band)
-        if not runs:
+        hit = _detect_band(comp)
+        sh = None  # per-column unshear shifts of the sloped retry
+        if hit is None and w >= 48:
+            # sloped-bar retry (underlin.cpp's QSPLINE fit handles sloped
+            # bars natively; pre-deskew, the shear search is the analogue)
+            slope, _peak = _best_bar_slope(comp, l)
+            if slope != 0.0:
+                sh = -np.round(slope * (l + np.arange(w))).astype(np.int64)
+                sh -= sh.min()
+                frame = np.zeros((h + int(sh.max()), w), dtype=bool)
+                rows = np.arange(h)[:, None] + sh[None, :]
+                cols = np.broadcast_to(np.arange(w), (h, w))
+                frame[rows, cols] = comp
+                hit = _detect_band(frame)
+                if hit is not None:
+                    comp_frame, frame_rows, frame_cols = frame, rows, cols
+        if hit is None:
             continue
-        # the pure-bar case: the whole component IS the band
-        # (separate_underlines pulling a free-standing underline out of
-        # the text stream; _grade_blobs only catches the page-wide ones)
-        if all(band[proj > 0]):
-            if h <= 6 and w >= 8 * h:
-                ink[t:b, l:r] &= ~comp
-                n_found += 1
-                if bars is not None:
-                    bars.append((l, t, r, b))
-            continue
-        # merged case: try the bottom-most run as an underline, the
-        # top-most as an overline (test_underline checks both sides)
-        for bt, be, overline in ((*runs[-1], False), (*runs[0], True)):
-            if be - bt > MAX_BAND_FRACTION * h:
-                continue
-            # trim the run to its flat near-full-width core: the bar rows
-            # themselves.  Divergence note vs blkocc.cpp:99's pure 2x
-            # occupancy ratio: a word whose every glyph carries a dense
-            # body row projects ~the glyph-width sum at that row, and on
-            # an all-descender line that inflates x_occ past the 2x gate;
-            # the flatness requirement separates the bar (continuous
-            # across gaps) from glyph rows (broken at kerning/word gaps).
-            core = np.flatnonzero(proj[bt:be] >= FLAT_FRACTION * w)
-            if core.size == 0:
-                continue
-            bt2, be2 = bt + int(core[0]), bt + int(core[-1]) + 1
-            # positional gate: an underline band lives in the lower half
-            # of the merged component, an overline in the upper half
-            if overline and be2 > 0.5 * h:
-                continue
-            if not overline and bt2 < 0.5 * h:
-                continue
-            outside = proj.copy()
-            outside[bt2:be2] = 0
-            x_occ = int(outside.max())
-            band_max = int(proj[bt2:be2].max())
-            if band_max <= 1.5 * x_occ:  # blkocc.cpp:99, relaxed (above)
-                continue
-            # character ink must exist on the character side of the band
-            char_rows = int((outside[be2:] > 0).sum()) if overline else int(
-                (outside[:bt2] > 0).sum()
-            )
-            if char_rows < 2:
-                continue
-            bt, be = bt2, be2
-            restored = _restore_component(comp, bt, be, overline)
+        kind, bt, be, overline = hit
+        if kind == "bar":
             ink[t:b, l:r] &= ~comp
-            if restored is not None:
-                ink[t:b, l:r] |= restored
             n_found += 1
             if bars is not None:
+                bars.append((l, t, r, b))
+            continue
+        if sh is None:
+            restored = _restore_component(comp, bt, be, overline)
+        else:
+            rest_frame = _restore_component(comp_frame, bt, be, overline)
+            # shear the restored characters back into the page frame
+            restored = (
+                None
+                if rest_frame is None
+                else rest_frame[frame_rows, frame_cols]
+            )
+        ink[t:b, l:r] &= ~comp
+        if restored is not None:
+            ink[t:b, l:r] |= restored
+        n_found += 1
+        if bars is not None:
+            if sh is None:
                 bars.append((l, t + bt, r, t + be))
-            break
+            else:
+                bars.append(
+                    (l, max(t, t + bt - int(sh.max())), r, min(b, t + be))
+                )
     return n_found

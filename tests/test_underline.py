@@ -165,3 +165,42 @@ def test_underline_restore_pixel_budget():
     # and no bar residue survives outside the glyphs
     extra = (page & ~orig).sum()
     assert extra <= 0.02 * orig.sum()
+
+
+def _shear(page, skew):
+    H, W = page.shape
+    shifts = np.round(skew * np.arange(W)).astype(np.int64)
+    pad = int(abs(shifts).max()) + 1
+    out = np.zeros((H + 2 * pad, W), bool)
+    for x in range(W):
+        out[pad + shifts[x] : pad + shifts[x] + H, x] = page[:, x]
+    return out
+
+
+@pytest.mark.parametrize("skew", [0.02, -0.03])
+def test_sloped_merged_underline_decodes(skew):
+    """A merged full-line underline on a SKEWED page: the flat band test
+    fails in the page frame, the quantized-shear retry (underlin.cpp's
+    sloped-baseline power) recovers it — exact decode, bar counted."""
+    page = _shear(_underlined_page("justify gap", gap=1), skew)
+    spans, layout = recognize_page(mask_to_gray(page), 300)
+    assert [(s.kind, s.text) for s in spans] == [("text", "justify gap")]
+    assert layout.n_underlines == 1
+    assert layout.h_rules == 0
+
+
+def test_sloped_merged_overline_matches_flat():
+    """The mirrored case under skew is CONSISTENT with the flat page:
+    the short merged overline goes to whichever path claims it on the
+    flat page (here the rule path, via the deskew retry) and the text
+    underneath restores exactly either way."""
+    flat = _word_bar_page("the title word follows", "title", gap=0, over=True)
+    got = []
+    for page in (flat, _shear(flat, 0.02)):
+        spans, layout = recognize_page(mask_to_gray(page), 300)
+        got.append(
+            ([(s.kind, s.text) for s in spans], layout.h_rules,
+             layout.n_underlines)
+        )
+    assert got[0] == got[1]
+    assert got[0][0] == [("media", ""), ("text", "the title word follows")]
