@@ -190,29 +190,52 @@ def recognize_page_auto(gray: np.ndarray, dpi: int = 300, dawg=None):
     (pagesegmain.cpp:272-413) and route to the vertical column reader or
     the standard horizontal pipeline.  Returns (spans, layout|None) in
     recognize_page's span shape; vertical pages emit one text span per
-    column (right-to-left)."""
+    column (right-to-left).
+
+    Separator rules are removed BEFORE the vertical check — the
+    reference's SegmentPage order (FindLines precedes AutoPageSeg,
+    pagesegmain.cpp:204-270): a full-height vertical rule between text
+    columns is one page-tall component that corrupts the x/y-band
+    clustering vote and flips the verdict.  Removed rules surface as
+    media spans after the text columns.  find_and_remove_lines is
+    lazily gated, so rule-less pages pay almost nothing extra."""
+    from .linefind import find_and_remove_lines
     from .recognize import SubSpan, recognize_page
 
     ink = binarize_otsu(gray)
     if ink.any():
-        _labels, _n, stats = label_and_stats(ink)
-        if is_vertical_page(stats):
-            texts = recognize_vertical_page(gray)
-            spans = [
-                SubSpan("text", t, 100.0 if t else 0.0, 1, 1) for t in texts
-            ]
-            return spans, None
+        clean, v_vecs, h_vecs, music = find_and_remove_lines(ink.copy(), dpi)
+        n_rules = len(v_vecs) + len(h_vecs)
+        base = clean if (n_rules or music is not None) else ink
+        if base.any():
+            _labels, _n, stats = label_and_stats(base)
+            if is_vertical_page(stats):
+                texts = recognize_vertical_page(gray, ink=base)
+                spans = [
+                    SubSpan("text", t, 100.0 if t else 0.0, 1, 1)
+                    for t in texts
+                ]
+                spans += [
+                    SubSpan("media", "", 0.0, 1, 1) for _ in range(n_rules)
+                ]
+                return spans, None
     return recognize_page(gray, dpi, dawg)
 
 
-def recognize_vertical_page(gray: np.ndarray) -> list[str]:
+def recognize_vertical_page(
+    gray: np.ndarray, ink: np.ndarray | None = None
+) -> list[str]:
     """Decode a vertical page: columns right-to-left, each column's
     upright glyph cells re-laid into a horizontal strip and decoded by
     the template bank (greedy CTC; no spaces — CJK columns have none).
 
+    ``ink``: optional pre-cleaned binary mask (the auto router passes
+    its rule-removed mask so separators never reach the cell grid).
+
     Returns one text string per column in reading order."""
     net = get_net()
-    ink = binarize_otsu(gray)
+    if ink is None:
+        ink = binarize_otsu(gray)
     if not ink.any():
         return []
     _labels, _n, stats = label_and_stats(ink)

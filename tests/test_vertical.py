@@ -110,3 +110,30 @@ def test_vertical_survives_noise_specks():
     stats = label_and_stats(binarize_otsu(g))[2]
     assert is_vertical_page(stats)
     assert recognize_vertical_page(g) == ["table", "sort", "key"]
+
+
+def test_vertical_with_separator_rule():
+    """A full-height vertical rule between two vertical text columns:
+    the reference removes lines BEFORE the page-segmentation vertical
+    check (pagesegmain.cpp:204-270), so the page still routes vertical,
+    both columns decode, and the rule surfaces as a media span."""
+    gray = compose_vertical(["table", "sort"], colspace=60)
+    mask = gray < 128
+    H, _W = mask.shape
+    xs = np.flatnonzero(mask.any(axis=0))
+    gaps, run = [], None
+    for x in range(xs.min(), xs.max()):
+        if not mask[:, x].any():
+            run = run or [x, x]
+            run[1] = x
+        elif run:
+            gaps.append(tuple(run))
+            run = None
+    gl, gr = max(gaps, key=lambda g: g[1] - g[0])
+    mask[4 : H - 4, (gl + gr) // 2 : (gl + gr) // 2 + 3] = True
+    spans, _layout = recognize_page_auto(mask_to_gray(mask))
+    assert [(s.kind, s.text) for s in spans] == [
+        ("text", "table"),
+        ("text", "sort"),
+        ("media", ""),
+    ]
