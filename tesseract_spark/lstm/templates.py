@@ -289,6 +289,39 @@ class TemplateNet:
             else np.zeros(0, dtype=np.float32)
         )
         keep = best_frac >= BLANK_SCORE
+        if n_cand and not keep.all():
+            # ±1-row vertical jitter tolerance: the page deskew is a
+            # quantized shear, so individual glyphs can sit one row off
+            # the row baseline (round(s*x) disagreeing across a word at
+            # the residual slope) — the reference's integer matcher
+            # absorbs this via its quantized feature displacement
+            # tolerance (intmatcher.cpp evidence lookup spans
+            # neighbouring quantized positions).  Only candidates that
+            # FAILED the static gate retry on shifted windows, so clean
+            # pages pay nothing.
+            fail = np.flatnonzero(~keep)
+            fxs = cand_xs[fail]
+            zero_row = np.zeros((1, W), dtype=strip.dtype)
+            for shifted in (
+                np.vstack([strip[1:], zero_row]),  # glyph one row low
+                np.vstack([zero_row, strip[:-1]]),  # glyph one row high
+            ):
+                _c2, sc2 = self.match_scores(shifted, fxs)
+                for w, (idxs, _f) in self.by_width.items():
+                    sc = sc2[w]
+                    if not sc.size:
+                        continue
+                    np.maximum.at(
+                        vec_all, (idxs[:, None], fail[None, :]), sc
+                    )
+                    exact = (sc >= 0.999).any(axis=0)
+                    widest_exact[fail] = np.where(
+                        exact & (w > widest_exact[fail]),
+                        w,
+                        widest_exact[fail],
+                    )
+            best_frac = vec_all[: self.space_code].max(axis=0)
+            keep = best_frac >= BLANK_SCORE
         best_codes = (
             vec_all[: self.space_code].argmax(axis=0)
             if n_cand

@@ -140,8 +140,15 @@ def _grade_blobs(stats: np.ndarray) -> np.ndarray:
     return grade
 
 
-def estimate_skew(stats: np.ndarray) -> float:
+def estimate_skew(stats: np.ndarray, with_ambiguity: bool = False):
     """Quantized shear slope maximizing blob top/bottom alignment.
+
+    ``with_ambiguity``: also return whether a grid NEIGHBOUR of the
+    winner scored within 90% of it — the sparse-page regime (few tiny
+    blobs over a short x-range) where bbox edge shifts cannot separate
+    adjacent slopes and the caller should refine at pixel level.  On
+    ordinary pages the winner is decisive (neighbour ratios ≤ ~0.6
+    across the corpus; the ambiguous fixture reads 0.98).
 
     Histogram-concentration (Σh²) grid search over SKEW_GRID on shear-
     corrected blob bottoms AND tops (both are baseline-/x-height-aligned;
@@ -151,7 +158,7 @@ def estimate_skew(stats: np.ndarray) -> float:
     """
     stats = stats[stats[:, 4] >= 3]  # specks stay in the mask but don't vote
     if len(stats) < 2:
-        return 0.0
+        return (0.0, False) if with_ambiguity else 0.0
     lefts = stats[:, 0].astype(np.int64)
     rights = stats[:, 2].astype(np.int64) - 1
     bottoms = stats[:, 3].astype(np.int64)
@@ -190,7 +197,65 @@ def estimate_skew(stats: np.ndarray) -> float:
     order = sorted(
         range(k), key=lambda j: (-score[j], abs(float(SKEW_GRID[j])), j)
     )
-    return float(SKEW_GRID[order[0]])
+    j0 = order[0]
+    if not with_ambiguity:
+        return float(SKEW_GRID[j0])
+    nb = max(
+        score[j0 - 1] if j0 > 0 else 0.0,
+        score[j0 + 1] if j0 < k - 1 else 0.0,
+    )
+    return float(SKEW_GRID[j0]), bool(nb >= 0.9 * score[j0])
+
+
+def _refine_skew_pixels(mask: np.ndarray, skew: float) -> float:
+    """Choose among {skew, skew−step, skew+step} by the HORIZONTAL
+    ROUGHNESS of the unsheared ink — the column-to-column hamming
+    distance in the unsheared frame — keeping the bbox estimate on ties.
+
+    The bbox-based estimate_skew cannot separate grid-neighbouring
+    slopes on a short page (their integer edge shifts coincide), but an
+    off-by-one slope splits glyphs INTERNALLY at its rounding
+    boundaries (round(s·x) steps mid-glyph), leaving them unmatchable
+    downstream.  Roughness is decisive where row-histogram criteria are
+    not: the exact inverse restores the flat rendering's smooth glyph
+    outlines, and ANY residual differential shear adds a positive
+    hamming step wherever ink crosses a rounding boundary (pinned
+    empirically on the off-by-one corpus pages; Σh² concentration can
+    coincidentally stack dense rows of different glyphs and prefer the
+    wrong neighbour, and occupied-row counts can shrink under shear
+    when sparse glyph rows vacate).  Only sheared pages pay (three
+    XOR passes over the mask)."""
+    if not mask.any():
+        return skew
+    step = float(SKEW_GRID[1] - SKEW_GRID[0])
+    W = mask.shape[1]
+    a, b = mask[:, :-1], mask[:, 1:]
+    xr = np.arange(W)
+
+    def roughness(s: float) -> int:
+        sh = np.round(s * xr).astype(np.int64)
+        d = sh[1:] - sh[:-1]
+        cost = 0
+        for dv in np.unique(d):
+            cols = np.flatnonzero(d == dv)
+            bb = b[:, cols]
+            if dv > 0:
+                bb = np.vstack(
+                    [bb[dv:], np.zeros((dv, len(cols)), dtype=bool)]
+                )
+            elif dv < 0:
+                bb = np.vstack(
+                    [np.zeros((-dv, len(cols)), dtype=bool), bb[:dv]]
+                )
+            cost += int((a[:, cols] ^ bb).sum())
+        return cost
+
+    best, best_cost = skew, roughness(skew)
+    for s in (round(skew - step, 4), round(skew + step, 4)):
+        c = roughness(s)
+        if c < best_cost:
+            best, best_cost = s, c
+    return best
 
 
 def unshear(mask: np.ndarray, slope: float) -> np.ndarray:
@@ -961,8 +1026,7 @@ def analyze_page(
     # noise filtering must wait — reference order: Deskew tabfind.cpp:1287
     # precedes final grading), then unshear and re-extract.
     keep_idx = np.flatnonzero((grade == 0) | (grade == 1))
-    skew = estimate_skew(stats[keep_idx])
-    res.skew = skew + pre_skew  # total shear incl. the deva pre-pass
+    skew, skew_ambiguous = estimate_skew(stats[keep_idx], with_ambiguity=True)
 
     def mask_of(lbl: np.ndarray, count: int, idx: np.ndarray) -> np.ndarray:
         lut = np.zeros(count + 1, dtype=bool)
@@ -970,6 +1034,23 @@ def analyze_page(
         return lut[lbl]
 
     if skew != 0.0:
+        src_mask = mask_of(labels, n, keep_idx)
+        if skew_ambiguous:
+            # pixel-level tie-break between grid-neighbouring slopes: on
+            # a sparse page (few tiny blobs over a short x-range) the
+            # bbox vote cannot separate adjacent slopes, and an
+            # off-slope unshear shears glyphs INTERNALLY at its rounding
+            # boundaries (round(s*x) steps mid-glyph, unmatchable
+            # downstream).  Refinement runs ONLY when the bbox vote is
+            # ambiguous — on ordinary pages the bbox winner is both
+            # decisive and exact, and local pixel criteria are NOISIER
+            # than it (tiny-glyph diagonals can score a neighbour
+            # fractionally better), so an unconditional refine would
+            # break pages the estimator got right.
+            skew = _refine_skew_pixels(src_mask, skew)
+        res.skew = skew + pre_skew  # total shear incl. the deva pre-pass
+        text_mask = unshear(src_mask, skew)
+        labels, n, stats = label_and_stats(text_mask)
         # move media bboxes into the deskewed frame: each column's pixels
         # shift up by round(skew*x), so the region's new vertical extent is
         # bounded by the shifts at its two x edges
@@ -989,8 +1070,6 @@ def analyze_page(
             )
             for (l, t, r, b) in res.underline_bars
         ]
-        text_mask = unshear(mask_of(labels, n, keep_idx), skew)
-        labels, n, stats = label_and_stats(text_mask)
         grade = _grade_blobs(stats)
         text_idx = np.flatnonzero(grade == 0)
         if len(text_idx) < n:  # drop re-graded noise pixels from the strips

@@ -75,3 +75,36 @@ def test_page_with_fused_word_decodes():
     canvas[12:28, 10 + lead.shape[1] :][:, : fused.shape[1]] |= fused
     spans, _layout = recognize_page(mask_to_gray(canvas))
     assert [s.text for s in spans] == ["the big rn"]
+
+
+def test_one_row_glyph_jitter_tolerated():
+    """A glyph sitting one row off the strip baseline (residual
+    quantized-shear jitter the page deskew cannot always remove) still
+    decodes: failed static candidates retry on ±1-row-shifted windows —
+    the integer matcher's quantized displacement tolerance."""
+    import numpy as np
+
+    from tesseract_spark.functions.fonts import render_line
+    from tesseract_spark.lstm.ctc import greedy_decode
+    from tesseract_spark.lstm.templates import get_net
+
+    lm = render_line("brown fox", 1)
+    strip = np.zeros((16, lm.shape[1]), dtype=bool)
+    strip[: lm.shape[0]] = lm
+    net = get_net()
+    col_ink = strip.any(axis=0)
+    starts = np.flatnonzero(col_ink & np.r_[True, ~col_ink[:-1]])
+    ends = np.flatnonzero(col_ink & np.r_[~col_ink[1:], True]) + 1
+    for direction in (1, -1):
+        jit = strip.copy()
+        l, r = int(starts[1]), int(ends[1])  # second glyph only
+        if direction == 1:
+            jit[:, l:r] = np.vstack(
+                [np.zeros((1, r - l), bool), strip[:-1, l:r]]
+            )
+        else:
+            jit[:, l:r] = np.vstack(
+                [strip[1:, l:r], np.zeros((1, r - l), bool)]
+            )
+        lp, *_ = net.forward(jit)
+        assert greedy_decode(lp, net.charset, net.blank) == "brown fox"

@@ -192,3 +192,34 @@ def test_ruled_table_rules_removed_and_structure_decoded():
         ["mn", "op", "qr"],
         ["st", "uv", "wx"],
     ]
+
+
+def test_ruled_table_on_skewed_page_decodes_all_cells():
+    """The ruled table under page shear: rules staircase (deskew retry
+    lifts them), and the tiny page makes the bbox skew vote genuinely
+    ambiguous between grid neighbours — the PIXEL row-histogram
+    refinement must pick the exact inverse slope, else glyphs shear
+    internally at the rounding boundaries and cells lose characters
+    (the 'ab'->'a' regression this pins)."""
+    from tesseract_spark.operators.page import analyze_page
+    from tesseract_spark.operators.tables import extract_page_tables
+
+    gray = _ruled_table_page()
+    mask = gray < 128
+    h, w = mask.shape
+    shifts = np.round(0.02 * np.arange(w)).astype(np.int64)
+    pad = int(abs(shifts).max()) + 1
+    sheared = np.zeros((h + 2 * pad, w), bool)
+    for x in range(w):
+        sheared[pad + shifts[x] : pad + shifts[x] + h, x] = mask[:, x]
+    g2 = mask_to_gray(sheared)
+    layout = analyze_page(g2, 300)
+    assert layout.v_rules == 2 and layout.h_rules == 3
+    tables = extract_page_tables(g2, 300, layout=layout)
+    assert len(tables) == 1
+    t = tables[0]
+    assert (t.n_rows, t.n_cols) == (4, 3)
+    assert [c[2] for c in t.cells] == [
+        "ab", "cd", "ef", "gh", "ij", "kl",
+        "mn", "op", "qr", "st", "uv", "wx",
+    ]
