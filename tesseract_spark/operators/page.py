@@ -132,6 +132,23 @@ def _grade_blobs(stats: np.ndarray) -> np.ndarray:
     # photos: large dense regions (imagefind.cpp:247)
     # (largest text glyph at render scale 3 is ~48x27 ≈ 1300 px² — safe gap)
     grade[(w >= 40) & (h >= 40) & (w * h >= 2000) & (density >= 0.45)] = 2
+    # relative photo gate (filter_blobs' size-vs-text semantics,
+    # tordmain.cpp:290-310 textord_max_blob_size): a dense block several
+    # times the page's own text height is an image even below the
+    # absolute gate — a small halftone on small-print text otherwise
+    # reaches the row builder and decodes as an empty garbage line.
+    # Margins: tallest glyph ≤ 1.5× the median component height at one
+    # render scale, so 3×median is text-safe even on mixed-scale pages.
+    nonrule = grade == 0
+    if nonrule.any():
+        med_all = np.percentile(h[nonrule], 50)
+        grade[
+            nonrule
+            & (h >= 3 * med_all)
+            & (w >= 4 * med_all)
+            & (w * h >= 1200)
+            & (density >= 0.45)
+        ] = 2
     # noise: tiny specks relative to the text population percentile
     text_mask = grade == 0
     if text_mask.any():

@@ -313,3 +313,19 @@ def test_column_layout_change_down_the_page():
         "left one\nleft two\nleft three",
         "right one\nright two\nright three",
     ], got
+
+
+def test_small_photo_below_absolute_gate_is_still_media():
+    """A small halftone (50x36 — under the 40x40 absolute photo gate and
+    under imagefind's kMinImageFindSize page minimum) on small-print
+    text: the RELATIVE photo gate (filter_blobs' size-vs-text semantics,
+    tordmain.cpp:290-310) must lift it, else it reaches the row builder
+    and decodes as an empty garbage line (the trailing-newline
+    regression this pins).  Both photos emit media spans in order."""
+    spec = PageSpec(
+        paragraphs=[["text between photos"], ["lower text here"]],
+        photos=((0, 60, 40), (1, 50, 36)),
+    )
+    page = compose_page(spec)
+    spans, _layout = recognize_page(page.image, spec.dpi)
+    assert [(s.kind, s.text) for s in spans] == page.golden
