@@ -322,3 +322,106 @@ def recognize_page_legacy(
             keyed.append((key, ("text", "\n".join(texts[i] for i in group))))
     keyed.sort(key=lambda kv: kv[0])
     return [s for _k, s in keyed], layout
+
+
+def recognize_page_combined(
+    gray: np.ndarray,
+    dpi: int = 300,
+    dawg=None,
+    charlists: tuple[str, str, str] | None = None,
+):
+    """OEM_TESSERACT_LSTM_COMBINED page path (tessedit.cpp:103-110;
+    classify_word_pass1, control.cpp:1395-1417): the LSTM engine decodes
+    every word first, and a word whose recognition FAILED — dropped
+    glyph starts, the reference's empty ``out_words`` case — falls back
+    to the legacy static classifier on the same window.  Words the LSTM
+    read cleanly are never touched (the reference only re-runs failed
+    or odd-size words through ``match_word_pass_n``).
+
+    Returns ordered (kind, text) span tuples + layout, like
+    recognize_page_legacy."""
+    from ..config import charlist_disabled
+    from ..lstm.templates import get_net
+    from .page import analyze_page
+    from .recognize import _decode_row
+
+    net = get_net()
+    clf = get_static_classifier()
+    net_disabled = (
+        tuple(charlist_disabled(net.charset, *charlists))
+        if charlists is not None
+        else None
+    )
+    leg_disabled = (
+        frozenset(charlist_disabled(clf.glyphs, *charlists))
+        if charlists is not None
+        else None
+    )
+    cache: dict = {}
+    layout = analyze_page(gray, dpi)
+    multi_col = sum(1 for g in layout.regions if g.kind == "text") > 1
+    keyed: list[tuple[tuple, tuple[str, str]]] = []
+    for ri, region in enumerate(layout.regions):
+        if region.kind != "text":
+            y = region.bbox[1]
+            key = (1, 0, y) if multi_col else (y, 1, 0)
+            keyed.append((key, ("media", "")))
+            continue
+        texts: list[str] = []
+        for row in region.rows:
+            res = _decode_row(net, row, dawg, disabled=net_disabled)
+            text, words, _m, dropped, cols, strip = res
+            if len(dropped) == 0:
+                texts.append(text)
+                continue
+            # word windows over the strip: ink runs separated by a
+            # definite space gap (the same segmentation forward() uses
+            # for space events)
+            space_canon = max(2, row.space_px // max(1, row.scale) - 1)
+            col_ink = strip.any(axis=0)
+            ink_idx = np.flatnonzero(col_ink)
+            if ink_idx.size == 0:
+                texts.append(text)
+                continue
+            gaps = np.flatnonzero(np.diff(ink_idx) - 1 >= space_canon)
+            win_edges = (
+                [int(ink_idx[0])]
+                + [int(ink_idx[g + 1]) for g in gaps]
+                + [int(ink_idx[-1]) + 1]
+            )
+            windows = list(zip(win_edges[:-1], win_edges[1:]))
+            dropped_set = set(int(x) for x in dropped)
+            # assign each LSTM word to the window holding its first char
+            win_words: list[list[str]] = [[] for _ in windows]
+            for w in words:
+                wcols = [int(cols[t]) for t in w.char_ts if 0 <= t < len(cols)]
+                if not wcols:
+                    continue
+                for wi, (wl, wr) in enumerate(windows):
+                    if wl <= wcols[0] < wr:
+                        win_words[wi].append(w.text)
+                        break
+            out_words: list[str] = []
+            for wi, (wl, wr) in enumerate(windows):
+                failed = any(wl <= x < wr for x in dropped_set)
+                if failed:
+                    leg = decode_strip_legacy(
+                        strip[:, wl:wr],
+                        space_canon,
+                        clf,
+                        cache,
+                        leg_disabled,
+                        pitch=None,
+                        dawg=dawg,
+                    )
+                    if leg:
+                        out_words.append(leg)
+                        continue
+                out_words.extend(win_words[wi])
+            texts.append(" ".join(t for t in out_words if t))
+        for group in region.paragraphs:
+            para_y = region.rows[group[0]].bbox[1]
+            key = (0, ri, para_y) if multi_col else (para_y, 0, 0)
+            keyed.append((key, ("text", "\n".join(texts[i] for i in group))))
+    keyed.sort(key=lambda kv: kv[0])
+    return [s for _k, s in keyed], layout

@@ -735,6 +735,119 @@ WHERE "offset" % 3 <> 0
 """
 
 
+def q_ocr_combined_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined-engine extraction (OEM_TESSERACT_LSTM_COMBINED,
+    tessedit.cpp:103-110; classify_word_pass1 control.cpp:1395-1417):
+    LSTM first, legacy static-classifier fallback for words whose LSTM
+    recognition failed.
+
+    Every 17th document's media chunks re-render; on UNSKEWED pages one
+    'w' glyph is deterministically notched (2 canonical pixels — below
+    the 0.9 static template gate, so the LSTM path provably DROPS it,
+    while the micro-feature classifier still reads it at ~0.97).  The
+    oracle is the clean gold-text reconstruction: a green row proves
+    the fallback rescues the damaged word EXACTLY, not merely that the
+    wrapper passes clean pages through.
+
+    Zero shuffles: one mapInPandas over chunk rows."""
+    import pandas as pd
+
+    from .derived import chunked
+
+    ch = chunked(spark, sf_dir).filter(
+        (F.col("kind") == "media") & (F.col("doc_id") % 17 == 0)
+    )
+
+    def udf(batches):
+        import numpy as np
+
+        from .derived import chunk_page_spec
+        from .functions.compose import compose_page
+        from .functions.fonts import get_font, mask_to_gray
+        from .operators.legacy import recognize_page_combined
+        from .operators.page import label_and_stats
+
+        font = get_font()
+        gw_full = font["w"].astype(bool)
+        fys, fxs = np.nonzero(gw_full)
+        # components are TIGHT ink bboxes; crop the cell-frame glyph
+        gw = gw_full[fys.min() : fys.max() + 1, fxs.min() : fxs.max() + 1]
+        wys, wxs = np.nonzero(gw)
+        mid = len(wys) // 2
+        notch = [(int(wys[mid]), int(wxs[mid])),
+                 (int(wys[mid - 1]), int(wxs[mid - 1]))]
+
+        def damage_one_w(img: np.ndarray, scale: int) -> np.ndarray:
+            """Notch the first component that IS the 'w' glyph (exact
+            pixel match at the page scale); no-op when none exists."""
+            mask = img < 128
+            tmpl = np.kron(gw, np.ones((scale, scale), dtype=bool))
+            labels, n, stats = label_and_stats(mask)
+            for ci in range(n):
+                l, t, r, b = (int(v) for v in stats[ci][:4])
+                if (r - l, b - t) != (tmpl.shape[1], tmpl.shape[0]):
+                    continue
+                if not np.array_equal(labels[t:b, l:r] == ci + 1, tmpl):
+                    continue
+                out = mask.copy()
+                for gy, gx in notch:
+                    out[
+                        t + gy * scale : t + (gy + 1) * scale,
+                        l + gx * scale : l + (gx + 1) * scale,
+                    ] = False
+                return mask_to_gray(out)
+            return img
+
+        for pdf in batches:
+            rows = []
+            for doc_id, i, chunk in zip(
+                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
+            ):
+                doc_id, i = int(doc_id), int(i)
+                spec = chunk_page_spec(doc_id, i, chunk)
+                page = compose_page(spec)
+                img = page.image
+                if spec.skew == 0.0 and "w" in chunk:
+                    img = damage_one_w(img, spec.scale)
+                spans, _l = recognize_page_combined(img, 300)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "offset": i,
+                        "text": "\n".join(
+                            t for k, t in spans if k == "text"
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "offset", "text"])
+
+    return ch.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        udf, schema="doc_id long, offset int, text string"
+    )
+
+
+ORACLE_OCR_COMBINED_EXTRACT = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, CAST(g.i AS INT) AS "offset",
+         list_slice(words, g.i*12 + 1, g.i*12 + 12) AS cw
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS BIGINT) - 1)) AS i
+  ) g
+  WHERE doc_id % 17 = 0
+)
+SELECT doc_id, "offset",
+  array_to_string(
+    list_transform(
+      generate_series(0, CAST(ceil(len(cw)/4.0) AS BIGINT) - 1),
+      j -> array_to_string(cw[j*4 + 1 : j*4 + 4], ' ')),
+    chr(10)) AS text
+FROM c
+WHERE "offset" % 3 <> 0
+"""
+
+
 def q_ocr_symbol_choices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symbol-level choice surface (ChoiceIterator,
     src/ccmain/ltrresultiterator.cpp:368-470; SaveMostCertainChoices,
@@ -4829,6 +4942,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "lm_perplexity": (q_lm_perplexity, ORACLE_LM_PERPLEXITY),
     "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
+    "ocr_combined_extract": (
+        q_ocr_combined_extract,
+        ORACLE_OCR_COMBINED_EXTRACT,
+    ),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "ocr_doc_stats": (q_ocr_doc_stats, ORACLE_OCR_DOC_STATS),
     "blob_grading": (q_blob_grading, ORACLE_BLOB_GRADING),
