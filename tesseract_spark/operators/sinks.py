@@ -226,7 +226,16 @@ def ocr_words(
 
 
 def to_text(flat_spans: DataFrame) -> DataFrame:
-    """GetUTF8Text: per-doc text, paragraphs joined by blank lines."""
+    """GetUTF8Text: per-doc text, paragraphs joined by blank lines.
+
+    Only ``kind == 'text'`` spans assemble — the PTIsTextType contract
+    (include/tesseract/publictypes.h:80-85): PT_EQUATION display
+    regions are NOT text-type, so the reference's GetUTF8Text never
+    contains them (equation regions form no text blocks at recognition
+    time), while INLINE equations are text-type and stay inside their
+    text spans here exactly as there.  The decoded display-equation
+    text is still available on the ``kind='equation'`` span itself —
+    richer than the reference, which discards it."""
     texts = flat_spans.filter(F.col("kind") == "text")
     return texts.groupBy("doc_id").agg(
         F.array_join(

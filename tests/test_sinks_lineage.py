@@ -232,3 +232,21 @@ def test_lstm_box_format(spark, corpus):
     assert fields[4] == "0"
     l, yb, r, yt = map(int, fields[:4])
     assert r > l and yt > yb >= 0  # bottom-up page frame
+
+
+def test_to_text_ptistexttype_contract(spark):
+    """GetUTF8Text includes ONLY text-type spans (PTIsTextType,
+    publictypes.h:80-85): display equations (PT_EQUATION is not a text
+    type — the reference recognizes no words there) and media stay out;
+    inline equations live inside text spans and come through."""
+    flat = spark.createDataFrame(
+        [
+            (1, "text", None, 0, "prose with 12+34=46 inline"),
+            (1, "equation", None, 1, "12+34=46 12<46"),
+            (1, "media", "m1", 2, ""),
+            (1, "text", None, 3, "closing prose"),
+        ],
+        "doc_id long, kind string, media_ref string, offset int, text string",
+    )
+    out = {r.doc_id: r.text for r in to_text(flat).collect()}
+    assert out[1] == "prose with 12+34=46 inline\n\nclosing prose"
