@@ -155,3 +155,44 @@ def test_superscript_and_underline_together():
     assert flags["the"] == ("", 1)
     assert flags["said"] == ("", 0)
     assert layout.n_underlines == 1
+
+
+def test_gutter_rule_between_columns():
+    """A vertical separator rule in the gutter of a two-column page —
+    the classic newspaper layout — must not fuse the columns or leak
+    into either column's text, flat AND under page shear."""
+    spec = PageSpec(
+        paragraphs=[
+            ["left column text", "more left words"],
+            ["left second para"],
+        ],
+        column2=[["right column text", "other right words"]],
+    )
+    page = compose_page(spec)
+    m = page.image < 128
+    xs = np.flatnonzero(m.any(axis=0))
+    gaps, run = [], None
+    for x in range(xs.min(), xs.max()):
+        if not m[:, x].any():
+            run = run or [x, x]
+            run[1] = x
+        else:
+            if run and run[1] - run[0] > 10:
+                gaps.append(tuple(run))
+            run = None
+    gl, gr = max(gaps, key=lambda g: g[1] - g[0])
+    m[6 : m.shape[0] - 6, (gl + gr) // 2 : (gl + gr) // 2 + 2] = True
+    want = page.golden + [("media", "")]
+    for skew in (0.0, 0.02):
+        mm = m
+        if skew:
+            sh = np.round(skew * np.arange(m.shape[1])).astype(np.int64)
+            pad = int(abs(sh).max()) + 1
+            mm = np.zeros((m.shape[0] + 2 * pad, m.shape[1]), bool)
+            for x in range(m.shape[1]):
+                mm[pad + sh[x] : pad + sh[x] + m.shape[0], x] = m[:, x]
+        from tesseract_spark.functions.fonts import mask_to_gray
+
+        spans, layout = recognize_page(mask_to_gray(mm), 300)
+        assert [(s.kind, s.text) for s in spans] == want, skew
+        assert layout.v_rules == 1
