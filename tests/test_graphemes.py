@@ -184,3 +184,79 @@ def test_javanese_bad_starts():
     # a grapheme may not start with pangkon (virama) or a vowel modifier
     assert not validate_text("꧀ꦏ")
     assert not validate_text("ꦀꦏ")
+
+
+# ---------------------------------------------------------------------------
+# validate_grapheme_test.cc parity: the reference's own grapheme
+# segmentation fixtures, byte-for-byte (Apache-2.0 public test content)
+
+
+@pytest.mark.parametrize(
+    "name,s,combined",
+    [
+        # MultipleSyllablesAreNotASingleGrapheme: KA depI KA indE -> 3
+        ("multi_syllable", "కికఎ",
+         ["కి", "క", "ఎ"]),
+        ("single_consonant", "ಹ", ["ಹ"]),
+        ("simple_cv", "ಹಿ", ["ಹಿ"]),
+        ("subscript_conjunct", "ಹ್ಕಿ",
+         ["ಹ್ಕಿ"]),
+        ("half_form_joiner", "ക്‍ത",
+         ["ക്‍ത"]),
+        ("traditional_conjunct_joiner", "ക‍്ത",
+         ["ക‍്ത"]),
+        ("open_conjunct_nonjoiner", "ക‌്ത",
+         ["ക‌്ത"]),
+        ("explicit_virama_nonjoiner", "ക്‌ത",
+         ["ക്‌", "ത"]),
+        ("thai_combined", "ดุ๊", ["ดุ๊"]),
+    ],
+)
+def test_reference_grapheme_fixture_combined(name, s, combined):
+    from tesseract_spark.functions.graphemes import (
+        COMBINED,
+        normalize_clean_and_segment,
+    )
+
+    ok, glyphs = normalize_clean_and_segment(s, g_mode=COMBINED)
+    assert ok and glyphs == combined, (name, glyphs)
+
+
+@pytest.mark.parametrize(
+    "name,s,n,idx,val",
+    [
+        ("subscript_conjunct", "ಹ್ಕಿ", 3, 1,
+         "್ಕ"),
+        ("half_form_joiner", "ക്‍ത", 2, 0,
+         "ക്‍"),
+        ("traditional_conjunct_joiner", "ക‍്ത", 3, 1,
+         "‍്"),
+        ("open_conjunct_nonjoiner", "ക‌്ത", 3, 1,
+         "‌്"),
+        ("explicit_virama_nonjoiner", "ക്‌ത", 3, 1,
+         "്‌"),
+        ("thai_glyphsplit", "ดุ๊", 3, 0, "ด"),
+    ],
+)
+def test_reference_grapheme_fixture_glyphsplit(name, s, n, idx, val):
+    from tesseract_spark.functions.graphemes import (
+        GLYPH_SPLIT,
+        normalize_clean_and_segment,
+    )
+
+    ok, glyphs = normalize_clean_and_segment(s, g_mode=GLYPH_SPLIT)
+    assert ok and len(glyphs) == n and glyphs[idx] == val, (name, glyphs)
+
+
+def test_reference_grapheme_malayalam_only_form_rejected_in_telugu():
+    """OpenConjunctNonJoiner's negative half: KA ZWNJ Virama Ta is
+    Malayalam-only — the same shape in Telugu codepoints must FAIL."""
+    from tesseract_spark.functions.graphemes import (
+        COMBINED,
+        normalize_clean_and_segment,
+    )
+
+    ok, _ = normalize_clean_and_segment(
+        "క‌్త", g_mode=COMBINED
+    )
+    assert not ok
