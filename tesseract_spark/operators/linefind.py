@@ -515,15 +515,14 @@ def find_and_remove_lines(
         v_vectors = _vectors_of(vline, "v", ink=src)
         _subtract_lines_and_residue(src, vline, non_vline)
     if not h_empty:
-        # re-filter h candidates against fresh intersections
-        # (FindAndRemoveLines, linefind.cpp:712-721)
-        if not v_empty:
-            inter = vline & hline
-            _il, _inn, inter_stats = label_and_stats(inter)
         h_vectors = _vectors_of(hline, "h", ink=src)
         _subtract_lines_and_residue(src, hline, non_hline)
     if not v_empty and not h_empty:
-        # remove crossing-join residue (linefind.cpp:730-741)
+        # remove crossing-join residue on RECOMPUTED intersections —
+        # "Recalculate the intersections, since some lines have been
+        # deleted" (linefind.cpp:712-721); the false-positive filters
+        # above intentionally used the pre-filter intersections, as the
+        # reference's FindAndRemoveHLines does (:702)
         join = dilate_brick(vline & hline, 5, 5)
         src &= ~seedfill(join, src)
     if music_mask is not None:

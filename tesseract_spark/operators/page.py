@@ -1044,6 +1044,9 @@ def analyze_page(
     # precedes final grading), then unshear and re-extract.
     keep_idx = np.flatnonzero((grade == 0) | (grade == 1))
     skew, skew_ambiguous = estimate_skew(stats[keep_idx], with_ambiguity=True)
+    # total reported shear includes the deva pre-pass even when the
+    # post-split residual is exactly 0 (the pre-pass did all the work)
+    res.skew = skew + pre_skew
 
     def mask_of(lbl: np.ndarray, count: int, idx: np.ndarray) -> np.ndarray:
         lut = np.zeros(count + 1, dtype=bool)
@@ -1065,7 +1068,7 @@ def analyze_page(
             # fractionally better), so an unconditional refine would
             # break pages the estimator got right.
             skew = _refine_skew_pixels(src_mask, skew)
-        res.skew = skew + pre_skew  # total shear incl. the deva pre-pass
+            res.skew = skew + pre_skew  # refined total
         text_mask = unshear(src_mask, skew)
         labels, n, stats = label_and_stats(text_mask)
         # move media bboxes into the deskewed frame: each column's pixels

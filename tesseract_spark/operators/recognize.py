@@ -551,7 +551,8 @@ def recognize_page_detail(
             return decode_row_multilang(
                 state, row,
                 lambda p, r: _decode_row(
-                    p.net, r, p.dawg, disabled=_pack_disabled(p)
+                    p.net, r, p.dawg, want_choices=want_choices,
+                    disabled=_pack_disabled(p),
                 ),
             )
     else:
@@ -684,14 +685,28 @@ def recognize_page_detail(
             # base direction = majority of strong word directions (the
             # analogue of current_paragraph_is_ltr_ from the para model).
             para_word_texts = [w.text for i in group for w in row_decoded[i]]
+            bidi_rows: dict[int, tuple[list[int], list[str]]] = {}
             if any(char_is_rtl(c) for t in para_word_texts for c in t):
+                from .bidi import textline_order
+
                 n_r = sum(1 for t in para_word_texts if word_direction(t) == "R")
                 n_l = sum(1 for t in para_word_texts if word_direction(t) == "L")
                 para_ltr = n_l >= n_r
                 for i in group:
                     ws = [w.text for w in row_decoded[i]]
-                    row_texts[i] = render_line_text(
-                        ws, [word_direction(t) for t in ws], para_ltr
+                    dirs = [word_direction(t) for t in ws]
+                    row_texts[i] = render_line_text(ws, dirs, para_ltr)
+                    # word records follow the same walk: reading order +
+                    # logical per-word text (LTRResultIterator emits each
+                    # word's symbols in logical order with its VISUAL box;
+                    # the iterator's word sequence is the textline order,
+                    # resultiterator.cpp:284-395)
+                    bidi_rows[i] = (
+                        textline_order(dirs, not para_ltr),
+                        [
+                            w[::-1] if d == "R" else w
+                            for w, d in zip(ws, dirs)
+                        ],
                     )
             texts = [row_texts[i] for i in group]
             confs = [row_confs[i] for i in group if row_words[i] > 0]
@@ -735,35 +750,49 @@ def recognize_page_detail(
                 ):
                     baseline_y -= 4 * row.scale
                 u_bars = getattr(layout, "underline_bars", None) or []
-                prev_right: int | None = None
-                for wi, w in enumerate(row_decoded[i]):
+                # emission sequence: visual order, or the bidi walk's
+                # reading order with logical per-word text on RTL rows
+                seq = list(enumerate(row_decoded[i]))
+                logical_texts = None
+                if i in bidi_rows:
+                    order, logical_texts = bidi_rows[i]
+                    seq = [(j, row_decoded[i][j]) for j in order]
+                prev_box: tuple[int, int] | None = None
+                for out_wi, (wi, w) in enumerate(seq):
                     if wi < len(boxes) and len(boxes) == len(row_decoded[i]):
                         l, t, r, b = boxes[wi]
                     else:
                         l, t, r, b = row.bbox
                     # blanks in front of the word (tospace.cpp:898-913):
-                    # floor(box gap / row space size), min 1; 0 at BOL
-                    if wi == 0 or prev_right is None:
+                    # floor(box gap / row space size), min 1; 0 at BOL.
+                    # Gap = interval distance to the previous READING-
+                    # order word (its visual neighbour on either side)
+                    if out_wi == 0 or prev_box is None:
                         blanks = 0
                     else:
-                        blanks = max(
-                            1,
-                            int((int(l) - prev_right)
-                                // max(1, int(row.space_px))),
+                        gap = max(
+                            int(l) - prev_box[1], prev_box[0] - int(r)
                         )
-                    prev_right = int(r)
+                        blanks = max(
+                            1, gap // max(1, int(row.space_px))
+                        )
+                    prev_box = (int(l), int(r))
                     word_recs.append(
                         WordRec(
                             block_num=ri + 1,
                             par_num=pi + 1,
                             line_num=li + 1,
-                            word_num=wi + 1,
+                            word_num=out_wi + 1,
                             left=int(l),
                             top=int(t),
                             width=int(r - l),
                             height=int(b - t),
                             conf=round(float(w.confidence), 2),
-                            text=w.text,
+                            text=(
+                                logical_texts[wi]
+                                if logical_texts is not None
+                                else w.text
+                            ),
                             baseline=baseline_y,
                             permuter=_attribute_word(
                                 w, dawg, doc_words
@@ -774,7 +803,16 @@ def recognize_page_detail(
                                 f"{sd}:{sp}:{n}"
                                 for sd, sp, n in getattr(w, "script_pos", ())
                             ),
-                            choices=getattr(w, "char_choices", ()),
+                            choices=(
+                                tuple(
+                                    reversed(
+                                        getattr(w, "char_choices", ())
+                                    )
+                                )
+                                if logical_texts is not None
+                                and logical_texts[wi] != w.text
+                                else getattr(w, "char_choices", ())
+                            ),
                             blanks=blanks,
                             font=getattr(w, "font_face", ""),
                             bold=int(getattr(w, "font_face", "") == "bold"),

@@ -110,6 +110,7 @@ def find_script_segments(
 
     segs: list[ScriptSeg] = []
     new_boxes = list(word_boxes)
+    removed: set[int] = set()  # glyphs already split off this row
     i = 0
     while i < n:
         if not pos_of[i] or words_g[i] < 0:
@@ -174,8 +175,12 @@ def find_script_segments(
                 height_ratio=run_xh / max(1, x_height),
             )
         )
-        # shrink the word box to its normal glyphs (split_word)
-        keep = [k for k in in_word if k not in set(run)]
+        # shrink the word box to its normal glyphs (split_word).  A word
+        # can lose runs at BOTH edges (lead + trail markers): exclude
+        # every glyph already split off, or the second shrink re-expands
+        # the box over the first run's erased columns
+        removed.update(run)
+        keep = [k for k in in_word if k not in removed]
         if keep:
             new_boxes[wi] = (
                 int(gboxes[keep, 0].min()),

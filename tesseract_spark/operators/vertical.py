@@ -204,7 +204,11 @@ def recognize_page_auto(gray: np.ndarray, dpi: int = 300, dawg=None):
 
     ink = binarize_otsu(gray)
     if ink.any():
-        clean, v_vecs, h_vecs, music = find_and_remove_lines(ink.copy(), dpi)
+        # (find_and_remove_lines copies internally; on the horizontal
+        # fallback recognize_page re-runs its own line pass — the double
+        # cost is confined to the auto-OSD entry and the finder's lazy
+        # gate keeps rule-less pages nearly free)
+        clean, v_vecs, h_vecs, music = find_and_remove_lines(ink, dpi)
         n_rules = len(v_vecs) + len(h_vecs)
         base = clean if (n_rules or music is not None) else ink
         if base.any():

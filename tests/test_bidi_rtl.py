@@ -178,3 +178,27 @@ def test_hocr_dir_covers_presentation_forms(spark):
     )]
     words = spark.createDataFrame(pd.DataFrame(rows), schema=WORDS_SCHEMA)
     assert "dir='rtl'" in to_hocr(words).collect()[0].hocr
+
+
+def test_word_records_are_logical_in_reading_order():
+    """LTRResultIterator parity at the WORD level: word records on an
+    RTL page carry each word's symbols in LOGICAL order with its VISUAL
+    box, and the record sequence follows the textline reading order
+    (resultiterator.cpp:284-395) — so every words-based sink (TSV,
+    hOCR, ALTO, PDF, words_to_text) emits the same logical text the
+    span walk does, never visually-reversed strings."""
+    from tesseract_spark.operators.recognize import recognize_page_detail
+
+    logical = [W1, W2, W3]
+    spec = PageSpec(paragraphs=[[visual_rtl_line(logical)]])
+    page = compose_page(spec)
+    spans, words, _l = recognize_page_detail(
+        page.image, 300, net=get_net_rtl()
+    )
+    assert [w.text for w in words] == logical
+    assert [w.word_num for w in words] == [1, 2, 3]
+    # reading order = right-to-left boxes: lefts strictly decreasing
+    lefts = [w.left for w in words]
+    assert lefts == sorted(lefts, reverse=True)
+    # gap-derived blanks stay sane in reading order (1 between words)
+    assert [w.blanks for w in words] == [0, 1, 1]

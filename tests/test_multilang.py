@@ -239,3 +239,16 @@ def test_osd_script_detection_multilang():
     assert script == "Latin" and conf > 0
     report = get_osd_text(heb.image, net=get_net_rtl())
     assert "Script: Hebrew" in report
+
+
+def test_multilang_carries_symbol_choices():
+    """want_choices flows through the multilang retry protocol: the
+    packs branch must not silently drop the symbol-choice lattice
+    (ChoiceIterator over a multi-language session)."""
+    packs = get_lang_packs("eng+heb")
+    spec = PageSpec(paragraphs=[["plain english text"]])
+    page = compose_page(spec)
+    _s, words, _l = recognize_page_detail(
+        page.image, 300, packs=packs, want_choices=True
+    )
+    assert words and all(len(w.choices) > 0 for w in words)

@@ -86,3 +86,43 @@ def test_punctuation_and_plain_pages_unaffected():
     spans2, words2, _l = recognize_page_detail(_marker_page("super"))
     # leading word and trailing word survive with exact text
     assert [w.text for w in words2] == ["the", "speaker21", "said"]
+
+
+def test_markers_on_both_edges_of_one_word():
+    """Lead AND trail markers on the same word: the second edge's box
+    shrink must exclude the FIRST run's already-split glyphs, or the
+    word box re-expands over erased columns (wrong bbox/blank counts)."""
+    import numpy as np
+
+    from tesseract_spark.functions.fonts import mask_to_gray, render_line
+    from tesseract_spark.operators.recognize import recognize_page_detail
+
+    def paste(c, m, y, x):
+        c[y : y + m.shape[0], x : x + m.shape[1]] |= m
+
+    canvas = np.zeros((120, 760), dtype=bool)
+    lead, core, trail = (
+        render_line("12", 1),
+        render_line("speaker", 2),
+        render_line("34", 1),
+    )
+    pre, post = render_line("the", 2), render_line("said", 2)
+    x0, y0 = 40, 40
+    paste(canvas, pre, y0, x0)
+    x = x0 + pre.shape[1] + 14
+    paste(canvas, lead, y0 + 4, x)
+    x += lead.shape[1] + 2
+    paste(canvas, core, y0, x)
+    core_l, core_r = x, x + core.shape[1]
+    x += core.shape[1] + 2
+    paste(canvas, trail, y0 + 4, x)
+    x += trail.shape[1] + 14
+    paste(canvas, post, y0, x)
+    spans, words, _l = recognize_page_detail(mask_to_gray(canvas))
+    assert [(s.kind, s.text) for s in spans] == [
+        ("text", "the 12speaker34 said")
+    ]
+    w = next(w for w in words if "speaker" in w.text)
+    assert w.script_pos == "lead:super:2,trail:super:2"
+    # word box = exactly the normal-glyph extent, neither marker run
+    assert (w.left, w.left + w.width) == (core_l, core_r)
