@@ -35,6 +35,7 @@ import numpy as np
 from ..functions.fonts import WORD_GAP
 from ..lstm.intproto import StaticShapeClassifier, get_static_classifier
 from ..lstm.langmodel import choose_segmentation
+from .reject import flip_0O
 
 # a glyph run below this rating retries the chop path (the reference
 # chops while the word is not acceptable, chopper.cpp:403-420)
@@ -292,6 +293,13 @@ def recognize_page_legacy(
         if charlists is not None
         else None
     )
+    # flip_0O requires BOTH '0' and 'O' present and enabled in the
+    # charset (reject.cpp:679-684)
+    flip_set = frozenset(
+        ch
+        for i, ch in enumerate(clf.glyphs)
+        if disabled is None or i not in disabled
+    )
     cache: dict = {}
     layout = analyze_page(gray, dpi)
     multi_col = sum(1 for g in layout.regions if g.kind == "text") > 1
@@ -315,6 +323,16 @@ def recognize_page_legacy(
                 freq_words=freq_words,
             )
             for row in region.rows
+        ]
+        # contextual 0<->O repair — the legacy engine's
+        # make_reject_map entry step (flip_0O, reject.cpp:96-97,658):
+        # strips are x-height-normalized upstream so the BLN
+        # sub/superscript guard is owned by the superscript pass
+        texts = [
+            " ".join(flip_0O(w, enabled=flip_set) for w in t.split(" "))
+            if t
+            else t
+            for t in texts
         ]
         for group in region.paragraphs:
             para_y = region.rows[group[0]].bbox[1]

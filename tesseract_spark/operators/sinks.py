@@ -1177,9 +1177,12 @@ def to_unlv(words: DataFrame, quality_rejection: bool = False) -> DataFrame:
     tilde crunch executes under it) so block/page-level rejection also
     crunches words their own confidence would have kept.
 
-    The reference crunches per-word via unlv_crunch_mode and marks
-    per-char suspects; this engine's confidence is word-level, so the
-    word is the marking unit (documented divergence)."""
+    When the words carry a ``rejects`` column (the REJMAP string from
+    ``reject.reject_words``), suspects mark PER CHARACTER — '^' before
+    each map-rejected char, ' ' chars as '~' — the reference's
+    non-crunched word walk (GetUNLVText, baseapi.cpp:1602-1612).
+    Otherwise the word-level confidence mark applies (documented
+    divergence: confidence is word-level without the map)."""
     if quality_rejection:
         from .docqual import quality_based_rejection
 
@@ -1188,13 +1191,29 @@ def to_unlv(words: DataFrame, quality_rejection: bool = False) -> DataFrame:
     else:
         base = _ok_words(words)
         rejected = F.col("conf") < K_REJECT_CONF
-    marked = base.withColumn(
-        "unlv_word",
-        F.when(rejected, F.lit(K_UNLV_REJECT)).when(
-            F.col("conf") < K_SUSPECT_CONF,
-            F.concat(F.lit(K_UNLV_SUSPECT), F.col("text")),
-        ).otherwise(F.col("text")),
-    )
+    if "rejects" in words.columns:
+        per_char = F.array_join(
+            F.zip_with(
+                F.split(F.col("text"), ""),
+                F.split(F.col("rejects"), ""),
+                lambda c, m: F.when(c == " ", F.lit(K_UNLV_REJECT))
+                .when(m == "R", F.concat(F.lit(K_UNLV_SUSPECT), c))
+                .otherwise(c),
+            ),
+            "",
+        )
+        marked = base.withColumn(
+            "unlv_word",
+            F.when(rejected, F.lit(K_UNLV_REJECT)).otherwise(per_char),
+        )
+    else:
+        marked = base.withColumn(
+            "unlv_word",
+            F.when(rejected, F.lit(K_UNLV_REJECT)).when(
+                F.col("conf") < K_SUSPECT_CONF,
+                F.concat(F.lit(K_UNLV_SUSPECT), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
     lines = marked.groupBy(
         "doc_id", "media_ref", "block_num", "par_num", "line_num"
     ).agg(
