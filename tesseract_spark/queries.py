@@ -4922,6 +4922,108 @@ FROM built
 """
 
 
+# token tables for the reject-flip contract (q_reject_flips): every
+# flip_0O context rule plus the one_ell_conflict branch family; the
+# oracle hard-codes the HAND-DERIVED reference outcomes
+# (reject.cpp:658-764 rule table, :287-455 conflict machinery) so a
+# green row proves the implementation against the C++ semantics
+REJECT_FLIP_TOKENS = [
+    "HELL0", "R0OM", "1O2", "9OOO", "2OOx", "3Ox", "5,OOO", "A00A",
+]
+REJECT_FLIP_EXPECT = [
+    "HELLO", "ROOM", "102", "9000", "200x", "30x", "5,000", "AO0A",
+]
+REJECT_CONF_TOKENS = ["Ill", "lit", "IBM", "123", "I23", "mill"]
+
+
+def q_reject_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reject.cpp contextual repair as a per-document contract: each
+    document draws one flip_0O token (doc_id mod 8 over the rule
+    table: AA0<end>, A0(0|O)A, 9O9, 9OOO, 9OO<non-upper>,
+    9O<non-upper>, 9[.,]OOO, and the reference's A00A single-flip
+    quirk) and one I/l/1-conflict token (doc_id mod 6 over the branch
+    family), runs the REAL make_reject_map machinery
+    (operators/reject.py) and reports the flipped text, conflict
+    verdict, rejected-char count and word-shape class.  The oracle
+    replays the selection arithmetic and pins the HAND-DERIVED
+    reference outcomes per token.
+
+    Zero-shuffle: one narrow projection + one mapInPandas."""
+    from .operators.reject import (
+        RejectMap,
+        acceptable_word_string,
+        flip_0O,
+        one_ell_conflict,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in REJECT_FLIP_TOKENS]),
+            (F.col("doc_id") % 8 + 1).cast("int"),
+        ).alias("tok_flip"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in REJECT_CONF_TOKENS]),
+            (F.col("doc_id") % 6 + 1).cast("int"),
+        ).alias("tok_conf"),
+    )
+    schema = (
+        "doc_id long, tok_flip string, flipped string, "
+        "tok_conf string, conflict int, n_rej int, word_type string"
+    )
+
+    def batch(it):
+        for pdf in it:
+            flipped = [flip_0O(t) for t in pdf["tok_flip"]]
+            confl, nrej, wtype = [], [], []
+            for t in pdf["tok_conf"]:
+                rej = RejectMap(len(t))
+                c, _w = one_ell_conflict(t, True, rej)
+                confl.append(int(c))
+                nrej.append(rej.reject_count())
+                wtype.append(acceptable_word_string(t))
+            yield pdf.assign(
+                flipped=flipped,
+                conflict=confl,
+                n_rej=nrej,
+                word_type=wtype,
+            )[
+                [
+                    "doc_id",
+                    "tok_flip",
+                    "flipped",
+                    "tok_conf",
+                    "conflict",
+                    "n_rej",
+                    "word_type",
+                ]
+            ]
+
+    return base.mapInPandas(batch, schema=schema)
+
+
+ORACLE_REJECT_FLIPS = """
+WITH sel AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS INT) AS fi,
+         CAST(doc_id % 6 AS INT) AS ci
+  FROM documents
+)
+SELECT doc_id,
+  list_extract(['HELL0','R0OM','1O2','9OOO','2OOx','3Ox','5,OOO','A00A'],
+               fi + 1) AS tok_flip,
+  list_extract(['HELLO','ROOM','102','9000','200x','30x','5,000','AO0A'],
+               fi + 1) AS flipped,
+  list_extract(['Ill','lit','IBM','123','I23','mill'], ci + 1) AS tok_conf,
+  CAST(list_extract([1,1,0,0,1,0], ci + 1) AS INT) AS conflict,
+  CAST(list_extract([3,1,0,0,1,0], ci + 1) AS INT) AS n_rej,
+  list_extract(['initial_cap','lower','upper','unacceptable',
+                'unacceptable','lower'], ci + 1) AS word_type
+FROM sel
+"""
+
+
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5006,4 +5108,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     "embed_kmeans": (q_embed_kmeans, ORACLE_EMBED_KMEANS),
     "data_mix_sample": (q_data_mix_sample, ORACLE_DATA_MIX_SAMPLE),
+    "reject_flips": (q_reject_flips, ORACLE_REJECT_FLIPS),
 }
