@@ -428,14 +428,27 @@ def flip_0O(
     if "0" not in enabled or "O" not in enabled:
         return word
     if boxes is not None and baseline is not None and x_height is not None:
-        # kBlnXHeight/kBlnBaselineOffset test: cap glyphs must reach
-        # (approximately) the cap line and sit on the baseline
+        # EXACT BLN-frame test (reject.cpp:669-678): each upper/digit
+        # glyph must have top >= kBlnBaselineOffset + kBlnXHeight and
+        # bottom <= kBlnBaselineOffset + kBlnXHeight/4, else beware
+        # words with sub/superscripts
+        from ..functions.denorm import (
+            K_BLN_BASELINE_OFFSET,
+            K_BLN_X_HEIGHT,
+            row_bln_denorm,
+        )
+
+        d = row_bln_denorm(baseline, x_height)
         for c, (_l, t, _r, b) in zip(word, boxes):
             if c.isupper() or c.isdigit():
-                if (t > baseline - x_height + x_height / 4) or (
-                    b < baseline - x_height / 4
+                # y-down page box: top t -> BLN top, bottom b -> BLN bot
+                _x, bln_top = d.norm_int((0, t))
+                _x, bln_bot = d.norm_int((0, b))
+                if (
+                    bln_top < K_BLN_BASELINE_OFFSET + K_BLN_X_HEIGHT
+                    or bln_bot > K_BLN_BASELINE_OFFSET + K_BLN_X_HEIGHT // 4
                 ):
-                    return word  # beware words with sub/superscripts
+                    return word
 
     def non_O_upper(c: str) -> bool:
         return c.isupper() and c != "O"
