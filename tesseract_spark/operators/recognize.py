@@ -504,6 +504,7 @@ def recognize_page_detail(
     charlists: tuple[str, str, str] | None = None,
     font_attrs: bool = False,
     doc_words=None,
+    monitor=None,
 ) -> tuple[list[SubSpan], list[WordRec], PageResult]:
     """Like recognize_page but also returns per-word records with page
     boxes for the TSV/hOCR/ALTO sinks.
@@ -581,28 +582,48 @@ def recognize_page_detail(
             adapted = AdaptiveTemplates()
     decoded: dict[tuple[int, int], tuple] = {}  # (region, row) -> result
     retry: list[tuple[int, int]] = []
-    for ri, region in enumerate(layout.regions):
-        if region.kind != "text":
+    # row worklist up front so the monitor knows the total (the
+    # SetupAllWordsPassN shape, control.cpp:327-330)
+    worklist = [
+        (ri, i, row)
+        for ri, region in enumerate(layout.regions)
+        if region.kind == "text"
+        for i, row in enumerate(region.rows)
+    ]
+    FAKE = ("", [], [], [], [], None)  # SetupFake analogue: empty row
+    aborted = False
+    for wi, (ri, i, row) in enumerate(worklist):
+        if monitor is not None and (
+            aborted
+            or monitor.step(1, wi, len(worklist), tuple(row.bbox))
+        ):
+            # deadline/cancel: fake out the rest (control.cpp:224-231)
+            aborted = True
+            decoded[(ri, i)] = FAKE
             continue
-        for i, row in enumerate(region.rows):
-            res = _row_decode(row)
-            decoded[(ri, i)] = res
-            if adapted is not None:
-                # crop learned bitmaps from the strip that actually decoded
-                # (the alt-baseline strip when that hypothesis won)
-                _harvest_adaptable(adapted, net, res[5], res[1], res[4])
-                # pass-2 trigger = dropped ink OR an unacceptable word:
-                # the reference re-runs any word AcceptableChoice did
-                # not mark done (word->done, control.cpp:372-386 via
-                # classify_word_pass2) — the stopper's certainty and
-                # uniformity gates decide, not just missing ink
-                if len(res[3]) or any(
-                    not _word_acceptable(w, dawg) for w in res[1]
-                ):
-                    retry.append((ri, i))
+        res = _row_decode(row)
+        decoded[(ri, i)] = res
+        if adapted is not None:
+            # crop learned bitmaps from the strip that actually decoded
+            # (the alt-baseline strip when that hypothesis won)
+            _harvest_adaptable(adapted, net, res[5], res[1], res[4])
+            # pass-2 trigger = dropped ink OR an unacceptable word:
+            # the reference re-runs any word AcceptableChoice did
+            # not mark done (word->done, control.cpp:372-386 via
+            # classify_word_pass2) — the stopper's certainty and
+            # uniformity gates decide, not just missing ink
+            if len(res[3]) or any(
+                not _word_acceptable(w, dawg) for w in res[1]
+            ):
+                retry.append((ri, i))
     # ---- pass 2: adaptive re-decode of rows with dropped ink -------------
-    if adapted is not None and adapted.n_learned:
-        for ri, i in retry:
+    if adapted is not None and adapted.n_learned and not aborted:
+        for k, (ri, i) in enumerate(retry):
+            if monitor is not None and monitor.step(
+                2, k, len(retry),
+                tuple(layout.regions[ri].rows[i].bbox),
+            ):
+                break
             row = layout.regions[ri].rows[i]
             redo = _decode_row(
                 net, row, dawg, adapted=adapted, want_choices=want_choices,
@@ -847,4 +868,6 @@ def recognize_page_detail(
                         )
                     )
     keyed.sort(key=lambda kv: kv[0])
+    if monitor is not None and not aborted:
+        monitor.progress = 100  # recog_all_words end (control.cpp:453)
     return [s for _k, s in keyed], word_recs, layout
