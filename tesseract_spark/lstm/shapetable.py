@@ -57,8 +57,63 @@ class Shape:
             for u, fonts in self.unichars.items()
         )
 
+    def is_equal_unichars(self, other: "Shape") -> bool:
+        """Shape::IsEqualUnichars (shapetable.cpp:238-252): same unichar
+        set, fonts ignored."""
+        return set(self.unichars) == set(other.unichars)
+
     def size(self) -> int:
         return len(self.unichars)
+
+    def font_count(self) -> int:
+        """The sum of per-unichar font-list sizes — what the reference's
+        MasterFontCount sums (shapetable.cpp:466-474: 'not the actual
+        number of different fonts in the shape')."""
+        return sum(len(f) for f in self.unichars.values())
+
+    # Shape::Serialize/DeSerialize (shapetable.cpp:60-96): the field
+    # walk (sorted flag, unichar count, per-unichar id + font list) in
+    # the reference's order; ids here are the engine's unichar keys
+    def serialize(self) -> bytes:
+        import struct
+
+        out = [struct.pack("<Bi", 1, len(self.unichars))]
+        for u in sorted(self.unichars, key=str):
+            # the reference serializes int32 unichar_ids; this engine's
+            # keys may also be glyph strings — a type byte disambiguates
+            if isinstance(u, int):
+                out.append(struct.pack("<Bi", 0, u))
+            else:
+                ub = str(u).encode("utf-8")
+                out.append(struct.pack("<Bi", 1, len(ub)))
+                out.append(ub)
+            fonts = sorted(self.unichars[u])
+            out.append(struct.pack("<i", len(fonts)))
+            out.append(struct.pack(f"<{len(fonts)}i", *fonts))
+        return b"".join(out)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "Shape":
+        import struct
+
+        s = cls()
+        off = 5  # sorted flag + count
+        (_sorted, n) = struct.unpack_from("<Bi", data, 0)
+        for _ in range(n):
+            (kind, val) = struct.unpack_from("<Bi", data, off)
+            off += 5
+            if kind == 0:
+                u = val
+            else:
+                u = data[off : off + val].decode("utf-8")
+                off += val
+            (nf,) = struct.unpack_from("<i", data, off)
+            off += 4
+            fonts = struct.unpack_from(f"<{nf}i", data, off)
+            off += 4 * nf
+            for f in fonts:
+                s.add(u, f)
+        return s
 
 
 class ShapeTable:
@@ -111,6 +166,55 @@ class ShapeTable:
     def max_num_unichars(self) -> int:
         live = self.live_shapes()
         return max((self.shapes[i].size() for i in live), default=0)
+
+    def add_whole_shape(self, shape: Shape) -> int:
+        """ShapeTable::AddShape(Shape&) (shapetable.cpp:288-294)."""
+        s = Shape()
+        s.add_shape(shape)
+        self.shapes.append(s)
+        self._dest.append(-1)
+        return len(self.shapes) - 1
+
+    def num_shapes(self) -> int:
+        return len(self.shapes)
+
+    def delete_shape(self, shape_id: int) -> None:
+        """ShapeTable::DeleteShape (shapetable.cpp:300-308)."""
+        self.shapes.pop(shape_id)
+        self._dest.pop(shape_id)
+        self._dest = [
+            d if d < shape_id else d - 1 for d in self._dest
+        ]
+
+    def any_multiple_unichars(self) -> bool:
+        """shapetable.cpp:740-748: any live shape holding > 1 unichar."""
+        return any(
+            self.shapes[i].size() > 1 for i in self.live_shapes()
+        )
+
+    def master_unichar_count(self, shape_id: int) -> int:
+        """MasterUnicharCount (shapetable.cpp:458-462)."""
+        return self.get_shape(shape_id).size()
+
+    def master_font_count(self, shape_id: int) -> int:
+        """MasterFontCount (shapetable.cpp:466-474): the SUM of font
+        lists across the shape's unichars."""
+        return self.get_shape(shape_id).font_count()
+
+    def master_destination_index(self, shape_id: int) -> int:
+        """MasterDestinationIndex (shapetable.cpp:478-486)."""
+        return self.master_id(shape_id)
+
+    def num_master_shapes(self) -> int:
+        return len(self.live_shapes())
+
+    def append_master_shapes(self, other: "ShapeTable") -> list[int]:
+        """AppendMasterShapes (shapetable.cpp:752-764): copy the live
+        (master) shapes of ``other``; returns their new ids."""
+        return [
+            self.add_whole_shape(other.shapes[i])
+            for i in other.live_shapes()
+        ]
 
 
 def bank_distance(a: np.ndarray, b: np.ndarray) -> float:
