@@ -3,6 +3,7 @@
 lstmtraining consumes .lstmf files: a DocumentData::SaveDocument blob
 (src/ccstruct/imagedata.cpp:422-431) holding a TFile-serialized vector
 of ImageData pages (imagedata.cpp:91-115): for each page —
+a uint8 pointer-non-null marker (imagedata.cpp:587),
 filename (uint32-length-prefixed string), int32 page number, PNG bytes
 (uint32-prefixed), language, transcription, TBOX vector (uint32 count,
 4 x int16 per box: bot_left then top_right, y-UP coordinates,
@@ -49,6 +50,9 @@ def _w_bytes(out: bytearray, b: bytes) -> None:
 def write_lstmf(samples: list[ImageSample]) -> bytes:
     out = bytearray(struct.pack("<I", len(samples)))
     for s in samples:
+        # Pointer-vector non-null marker (the uint8 DocumentData::
+        # ReCachePages reads per page, imagedata.cpp:587-600).
+        out += struct.pack("<B", 1)
         _w_str(out, s.imagefilename)
         out += struct.pack("<i", s.page_number)
         _w_bytes(out, s.image_png)
@@ -91,6 +95,9 @@ def read_lstmf(data: bytes) -> list[ImageSample]:
     n = r.u32()
     out: list[ImageSample] = []
     for _ in range(n):
+        non_null = struct.unpack("<B", r.take(1))[0]
+        if not non_null:
+            continue
         smp = ImageSample()
         smp.imagefilename = r.s()
         smp.page_number = r.i32()

@@ -35,9 +35,10 @@ def test_byte_layout():
     )
     blob = write_lstmf([s])
     assert struct.unpack_from("<I", blob, 0)[0] == 1
-    assert struct.unpack_from("<I", blob, 4)[0] == 5  # len("x.png")
-    assert blob[8:13] == b"x.png"
-    assert struct.unpack_from("<i", blob, 13)[0] == 3  # page number
+    assert blob[4] == 1  # pointer-vector non-null marker (imagedata.cpp:587)
+    assert struct.unpack_from("<I", blob, 5)[0] == 5  # len("x.png")
+    assert blob[9:14] == b"x.png"
+    assert struct.unpack_from("<i", blob, 14)[0] == 3  # page number
     # the TBOX serializes 4 int16 y-up coords; vertical flag is int8=1
     assert blob.endswith(struct.pack("<4h", 1, 2, 3, 4)
                          + struct.pack("<I", 1)
