@@ -213,6 +213,16 @@ class RefUnicharset:
             return ""
         return self.reprs[uid].decode("utf-8")
 
+    def has_special_codes(self) -> bool:
+        """unicharset.h has_special_codes_: true when ids 0..2 are the
+        reserved " "/Joined/Broken rows."""
+        return (
+            len(self.reprs) >= 3
+            and self.reprs[0] == b" "
+            and self.reprs[1] == b"Joined"
+            and self.reprs[2].startswith(b"|Broken|")
+        )
+
     def contains_unichar(self, unichar_repr: str) -> bool:
         s = unichar_repr if self.old_style_included else cleanup_string(unichar_repr)
         return s.encode("utf-8") in self._ids

@@ -361,8 +361,10 @@ class UnicharCompress:
             if not rc.codes:
                 continue
             key = tuple(rc.codes)
-            if key not in self._decoder:  # first (master) entry wins
-                self._decoder[key] = uid
+            # Last writer wins, as in SetupDecoder's decoder_[code] = c
+            # (unicharcompress.cpp:402) — matters only for shared null
+            # codes (Joined/Broken both carry the null).
+            self._decoder[key] = uid
             for plen in range(1, len(key)):
                 self._prefixes.add(key[:plen])
             self.code_range = max(self.code_range, max(rc.codes) + 1)
@@ -370,6 +372,12 @@ class UnicharCompress:
     # -- codec ------------------------------------------------------------
     def encode_unichar(self, uid: int) -> list[int]:
         return list(self.encoder[uid].codes)
+
+    def decode_unichar(self, codes: list[int]) -> int:
+        """DecodeUnichar (unicharcompress.cpp:304-315)."""
+        if not 0 < len(codes) <= K_MAX_CODE_LEN:
+            return -1
+        return self._decoder.get(tuple(codes), -1)
 
     def decode_codes(self, codes: list[int]) -> list[int]:
         """Greedy longest-match decode of a flat code stream back to
@@ -392,6 +400,190 @@ class UnicharCompress:
             out.append(match_uid)
             i += match_len
         return out
+
+    # -- real compression (ComputeEncoding, unicharcompress.cpp:109-226)
+    K_NULL_CHAR = "<nul>"  # unicharcompress.cpp:29
+    K_RADICAL_RADIX = 29  # unicharcompress.cpp:31
+    # Hangul Jamo counts (unicharcompress.h:162-164)
+    K_L_COUNT, K_V_COUNT, K_T_COUNT = 19, 21, 28
+    K_FIRST_HANGUL = 0xAC00
+
+    @staticmethod
+    def decompose_hangul(unicode: int) -> tuple[int, int, int] | None:
+        """unicharcompress.cpp:367-380: 0-based (leading, vowel,
+        trailing) indices, or None outside the syllable range."""
+        kL, kV, kT = UnicharCompress.K_L_COUNT, UnicharCompress.K_V_COUNT, UnicharCompress.K_T_COUNT
+        if unicode < UnicharCompress.K_FIRST_HANGUL:
+            return None
+        offset = unicode - UnicharCompress.K_FIRST_HANGUL
+        if offset >= kL * kV * kT:
+            return None
+        n = kV * kT
+        return offset // n, (offset % n) // kT, offset % kT
+
+    @staticmethod
+    def decode_radical_table(radical_data: str) -> dict[int, list[int]]:
+        """DecodeRadicalTable (unicharcompress.cpp:50-88): lines of
+        ``unicode radical radical ...`` decimal ints, '#' comments."""
+        radical_map: dict[int, list[int]] = {}
+        for line in radical_data.splitlines():
+            if not line or line[0] == "#":
+                continue
+            entries = line.split(" ")
+            if len(entries) < 2:
+                raise ValueError(f"bad radical line: {line!r}")
+            radical_map[int(entries[0])] = [int(e) for e in entries[1:]]
+        return radical_map
+
+    @classmethod
+    def compute_encoding(
+        cls,
+        unicharset,
+        null_id: int,
+        radical_map: dict[int, list[int]] | None = None,
+    ) -> "UnicharCompress":
+        """ComputeEncoding (unicharcompress.cpp:109-226) over a
+        RefUnicharset: Han via radical codes, Hangul via Jamo
+        decomposition, everything else via a direct set of the
+        constituent unicodes; then Han renumbering and
+        defragmentation. Raises ValueError where the reference
+        returns false."""
+        from .refcharset import RefUnicharset, cleanup_string, utf8_to_utf32, utf32_to_utf8
+
+        if radical_map is None:
+            radical_map = {}
+        direct_set = RefUnicharset(with_specials=False)
+        # Always keep space as 0; null char next (old-style sticky so
+        # every inserted unicode gets its own row).
+        direct_set.unichar_insert(" ", old_style=True)
+        if null_id >= 0:
+            direct_set.unichar_insert(cls.K_NULL_CHAR)
+        radical_counts: dict[int, int] = {}
+        size = len(unicharset)
+        hangul_offset = size
+        k_total_jamos = cls.K_L_COUNT + cls.K_V_COUNT + cls.K_T_COUNT
+        han_offset = hangul_offset + k_total_jamos
+        has_specials = getattr(unicharset, "has_special_codes", lambda: False)()
+        encoder: list[RecodedCharID] = []
+        for u in range(size + 1):
+            if u == size and u != null_id:
+                break
+            codes: list[int] = []
+            unicodes: list[int] = []
+            if u < size:
+                cleaned = cleanup_string(unicharset.id_to_unichar(u))
+                unicodes = utf8_to_utf32(cleaned)
+            if u < size and len(unicodes) == 1:
+                unicode = unicodes[0]
+                radicals = radical_map.get(unicode)
+                if radicals is not None:
+                    # Han: radical codes directly, plus a disambiguator
+                    # when the radical sequence repeats.
+                    codes = [han_offset + r for r in radicals]
+                    pre_hash = 0
+                    for r in radicals:
+                        pre_hash = pre_hash * cls.K_RADICAL_RADIX + r
+                    num_samples = radical_counts.get(pre_hash, 0)
+                    radical_counts[pre_hash] = num_samples + 1
+                    if num_samples > 0:
+                        codes.append(han_offset + num_samples + cls.K_RADICAL_RADIX)
+                else:
+                    hangul = cls.decompose_hangul(unicode)
+                    if hangul is not None:
+                        leading, vowel, trailing = hangul
+                        codes = [
+                            leading + hangul_offset,
+                            vowel + cls.K_L_COUNT + hangul_offset,
+                            trailing + cls.K_L_COUNT + cls.K_V_COUNT + hangul_offset,
+                        ]
+            if not codes:
+                if u == 0:  # UNICHAR_SPACE
+                    codes = [0]
+                elif u == null_id or (has_specials and u < 3):
+                    codes = [direct_set.unichar_to_id(cls.K_NULL_CHAR)]
+                else:
+                    for uni in unicodes:
+                        if len(codes) >= K_MAX_CODE_LEN:
+                            raise ValueError(
+                                f"unichar {u} too long to encode"
+                            )
+                        utf8 = utf32_to_utf8([uni])
+                        if not direct_set.contains_unichar(utf8):
+                            direct_set.unichar_insert(utf8)
+                        codes.append(direct_set.unichar_to_id(utf8))
+                        if len(direct_set) > size + (0 if has_specials else 1):
+                            raise ValueError("code space expanded from original unicharset")
+            encoder.append(RecodedCharID(1, codes))
+        # Renumber Han: separate radical/stroke/count code positions
+        # (unicharcompress.cpp:207-224).
+        code_offset = 0
+        for i in range(K_MAX_CODE_LEN):
+            max_offset = 0
+            for u in range(size):
+                code = encoder[u]
+                if len(code.codes) <= i:
+                    continue
+                max_offset = max(max_offset, code.codes[i] - han_offset)
+                code.codes[i] += code_offset
+            if max_offset == 0:
+                break
+            code_offset += max_offset + 1
+        out = cls(encoder)
+        out.defragment_code_values(1 if null_id >= 0 else -1)
+        return out
+
+    def defragment_code_values(self, encoded_null: int) -> None:
+        """DefragmentCodeValues (unicharcompress.cpp:256-290): drop
+        unused code values, move the null code to the end."""
+        self._setup_decoder()  # refresh code_range
+        offsets = [0] * self.code_range
+        for rc in self.encoder:
+            for c in rc.codes:
+                offsets[c] = 1
+        offset = 0
+        for i in range(len(offsets)):
+            if offsets[i] == 0 or i == encoded_null:
+                offset -= 1
+            else:
+                offsets[i] = offset
+        if encoded_null >= 0:
+            offsets[encoded_null] = len(offsets) + offsets[-1] - encoded_null
+        for rc in self.encoder:
+            rc.codes = [c + offsets[c] for c in rc.codes]
+        self._setup_decoder()
+
+    # -- beam-search navigation (SetupDecoder's next/final tables) ----
+    def get_final_codes(self, prefix: list[int]) -> list[int]:
+        """Codes completing a unichar after ``prefix``
+        (unicharcompress.h GetFinalCodes)."""
+        p = tuple(prefix)
+        out = sorted(
+            {key[len(p)] for key in self._decoder if len(key) == len(p) + 1 and key[: len(p)] == p}
+        )
+        return out
+
+    def get_next_codes(self, prefix: list[int]) -> list[int]:
+        """Codes extending ``prefix`` toward longer unichars
+        (unicharcompress.h GetNextCodes)."""
+        p = tuple(prefix)
+        return sorted(
+            {key[len(p)] for key in self._prefixes | set(self._decoder) if len(key) > len(p) + 1 and key[: len(p)] == p}
+        )
+
+    def get_encoding_as_string(self, unicharset) -> str:
+        """GetEncodingAsString (unicharcompress.cpp:339-361)."""
+        has_specials = getattr(unicharset, "has_special_codes", lambda: False)()
+        lines = []
+        for c, rc in enumerate(self.encoder):
+            if 0 < c < 3 and rc.codes == self.encoder[c - 1].codes:
+                continue  # duplicate special entry
+            code_str = ",".join(str(v) for v in rc.codes)
+            if c >= len(unicharset) or (0 < c < 3 and has_specials):
+                rep = self.K_NULL_CHAR
+            else:
+                rep = unicharset.id_to_unichar(c)
+            lines.append(f"{code_str}\t{rep}\n")
+        return "".join(lines)
 
     # -- serialization ----------------------------------------------------
     def write(self, w: Writer) -> None:
