@@ -343,6 +343,7 @@ class UnicharCompress:
         self.encoder: list[RecodedCharID] = encoder or []
         self._decoder: dict[tuple[int, ...], int] = {}
         self._prefixes: set[tuple[int, ...]] = set()
+        self._valid_first: set[int] = set()
         self.code_range = 0
         if encoder:
             self._setup_decoder()
@@ -356,10 +357,12 @@ class UnicharCompress:
     def _setup_decoder(self) -> None:
         self._decoder.clear()
         self._prefixes.clear()
+        self._valid_first = set()
         self.code_range = 0
         for uid, rc in enumerate(self.encoder):
             if not rc.codes:
                 continue
+            self._valid_first.add(rc.codes[0])
             key = tuple(rc.codes)
             # Last writer wins, as in SetupDecoder's decoder_[code] = c
             # (unicharcompress.cpp:402) — matters only for shared null
@@ -378,6 +381,10 @@ class UnicharCompress:
         if not 0 < len(codes) <= K_MAX_CODE_LEN:
             return -1
         return self._decoder.get(tuple(codes), -1)
+
+    def is_valid_first_code(self, code: int) -> bool:
+        """IsValidFirstCode (unicharcompress.h is_valid_start_)."""
+        return code in self._valid_first
 
     def decode_codes(self, codes: list[int]) -> list[int]:
         """Greedy longest-match decode of a flat code stream back to
@@ -1218,3 +1225,117 @@ def load_traineddata(data: bytes) -> LstmModel:
         if sec in entries:
             setattr(model, attr, read_squished_dawg(entries[sec], model.charset))
     return model
+
+
+# ---------------------------------------------------------------------------
+# Trainer-level label codec (LSTMTrainer::EncodeString
+# lstmtrainer.cpp:792-845, LSTMRecognizer::DecodeLabels / DecodeLabel
+# lstmrecognizer.cpp:393-404,559-600, LSTMTrainer::MapRecoder
+# lstmtrainer.cpp:1052-1089) over RefUnicharset + UnicharCompress.
+# ---------------------------------------------------------------------------
+
+
+def trainer_encode_string(
+    ucs, text: str, recoder: UnicharCompress | None, null_char: int, simple_text: bool = False
+) -> list[int] | None:
+    """EncodeString: unicharset ids through the recoder, null_char
+    interleaved unless simple_text. None where the reference returns
+    false."""
+    from .refcharset import cleanup_string
+
+    if not text:
+        return None
+    labels: list[int] = []
+    if not simple_text:
+        labels.append(null_char)
+    ok, internal_labels, _, _ = ucs.encode_string(cleanup_string(text), True)
+    if not ok:
+        return None
+    for internal in internal_labels:
+        if recoder is not None:
+            codes = recoder.encode_unichar(internal)
+            if not codes:
+                return None
+            for c in codes:
+                labels.append(c)
+                if not simple_text:
+                    labels.append(null_char)
+        else:
+            labels.append(internal)
+            if not simple_text:
+                labels.append(null_char)
+    return labels
+
+
+def trainer_decode_labels(
+    ucs, labels: list[int], recoder: UnicharCompress | None, null_char: int
+) -> str:
+    """DecodeLabels: walk the label stream, skipping nulls; with a
+    recoder, extend each code prefix until it decodes AND the next
+    label is a valid first code (lstmrecognizer.cpp:559-600)."""
+    result = []
+    start = 0
+    n = len(labels)
+    while start < n:
+        if labels[start] == null_char:
+            start += 1
+            continue
+        if recoder is not None:
+            code: list[int] = []
+            index = start
+            uni_id = -1
+            while index < n and len(code) < K_MAX_CODE_LEN:
+                code.append(labels[index])
+                index += 1
+                while index < n and labels[index] == null_char:
+                    index += 1
+                uni_id = recoder.decode_unichar(code)
+                if uni_id != -1 and (
+                    index == n
+                    or len(code) == K_MAX_CODE_LEN
+                    or recoder.is_valid_first_code(labels[index])
+                ):
+                    break
+                uni_id = -1
+            if uni_id != -1 and uni_id < len(ucs):
+                result.append(ucs.id_to_unichar(uni_id))
+            start = index if index > start else start + 1
+        else:
+            uid = labels[start]
+            if 0 <= uid < len(ucs):
+                result.append(ucs.id_to_unichar(uid))
+            start += 1
+    return "".join(result)
+
+
+def map_recoder(new_ucs, new_recoder: UnicharCompress, old_ucs, old_recoder: UnicharCompress) -> list[int]:
+    """MapRecoder (lstmtrainer.cpp:1052-1089): for every code of the
+    new coder, the corresponding code of the old coder, or -1."""
+    num_new_codes = new_recoder.code_range
+    num_new_unichars = len(new_ucs)
+    code_map = [-1] * num_new_codes
+    for c in range(num_new_codes):
+        old_code = -1
+        # Find new unichar_ids whose recoding includes c (<= includes
+        # the null char beyond the unicharset).
+        for uid in range(num_new_unichars + 1):
+            if uid >= len(new_recoder.encoder):
+                break
+            codes = new_recoder.encode_unichar(uid)
+            try:
+                code_index = codes.index(c)
+            except ValueError:
+                continue
+            if uid < num_new_unichars:
+                old_uid = old_ucs.unichar_to_id(new_ucs.id_to_unichar(uid))
+            else:
+                old_uid = len(old_ucs) - 1
+            if old_uid == -1:
+                continue
+            if old_uid < len(old_recoder.encoder):
+                old_codes = old_recoder.encode_unichar(old_uid)
+                if code_index < len(old_codes):
+                    old_code = old_codes[code_index]
+                    break
+        code_map[c] = old_code
+    return code_map
