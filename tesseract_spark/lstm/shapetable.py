@@ -138,6 +138,18 @@ class ShapeTable:
     def get_shape(self, shape_id: int) -> Shape:
         return self.shapes[self.master_id(shape_id)]
 
+    def find_shape(self, unichar, font_id: int = -1) -> int:
+        """FindShape (shapetable.cpp:385-401): first shape holding the
+        unichar (with the font, unless font_id < 0), else -1."""
+        for shape_id, shape in enumerate(self.shapes):
+            if self.is_merged(shape_id):
+                continue
+            if unichar in shape.unichars and (
+                font_id < 0 or font_id in shape.unichars[unichar]
+            ):
+                return shape_id
+        return -1
+
     def is_merged(self, shape_id: int) -> bool:
         return self._dest[shape_id] >= 0
 
