@@ -17,3 +17,13 @@ All per-image imperative code lives in vectorized pandas/Arrow UDFs
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy re-export of the reference-API facade (keeps `import
+    # tesseract_spark` light for executors that never touch it)
+    if name in ("TessBaseAPI", "ResultIterator"):
+        from . import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

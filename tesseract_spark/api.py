@@ -1,0 +1,784 @@
+"""TessBaseAPI — the reference's programmatic surface, locally.
+
+Port of the include/tesseract/baseapi.h contract (TessBaseAPI,
+src/api/baseapi.cpp) at single-page granularity: Init / SetVariable /
+SetImage / SetRectangle / Recognize / the Get*Text family / iterators.
+The Spark pipeline is the scale path (pipeline.ocr_documents over a
+corpus DataFrame); this facade is the drop-in for code written against
+the reference API (unittest/baseapi_test.cc, apiexample_test.cc) and
+is exactly what one executor task does per page — so the two surfaces
+share every operator underneath.
+
+Text renderers here mirror the DataFrame sinks' output BYTE-EXACTLY on
+the default path (to_hocr / to_tsv / to_box_chars / to_unlv in
+operators/sinks.py) — pinned by the api-vs-sink parity tests — so a
+page rendered through the API equals the same page rendered by the
+distributed job.
+
+v1 routing notes (documented, warned where surprising):
+- word-level surfaces (iterators, hOCR/TSV/box getters) run the
+  default engine's AUTO layout; --psm affects GetUTF8Text via the
+  ProcessPage dispatch, and OEM 0/1/2 route GetUTF8Text through the
+  legacy / VGSL / combined engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import __version__
+from .config import PSM_AUTO, PSM_OSD_ONLY
+
+# OcrEngineMode (include/tesseract/publictypes.h:265-280)
+OEM_TESSERACT_ONLY = 0
+OEM_LSTM_ONLY = 1
+OEM_TESSERACT_LSTM_COMBINED = 2
+OEM_DEFAULT = 3
+
+# PageIteratorLevel (include/tesseract/publictypes.h:216-222)
+RIL_BLOCK = 0
+RIL_PARA = 1
+RIL_TEXTLINE = 2
+RIL_WORD = 3
+RIL_SYMBOL = 4
+
+# the typed runtime param registry (src/ccutil/params.h; the subset the
+# engine honors plus the names baseapi_test.cc pins).  kind: i/b/d/s.
+PARAM_DEFS: dict[str, tuple[str, object]] = {
+    "tessedit_pageseg_mode": ("i", PSM_AUTO),
+    "tessedit_ocr_engine_mode": ("i", OEM_DEFAULT),
+    "tessedit_ambigs_training": ("b", False),
+    "tessedit_init_config_only": ("b", False),
+    "tessedit_char_whitelist": ("s", ""),
+    "tessedit_char_blacklist": ("s", ""),
+    "tessedit_char_unblacklist": ("s", ""),
+    "segment_penalty_dict_frequent_word": ("d", 1.0),
+    "preserve_interword_spaces": ("b", False),
+    "user_defined_dpi": ("i", 0),
+    "hocr_font_info": ("b", False),
+    "lstm_choice_mode": ("i", 0),
+    "unlv_tilde_crunching": ("b", False),
+    "paragraph_debug_level": ("i", 0),
+    "debug_file": ("s", ""),
+    "textonly_pdf": ("b", False),
+    "tessedit_create_txt": ("b", False),
+    "tessedit_create_hocr": ("b", False),
+    "tessedit_create_alto": ("b", False),
+    "tessedit_create_page_xml": ("b", False),
+    "tessedit_create_tsv": ("b", False),
+    "tessedit_create_pdf": ("b", False),
+    "tessedit_write_unlv": ("b", False),
+    "tessedit_create_boxfile": ("b", False),
+    "tessedit_create_lstmbox": ("b", False),
+    "tessedit_create_wordstrbox": ("b", False),
+}
+
+_TRUE_STRINGS = {"1", "t", "true", "yes"}
+_FALSE_STRINGS = {"0", "f", "false", "no"}
+
+
+def _xml_escape(s: str) -> str:
+    # HOcrEscape (baseapi.cpp:2240-2270) == sinks._xml_escape_sql order
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;").replace("'", "&apos;")
+    )
+
+
+def _fmt_conf(v: float) -> str:
+    """Spark's ``cast(round(conf, 0) as int)``: HALF_UP then truncate."""
+    return str(int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5)))
+
+
+def _char_boxes(word) -> list[tuple[str, int, int, int, int]]:
+    """Per-symbol boxes via the engine's own font advance model — the
+    to_box_chars split (sinks.py; GetBoxText baseapi.cpp:1497-1545),
+    replicated locally: (ch, l, t, r, b) top-down coordinates."""
+    from .functions.fonts import KERN, get_font
+
+    font = get_font()
+    chs = list(word.text)
+    if not chs:
+        return []
+    adv = [font[c].shape[1] if c in font else 7 for c in chs]
+    total = sum(adv) + KERN * (len(chs) - 1)
+    scale = word.width / max(total, 1)
+    out = []
+    prefix = 0
+    for c, a in zip(chs, adv):
+        left = int(word.left + prefix * scale)
+        right = int(word.left + (prefix + a) * scale)
+        out.append((c, left, word.top, right, word.top + word.height))
+        prefix += a + KERN
+    return out
+
+
+class ResultIterator:
+    """ResultIterator / PageIterator / LTRResultIterator
+    (include/tesseract/resultiterator.h, pageiterator.h): a cursor over
+    the recognized symbol stream with level-granular moves."""
+
+    def __init__(self, words: list):
+        # words arrive in reading order (block, par, line, word)
+        self._words = sorted(
+            words, key=lambda w: (w.block_num, w.par_num, w.line_num,
+                                  w.word_num))
+        self._wi = 0
+        self._si = 0
+
+    def Begin(self) -> None:
+        self._wi = 0
+        self._si = 0
+
+    def Empty(self) -> bool:
+        return not self._words
+
+    def _word(self):
+        return self._words[self._wi] if self._wi < len(self._words) else None
+
+    def Next(self, level: int) -> bool:
+        """Move to the start of the next element at ``level``
+        (pageiterator.cpp Next); False when exhausted."""
+        w = self._word()
+        if w is None:
+            return False
+        if level == RIL_SYMBOL:
+            self._si += 1
+            if self._si < len(w.text):
+                return True
+            self._si = 0
+            self._wi += 1
+            return self._wi < len(self._words)
+        self._si = 0
+        if level == RIL_WORD:
+            self._wi += 1
+            return self._wi < len(self._words)
+        key = {
+            RIL_BLOCK: lambda x: (x.block_num,),
+            RIL_PARA: lambda x: (x.block_num, x.par_num),
+            RIL_TEXTLINE: lambda x: (x.block_num, x.par_num, x.line_num),
+        }[level]
+        cur = key(w)
+        while self._wi < len(self._words) and key(self._word()) == cur:
+            self._wi += 1
+        return self._wi < len(self._words)
+
+    def _span(self, level: int) -> list:
+        w = self._word()
+        if w is None:
+            return []
+        key = {
+            RIL_BLOCK: lambda x: (x.block_num,),
+            RIL_PARA: lambda x: (x.block_num, x.par_num),
+            RIL_TEXTLINE: lambda x: (x.block_num, x.par_num, x.line_num),
+            RIL_WORD: lambda x: (x.block_num, x.par_num, x.line_num,
+                                 x.word_num),
+            RIL_SYMBOL: lambda x: (x.block_num, x.par_num, x.line_num,
+                                   x.word_num),
+        }[level]
+        cur = key(w)
+        return [x for x in self._words if key(x) == cur]
+
+    def GetUTF8Text(self, level: int) -> str:
+        """The text of the current element (ltrresultiterator.cpp:
+        GetUTF8Text): words joined by spaces, lines by newlines;
+        line/para/block text carries the trailing newline(s) the
+        reference appends."""
+        w = self._word()
+        if w is None:
+            return ""
+        if level == RIL_SYMBOL:
+            return w.text[self._si]
+        if level == RIL_WORD:
+            return w.text
+        span = self._span(level)
+        lines: dict[tuple, list] = {}
+        for x in span:
+            lines.setdefault(
+                (x.block_num, x.par_num, x.line_num), []).append(x)
+        text = "\n".join(
+            " ".join(x.text for x in ws) for _k, ws in sorted(lines.items())
+        ) + "\n"
+        if level in (RIL_PARA, RIL_BLOCK):
+            text += "\n"
+        return text
+
+    def BoundingBox(self, level: int):
+        w = self._word()
+        if w is None:
+            return None
+        if level == RIL_SYMBOL:
+            boxes = _char_boxes(w)
+            _c, l, t, r, b = boxes[min(self._si, len(boxes) - 1)]
+            return (l, t, r, b)
+        span = self._span(level)
+        return (
+            min(x.left for x in span),
+            min(x.top for x in span),
+            max(x.left + x.width for x in span),
+            max(x.top + x.height for x in span),
+        )
+
+    def Confidence(self, level: int) -> float:
+        span = self._span(level)
+        if not span:
+            return 0.0
+        return float(sum(x.conf for x in span) / len(span))
+
+    def IsAtBeginningOf(self, level: int) -> bool:
+        if self._word() is None:
+            return False
+        if self._si != 0:
+            return False
+        if self._wi == 0:
+            return True
+        prev, cur = self._words[self._wi - 1], self._word()
+        keys = {
+            RIL_BLOCK: lambda x: (x.block_num,),
+            RIL_PARA: lambda x: (x.block_num, x.par_num),
+            RIL_TEXTLINE: lambda x: (x.block_num, x.par_num, x.line_num),
+            RIL_WORD: lambda x: (x.block_num, x.par_num, x.line_num,
+                                 x.word_num),
+            RIL_SYMBOL: lambda x: None,
+        }
+        if level == RIL_SYMBOL:
+            return True
+        return keys[level](prev) != keys[level](cur)
+
+    def IsAtFinalElement(self, level: int, element: int) -> bool:
+        """True when the current ``element`` is the last one inside the
+        enclosing ``level`` span (resultiterator.cpp:IsAtFinalElement)."""
+        w = self._word()
+        if w is None:
+            return False
+        if element == RIL_SYMBOL and self._si < len(w.text) - 1:
+            return False
+        if self._wi + 1 >= len(self._words):
+            return True
+        keys = {
+            RIL_BLOCK: lambda x: (x.block_num,),
+            RIL_PARA: lambda x: (x.block_num, x.par_num),
+            RIL_TEXTLINE: lambda x: (x.block_num, x.par_num, x.line_num),
+        }
+        if level not in keys:
+            return True
+        return keys[level](self._words[self._wi + 1]) != keys[level](w)
+
+    # ---- LTRResultIterator word accessors ----
+
+    def WordFontAttributes(self):
+        w = self._word()
+        if w is None:
+            return None
+        return {
+            "font_name": w.font or "normal",
+            "bold": bool(w.bold),
+            "italic": bool(w.italic),
+            "underlined": bool(w.underlined),
+            "monospace": bool(w.mono),
+            "smallcaps": bool(w.smallcaps),
+            "pointsize": int(w.pointsize),
+        }
+
+    def WordIsFromDictionary(self) -> bool:
+        w = self._word()
+        return w is not None and w.permuter in (
+            "system_dawg", "user_dawg", "doc_dawg", "freq_dawg")
+
+    def WordRecognitionLanguage(self) -> str:
+        return "eng"
+
+    def SymbolChoices(self):
+        """The ChoiceIterator surface (ltrresultiterator.cpp:368-490):
+        (ch, conf) alternatives for the current symbol."""
+        w = self._word()
+        if w is None or not w.choices:
+            return []
+        if self._si >= len(w.choices):
+            return []
+        return list(w.choices[self._si])
+
+
+class TessBaseAPI:
+    """The reference's central API object (baseapi.h:96)."""
+
+    def __init__(self):
+        self._params = {k: v for k, (_t, v) in PARAM_DEFS.items()}
+        self._lang = None
+        self._oem = OEM_DEFAULT
+        self._image = None
+        self._dpi = 300
+        self._rect = None
+        self._input_name = ""
+        self._spans = None
+        self._words = None
+        self._layout = None
+        self._user_words = None
+
+    # ---- lifecycle ----
+
+    @staticmethod
+    def Version() -> str:
+        return __version__
+
+    def Init(self, datapath=None, lang="eng", oem=OEM_DEFAULT,
+             configs=None, vars_vec=None, vars_values=None) -> int:
+        """0 on success, -1 on failure (unknown language/engine).  The
+        engine loads lazily at Recognize — config-only init
+        (tessedit_init_config_only, baseapi_test InitConfigOnlyTest) is
+        the natural fast path here."""
+        from .cli import CONFIGS, LANGS
+
+        lang = lang or "eng"
+        for part in lang.split("+"):
+            if part not in LANGS and part != "osd":
+                return -1
+        if not 0 <= int(oem) <= OEM_DEFAULT:
+            return -1
+        self._lang = lang
+        self._oem = int(oem)
+        for name in configs or []:
+            for k, v in CONFIGS.get(name, {}).items():
+                self.SetVariable(k, v)
+        for k, v in zip(vars_vec or [], vars_values or []):
+            self.SetVariable(k, v)
+        return 0
+
+    def End(self) -> None:
+        self.Clear()
+        self._lang = None
+
+    def Clear(self) -> None:
+        self._image = None
+        self._rect = None
+        self._spans = self._words = self._layout = None
+
+    def ClearAdaptiveClassifier(self) -> None:
+        self._words = self._spans = None
+
+    def GetInitLanguagesAsString(self) -> str:
+        return self._lang or ""
+
+    def oem(self) -> int:
+        return self._oem
+
+    # ---- variables (SetVariable baseapi.cpp:211-266) ----
+
+    def SetVariable(self, name: str, value: str) -> bool:
+        spec = PARAM_DEFS.get(name)
+        if spec is None:
+            return False
+        kind, _d = spec
+        s = str(value)
+        if kind == "i":
+            try:
+                self._params[name] = int(s, 10)
+            except ValueError:
+                return False
+        elif kind == "d":
+            try:
+                self._params[name] = float(s)
+            except ValueError:
+                return False
+        elif kind == "b":
+            low = s.strip().lower()
+            if low in _TRUE_STRINGS:
+                self._params[name] = True
+            elif low in _FALSE_STRINGS:
+                self._params[name] = False
+            else:
+                return False
+        else:
+            self._params[name] = s
+        return True
+
+    def GetIntVariable(self, name: str):
+        spec = PARAM_DEFS.get(name)
+        return int(self._params[name]) if spec and spec[0] == "i" else None
+
+    def GetBoolVariable(self, name: str):
+        spec = PARAM_DEFS.get(name)
+        return bool(self._params[name]) if spec and spec[0] == "b" else None
+
+    def GetDoubleVariable(self, name: str):
+        spec = PARAM_DEFS.get(name)
+        return float(self._params[name]) if spec and spec[0] == "d" else None
+
+    def GetStringVariable(self, name: str):
+        spec = PARAM_DEFS.get(name)
+        return str(self._params[name]) if spec and spec[0] == "s" else None
+
+    def PrintVariables(self) -> str:
+        return "\n".join(f"{k}\t{self._params[k]}" for k in PARAM_DEFS)
+
+    # ---- page setup ----
+
+    def SetPageSegMode(self, psm: int) -> None:
+        self._params["tessedit_pageseg_mode"] = int(psm)
+
+    def GetPageSegMode(self) -> int:
+        return int(self._params["tessedit_pageseg_mode"])
+
+    def SetInputName(self, name: str) -> None:
+        self._input_name = name
+
+    def GetInputName(self) -> str:
+        return self._input_name
+
+    def SetImage(self, image) -> None:
+        """A gray ndarray (0-255, ink dark) or PNG bytes."""
+        if isinstance(image, (bytes, bytearray)):
+            from .functions.png_codec import decode_gray_png
+
+            image = decode_gray_png(bytes(image))
+        self._image = np.asarray(image)
+        self._spans = self._words = self._layout = None
+
+    def SetSourceResolution(self, ppi: int) -> None:
+        self._dpi = int(ppi)
+
+    def SetRectangle(self, left: int, top: int, width: int, height: int):
+        self._rect = (left, top, width, height)
+        self._spans = self._words = self._layout = None
+
+    def _page_image(self):
+        img = self._image
+        if img is None:
+            raise RuntimeError("SetImage was not called")
+        if self._rect is not None:
+            l, t, w, h = self._rect
+            img = img[t : t + h, l : l + w]
+        return img
+
+    def _charlists(self):
+        bl = self._params["tessedit_char_blacklist"]
+        wl = self._params["tessedit_char_whitelist"]
+        ul = self._params["tessedit_char_unblacklist"]
+        return (bl, wl, ul) if (bl or wl or ul) else None
+
+    def _dpi_now(self) -> int:
+        return int(self._params["user_defined_dpi"]) or self._dpi
+
+    # ---- recognition ----
+
+    def Recognize(self, monitor=None) -> int:
+        """0 on success (baseapi.cpp:Recognize).  Spans honor the PSM
+        dispatch and OEM engine routing; the word-level surface runs
+        the default engine's AUTO path (v1 note in the module doc)."""
+        gray = self._page_image()
+        psm = self.GetPageSegMode()
+        charlists = self._charlists()
+        dawg = None
+        if self._user_words:
+            from .lstm.dawg import Dawg
+            from .lstm.templates import get_net
+
+            dawg = Dawg(get_net().charset, list(self._user_words))
+        if self._oem == OEM_TESSERACT_ONLY:
+            from .operators.legacy import recognize_page_legacy
+
+            spans, layout = recognize_page_legacy(
+                gray, self._dpi_now(), charlists=charlists, dawg=dawg)
+        elif self._oem == OEM_LSTM_ONLY:
+            from .operators.recognize import recognize_page_vgsl
+
+            spans, layout = recognize_page_vgsl(
+                gray, self._dpi_now(), charlists=charlists)
+        elif self._oem == OEM_TESSERACT_LSTM_COMBINED:
+            from .operators.legacy import recognize_page_combined
+
+            spans, layout = recognize_page_combined(
+                gray, self._dpi_now(), dawg=dawg, charlists=charlists)
+        else:
+            spans = layout = None  # resolved by the word pass below
+        # word surface (iterators + word-level renderers)
+        if psm != PSM_OSD_ONLY:
+            from .operators.recognize import recognize_page_detail
+
+            packs = None
+            if self._lang and self._lang not in ("eng", "osd"):
+                from .operators.multilang import get_lang_packs
+
+                packs = get_lang_packs(self._lang)
+            d_spans, words, d_layout = recognize_page_detail(
+                gray, self._dpi_now(), dawg=dawg, want_choices=True,
+                charlists=charlists, packs=packs,
+                font_attrs=bool(self._params["hocr_font_info"]),
+                monitor=monitor,
+            )
+            self._words = words
+            if spans is None:
+                # OEM_DEFAULT: the detail pass IS the engine for
+                # psm AUTO / non-eng languages; other PSMs dispatch
+                # through ProcessPage
+                if psm == PSM_AUTO or packs is not None:
+                    spans, layout = d_spans, d_layout
+                else:
+                    from .operators.recognize import process_page
+
+                    spans, layout = process_page(
+                        gray, self._dpi_now(), psm=psm, dawg=dawg,
+                        charlists=charlists)
+        else:
+            self._words = []
+            if spans is None:
+                from .operators.recognize import process_page
+
+                spans, layout = process_page(
+                    gray, self._dpi_now(), psm=psm, dawg=dawg,
+                    charlists=charlists)
+        self._spans, self._layout = spans, layout
+        return 0
+
+    def _ensure(self):
+        if self._spans is None:
+            self.Recognize()
+
+    def _span_texts(self) -> list[str]:
+        out = []
+        for s in self._spans:
+            kind, text = (s.kind, s.text) if hasattr(s, "kind") else (s[0], s[1])
+            if kind in ("text", "osd"):
+                out.append(text)
+        return out
+
+    # ---- text getters ----
+
+    def GetUTF8Text(self) -> str:
+        self._ensure()
+        return "\n\n".join(self._span_texts()) + "\n"
+
+    def GetOsdText(self, page_number: int = 0) -> str:
+        from .operators.osd import get_osd_text
+
+        return get_osd_text(self._page_image(), page_number=page_number)
+
+    def DetectOS(self) -> dict:
+        """DetectOS (baseapi.cpp:2000-2030): orientation + script vote."""
+        from .operators.osd import detect_orientation, detect_script
+
+        gray = self._page_image()
+        rot, scores = detect_orientation(gray)
+        script, sconf = detect_script(gray, rot=rot)
+        ranked = sorted(scores.values(), reverse=True)
+        oconf = (ranked[0] - ranked[1]) if len(ranked) > 1 else ranked[0]
+        return {
+            "orientation": rot,
+            "oconfidence": float(oconf),
+            "script": script,
+            "sconfidence": float(sconf),
+        }
+
+    def MeanTextConf(self) -> int:
+        self._ensure()
+        confs = self.AllWordConfidences()
+        return int(sum(confs) / len(confs)) if confs else 0
+
+    def AllWordConfidences(self) -> list[int]:
+        self._ensure()
+        return [int(math.floor(w.conf + 0.5)) for w in self._words]
+
+    def GetIterator(self) -> ResultIterator:
+        self._ensure()
+        return ResultIterator(self._words)
+
+    def GetThresholdedImage(self) -> np.ndarray:
+        from .functions.image_ops import binarize_otsu
+
+        return binarize_otsu(self._page_image())
+
+    def GetComponentImages(self, level: int, text_only: bool = True):
+        """(bbox, crop) per component at the RIL level — the
+        GetComponentImages/GetRegions/GetTextlines/GetWords family
+        (baseapi.h:350-426).  Runs from the word records (works even if
+        only layout ran — IteratesParagraphsEvenIfNotDetected)."""
+        self._ensure()
+        gray = self._page_image()
+        groups: dict[tuple, list] = {}
+        key = {
+            RIL_BLOCK: lambda w: (w.block_num,),
+            RIL_PARA: lambda w: (w.block_num, w.par_num),
+            RIL_TEXTLINE: lambda w: (w.block_num, w.par_num, w.line_num),
+            RIL_WORD: lambda w: (w.block_num, w.par_num, w.line_num,
+                                 w.word_num),
+        }[level]
+        for w in self._words:
+            groups.setdefault(key(w), []).append(w)
+        out = []
+        for _k, ws in sorted(groups.items()):
+            l = min(w.left for w in ws)
+            t = min(w.top for w in ws)
+            r = max(w.left + w.width for w in ws)
+            b = max(w.top + w.height for w in ws)
+            out.append(((l, t, r, b), gray[t:b, l:r]))
+        return out
+
+    def GetRegions(self):
+        return self.GetComponentImages(RIL_BLOCK)
+
+    def GetTextlines(self):
+        return self.GetComponentImages(RIL_TEXTLINE)
+
+    def GetWords(self):
+        return self.GetComponentImages(RIL_WORD)
+
+    def IsValidWord(self, word: str) -> int:
+        """Dictionary probe (baseapi.cpp:2139; Dict::valid_word).  Uses
+        the user-words DAWG when configured; 0 = not a word."""
+        if not self._user_words:
+            return 0
+        from .lstm.dawg import Dawg
+        from .lstm.templates import get_net
+
+        dawg = Dawg(get_net().charset, list(self._user_words))
+        return 1 if dawg.accepts(word) else 0
+
+    def SetUserWords(self, words: list[str]) -> None:
+        """--user-words analogue for programmatic callers."""
+        self._user_words = list(words)
+        self._spans = self._words = None
+
+    # ---- renderer-parity getters ----
+
+    def _sorted_words(self):
+        return sorted(
+            self._words, key=lambda w: (w.block_num, w.par_num, w.line_num,
+                                        w.word_num))
+
+    def GetHOCRText(self, page_number: int = 0) -> str:
+        """Byte-parity with sinks.to_hocr on the default path (no font
+        info, lstm_choice_mode 0) — pinned by test_api parity."""
+        self._ensure()
+        lines: dict[tuple, list] = {}
+        for w in self._sorted_words():
+            lines.setdefault(
+                (w.block_num, w.par_num, w.line_num), []).append(w)
+
+        from .operators.bidi import _RTL_RANGES
+
+        def is_rtl(text: str) -> bool:
+            return any(
+                any(lo <= ord(c) <= hi for lo, hi in _RTL_RANGES)
+                for c in text
+            )
+
+        line_html: dict[tuple, str] = {}
+        line_rtl: dict[tuple, tuple] = {}
+        for k, ws in lines.items():
+            l = min(w.left for w in ws)
+            t = min(w.top for w in ws)
+            r = max(w.left + w.width for w in ws)
+            b = max(w.top + w.height for w in ws)
+            baseline = max(w.baseline if w.baseline else (w.top + w.height)
+                           for w in ws)
+            word_html = " ".join(
+                '<span class="ocrx_word" title="bbox %d %d %d %d;'
+                " x_wconf %s\">%s</span>"
+                % (w.left, w.top, w.left + w.width, w.top + w.height,
+                   _fmt_conf(w.conf), _xml_escape(w.text))
+                for w in sorted(ws, key=lambda x: x.word_num)
+            )
+            line_html[k] = (
+                '   <span class="ocr_line" title="bbox %d %d %d %d;'
+                " baseline 0 %d\">%s</span>"
+                % (l, t, r, b, baseline - b, word_html)
+            )
+            line_rtl[k] = (sum(1 for w in ws if is_rtl(w.text)), len(ws))
+        paras: dict[tuple, list] = {}
+        for k in sorted(line_html):
+            paras.setdefault((k[0], k[1]), []).append(k)
+        para_html: dict[tuple, str] = {}
+        for pk, ks in paras.items():
+            n_rtl = sum(line_rtl[k][0] for k in ks)
+            n_w = sum(line_rtl[k][1] for k in ks)
+            dir_attr = " dir='rtl'" if n_rtl * 2 > n_w else ""
+            para_html[pk] = (
+                '  <p class="ocr_par"%s>\n%s\n  </p>'
+                % (dir_attr, "\n".join(line_html[k] for k in ks))
+            )
+        blocks: dict[int, list] = {}
+        for pk in sorted(para_html):
+            blocks.setdefault(pk[0], []).append(pk)
+        block_html = [
+            ' <div class="ocr_carea">\n%s\n </div>'
+            % "\n".join(para_html[pk] for pk in pks)
+            for _bk, pks in sorted(blocks.items())
+        ]
+        return '<div class="ocr_page">\n%s\n</div>' % "\n".join(block_html)
+
+    def GetTSVText(self, page_number: int = 0) -> str:
+        """The to_tsv 12-column roll-up (GetTSVText baseapi.cpp:
+        1353-1496), field-parity with the sink."""
+        self._ensure()
+        ws = self._sorted_words()
+        rows = []
+
+        def bbox(group):
+            l = min(w.left for w in group)
+            t = min(w.top for w in group)
+            return (l, t, max(w.left + w.width for w in group) - l,
+                    max(w.top + w.height for w in group) - t)
+
+        def emit(level, bn, pn, ln, wn, box, conf, text):
+            rows.append(
+                ((bn, pn, ln, wn, level),
+                 "\t".join(map(str, (level, 1, bn, pn, ln, wn, *box, conf,
+                                     text)))))
+
+        if ws:
+            emit(1, 0, 0, 0, 0, bbox(ws), -1.0, "")
+        seen: dict[tuple, list] = {}
+        for w in ws:
+            seen.setdefault((w.block_num,), []).append(w)
+        for (bn,), g in sorted(seen.items()):
+            emit(2, bn, 0, 0, 0, bbox(g), -1.0, "")
+        seen = {}
+        for w in ws:
+            seen.setdefault((w.block_num, w.par_num), []).append(w)
+        for (bn, pn), g in sorted(seen.items()):
+            emit(3, bn, pn, 0, 0, bbox(g), -1.0, "")
+        seen = {}
+        for w in ws:
+            seen.setdefault((w.block_num, w.par_num, w.line_num), []).append(w)
+        for (bn, pn, ln), g in sorted(seen.items()):
+            emit(4, bn, pn, ln, 0, bbox(g), -1.0, "")
+        for w in ws:
+            emit(5, w.block_num, w.par_num, w.line_num, w.word_num,
+                 (w.left, w.top, w.width, w.height), w.conf, w.text)
+        rows.sort(key=lambda kv: kv[0])
+        return "\n".join(line for _k, line in rows)
+
+    def GetBoxText(self, page_number: int = 0) -> str:
+        """GetBoxText (baseapi.cpp:1497-1545): char boxes bottom-up."""
+        self._ensure()
+        h = self._page_image().shape[0]
+        out = []
+        for w in self._sorted_words():
+            for c, l, t, r, b in _char_boxes(w):
+                out.append(f"{c} {l} {h - b} {r} {h - t} {page_number}")
+        return "\n".join(out)
+
+    def GetUNLVText(self) -> str:
+        """GetUNLVText (baseapi.cpp:1546-1625): '~' crunched rejects,
+        '^' suspects — the to_unlv word-level confidence marks."""
+        from .operators.sinks import K_REJECT_CONF, K_SUSPECT_CONF
+
+        self._ensure()
+        lines: dict[tuple, list] = {}
+        for w in self._sorted_words():
+            lines.setdefault(
+                (w.block_num, w.par_num, w.line_num), []).append(w)
+        out = []
+        for _k, ws in sorted(lines.items()):
+            marked = []
+            for w in ws:
+                if w.conf < K_REJECT_CONF:
+                    marked.append("~")
+                elif w.conf < K_SUSPECT_CONF:
+                    marked.append("^" + w.text)
+                else:
+                    marked.append(w.text)
+            out.append(" ".join(marked))
+        return "\n".join(out)
