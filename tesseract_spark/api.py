@@ -760,6 +760,77 @@ class TessBaseAPI:
                 out.append(f"{c} {l} {h - b} {r} {h - t} {page_number}")
         return "\n".join(out)
 
+    def GetAltoText(self, page_number: int = 0) -> str:
+        """ALTO XML (altorenderer.cpp) — byte-parity with
+        sinks.to_alto, pinned by test_api."""
+        self._ensure()
+        lines: dict[tuple, list] = {}
+        for w in self._sorted_words():
+            lines.setdefault(
+                (w.block_num, w.par_num, w.line_num), []).append(w)
+        line_xml: dict[tuple, str] = {}
+        for k, ws in lines.items():
+            words = "".join(
+                '<String HPOS="%d" VPOS="%d" WIDTH="%d" HEIGHT="%d"'
+                ' CONTENT="%s"/>'
+                % (w.left, w.top, w.width, w.height, _xml_escape(w.text))
+                for w in sorted(ws, key=lambda x: x.word_num)
+            )
+            line_xml[k] = "  <TextLine>%s</TextLine>" % words
+        blocks: dict[int, list] = {}
+        for k in sorted(line_xml):
+            blocks.setdefault(k[0], []).append(k)
+        block_xml = [
+            " <TextBlock>\n%s\n </TextBlock>"
+            % "\n".join(line_xml[k] for k in ks)
+            for _b, ks in sorted(blocks.items())
+        ]
+        return "<alto><Layout><Page>\n%s\n</Page></Layout></alto>" % "\n".join(
+            block_xml)
+
+    def GetPAGEText(self, page_number: int = 0) -> str:
+        """PRImA PAGE XML (pagerenderer.cpp:628-710) — byte-parity with
+        sinks.to_page_xml; every call emits one balanced <Page> element
+        (PAGEXMLMultiPageClosingTags, baseapi_test.cc:399)."""
+        self._ensure()
+        lines: dict[tuple, list] = {}
+        for w in self._sorted_words():
+            lines.setdefault(
+                (w.block_num, w.par_num, w.line_num), []).append(w)
+        line_xml: dict[tuple, str] = {}
+        for k, ws in lines.items():
+            l = min(w.left for w in ws)
+            t = min(w.top for w in ws)
+            r = max(w.left + w.width for w in ws)
+            b = max(w.top + w.height for w in ws)
+            words = "".join(
+                '<Word><Coords points="%d,%d %d,%d"/><TextEquiv><Unicode>'
+                "%s</Unicode></TextEquiv></Word>"
+                % (w.left, w.top, w.left + w.width, w.top + w.height,
+                   _xml_escape(w.text))
+                for w in sorted(ws, key=lambda x: x.word_num)
+            )
+            line_xml[k] = (
+                '   <TextLine><Coords points="%d,%d %d,%d %d,%d %d,%d"/>'
+                "%s</TextLine>" % (l, t, r, t, r, b, l, b, words)
+            )
+        regions: dict[int, list] = {}
+        for k in sorted(line_xml):
+            regions.setdefault(k[0], []).append(k)
+        region_xml = [
+            '  <TextRegion id="r%d">\n%s\n  </TextRegion>'
+            % (bn, "\n".join(line_xml[k] for k in ks))
+            for bn, ks in sorted(regions.items())
+        ]
+        order = "".join(
+            '<RegionRefIndexed index="%d" regionRef="r%d"/>' % (bn - 1, bn)
+            for bn in sorted(regions)
+        )
+        return (
+            "<PcGts><Page>\n <ReadingOrder>%s</ReadingOrder>\n%s\n"
+            "</Page></PcGts>" % (order, "\n".join(region_xml))
+        )
+
     def GetUNLVText(self) -> str:
         """GetUNLVText (baseapi.cpp:1546-1625): '~' crunched rejects,
         '^' suspects — the to_unlv word-level confidence marks."""

@@ -331,3 +331,29 @@ def test_unlv_parity_with_sink(spark, page, ready_api):
     _d, _m, words = _spark_words_df(spark, page)
     sink = to_unlv(words).collect()[0]["unlv"]
     assert ready_api.GetUNLVText() == sink
+
+
+def test_alto_byte_parity_with_sink(spark, page, ready_api):
+    from tesseract_spark.operators.sinks import to_alto
+
+    _d, _m, words = _spark_words_df(spark, page)
+    sink = to_alto(words).collect()[0]["alto"]
+    assert ready_api.GetAltoText(0) == sink
+
+
+def test_page_xml_byte_parity_with_sink(spark, page, ready_api):
+    from tesseract_spark.operators.sinks import to_page_xml
+
+    _d, _m, words = _spark_words_df(spark, page)
+    sink = to_page_xml(words).collect()[0]["page_xml"]
+    assert ready_api.GetPAGEText(0) == sink
+
+
+def test_page_xml_multipage_closing_tags(ready_api):
+    # PAGEXMLMultiPageClosingTags (baseapi_test.cc:399-440): every
+    # GetPAGEText call yields exactly one balanced Page element
+    for _ in range(2):
+        xml = ready_api.GetPAGEText(0)
+        assert xml.count("<Page>") == 1
+        assert xml.count("</Page>") == 1
+        assert xml.index("<Page>") < xml.index("</Page>")
