@@ -21,6 +21,14 @@ Tools (usage mirrors the reference program of the same name):
 - ``combine_tessdata prefix.`` | ``-e traineddata file...`` |
   ``-u traineddata prefix`` | ``-d traineddata``
   (src/training/combine_tessdata.cpp:125-260)
+- ``text2image --text file --outputbase base [--degrade_image]
+  [--exposure n]`` (src/training/text2image.cpp:62-120 subset)
+- ``lstmtraining --continue_from model --train_listfile f
+  --model_output base [--append_index n] [--learning_rate r]
+  [--max_iterations n] [--target_error_rate e] | --stop_training``
+  (src/training/lstmtraining.cpp:33-66 subset)
+- ``lstmeval --model m --eval_listfile f [--verbosity n]``
+  (src/training/lstmeval.cpp:24-80)
 
 Each ``main_*`` takes argv (program name at index 0) and returns an
 exit code, so tests drive them exactly as a shell would.
@@ -189,12 +197,267 @@ def main_combine_tessdata(argv: list[str]) -> int:
     return 1
 
 
+def _read_lstmf_listfile(listfile: str):
+    """A *_listfile flag names a file of .lstmf paths, one per line
+    (lstmtraining.cpp:47-49); every sample from every file, in order."""
+    from .lstm.lstmf import read_lstmf
+
+    samples = []
+    with open(listfile, "r", encoding="utf-8") as f:
+        paths = [ln.strip() for ln in f if ln.strip()]
+    for path in paths:
+        with open(path, "rb") as f:
+            samples.extend(read_lstmf(f.read()))
+    return samples
+
+
+def _samples_to_strips(samples):
+    """Carried sample PNGs -> bool ink strips at the fixed threshold 128
+    — the same binarization the trainer's image path applies
+    (training.distributed_gradient), so CLI train/eval and the Spark
+    path see identical tensors."""
+    from .functions.png_codec import decode_gray_png
+
+    return [decode_gray_png(s.image_png) < 128 for s in samples]
+
+
+def main_text2image(argv: list[str]) -> int:
+    """text2image (src/training/text2image.cpp:62-120 flag surface,
+    subset): render each line of --text with the fixture font into
+    training pages.
+
+    Outputs (reference: outputbase.tif + outputbase.box; this engine's
+    raster is one PNG per line page and its training interchange is the
+    .lstmf container, so both are written):
+
+    - ``outputbase.<page>.png``  one rendered line per page
+    - ``outputbase.box``         WordStr-style box lines
+      (``WordStr l b r t page #text`` — the LSTM training box format)
+    - ``outputbase.lstmf``       the packaged ImageData samples that
+      lstmtraining/lstmeval consume directly
+
+    --degrade_image/--exposure apply the print/copy/scan degradation
+    (degradeimage.cpp via lstm/degrade.py) exactly as the reference
+    does before writing.
+    """
+    from .flags import FlagRegistry, parse_command_line_flags
+    from .lstm.lstmf import make_line_samples, write_lstmf
+
+    reg = FlagRegistry()
+    reg.string_flag("text", "", "File name of text input to process")
+    reg.string_flag("outputbase", "", "Basename for output image/box file")
+    reg.bool_flag("degrade_image", True,
+                  "Degrade rendered image with ink spread and noise")
+    reg.int_flag("exposure", 0, "Exposure level in photocopier")
+    parse_command_line_flags(
+        f"{argv[0]} --text file --outputbase base [--degrade_image] "
+        "[--exposure n]", argv, remove_flags=True, registry=reg)
+    text_file = reg.get("text").value
+    outputbase = reg.get("outputbase").value
+    if not text_file or not outputbase:
+        print("Error: --text and --outputbase are required", file=sys.stderr)
+        return 1
+    with open(text_file, "r", encoding="utf-8") as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if not lines:
+        print(f"Error: no text lines in {text_file}", file=sys.stderr)
+        return 1
+    exposure = (reg.get("exposure").value
+                if reg.get("degrade_image").value else None)
+    samples = make_line_samples(
+        lines, name=os.path.basename(outputbase), degrade_exposure=exposure
+    )
+    box_lines = []
+    for page, s in enumerate(samples):
+        with open(f"{outputbase}.{page}.png", "wb") as f:
+            f.write(s.image_png)
+        for (bl_x, bl_y, tr_x, tr_y), t in zip(s.boxes, s.box_texts):
+            box_lines.append(
+                f"WordStr {bl_x} {bl_y} {tr_x} {tr_y} {page} #{t}"
+            )
+    with open(f"{outputbase}.box", "w", encoding="utf-8") as f:
+        f.write("\n".join(box_lines) + "\n")
+    with open(f"{outputbase}.lstmf", "wb") as f:
+        f.write(write_lstmf(samples))
+    print(f"Rendered page {len(samples) - 1} to {outputbase}.lstmf")
+    return 0
+
+
+def main_lstmtraining(argv: list[str]) -> int:
+    """lstmtraining (src/training/lstmtraining.cpp:33-66 flag surface,
+    the --continue_from fine-tune subset; from-scratch --net_spec
+    construction is not supported — the engine ships its nets through
+    traineddata containers).
+
+    Flow mirrors the reference main (lstmtraining.cpp:108-170):
+    training writes ``<model_output>_checkpoint`` (here: a full
+    traineddata container — the engine's checkpoint format);
+    ``--stop_training`` converts an existing checkpoint to
+    ``<model_output>.traineddata`` (FinishTraining path).
+
+    Divergences, both documented in lstm/training.py: iterations are
+    full-batch Adam steps (the distributed gradient shape), not the
+    reference's per-line sequential updates; --append_index freezes the
+    layers below the index rather than re-initializing above it.
+    """
+    from .flags import FlagRegistry, parse_command_line_flags
+    from .lstm import training as T
+    from .lstm.eval import _error_counts
+    from .lstm.fixture_model import decode_strips
+    from .lstm.tessdata import load_traineddata, save_traineddata
+
+    reg = FlagRegistry()
+    reg.string_flag("continue_from", "", "Existing model to extend")
+    reg.string_flag("model_output", "lstmtrain",
+                    "Basename for output models")
+    reg.string_flag("traineddata", "",
+                    "Combined Dawgs/Unicharset/Recoder for language model")
+    reg.string_flag("train_listfile", "",
+                    "File listing training files in lstmf training format.")
+    reg.int_flag("max_iterations", 0, "If set, exit after this many iterations")
+    reg.double_flag("learning_rate", 10.0e-4, "Weight factor for new deltas.")
+    reg.double_flag("target_error_rate", 0.01, "Final error rate in percent.")
+    reg.int_flag("append_index", -1,
+                 "Index in continue_from Network at which to freeze below")
+    reg.bool_flag("stop_training", False,
+                  "Just convert the training model to a runtime model.")
+    parse_command_line_flags(
+        f"{argv[0]} --continue_from model --train_listfile f "
+        "--model_output base [flags...]",
+        argv, remove_flags=True, registry=reg)
+
+    model_output = reg.get("model_output").value
+    checkpoint = model_output + "_checkpoint"
+
+    if reg.get("stop_training").value:
+        # FinishTraining: checkpoint (or --continue_from) -> runtime model
+        src = checkpoint if os.path.exists(checkpoint) else \
+            reg.get("continue_from").value
+        if not src or not os.path.exists(src):
+            print(f"Failed to read continue from: {checkpoint}",
+                  file=sys.stderr)
+            return 1
+        with open(src, "rb") as f:
+            model = load_traineddata(f.read())
+        out = model_output + ".traineddata"
+        with open(out, "wb") as f:
+            f.write(save_traineddata(model))
+        print(f"Converted checkpoint to recognition model {out}")
+        return 0
+
+    cont = reg.get("continue_from").value
+    listfile = reg.get("train_listfile").value
+    if not cont or not listfile:
+        print("Error: --continue_from and --train_listfile are required "
+              "(from-scratch --net_spec training is not supported)",
+              file=sys.stderr)
+        return 1
+    with open(cont, "rb") as f:
+        model = load_traineddata(f.read())
+    if reg.get("traineddata").value:
+        # language-model container: take its charset-side sections
+        with open(reg.get("traineddata").value, "rb") as f:
+            lang = load_traineddata(f.read())
+        for attr in ("word_dawg", "number_dawg", "punc_dawg"):
+            if getattr(lang, attr) is not None:
+                setattr(model, attr, getattr(lang, attr))
+
+    samples = _read_lstmf_listfile(listfile)
+    if not samples:
+        print(f"Error: no samples in {listfile}", file=sys.stderr)
+        return 1
+    strips = _samples_to_strips(samples)
+    texts = [s.transcription for s in samples]
+    charset, blank = model.charset, model.null_char
+
+    append_index = reg.get("append_index").value
+    layers = (tuple(range(append_index, len(model.net.layers)))
+              if append_index >= 0 else None)
+    slots = T.trainable_slots(model.net, layers)
+    vec = T.flatten(model.net, slots)
+    adam = T.Adam(len(vec), lr=reg.get("learning_rate").value)
+    max_iter = reg.get("max_iterations").value or 300
+    target = reg.get("target_error_rate").value
+    for it in range(1, max_iter + 1):
+        g, loss, n, n_exact = T.batch_gradients(
+            model.net, slots, texts, charset, blank, strips=strips
+        )
+        ce, nc, we, nw, _ex = _error_counts(
+            texts, decode_strips(model, strips)
+        )
+        bcer = 100.0 * ce / max(1, nc)
+        bwer = 100.0 * we / max(1, nw)
+        print(f"At iteration {it}, Mean rms={loss / max(n, 1):.3f}, "
+              f"char train={bcer:.3f}%, word train={bwer:.3f}%")
+        if n_exact == n or bcer <= target:
+            break
+        vec = adam.step(vec, g / max(n, 1))
+        T.unflatten(model.net, slots, vec)
+    with open(checkpoint, "wb") as f:
+        f.write(save_traineddata(model))
+    print(f"Saved checkpoint {checkpoint}")
+    return 0
+
+
+def main_lstmeval(argv: list[str]) -> int:
+    """lstmeval (src/training/lstmeval.cpp:24-80): --model over
+    --eval_listfile, reporting the LSTMTester verdict line
+    (lstmtester.cpp:118-127 ``BCER eval=..., BWER eval=...``; verbosity
+    >0 prints Truth/OCR for imperfect lines, >1 for all, as
+    lstmtester.cpp:95-115 does).
+
+    The cluster-scale version of this tool is
+    lstm/eval.distributed_eval (one partial-counts row per partition);
+    this CLI is the reference binary's single-process file-driven shape
+    over the SAME decode helpers.
+    """
+    from .flags import FlagRegistry, parse_command_line_flags
+    from .lstm.eval import _error_counts
+    from .lstm.fixture_model import decode_strips
+    from .lstm.tessdata import load_traineddata
+
+    reg = FlagRegistry()
+    reg.string_flag("model", "",
+                    "Name of model file (training or recognition)")
+    reg.string_flag("eval_listfile", "",
+                    "File listing sample files in lstmf training format.")
+    reg.int_flag("verbosity", 1,
+                 "Amount of diagnosting information to output (0-2).")
+    parse_command_line_flags(
+        f"{argv[0]} --model m --eval_listfile f [--verbosity n]",
+        argv, remove_flags=True, registry=reg)
+    if not reg.get("model").value or not reg.get("eval_listfile").value:
+        print("Error: --model and --eval_listfile are required",
+              file=sys.stderr)
+        return 1
+    with open(reg.get("model").value, "rb") as f:
+        model = load_traineddata(f.read())
+    samples = _read_lstmf_listfile(reg.get("eval_listfile").value)
+    if not samples:
+        print("Error: no eval samples", file=sys.stderr)
+        return 1
+    truths = [s.transcription for s in samples]
+    preds = decode_strips(model, _samples_to_strips(samples))
+    verbosity = reg.get("verbosity").value
+    for t, p in zip(truths, preds):
+        if verbosity > 1 or (verbosity > 0 and t != p):
+            print(f"Truth:{t}")
+            print(f"OCR  :{p}")
+    ce, nc, we, nw, _ex = _error_counts(truths, preds)
+    print(f"BCER eval={100.0 * ce / max(1, nc):.3f}, "
+          f"BWER eval={100.0 * we / max(1, nw):.3f}")
+    return 0
+
+
 TOOLS = {
     "wordlist2dawg": main_wordlist2dawg,
     "dawg2wordlist": main_dawg2wordlist,
     "unicharset_extractor": main_unicharset_extractor,
     "merge_unicharsets": main_merge_unicharsets,
     "combine_tessdata": main_combine_tessdata,
+    "text2image": main_text2image,
+    "lstmtraining": main_lstmtraining,
+    "lstmeval": main_lstmeval,
 }
 
 

@@ -1,0 +1,147 @@
+"""text2image -> lstmtraining -> lstmeval CLI pipeline (tools.py).
+
+The reference's training loop as its binaries drive it
+(src/training/text2image.cpp, lstmtraining.cpp, lstmeval.cpp): render
+training pages, fine-tune a damaged model back to exact decode
+(--continue_from), convert the checkpoint to a runtime model
+(--stop_training), and score it with lstmeval's BCER/BWER verdict —
+all through the file-level CLI surface, no library shortcuts.
+"""
+
+import numpy as np
+import pytest
+
+from tesseract_spark import tools
+from tesseract_spark.lstm import training as T
+from tesseract_spark.lstm.fixture_model import build_fixture_model
+from tesseract_spark.lstm.lstmf import read_lstmf
+from tesseract_spark.lstm.tessdata import load_traineddata, save_traineddata
+
+LINES = [
+    "the quick brown fox",
+    "pack my box with five",
+    "dozen liquor jugs now",
+    "over the lazy dog",
+    "jumps over the pack",
+    "five dozen brown jugs",
+    "my dog jumps the box",
+    "now the fox is lazy",
+]
+
+
+@pytest.fixture()
+def text_file(tmp_path):
+    p = tmp_path / "train.txt"
+    p.write_text("\n".join(LINES) + "\n")
+    return str(p)
+
+
+def _render(tmp_path, text_file, base="corpus", degrade=False):
+    args = ["prog", "text2image", "--text", text_file,
+            "--outputbase", str(tmp_path / base)]
+    if not degrade:
+        args += ["--degrade_image=false"]
+    assert tools.main(args) == 0
+    listfile = tmp_path / f"{base}.list"
+    listfile.write_text(str(tmp_path / f"{base}.lstmf") + "\n")
+    return str(listfile)
+
+
+def test_text2image_outputs(tmp_path, text_file, capsys):
+    _render(tmp_path, text_file)
+    assert "Rendered page 7" in capsys.readouterr().out
+    # one PNG page per line + WordStr box file + lstmf package
+    for i in range(len(LINES)):
+        assert (tmp_path / f"corpus.{i}.png").stat().st_size > 0
+    box = (tmp_path / "corpus.box").read_text().splitlines()
+    assert len(box) == len(LINES)
+    assert box[0].startswith("WordStr ") and box[0].endswith("#" + LINES[0])
+    assert int(box[2].split()[5]) == 2  # page number field
+    samples = read_lstmf((tmp_path / "corpus.lstmf").read_bytes())
+    assert [s.transcription for s in samples] == LINES
+
+
+def test_text2image_degraded_differs(tmp_path, text_file):
+    _render(tmp_path, text_file, base="clean")
+    _render(tmp_path, text_file, base="deg", degrade=True)
+    clean = read_lstmf((tmp_path / "clean.lstmf").read_bytes())
+    deg = read_lstmf((tmp_path / "deg.lstmf").read_bytes())
+    assert [s.transcription for s in deg] == LINES
+    assert any(c.image_png != d.image_png for c, d in zip(clean, deg))
+
+
+def test_train_convert_eval_pipeline(tmp_path, text_file, capsys):
+    listfile = _render(tmp_path, text_file)
+
+    # damage the output layer of the fixture model -> broken decode
+    model = build_fixture_model()
+    out_idx = len(model.net.layers) - 1
+    slots = T.trainable_slots(model.net, (out_idx,))
+    vec = T.flatten(model.net, slots)
+    rng = np.random.default_rng(7)
+    T.unflatten(model.net, slots,
+                (vec + rng.normal(0, 1.5, vec.shape)).astype(np.float32))
+    damaged = tmp_path / "damaged.traineddata"
+    damaged.write_bytes(save_traineddata(model))
+
+    # damaged model really is broken: lstmeval reports a high BCER
+    assert tools.main([
+        "prog", "lstmeval", "--model", str(damaged),
+        "--eval_listfile", listfile, "--verbosity", "0"]) == 0
+    bad = capsys.readouterr().out.strip().splitlines()[-1]
+    assert bad.startswith("BCER eval=")
+    assert float(bad.split("=")[1].split(",")[0]) > 20.0
+
+    # lstmtraining --continue_from recovers exact decode on the corpus
+    assert tools.main([
+        "prog", "lstmtraining",
+        "--continue_from", str(damaged),
+        "--train_listfile", listfile,
+        "--model_output", str(tmp_path / "tuned"),
+        "--append_index", str(out_idx),
+        "--learning_rate", "0.05",
+        "--max_iterations", "200"]) == 0
+    out = capsys.readouterr().out
+    assert "At iteration 1," in out and "Saved checkpoint" in out
+    last = [ln for ln in out.splitlines() if ln.startswith("At iteration")][-1]
+    assert "char train=0.000%" in last
+    ckpt = tmp_path / "tuned_checkpoint"
+    assert ckpt.stat().st_size > 0
+
+    # --stop_training converts the checkpoint to a runtime traineddata
+    assert tools.main([
+        "prog", "lstmtraining", "--stop_training",
+        "--model_output", str(tmp_path / "tuned")]) == 0
+    runtime = tmp_path / "tuned.traineddata"
+    assert runtime.stat().st_size > 0
+    load_traineddata(runtime.read_bytes())  # container is well-formed
+
+    # lstmeval on the runtime model: perfect verdict, reference wording
+    assert tools.main([
+        "prog", "lstmeval", "--model", str(runtime),
+        "--eval_listfile", listfile]) == 0
+    out = capsys.readouterr().out
+    assert out.strip().splitlines()[-1] == "BCER eval=0.000, BWER eval=0.000"
+    assert "Truth:" not in out  # verbosity 1 prints imperfect lines only
+
+    # verbosity 2 prints every Truth/OCR pair (lstmtester.cpp:102-109)
+    assert tools.main([
+        "prog", "lstmeval", "--model", str(runtime),
+        "--eval_listfile", listfile, "--verbosity", "2"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("Truth:") == len(LINES)
+    assert f"OCR  :{LINES[0]}" in out
+
+
+def test_lstmtraining_requires_inputs(capsys):
+    # bare argv hits the reference's print-usage-and-exit(0) path
+    # (commandlineflags.cpp argc==1); a flagged call without the
+    # required inputs is the hard error
+    assert tools.main(
+        ["prog", "lstmtraining", "--max_iterations", "5"]) == 1
+    assert "required" in capsys.readouterr().err
+
+
+def test_lstmeval_requires_inputs(capsys):
+    assert tools.main(["prog", "lstmeval", "--verbosity", "0"]) == 1
+    assert "required" in capsys.readouterr().err
