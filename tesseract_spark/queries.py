@@ -5024,6 +5024,138 @@ FROM sel
 """
 
 
+# Knuth's multiplicative hash constant: both engines compute
+# (doc_id * 2654435761) mod 2^32 exactly in BIGINT (no overflow at any
+# realistic doc_id), so the split is reproducible across systems — the
+# property a train/val/test split must have.
+_SPLIT_HASH = "(doc_id * 2654435761) % 4294967296"
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the standard
+    content-addressed split: a stable multiplicative hash of the
+    document key buckets every row into 80/10/10 with no coordination,
+    no sampling state, and the same answer on every engine and every
+    rerun (rand()-based splits are neither reproducible nor resumable).
+
+    Scale shape: a pure projection — zero shuffle, zero state; the
+    split column is computable at read time forever after (new data
+    lands in the same split automatically)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.expr(_SPLIT_HASH)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < int(0.8 * 2**32), F.lit("train"))
+        .when(bucket < int(0.9 * 2**32), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+ORACLE_HASH_SPLIT = f"""
+SELECT doc_id, source,
+  CASE WHEN {_SPLIT_HASH} < {int(0.8 * 2**32)} THEN 'train'
+       WHEN {_SPLIT_HASH} < {int(0.9 * 2**32)} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixture weights — the domain-balancing step of every
+    multi-corpus pre-training run (the Pile's per-set epochs, Gopher's
+    MassiveText weights, XLM's temperature sampling): per-source token
+    share, then temperature-scaled sampling weights
+    w_i = p_i^(1/T) / sum_j p_j^(1/T) at T = 1/0.7 (alpha = 0.7, the
+    published multilingual convention) so low-resource sources are
+    up-sampled without letting any source dominate.
+
+    Scale shape: ONE hash aggregation collapses 100 TB to one row per
+    source (tiny key space -> map-side partials do almost all the
+    work); the normalizations join that handful of rows against two
+    broadcast 1-row totals.  Nothing wide ever shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.coalesce("text", F.lit("")), " "))
+        ).alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("tot"))
+    shared = per_src.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("n_tokens") / F.col("tot")
+    )
+    wsum = shared.agg(
+        F.sum(F.pow("share", F.lit(0.7))).alias("wsum")
+    )
+    return (
+        shared.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("share", 6).alias("token_share"),
+            F.round(
+                F.pow("share", F.lit(0.7)) / F.col("wsum"), 6
+            ).alias("sample_weight"),
+        )
+    )
+
+
+ORACLE_SOURCE_MIX = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), shared AS (
+  SELECT *, n_tokens / (sum(n_tokens) OVER ()) AS share FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(share, 6) AS token_share,
+       round(pow(share, 0.7) / (sum(pow(share, 0.7)) OVER ()), 6)
+         AS sample_weight
+FROM shared
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the anti-domination guard of
+    RefinedWeb/C4-style pipelines: no single domain may contribute more
+    than K documents (here K = 10), with the survivors chosen by the
+    same deterministic multiplicative hash as q_hash_split (tie-break
+    doc_id) so the sample is reproducible, not rand()-ordered.
+
+    Scale shape: one window partitioned BY SOURCE — the shuffle is on
+    the domain key, each partition ranks only its own domain's rows,
+    and no global ordering or single-partition exchange exists.  Skewed
+    mega-domains are exactly the rows the cap discards, so the skew
+    self-limits."""
+    K = 10
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_SPLIT_HASH).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= K)
+    )
+
+
+ORACLE_DOMAIN_CAP = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_SPLIT_HASH} ASC, doc_id ASC
+         ) AS INT) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk FROM ranked WHERE rk <= 10
+"""
+
+
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5109,4 +5241,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embed_kmeans": (q_embed_kmeans, ORACLE_EMBED_KMEANS),
     "data_mix_sample": (q_data_mix_sample, ORACLE_DATA_MIX_SAMPLE),
     "reject_flips": (q_reject_flips, ORACLE_REJECT_FLIPS),
+    "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
+    "source_mix": (q_source_mix, ORACLE_SOURCE_MIX),
+    "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
 }
