@@ -133,6 +133,7 @@ def make_line_samples(
     language: str = "eng",
     name: str = "fixture",
     degrade_exposure: int | None = None,
+    distort: dict | None = None,
     seed: int = 0,
 ) -> list[ImageSample]:
     """text2image + tesstrain stand-in: render each training text with
@@ -142,7 +143,12 @@ def make_line_samples(
     ``degrade_exposure``: when set, each line passes through the
     print/copy/scan degradation (degrade.degrade_line, the
     degradeimage.cpp augmentation text2image applies with --degrade_image)
-    at that exposure, seeded per sample for reproducible corpora."""
+    at that exposure, seeded per sample for reproducible corpora.
+
+    ``distort``: kwargs for degrade.distort_line (PrepareDistortedPix,
+    the --distort_image path, text2image.cpp:645-649) — e.g.
+    ``{"white_noise": True, "blur": True, "invert": True}`` — applied
+    after degradation with the same per-sample seeding."""
     from ..functions.fonts import mask_to_gray
     from ..functions.png_codec import encode_gray_png
     from .training import line_sample
@@ -158,6 +164,10 @@ def make_line_samples(
             gray = degrade_line(
                 gray, exposure=degrade_exposure, seed=seed + i
             )
+        if distort:
+            from .degrade import distort_line
+
+            gray = distort_line(gray, seed=seed + i, **distort)
         out.append(
             ImageSample(
                 imagefilename=f"{name}.{i}.png",

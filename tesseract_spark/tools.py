@@ -249,9 +249,17 @@ def main_text2image(argv: list[str]) -> int:
     reg.bool_flag("degrade_image", True,
                   "Degrade rendered image with ink spread and noise")
     reg.int_flag("exposure", 0, "Exposure level in photocopier")
+    # the --distort_image family, text2image.cpp:79-95 defaults
+    reg.bool_flag("distort_image", False,
+                  "Degrade rendered image with noise, blur, invert.")
+    reg.bool_flag("invert", True, "Invert the image")
+    reg.bool_flag("white_noise", True, "Add  Gaussian Noise")
+    reg.bool_flag("smooth_noise", True, "Smoothen Noise")
+    reg.bool_flag("blur", True, "Blur the image")
     parse_command_line_flags(
         f"{argv[0]} --text file --outputbase base [--degrade_image] "
-        "[--exposure n]", argv, remove_flags=True, registry=reg)
+        "[--exposure n] [--distort_image]", argv, remove_flags=True,
+        registry=reg)
     text_file = reg.get("text").value
     outputbase = reg.get("outputbase").value
     if not text_file or not outputbase:
@@ -264,8 +272,20 @@ def main_text2image(argv: list[str]) -> int:
         return 1
     exposure = (reg.get("exposure").value
                 if reg.get("degrade_image").value else None)
+    # PrepareDistortedPix call shape, text2image.cpp:645-649: the
+    # reference passes perspective=false (its own TODO) — matched here.
+    distort = None
+    if reg.get("distort_image").value:
+        distort = {
+            "perspective": False,
+            "invert": reg.get("invert").value,
+            "white_noise": reg.get("white_noise").value,
+            "smooth_noise": reg.get("smooth_noise").value,
+            "blur": reg.get("blur").value,
+        }
     samples = make_line_samples(
-        lines, name=os.path.basename(outputbase), degrade_exposure=exposure
+        lines, name=os.path.basename(outputbase), degrade_exposure=exposure,
+        distort=distort,
     )
     box_lines = []
     for page, s in enumerate(samples):

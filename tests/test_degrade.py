@@ -6,10 +6,14 @@ import numpy as np
 from tesseract_spark.functions.fonts import mask_to_gray
 from tesseract_spark.lstm.degrade import (
     K_EXPOSURE_FACTOR,
+    _xform_pt,
     block_conv,
     degrade_line,
     distort_line,
     erode_gray,
+    generate_perspective_distortion,
+    projective_coeffs,
+    projective_solve,
     rotate_small,
 )
 from tesseract_spark.lstm.lstmf import make_line_samples, read_lstmf, write_lstmf
@@ -79,6 +83,57 @@ def test_distort_line_modes():
     assert (inv == 255 - g).all()
     n1 = distort_line(g, seed=1, white_noise=True)
     assert (n1 == distort_line(g, seed=1, white_noise=True)).all()
+
+
+def test_projective_solve_identity_and_roundtrip():
+    """leptonica getProjectiveXformCoeffs: identity correspondences give
+    the identity coefficient vector, and the backward solve inverts the
+    forward one exactly on the four corners (degradeimage.cpp:260-309
+    computes both directions from the same corner set)."""
+    src = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 5.0], [0.0, 5.0]])
+    c = projective_solve(src, src)
+    assert np.allclose(c, [1, 0, 0, 0, 1, 0, 0, 0])
+    rng = np.random.default_rng(7)
+    im_c, box_c, incolor = projective_coeffs(100, 40, rng)
+    assert incolor in (0, 255)
+    for x, y in ((0, 0), (100, 0), (100, 40), (0, 40)):
+        fx, fy = _xform_pt(box_c, x, y)
+        bx, by = _xform_pt(im_c, fx, fy)
+        assert abs(bx - x) < 1e-6 and abs(by - y) < 1e-6
+
+
+def test_projective_corner_geometry():
+    """The destination corners follow degradeimage.cpp:283-293: top-left
+    at (x0*w, y0*h), bottom corners shifted by the shear, shear clamped
+    into [-x0, x1] so no corner crosses the opposite margin."""
+    rng = np.random.default_rng(3)
+    _, box_c, _ = projective_coeffs(200, 80, rng)
+    xs, ys = zip(*(_xform_pt(box_c, x, y)
+                   for x, y in ((0, 0), (200, 0), (200, 80), (0, 80))))
+    # pull-in only: every mapped corner stays inside the page
+    assert min(xs) >= -1e-9 and max(xs) <= 200 + 1e-9
+    assert min(ys) >= -1e-9 and max(ys) <= 80 + 1e-9
+
+
+def test_generate_perspective_distortion():
+    """GeneratePerspectiveDistortion (degradeimage.cpp:222-258):
+    deterministic under the rng, warps ink, and transforms boxes as the
+    bounding union of the two mapped diagonals."""
+    g = mask_to_gray(line_sample("fox 42"))
+    w1, boxes = generate_perspective_distortion(
+        g, np.random.default_rng(5), boxes=[(2, 1, 20, 10)])
+    w2, _ = generate_perspective_distortion(g, np.random.default_rng(5))
+    assert (w1 == w2).all() and (w1 != g).any()
+    assert w1.shape == g.shape
+    (left, top, right, bottom), = boxes
+    assert left < right and top < bottom
+
+
+def test_distort_line_perspective_mode():
+    g = mask_to_gray(line_sample("abc"))
+    p1 = distort_line(g, seed=11, perspective=True)
+    assert (p1 == distort_line(g, seed=11, perspective=True)).all()
+    assert (p1 != g).any() and p1.shape == g.shape
 
 
 def test_lstmf_degraded_roundtrip():

@@ -70,6 +70,25 @@ def test_text2image_degraded_differs(tmp_path, text_file):
     assert any(c.image_png != d.image_png for c, d in zip(clean, deg))
 
 
+def test_text2image_distort_image(tmp_path, text_file):
+    """--distort_image (text2image.cpp:645-649): PrepareDistortedPix runs
+    after degradation, deterministic, transcription-preserving."""
+    _render(tmp_path, text_file, base="clean")
+    args = ["prog", "text2image", "--text", text_file,
+            "--outputbase", str(tmp_path / "dist"),
+            "--degrade_image=false", "--distort_image"]
+    assert tools.main(args) == 0
+    assert tools.main(["prog", "text2image", "--text", text_file,
+                       "--outputbase", str(tmp_path / "dist2"),
+                       "--degrade_image=false", "--distort_image"]) == 0
+    clean = read_lstmf((tmp_path / "clean.lstmf").read_bytes())
+    dist = read_lstmf((tmp_path / "dist.lstmf").read_bytes())
+    dist2 = read_lstmf((tmp_path / "dist2.lstmf").read_bytes())
+    assert [s.transcription for s in dist] == LINES
+    assert any(c.image_png != d.image_png for c, d in zip(clean, dist))
+    assert all(a.image_png == b.image_png for a, b in zip(dist, dist2))
+
+
 def test_train_convert_eval_pipeline(tmp_path, text_file, capsys):
     listfile = _render(tmp_path, text_file)
 
