@@ -145,3 +145,38 @@ def make_fixture_image(doc_id: int) -> bytes:
     img = np.full((h, w), 255, dtype=np.uint8)
     img[2 : 2 + h_ink, 2 : 2 + w_ink] = 0
     return encode_gray_png(img)
+
+
+def make_fixture_photo(doc_id: int) -> bytes:
+    """Deterministic 'photo' PNG for the perceptual-hash dedup query: a
+    4x4 dark-block pattern (pattern id = doc_id % 12, bit gi*4+gj of
+    mask = ((id%12 + 1) * 40503) % 65536 — 12 distinct masks, none
+    all-white/all-dark) rendered at one of 5 resolutions
+    (h = w = 32 + 8 * (doc_id % 5)).  The same pattern at different
+    resolutions is byte-different but perceptually identical — the
+    rescale/re-encode near-dup case aHash exists to catch — and every
+    quantity is integer arithmetic a SQL oracle replays exactly."""
+    from .png_codec import encode_gray_png
+
+    mask = ((doc_id % 12 + 1) * 40503) % 65536
+    side = 32 + 8 * (doc_id % 5)
+    img = np.full((side, side), 255, dtype=np.uint8)
+    block = side // 4
+    for gi in range(4):
+        for gj in range(4):
+            if (mask >> (gi * 4 + gj)) & 1:
+                img[gi * block : (gi + 1) * block,
+                    gj * block : (gj + 1) * block] = 0
+    return encode_gray_png(img)
+
+
+def average_hash(img: np.ndarray, hash_size: int = 8) -> str:
+    """aHash (average hash), the classic perceptual-dedup key for image
+    corpora: nearest-neighbour downsample to hash_size x hash_size,
+    threshold each cell against the source image's mean intensity, pack
+    row-major into a bitstring.  Byte-level differences that preserve
+    perceptual structure (rescales, re-encodes, codec noise under the
+    mean) collapse to the same key."""
+    thumb = resize_image(img, hash_size, hash_size)
+    bits = (thumb.astype(np.float64) < float(img.mean())).ravel()
+    return "".join("1" if b else "0" for b in bits)

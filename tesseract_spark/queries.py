@@ -2972,6 +2972,82 @@ FROM g
 """
 
 
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image deduplication — the multimodal leg of the
+    dedup family: decode each document's REAL photo PNG (the engine
+    codec), compute its aHash (8x8 nearest-neighbour thumbnail
+    thresholded at the image's own mean — multimodal.average_hash),
+    and group: images that differ at byte level (the fixture renders
+    each pattern at 5 resolutions) but share perceptual structure
+    collapse into one bucket.  Reports per-bucket membership, the
+    deterministic canonical survivor, and how many byte-distinct
+    resolutions the bucket absorbed — the near-dup evidence.
+
+    Scale shape (100 TB): ONE zero-shuffle mapInPandas turns each image
+    into a 64-bit key, then a single hash aggregation on that key —
+    image dedup priced like exact text dedup (map-side combine, no
+    pairwise work, no all-pairs candidate set).  The payload never
+    crosses a shuffle: only (doc_id, phash, height) rows do."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def udf(batches):
+        from .functions.multimodal import average_hash, make_fixture_photo
+        from .functions.png_codec import decode_gray_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                img = decode_gray_png(make_fixture_photo(int(doc_id)))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "phash": average_hash(img),
+                        "height": img.shape[0],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "phash", "height"])
+
+    hashed = docs.mapInPandas(
+        udf, schema="doc_id long, phash string, height int"
+    )
+    return hashed.groupBy("phash").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+        F.countDistinct("height").alias("n_resolutions"),
+    )
+
+
+# The fixture photo is a 4x4 block pattern scaled to h = w = 32 + 8*s:
+# sampled thumb row (i*h)//8 = i*(4+s) lands in grid row
+# i*(4+s) // (8+2s) = i//2 for every s, so the 8x8 thumbnail replays
+# the 4x4 mask exactly at ANY resolution and the threshold (mean
+# strictly between 0 and 255 — no mask is all-white or all-dark)
+# keeps bit = [cell is dark].  The oracle rebuilds the bitstring from
+# the mask arithmetic alone.
+ORACLE_IMAGE_PHASH_DEDUP = """
+WITH g AS (
+  SELECT doc_id, ((doc_id % 12 + 1) * 40503) % 65536 AS mask,
+         32 + 8 * (doc_id % 5) AS side
+  FROM documents
+), h AS (
+  SELECT doc_id, side,
+    list_aggregate(
+      list_transform(range(0, 64), k ->
+        CASE WHEN ((mask >> (((k // 8) // 2) * 4 + ((k % 8) // 2))) & 1) = 1
+             THEN '1' ELSE '0' END),
+      'string_agg', '') AS phash
+  FROM g
+)
+SELECT phash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+       CAST(count(DISTINCT side) AS BIGINT) AS n_resolutions
+FROM h GROUP BY phash
+"""
+
+
 K_IVF_LISTS = 8  # coarse-quantizer cells (seeded, not trained)
 K_IVF_PROBES = 2  # inverted lists probed per query
 
@@ -5236,6 +5312,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
     "video_frame_sample": (q_video_frame_sample, ORACLE_VIDEO_FRAME_SAMPLE),
     "image_features": (q_image_features, ORACLE_IMAGE_FEATURES),
+    "image_phash_dedup": (q_image_phash_dedup, ORACLE_IMAGE_PHASH_DEDUP),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     "embed_kmeans": (q_embed_kmeans, ORACLE_EMBED_KMEANS),

@@ -113,3 +113,29 @@ def test_fixture_image_png_and_features():
         rows_in = sum(1 for i in range(8) if 2 <= (i * h) // 8 < 2 + h_ink)
         cols_in = sum(1 for j in range(8) if 2 <= (j * w) // 8 < 2 + w_ink)
         assert int((thumb < 128).sum()) == rows_in * cols_in
+
+
+def test_average_hash_collapses_resolutions():
+    """aHash near-dup contract (image_phash_dedup): the same 4x4
+    pattern rendered at all 5 fixture resolutions is byte-distinct as
+    PNG yet hashes identically; distinct patterns hash apart; no
+    fixture mask is degenerate (all-white / all-dark hash)."""
+    from tesseract_spark.functions.multimodal import (
+        average_hash,
+        make_fixture_photo,
+    )
+    from tesseract_spark.functions.png_codec import decode_gray_png
+
+    # doc_ids 0, 12, 24, 36, 48 share pattern 0 at sizes 0..4
+    same_pattern = [0, 12, 24, 36, 48]
+    pngs = [make_fixture_photo(d) for d in same_pattern]
+    assert len(set(pngs)) == 5  # byte-distinct
+    hashes = [average_hash(decode_gray_png(p)) for p in pngs]
+    assert len(set(hashes)) == 1  # perceptually identical
+    # the 12 patterns are mutually distinct and non-degenerate
+    all_hashes = {
+        average_hash(decode_gray_png(make_fixture_photo(d)))
+        for d in range(12 * 5)
+    }
+    assert len(all_hashes) == 12
+    assert "0" * 64 not in all_hashes and "1" * 64 not in all_hashes

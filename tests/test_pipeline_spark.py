@@ -170,6 +170,7 @@ def test_no_single_partition_exchange_in_registry_lsh_queries(spark):
     sf = "/root/testdata/sf0.001"
     for name in ("knn_lsh_join", "knn_label_accuracy", "embed_near_dup",
                  "audio_features", "video_frame_sample", "image_features",
+                 "image_phash_dedup",
                  "doc_quality",
                  "ann_ivf", "lsh_jaccard_verify", "semantic_dedup",
                  "charset_extract", "bpe_token_stats", "dup_substrings",
