@@ -357,3 +357,40 @@ def test_page_xml_multipage_closing_tags(ready_api):
         assert xml.count("<Page>") == 1
         assert xml.count("</Page>") == 1
         assert xml.index("<Page>") < xml.index("</Page>")
+
+
+def test_version_symbol():
+    """capiexample_test.cc: the library exposes a callable version
+    symbol reachable from a clean top-level import."""
+    import tesseract_spark
+
+    v = tesseract_spark.TessBaseAPI.Version()
+    assert isinstance(v, str) and v == tesseract_spark.__version__
+    assert all(part.isdigit() for part in v.split("."))
+
+
+def test_clean_import_namespace():
+    """cleanapi_test.cc analogue: a bare `import tesseract_spark` drags
+    in neither pyspark nor numpy/pandas (the lazy-facade contract that
+    keeps executor-side imports light), and pollutes the package
+    namespace with no dependency aliases."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "import tesseract_spark\n"
+        "bad = [m for m in ('pyspark', 'numpy', 'pandas', 'duckdb')\n"
+        "       if m in sys.modules]\n"
+        "assert not bad, bad\n"
+        "leaked = [n for n in ('np', 'pd', 'F', 'spark')\n"
+        "          if n in vars(tesseract_spark)]\n"
+        "assert not leaked, leaked\n"
+        "print('CLEAN')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "CLEAN" in out.stdout
