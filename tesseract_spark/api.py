@@ -316,6 +316,7 @@ class TessBaseAPI:
         self._words = None
         self._layout = None
         self._user_words = None
+        self._user_dawg = None  # built lazily, invalidated by SetUserWords
 
     # ---- lifecycle ----
 
@@ -470,12 +471,7 @@ class TessBaseAPI:
         gray = self._page_image()
         psm = self.GetPageSegMode()
         charlists = self._charlists()
-        dawg = None
-        if self._user_words:
-            from .lstm.dawg import Dawg
-            from .lstm.templates import get_net
-
-            dawg = Dawg(get_net().charset, list(self._user_words))
+        dawg = self._get_user_dawg()
         if self._oem == OEM_TESSERACT_ONLY:
             from .operators.legacy import recognize_page_legacy
 
@@ -596,6 +592,15 @@ class TessBaseAPI:
         only layout ran — IteratesParagraphsEvenIfNotDetected)."""
         self._ensure()
         gray = self._page_image()
+        if level == RIL_SYMBOL:
+            # per-symbol components via the engine's advance-model char
+            # split (the GetBoxText geometry) — every PageIteratorLevel
+            # the reference API accepts is valid here
+            out = []
+            for w in self._words:
+                for _c, l, t, r, b in _char_boxes(w):
+                    out.append(((l, t, r, b), gray[t:b, l:r]))
+            return out
         groups: dict[tuple, list] = {}
         key = {
             RIL_BLOCK: lambda w: (w.block_num,),
@@ -624,20 +629,33 @@ class TessBaseAPI:
     def GetWords(self):
         return self.GetComponentImages(RIL_WORD)
 
+    def _get_user_dawg(self):
+        """The user-words Dawg, built once per SetUserWords (the typical
+        IsValidWord probe loop and multi-page Recognize sessions must
+        not pay Dawg construction per call)."""
+        if not self._user_words:
+            return None
+        if self._user_dawg is None:
+            from .lstm.dawg import Dawg
+            from .lstm.templates import get_net
+
+            self._user_dawg = Dawg(
+                get_net().charset, list(self._user_words)
+            )
+        return self._user_dawg
+
     def IsValidWord(self, word: str) -> int:
         """Dictionary probe (baseapi.cpp:2139; Dict::valid_word).  Uses
         the user-words DAWG when configured; 0 = not a word."""
-        if not self._user_words:
+        dawg = self._get_user_dawg()
+        if dawg is None:
             return 0
-        from .lstm.dawg import Dawg
-        from .lstm.templates import get_net
-
-        dawg = Dawg(get_net().charset, list(self._user_words))
         return 1 if dawg.accepts(word) else 0
 
     def SetUserWords(self, words: list[str]) -> None:
         """--user-words analogue for programmatic callers."""
         self._user_words = list(words)
+        self._user_dawg = None
         self._spans = self._words = None
 
     # ---- renderer-parity getters ----

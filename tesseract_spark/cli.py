@@ -318,6 +318,11 @@ def _read_wordfile(path: str) -> list[str]:
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+class CLIError(Exception):
+    """Unusable input: reported on stderr with exit code 1 (the
+    reference's unreadable-image error path)."""
+
+
 def _load_input(image: str, dpi: int) -> tuple[list[dict], list[dict]]:
     """A file input -> (docs_rows, media_rows).  One document; one
     media span per page (the reference's multipage document walk)."""
@@ -330,10 +335,34 @@ def _load_input(image: str, dpi: int) -> tuple[list[dict], list[dict]]:
             if head == PNG_MAGIC:
                 pages = [(os.path.basename(image), f.read())]
             else:
+                # a known non-PNG image magic must NOT fall through to
+                # the imagelist reader (the reference reports an
+                # unreadable-image error; this build decodes PNG only)
+                known = (
+                    (b"\xff\xd8\xff", "JPEG"),
+                    (b"II*\x00", "TIFF"), (b"MM\x00*", "TIFF"),
+                    (b"GIF8", "GIF"), (b"BM", "BMP"),
+                    (b"P4", "PNM"), (b"P5", "PNM"), (b"P6", "PNM"),
+                    (b"RIFF", "WEBP"),
+                )
+                for magic, fmt in known:
+                    if head.startswith(magic):
+                        raise CLIError(
+                            f"Error: {image} is a {fmt} image; this "
+                            "build reads PNG (or an imagelist / parquet "
+                            "corpus directory)"
+                        )
                 # imagelist: one path per line
+                try:
+                    listing = f.read().decode("utf-8")
+                except UnicodeDecodeError:
+                    raise CLIError(
+                        f"Error: {image} is neither a PNG image nor a "
+                        "UTF-8 imagelist"
+                    ) from None
                 paths = [
                     ln.strip()
-                    for ln in f.read().decode("utf-8").splitlines()
+                    for ln in listing.splitlines()
                     if ln.strip()
                 ]
                 pages = []
@@ -488,12 +517,25 @@ def _render_outputs(
     # the box family drops its ordering columns; recover reading order
     # from the coordinates inside the record (top-then-left walk)
     def _box_order(col: str):
+        # box lines carry bottom-up y (field 3 = bottom): reading order
+        # is descending y, then left-to-right
         parts = F.split(F.col(col), " ")
         return [
             "doc_id", "media_ref",
-            F.element_at(parts, 3).cast("int"),  # top
+            F.element_at(parts, 3).cast("int").desc(),
             F.element_at(parts, 2).cast("int"),  # left
         ]
+
+    def _page_heights():
+        # the box family's y axis is bottom-up (box file format); the
+        # page height comes straight from the PNG IHDR (bytes 20:24,
+        # big-endian u32) — pure JVM column expressions, no decode
+        return media.select(
+            "media_ref",
+            F.conv(F.hex(F.expr("substring(png, 21, 4)")), 16, 10)
+            .cast("int")
+            .alias("height_px"),
+        )
 
     out = {}
     word_renderers = [r for r in renderers if r not in ("txt", "osd")]
@@ -552,14 +594,18 @@ def _render_outputs(
             )
         elif r == "box":
             out[r] = (
-                S.to_box_chars(words), "box_line", _box_order("box_line"))
+                S.to_box_chars(words, page_heights=_page_heights()),
+                "box_line", _box_order("box_line"))
         elif r == "lstmbox":
             out[r] = (
-                S.to_lstm_box(words), "lstm_box",
+                S.to_lstm_box(words, page_heights=_page_heights()),
+                "lstm_box",
                 ["doc_id", "media_ref", "block_num", "par_num", "line_num"],
             )
         elif r == "wordstrbox":
-            out[r] = (S.to_box(words), "box_line", _box_order("box_line"))
+            out[r] = (
+                S.to_box(words, page_heights=_page_heights()),
+                "box_line", _box_order("box_line"))
         elif r == "pdf":
             textonly = _is_true(params.get("textonly_pdf", "0"))
             images = None if textonly else media.select("media_ref", "png")
@@ -715,6 +761,9 @@ def run(argv: list[str], spark=None) -> int:
             else:
                 _write_local(a.outputbase, r, df, col, order)
         return 0
+    except CLIError as e:
+        print(e, file=sys.stderr)
+        return 1
     finally:
         if own_spark:
             spark.stop()

@@ -80,12 +80,7 @@ class FlagRegistry:
         line per flag, grouped int/double/bool/string in declaration
         order within each type."""
         out = []
-        for kind, fmt in (
-            ("int", "int default:{}"),
-            ("double", "double default:{:g}"),
-            ("bool", "bool default:{}"),
-            ("string", "string default:{}"),
-        ):
+        for kind in ("int", "double", "bool", "string"):
             for f in self._flags.values():
                 if f.kind != kind:
                     continue

@@ -91,9 +91,7 @@ def estimate_type_for_unichar(ch: str) -> int:
         return BSTT_NONE
     if ch.isdigit() or ch == "|":
         return BSTT_DIGIT
-    if is_punct:
-        return BSTT_MATH
-    return BSTT_MATH
+    return BSTT_MATH  # remaining punctuation and symbols alike
 
 
 def x_gap(a, b) -> int:

@@ -70,6 +70,9 @@ class Monitor:
         if self.progress_callback2 is not None:
             l, t, r, b = box
             self.progress_callback2(self, l, r, t, b)
+        # the reference passes the TOTAL worklist size, not the running
+        # index: (*monitor->cancel)(cancel_this, words->size()),
+        # control.cpp:224-225
         return self.deadline_exceeded() or (
             self.cancel is not None and self.cancel(self.cancel_this, total)
         )

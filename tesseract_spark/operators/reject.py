@@ -195,8 +195,13 @@ def acceptable_word_string(s: str) -> str:
 def compute_reject_threshold(certs: list[float]) -> float:
     """reject.cpp:227-258: the biggest gap in the sorted per-char
     certainties; chars below gapstart + gap/2 are poor matches.
-    Under 3 chars: threshold below the minimum (nothing rejects)."""
+    Under 3 chars: threshold below the minimum (nothing rejects).
+    Empty input (a degraded-page marker row's empty word never reaches
+    this in the reference — WERD_RES without a best choice is skipped)
+    rejects nothing."""
     ratings = sorted(certs)
+    if not ratings:
+        return float("-inf")
     gapstart = ratings[0] - 1
     bestgap = 0.0
     if len(ratings) >= 3:

@@ -203,6 +203,13 @@ def test_component_images_levels(ready_api):
     assert len(lines) == 2 and len(words) == 4
     (box, crop) = words[0]
     assert crop.shape == (box[3] - box[1], box[2] - box[0])
+    # RIL_SYMBOL is a valid level too (baseapi.h accepts any
+    # PageIteratorLevel): one component per recognized character
+    syms = ready_api.GetComponentImages(A.RIL_SYMBOL)
+    n_chars = len(ready_api.GetUTF8Text().replace("\n", "").replace(" ", ""))
+    assert len(syms) == n_chars
+    (sbox, scrop) = syms[0]
+    assert scrop.shape == (sbox[3] - sbox[1], sbox[2] - sbox[0])
 
 
 def test_set_rectangle(page):

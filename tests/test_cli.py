@@ -183,6 +183,11 @@ def test_cli_multiple_renderers(spark, page_png, tmp_path):
     # char boxes in reading order: the text stream re-assembles
     assert "".join(ln.split(" ")[0] for ln in box) == GOLD.replace(
         "\n", "").replace(" ", "")
+    # box-family y is BOTTOM-UP (the box file convention): bottom < top
+    # on each record and the page's first text row carries the larger y
+    ys = [(int(ln.split(" ")[2]), int(ln.split(" ")[4])) for ln in box]
+    assert all(b < t for b, t in ys)
+    assert ys[0][0] > ys[-1][0]  # row 1 above row 2 in bottom-up coords
 
 
 def test_cli_pdf_output(spark, page_png, tmp_path):
@@ -261,3 +266,19 @@ def test_cli_corpus_dir_mode(spark, corpus, tmp_path):
     got = spark.read.parquet(os.path.join(outdir, "txt"))
     assert got.count() > 0
     assert set(got.columns) == {"doc_id", "text"}
+
+
+def test_non_png_image_reports_error(capsys, tmp_path):
+    """A JPEG/TIFF input must produce a clean unsupported-format error,
+    not fall through to the imagelist reader (whose UTF-8 decode of
+    image bytes would traceback)."""
+    jpg = tmp_path / "scan.jpg"
+    jpg.write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    assert cli.run(["t", str(jpg), str(tmp_path / "o")]) == 1
+    err = capsys.readouterr().err
+    assert "JPEG" in err and "PNG" in err
+    # binary garbage with no known magic: neither PNG nor imagelist
+    junk = tmp_path / "junk.bin"
+    junk.write_bytes(bytes(range(256)))
+    assert cli.run(["t", str(junk), str(tmp_path / "o")]) == 1
+    assert "imagelist" in capsys.readouterr().err

@@ -273,3 +273,40 @@ def test_reject_words_df_and_unlv(spark):
     unlv = to_unlv(out).collect()[0].unlv
     assert "qz^xkv" in unlv  # per-char suspect mark, char still prints
     assert "HELLO" in unlv and "night" in unlv
+
+
+def test_reject_words_passes_degraded_marker_rows(spark):
+    """A failed page's marker row (word_num=-1, text='', conf=-1 —
+    sinks.ocr_words per-page isolation) must flow through reject_words
+    untouched, not crash the job (the reference never builds a REJMAP
+    for a word without a best choice; compute_reject_threshold([])
+    rejects nothing)."""
+    import pandas as pd
+
+    from tesseract_spark.operators.reject import reject_words
+    from tesseract_spark.operators.sinks import WORDS_SCHEMA
+
+    marker = _wrow("d", "", -1, conf=-1.0, permuter="no_perm")
+    rows = [marker, _wrow("d", "night", 1, permuter="system_dawg")]
+    words = spark.createDataFrame(pd.DataFrame(rows), schema=WORDS_SCHEMA)
+    got = {r.word_num: r for r in reject_words(words).collect()}
+    assert got[-1].text == "" and got[-1].rejects == ""
+    assert got[1].rejects == "AAAAA"
+
+
+def test_flip_hyphens_certain_flip_still_suspected():
+    """reject.cpp:620-640 exact flag semantics: R_HYPHEN_ACCEPT only
+    neutralizes PRE-NN rejects (rejctmap.h:159-162), so even a CERTAIN
+    '.'->'-' flip falls through to the second plain `if` and ends
+    marked a suspected hyphen when the char was accepted — the
+    reference deliberately keeps flipped hyphens suspect."""
+    from tesseract_spark.operators.reject import RejectMap, flip_hyphens
+
+    rej = RejectMap(1)
+    out = flip_hyphens(".", [(0, 0, 30, 10)], x_scale=1.0, rej=rej)
+    assert out == "-"
+    assert rej.rejected(0) and rej.flags[0] == "hyphen"
+    # marginal aspect (lower < a < upper): no flip, still suspected
+    rej2 = RejectMap(1)
+    out2 = flip_hyphens(".", [(0, 0, 17, 10)], x_scale=1.0, rej=rej2)
+    assert out2 == "." and rej2.flags[0] == "hyphen"
