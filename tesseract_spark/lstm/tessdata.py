@@ -1189,6 +1189,59 @@ def read_lang_model(data: bytes):
     return ucs, recoder, dawgs
 
 
+def build_model_from_spec(
+    spec: str, lang_model, seed: int = 42
+) -> LstmModel:
+    """The from-scratch ``lstmtraining --net_spec`` path —
+    NetworkBuilder::InitNetwork + LSTMTrainer::InitNetwork
+    (networkbuilder.cpp:46-77; lstmtrainer.cpp:160-183): build a
+    randomly-initialized network from a VGSL spec string over a STARTER
+    traineddata (combine_lang_model output: unicharset + recoder +
+    dawgs, no net) and return a trainable LstmModel.
+
+    As the reference's ParseOutput does (networkbuilder.cpp:457-462),
+    the trailing output layer's class count is replaced by the
+    charset-derived count when the spec disagrees, with the same
+    warning.  Class count convention: this engine's decoders put the
+    CTC null at index len(charset) (the pass-through recoder allocates
+    no null code), so num_outputs = len(charset) + 1 — vs the
+    reference's recoder_.code_range(), which embeds null inside the
+    code table (documented divergence).
+
+    ``lang_model``: starter container bytes, or the
+    (unicharset, recoder, dawgs) triple read_lang_model returns."""
+    import re as _re
+
+    from .vgsl import VGSLNetwork
+
+    if isinstance(lang_model, (bytes, bytearray)):
+        ucs, recoder, dawgs = read_lang_model(bytes(lang_model))
+    else:
+        ucs, recoder, dawgs = lang_model
+    null_char = len(ucs.chars)
+    num_outputs = null_char + 1
+    m = _re.search(r"O1c(\d+)", spec)
+    if m is None:
+        raise ValueError(f"net_spec needs a trailing O1c output: {spec!r}")
+    if int(m.group(1)) != num_outputs:
+        print(
+            f"Warning: given outputs {m.group(1)} not equal to unicharset "
+            f"of {num_outputs}."
+        )
+        spec = spec[: m.start(1)] + str(num_outputs) + spec[m.end(1):]
+    net = VGSLNetwork(spec, seed=seed)
+    return LstmModel(
+        net=net,
+        unicharset=ucs,
+        recoder=recoder,
+        null_char=null_char,
+        spec=spec,
+        word_dawg=dawgs.get(TESSDATA_LSTM_SYSTEM_DAWG),
+        number_dawg=dawgs.get(TESSDATA_LSTM_NUMBER_DAWG),
+        punc_dawg=dawgs.get(TESSDATA_LSTM_PUNC_DAWG),
+    )
+
+
 def merge_unicharsets(a: Unicharset, b: Unicharset) -> Unicharset:
     """merge_unicharsets tool (src/training/merge_unicharsets.cpp):
     a's rows keep their ids, b's unseen chars append in b's order."""

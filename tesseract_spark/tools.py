@@ -142,6 +142,72 @@ def main_merge_unicharsets(argv: list[str]) -> int:
     return 0
 
 
+def main_combine_lang_model(argv: list[str]) -> int:
+    """combine_lang_model (src/training/combine_lang_model.cpp:30-80):
+    package a STARTER traineddata — unicharset + recoder + optional
+    word/punc/number dawgs, no network — under
+    ``output_dir/lang/lang.traineddata`` (the reference's output
+    layout), ready for ``lstmtraining --net_spec`` to attach a net.
+    The engine's recoder is always the pass-through
+    (--pass_through_recoder accepted for usage parity)."""
+    from .flags import FlagRegistry, parse_command_line_flags
+    from .lstm.tessdata import combine_lang_model
+
+    reg = FlagRegistry()
+    reg.string_flag("input_unicharset", "",
+                    "Unicharset to complete and use in encoding")
+    reg.string_flag("words", "",
+                    "File listing words to use for the system dictionary")
+    reg.string_flag("puncs", "", "File listing punctuation patterns")
+    reg.string_flag("numbers", "", "File listing number patterns")
+    reg.string_flag("output_dir", "", "Root directory for output files")
+    reg.string_flag("version_str", "5.5.3-spark",
+                    "Version string to add to traineddata file")
+    reg.string_flag("lang", "", "Name of language being processed")
+    reg.bool_flag("lang_is_rtl", False,
+                  "True if lang being processed is written right-to-left")
+    reg.bool_flag("pass_through_recoder", False,
+                  "If true, the recoder is a simple pass-through of the "
+                  "unicharset.")
+    parse_command_line_flags(
+        f"{argv[0]} --input_unicharset u --lang l --output_dir d "
+        "[--words w] [--puncs p] [--numbers n]",
+        argv, remove_flags=True, registry=reg)
+    ucs_path = reg.get("input_unicharset").value
+    lang = reg.get("lang").value
+    out_dir = reg.get("output_dir").value
+    if not ucs_path or not lang or not out_dir:
+        print("Error: --input_unicharset, --lang and --output_dir are "
+              "required", file=sys.stderr)
+        return 1
+    ucs = _read_unicharset(ucs_path)
+
+    def wordlist(flag):
+        path = reg.get(flag).value
+        if not path:
+            return None
+        with open(path, "r", encoding="utf-8") as f:
+            return [w.strip() for w in f if w.strip()]
+
+    blob = combine_lang_model(
+        ucs,
+        words=wordlist("words"),
+        puncs=wordlist("puncs"),
+        numbers=wordlist("numbers"),
+        version=reg.get("version_str").value,
+    )
+    lang_dir = os.path.join(out_dir, lang)
+    os.makedirs(lang_dir, exist_ok=True)
+    out = os.path.join(lang_dir, f"{lang}.traineddata")
+    with open(out, "wb") as f:
+        f.write(blob)
+    # human-readability sidecars the reference writes
+    with open(os.path.join(lang_dir, f"{lang}.unicharset"), "wb") as f:
+        f.write(ucs.save())
+    print(f"Wrote {out}")
+    return 0
+
+
 def main_combine_tessdata(argv: list[str]) -> int:
     from .lstm.tessdata import read_container, write_container
 
@@ -304,10 +370,12 @@ def main_text2image(argv: list[str]) -> int:
 
 
 def main_lstmtraining(argv: list[str]) -> int:
-    """lstmtraining (src/training/lstmtraining.cpp:33-66 flag surface,
-    the --continue_from fine-tune subset; from-scratch --net_spec
-    construction is not supported — the engine ships its nets through
-    traineddata containers).
+    """lstmtraining (src/training/lstmtraining.cpp:33-66 flag surface):
+    fine-tune via --continue_from, or train FROM SCRATCH via --net_spec
+    + --traineddata (a combine_lang_model starter container), the
+    reference's initializing-from-scratch branch
+    (lstmtraining.cpp:171-187 -> LSTMTrainer::InitNetwork ->
+    NetworkBuilder, here tessdata.build_model_from_spec).
 
     Flow mirrors the reference main (lstmtraining.cpp:108-170):
     training writes ``<model_output>_checkpoint`` (here: a full
@@ -328,6 +396,7 @@ def main_lstmtraining(argv: list[str]) -> int:
 
     reg = FlagRegistry()
     reg.string_flag("continue_from", "", "Existing model to extend")
+    reg.string_flag("net_spec", "", "Network specification")
     reg.string_flag("model_output", "lstmtrain",
                     "Basename for output models")
     reg.string_flag("traineddata", "",
@@ -366,21 +435,36 @@ def main_lstmtraining(argv: list[str]) -> int:
         return 0
 
     cont = reg.get("continue_from").value
+    net_spec = reg.get("net_spec").value
     listfile = reg.get("train_listfile").value
-    if not cont or not listfile:
-        print("Error: --continue_from and --train_listfile are required "
-              "(from-scratch --net_spec training is not supported)",
-              file=sys.stderr)
+    if not listfile or not (cont or net_spec):
+        print("Error: --train_listfile plus either --continue_from "
+              "(fine-tune) or --net_spec with --traineddata "
+              "(from scratch) is required", file=sys.stderr)
         return 1
-    with open(cont, "rb") as f:
-        model = load_traineddata(f.read())
-    if reg.get("traineddata").value:
-        # language-model container: take its charset-side sections
+    if cont:
+        with open(cont, "rb") as f:
+            model = load_traineddata(f.read())
+        if reg.get("traineddata").value:
+            # language-model container: take its charset-side sections
+            with open(reg.get("traineddata").value, "rb") as f:
+                lang = load_traineddata(f.read())
+            for attr in ("word_dawg", "number_dawg", "punc_dawg"):
+                if getattr(lang, attr) is not None:
+                    setattr(model, attr, getattr(lang, attr))
+    else:
+        # initializing from scratch (lstmtraining.cpp:171-187): the
+        # starter traineddata supplies charset/recoder/dawgs, the spec
+        # builds the randomly-initialized net (NetworkBuilder)
+        if not reg.get("traineddata").value:
+            print("Must specify --traineddata to init network!",
+                  file=sys.stderr)
+            return 1
+        from .lstm.tessdata import build_model_from_spec
+
         with open(reg.get("traineddata").value, "rb") as f:
-            lang = load_traineddata(f.read())
-        for attr in ("word_dawg", "number_dawg", "punc_dawg"):
-            if getattr(lang, attr) is not None:
-                setattr(model, attr, getattr(lang, attr))
+            model = build_model_from_spec(net_spec, f.read())
+        print(f"Built network:{model.spec} from request {net_spec}")
 
     samples = _read_lstmf_listfile(listfile)
     if not samples:
@@ -475,6 +559,7 @@ TOOLS = {
     "unicharset_extractor": main_unicharset_extractor,
     "merge_unicharsets": main_merge_unicharsets,
     "combine_tessdata": main_combine_tessdata,
+    "combine_lang_model": main_combine_lang_model,
     "text2image": main_text2image,
     "lstmtraining": main_lstmtraining,
     "lstmeval": main_lstmeval,

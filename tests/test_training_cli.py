@@ -164,3 +164,52 @@ def test_lstmtraining_requires_inputs(capsys):
 def test_lstmeval_requires_inputs(capsys):
     assert tools.main(["prog", "lstmeval", "--verbosity", "0"]) == 1
     assert "required" in capsys.readouterr().err
+
+
+def test_from_scratch_net_spec_pipeline(tmp_path, capsys):
+    """The full tesstrain FROM-SCRATCH loop through argv only
+    (lstmtraining.cpp:171-187 InitNetwork branch): render ->
+    unicharset_extractor -> combine_lang_model (starter, no net) ->
+    lstmtraining --net_spec (NetworkBuilder random init) to exact
+    decode -> --stop_training convert -> lstmeval BCER 0."""
+    text_file = tmp_path / "scratch.txt"
+    text_file.write_text("ab ba\naab\nbba ab\nabab\n")
+    base = str(tmp_path / "scr")
+    assert tools.main(["prog", "text2image", "--text", str(text_file),
+                       "--outputbase", base, "--degrade_image=false"]) == 0
+    listfile = tmp_path / "scr.list"
+    listfile.write_text(base + ".lstmf\n")
+
+    ucs_out = str(tmp_path / "scratch.unicharset")
+    assert tools.main(["prog", "unicharset_extractor",
+                       "--output_unicharset", ucs_out,
+                       str(text_file)]) == 0
+    assert tools.main(["prog", "combine_lang_model",
+                       "--input_unicharset", ucs_out,
+                       "--lang", "scr", "--output_dir", str(tmp_path),
+                       "--words", str(text_file)]) == 0
+    starter = str(tmp_path / "scr" / "scr.traineddata")
+    # a starter has no net: the runtime loader must reject it
+    from tesseract_spark.lstm.tessdata import load_traineddata
+    with pytest.raises(Exception):
+        load_traineddata(open(starter, "rb").read())
+
+    model_out = str(tmp_path / "scratchnet")
+    assert tools.main([
+        "prog", "lstmtraining", "--net_spec",
+        "[1,1,0,16 Ct1,5,24 Lbx32 O1c9]",
+        "--traineddata", starter, "--train_listfile", str(listfile),
+        "--model_output", model_out, "--learning_rate", "0.02",
+        "--max_iterations", "300"]) == 0
+    out = capsys.readouterr().out
+    # ParseOutput's class-count substitution + the InitNetwork banner
+    assert "not equal to unicharset of 4" in out
+    assert "Built network:[1,1,0,16 Ct1,5,24 Lbx32 O1c4]" in out
+    assert "char train=0.000%" in out  # reached exact decode
+
+    assert tools.main(["prog", "lstmtraining", "--stop_training",
+                       "--model_output", model_out]) == 0
+    assert tools.main(["prog", "lstmeval",
+                       "--model", model_out + ".traineddata",
+                       "--eval_listfile", str(listfile)]) == 0
+    assert "BCER eval=0.000" in capsys.readouterr().out
