@@ -403,6 +403,8 @@ def main_lstmtraining(argv: list[str]) -> int:
                     "Combined Dawgs/Unicharset/Recoder for language model")
     reg.string_flag("train_listfile", "",
                     "File listing training files in lstmf training format.")
+    reg.string_flag("eval_listfile", "",
+                    "File listing eval files in lstmf training format.")
     reg.int_flag("max_iterations", 0, "If set, exit after this many iterations")
     reg.double_flag("learning_rate", 10.0e-4, "Weight factor for new deltas.")
     reg.double_flag("target_error_rate", 0.01, "Final error rate in percent.")
@@ -497,6 +499,17 @@ def main_lstmtraining(argv: list[str]) -> int:
             break
         vec = adam.step(vec, g / max(n, 1))
         T.unflatten(model.net, slots, vec)
+    if reg.get("eval_listfile").value:
+        # the LSTMTester held-out eval (lstmtester.cpp:80-127 RunEvalSync
+        # verdict line, threaded through lstmtraining.cpp:200-207)
+        eval_samples = _read_lstmf_listfile(reg.get("eval_listfile").value)
+        if eval_samples:
+            truths = [s.transcription for s in eval_samples]
+            preds = decode_strips(model, _samples_to_strips(eval_samples))
+            ce, nc, we, nw, _ex = _error_counts(truths, preds)
+            print(f"At iteration {it}, stage 0, "
+                  f"BCER eval={100.0 * ce / max(1, nc):.3f}, "
+                  f"BWER eval={100.0 * we / max(1, nw):.3f}")
     with open(checkpoint, "wb") as f:
         f.write(save_traineddata(model))
     print(f"Saved checkpoint {checkpoint}")

@@ -199,6 +199,7 @@ def test_from_scratch_net_spec_pipeline(tmp_path, capsys):
         "prog", "lstmtraining", "--net_spec",
         "[1,1,0,16 Ct1,5,24 Lbx32 O1c9]",
         "--traineddata", starter, "--train_listfile", str(listfile),
+        "--eval_listfile", str(listfile),
         "--model_output", model_out, "--learning_rate", "0.02",
         "--max_iterations", "300"]) == 0
     out = capsys.readouterr().out
@@ -206,6 +207,8 @@ def test_from_scratch_net_spec_pipeline(tmp_path, capsys):
     assert "not equal to unicharset of 4" in out
     assert "Built network:[1,1,0,16 Ct1,5,24 Lbx32 O1c4]" in out
     assert "char train=0.000%" in out  # reached exact decode
+    # the LSTMTester verdict line (lstmtester.cpp:122-126 wording)
+    assert ", stage 0, BCER eval=0.000, BWER eval=0.000" in out
 
     assert tools.main(["prog", "lstmtraining", "--stop_training",
                        "--model_output", model_out]) == 0
