@@ -704,14 +704,21 @@ def run(argv: list[str], spark=None) -> int:
     if own_spark:
         from pyspark.sql import SparkSession
 
-        spark = (
-            SparkSession.builder.master(
-                os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
-            .config("spark.sql.shuffle.partitions", "32")
-            .config("spark.ui.enabled", "false")
-            .appName("tesseract_spark_cli")
-            .getOrCreate()
-        )
+        # getOrCreate() would RETURN a session another caller owns (the
+        # JVM holds one context per process); stopping it in our finally
+        # would kill theirs.  Only own — and stop — a session we created.
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            own_spark = False
+        else:
+            spark = (
+                SparkSession.builder.master(
+                    os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
+                .config("spark.sql.shuffle.partitions", "32")
+                .config("spark.ui.enabled", "false")
+                .appName("tesseract_spark_cli")
+                .getOrCreate()
+            )
     try:
         corpus_mode = a.image is not None and os.path.isdir(a.image)
         if corpus_mode:

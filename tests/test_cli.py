@@ -157,6 +157,18 @@ def test_unknown_lang_rejected(capsys, page_png, tmp_path):
     assert "unknown language" in capsys.readouterr().err
 
 
+def test_sparkless_run_leaves_active_session_alive(spark, capsys, tmp_path):
+    """cli.run without spark= must not stop a session it merely
+    borrowed via getActiveSession — the JVM holds one context per
+    process, so stopping it would kill every later caller's session."""
+    junk = tmp_path / "junk.bin"
+    junk.write_bytes(bytes(range(256)))
+    assert cli.run(["t", str(junk), str(tmp_path / "o")]) == 1
+    capsys.readouterr()
+    assert spark.sparkContext._jsc is not None
+    assert spark.range(3).count() == 3
+
+
 # ---------- end-to-end (apiexample_test.cc analogue) ----------
 
 
