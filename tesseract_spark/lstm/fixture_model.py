@@ -251,3 +251,68 @@ def decode_strips(
             )
             out[i] = text.strip(" ")
     return out
+
+
+def beam_decode_strips(
+    model: LstmModel,
+    strips: list[np.ndarray],
+    dawg=None,
+    disabled_uids: frozenset[int] | None = None,
+    force_beam: bool = False,
+    margin: float = 0.5,
+) -> list[str]:
+    """decode_strips on the full lattice beam (RecodeBeamSearch::Decode,
+    recodebeam.cpp:92-104) — the precision path with dictionary
+    rescoring, the reference's OEM_LSTM_ONLY decode architecture
+    (LSTMRecognizer::RecognizeLine runs the beam on every line,
+    lstmrecognizer.cpp:247-291).
+
+    The forward stays batched/BLAS (same bucket_strips path as the
+    greedy decoder); the per-line beam is Python, so an ambiguity gate
+    keeps it off the hot path: with no dictionary, a line whose winning
+    code clears ``margin`` probability at every timestep decodes
+    greedily (on such a lattice the argmax path dominates every
+    competing collapse, the ctc.py gate argument).  Lines with a dawg,
+    a disabled char, or a weak step run the real beam.  ``force_beam``
+    disables the gate (the reference's always-on behavior).
+    """
+    if not strips:
+        return []
+    from .recode_beam import RecodeBeamSearch
+
+    charset = model.charset
+    null_code = model.null_char
+    space_uid = charset.index(" ")
+    out = [""] * len(strips)
+    beam = RecodeBeamSearch(
+        model.recoder,
+        null_code,
+        dawg=dawg,
+        uid_chars=list(charset),
+    )
+    for idxs, x, t_reals in bucket_strips(strips):
+        log_probs = model.net.forward(x)  # [N, W', C]
+        for j, i in enumerate(idxs):
+            row = log_probs[j, : t_reals[j]]
+            need_beam = force_beam or dawg is not None or bool(disabled_uids)
+            if not need_beam:
+                # gate: all winners clear the margin -> greedy is safe
+                top = np.max(row, axis=1)
+                need_beam = bool(np.any(np.exp(top) < margin))
+            if need_beam:
+                probs = np.exp(row.astype(np.float64))
+                beam.decode(probs, disabled_uids=disabled_uids)
+                labels, _ = beam.extract_best_path_as_labels()
+                uids = model.recoder.decode_codes(labels)
+            else:
+                codes = greedy_collapse(
+                    np.argmax(row, axis=1), null_code
+                )
+                uids = model.recoder.decode_codes(codes)
+            if disabled_uids:
+                uids = [u for u in uids if u not in disabled_uids]
+            text = "".join(
+                " " if u == space_uid else charset[u] for u in uids
+            )
+            out[i] = text.strip(" ")
+    return out

@@ -359,6 +359,10 @@ class UnicharCompress:
         self._prefixes.clear()
         self._valid_first = set()
         self.code_range = 0
+        # final/next code maps (SetupDecoder's final_codes_/next_codes_,
+        # unicharcompress.cpp:405-452) keyed by the pending code prefix.
+        self._final_codes: dict[tuple[int, ...], list[int]] = {}
+        self._next_codes: dict[tuple[int, ...], list[int]] = {}
         for uid, rc in enumerate(self.encoder):
             if not rc.codes:
                 continue
@@ -368,9 +372,25 @@ class UnicharCompress:
             # (unicharcompress.cpp:402) — matters only for shared null
             # codes (Joined/Broken both carry the null).
             self._decoder[key] = uid
+            final = self._final_codes.setdefault(key[:-1], [])
+            if key[-1] not in final:
+                final.append(key[-1])
             for plen in range(1, len(key)):
                 self._prefixes.add(key[:plen])
+                nxt = self._next_codes.setdefault(key[: plen - 1], [])
+                if key[plen - 1] not in nxt:
+                    nxt.append(key[plen - 1])
             self.code_range = max(self.code_range, max(rc.codes) + 1)
+
+    def get_final_codes(self, prefix: tuple[int, ...]) -> list[int]:
+        """GetFinalCodes (unicharcompress.h): codes that complete a
+        unichar after ``prefix``."""
+        return self._final_codes.get(tuple(prefix), ())
+
+    def get_next_codes(self, prefix: tuple[int, ...]) -> list[int]:
+        """GetNextCodes (unicharcompress.h): codes that extend
+        ``prefix`` toward a longer unichar code sequence."""
+        return self._next_codes.get(tuple(prefix), ())
 
     # -- codec ------------------------------------------------------------
     def encode_unichar(self, uid: int) -> list[int]:
@@ -558,24 +578,6 @@ class UnicharCompress:
         for rc in self.encoder:
             rc.codes = [c + offsets[c] for c in rc.codes]
         self._setup_decoder()
-
-    # -- beam-search navigation (SetupDecoder's next/final tables) ----
-    def get_final_codes(self, prefix: list[int]) -> list[int]:
-        """Codes completing a unichar after ``prefix``
-        (unicharcompress.h GetFinalCodes)."""
-        p = tuple(prefix)
-        out = sorted(
-            {key[len(p)] for key in self._decoder if len(key) == len(p) + 1 and key[: len(p)] == p}
-        )
-        return out
-
-    def get_next_codes(self, prefix: list[int]) -> list[int]:
-        """Codes extending ``prefix`` toward longer unichars
-        (unicharcompress.h GetNextCodes)."""
-        p = tuple(prefix)
-        return sorted(
-            {key[len(p)] for key in self._prefixes | set(self._decoder) if len(key) > len(p) + 1 and key[: len(p)] == p}
-        )
 
     def get_encoding_as_string(self, unicharset) -> str:
         """GetEncodingAsString (unicharcompress.cpp:339-361)."""

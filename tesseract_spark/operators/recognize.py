@@ -421,6 +421,7 @@ def process_page(
 def recognize_page_vgsl(
     gray: np.ndarray, dpi: int = 300, model=None,
     charlists: tuple[str, str, str] | None = None,
+    dawg=None, use_beam: bool = False,
 ) -> tuple[list[SubSpan], PageResult]:
     """recognize_page on the VGSL engine: same layout stage, but every row
     strip is decoded by the tessdata-loaded VGSL conv stack (batched
@@ -429,8 +430,17 @@ def recognize_page_vgsl(
     (LSTMRecognizer::RecognizeLine, src/lstm/lstmrecognizer.cpp:247-291).
 
     Baseline-ambiguous rows decode both hypotheses (alt_strip) and keep
-    whichever explains more characters, as the template path does."""
-    from ..lstm.fixture_model import decode_strips, get_vgsl_model
+    whichever explains more characters, as the template path does.
+
+    ``use_beam`` routes every strip through the full lattice beam
+    (RecodeBeamSearch, lstm/recode_beam.py) instead of greedy CTC;
+    ``dawg`` adds the dictionary dual-beam rescoring of the reference's
+    LSTM path (recodebeam.cpp:1009-1134) and implies the beam."""
+    from ..lstm.fixture_model import (
+        beam_decode_strips,
+        decode_strips,
+        get_vgsl_model,
+    )
 
     model = model or get_vgsl_model()
     disabled_uids: frozenset[int] | None = None
@@ -453,7 +463,13 @@ def recognize_page_vgsl(
             if getattr(row, "alt_strip", None) is not None:
                 jobs.append((ri, i, 1))
                 strips.append(row.alt_strip)
-    texts = decode_strips(model, strips, disabled_uids=disabled_uids)
+    if use_beam or dawg is not None:
+        texts = beam_decode_strips(
+            model, strips, dawg=dawg, disabled_uids=disabled_uids,
+            force_beam=use_beam,
+        )
+    else:
+        texts = decode_strips(model, strips, disabled_uids=disabled_uids)
     decoded: dict[tuple[int, int], str] = {}
     for (ri, i, alt), text in zip(jobs, texts):
         cur = decoded.get((ri, i))

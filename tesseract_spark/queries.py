@@ -57,7 +57,9 @@ FROM c
 """
 
 
-def q_ocr_vgsl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ocr_vgsl_extract(
+    spark: SparkSession, sf_dir: str, use_beam: bool = False
+) -> DataFrame:
     """Flagship on the VGSL engine (OEM_LSTM_ONLY switch): identical
     derived corpus and span contract as ocr_extract, but every media page
     is decoded by the tessdata-loaded VGSL conv stack — tessdata container
@@ -98,7 +100,9 @@ def q_ocr_vgsl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # the SAME render rule as the corpus (single source of
                 # truth: derived.chunk_page_spec)
                 page = compose_page(chunk_page_spec(int(doc_id), int(i), chunk))
-                spans, _ = recognize_page_vgsl(page.image, model=model)
+                spans, _ = recognize_page_vgsl(
+                    page.image, model=model, use_beam=use_beam
+                )
                 text = "\n".join(s.text for s in spans if s.kind == "text")
                 rows.append(
                     {
@@ -130,6 +134,21 @@ def q_ocr_vgsl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # must agree on every fixture page (BasicLSTMTest's "same gold text"
 # contract, unittest/baseapi_test.cc:208-224)
 ORACLE_OCR_VGSL_EXTRACT = ORACLE_OCR_EXTRACT
+
+
+def q_ocr_beam_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ocr_vgsl_extract with every line routed through the full lattice
+    beam decoder (RecodeBeamSearch::Decode + ExtractBestPathAsLabels,
+    recodebeam.cpp:92-104,200-218; lstm/recode_beam.py) instead of the
+    greedy collapse — the reference's always-on LSTM decode
+    architecture (LSTMRecognizer::RecognizeLine, lstmrecognizer.cpp:
+    247-291).  Must produce the same spans as the greedy engine on the
+    corpus (the beam reduces to the argmax path on unambiguous
+    lattices), so it shares the ocr_extract oracle."""
+    return q_ocr_vgsl_extract(spark, sf_dir, use_beam=True)
+
+
+ORACLE_OCR_BEAM_EXTRACT = ORACLE_OCR_EXTRACT
 
 
 def q_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5238,6 +5257,7 @@ SELECT doc_id, source, rk FROM ranked WHERE rk <= 10
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocr_extract": (q_ocr_extract, ORACLE_OCR_EXTRACT),
     "ocr_vgsl_extract": (q_ocr_vgsl_extract, ORACLE_OCR_VGSL_EXTRACT),
+    "ocr_beam_extract": (q_ocr_beam_extract, ORACLE_OCR_BEAM_EXTRACT),
     "line_removal": (q_line_removal, ORACLE_LINE_REMOVAL),
     "underline_stats": (q_underline_stats, ORACLE_UNDERLINE_STATS),
     "equation_regions": (q_equation_regions, ORACLE_EQUATION_REGIONS),

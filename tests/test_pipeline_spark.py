@@ -177,7 +177,8 @@ def test_no_single_partition_exchange_in_registry_lsh_queries(spark):
                  "pii_scrub", "decontaminate", "embed_kmeans",
                  "data_mix_sample", "gopher_repetition", "seq_packing",
                  "c4_filters", "dehyphenate", "ocr_combined_extract",
-                 "reject_flips", "hash_split", "domain_cap"):
+                 "reject_flips", "hash_split", "domain_cap",
+                 "ocr_beam_extract"):
         fn, _ = REGISTRY[name]
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, name
