@@ -806,9 +806,12 @@ def serialize_network(net) -> bytes:
             height = max(1, height // ky)
         elif layer.kind in ("lstm_x", "lstm_y_summary"):
             units = layer.params["units"]
-            ni = height * depth
-            na = ni + units
             summ = layer.kind == "lstm_y_summary"
+            # x-LSTMs consume the height-collapsed depth; the
+            # y-summarizing LSTM steps over height, so its input is the
+            # raw per-cell depth (lstm.cpp: ni_ = input depth).
+            ni = depth if summ else height * depth
+            na = ni + units
             tname = "SummLSTM" if summ else "LSTM"
 
             def emit_lstm(prefix: str) -> None:

@@ -22,9 +22,10 @@ whose targets the reference's method approximates.
 Backward covers every VGSL layer kind the forward implements: conv
 (tanh/relu), maxpool, collapse-height, LSTM over x (forward / reversed
 / bidirectional, full BPTT — lstm.cpp:291 Backward's gate-delta walk),
-and output softmax.  The y-summarizing LSTM variant is the one
-exclusion (its keep-last-step forward is only used by summarizing
-specs no decode engine here runs) and raises explicitly.
+output softmax, and the y-summarizing LSTM (Lfys/Lrys: LSTM over the
+height axis keeping the last step, gradient injected at that step
+only — the feature-extractor layer of the reference's shipped specs,
+lstm_squashed_test.cc).
 """
 
 from __future__ import annotations
@@ -147,6 +148,14 @@ def forward_cache(
             out = _maxpool(x, layer)
             caches.append({"x": x, "a": out})
             x = out
+        elif layer.kind == "lstm_y_summary":
+            n, h, w, d = x.shape
+            seq = x.transpose(0, 2, 1, 3).reshape(n * w, h, d)
+            rev = bool(layer.params.get("reverse"))
+            s_in = seq[:, ::-1] if rev else seq
+            h_all, f_cache = _lstm_dir_cache(s_in, layer.weights, "")
+            caches.append({"in_shape": x.shape, "f": f_cache})
+            x = h_all[:, -1].reshape(n, w, -1)[:, None, :, :]
         elif layer.kind == "lstm_x":
             xc = _collapse_height(x)
             seq = xc[:, 0]  # [N, W, D]
@@ -177,8 +186,7 @@ def forward_cache(
         else:
             raise ValueError(
                 f"training backward not implemented for layer kind "
-                f"{layer.kind!r} (only the y-summarizing LSTM is excluded;"
-                " see module docstring)"
+                f"{layer.kind!r}"
             )
     raise ValueError("spec has no output layer")
 
@@ -222,6 +230,9 @@ def backward(
             grads[li] = {"w": gw, "b": gb}
         elif layer.kind == "lstm_x":
             dx, g = _lstm_x_backward(layer, cache, dx)
+            grads[li] = g
+        elif layer.kind == "lstm_y_summary":
+            dx, g = _lstm_y_summary_backward(layer, cache, dx)
             grads[li] = g
         else:  # pragma: no cover - forward_cache already rejected it
             raise ValueError(f"no backward for {layer.kind!r}")
@@ -306,6 +317,24 @@ def _lstm_bptt(
     }
     dseq = (dg2 @ wx).reshape(n, t, -1)
     return dseq, g
+
+
+def _lstm_y_summary_backward(
+    layer: Layer, cache: dict, dx: np.ndarray
+) -> tuple[np.ndarray, dict]:
+    """BPTT for Lfys/Lrys: upstream gradient lands only on the LAST
+    y-step (the one the summary keeps); earlier steps receive it via
+    the recurrent chain inside _lstm_bptt."""
+    ns, hs, ws, ds = cache["in_shape"]
+    units = layer.params["units"]
+    dout_last = dx[:, 0].astype(np.float64).reshape(ns * ws, units)
+    dout = np.zeros((ns * ws, hs, units), np.float64)
+    dout[:, -1] = dout_last
+    dseq, g = _lstm_bptt(layer.weights, "", cache["f"], dout)
+    if layer.params.get("reverse"):
+        dseq = dseq[:, ::-1]
+    dxp = dseq.reshape(ns, ws, hs, ds).transpose(0, 2, 1, 3)
+    return dxp.astype(np.float32), g
 
 
 def _lstm_x_backward(

@@ -88,13 +88,16 @@ class VGSLNetwork:
                 self.layers.append(Layer("maxpool", {"ky": ky, "kx": kx}))
                 height = max(1, height // ky)
             elif tok.startswith("Lfys") or tok.startswith("Lrys"):
+                # y-summarizing LSTM (vgslspecs.cpp L..ys): runs over the
+                # HEIGHT dimension per x-column with input depth D and
+                # keeps only the final step, so height collapses to 1.
                 units = int(re.findall(r"\d+", tok)[0])
                 self.layers.append(
                     Layer(
                         "lstm_y_summary",
                         {"units": units, "bidi": False,
                          "reverse": tok.startswith("Lr")},
-                        _lstm_weights(rng, height * depth, units),
+                        _lstm_weights(rng, depth, units),
                     )
                 )
                 depth = units
@@ -150,7 +153,7 @@ class VGSLNetwork:
             elif layer.kind == "maxpool":
                 x = _maxpool(x, layer)
             elif layer.kind == "lstm_y_summary":
-                x = _lstm_over_x(_collapse_height(x), layer)  # summarized H
+                x = _lstm_over_y_summary(x, layer)
             elif layer.kind == "lstm_x":
                 x = _lstm_over_x(_collapse_height(x), layer)
             elif layer.kind == "output":
@@ -232,6 +235,61 @@ def _lstm_dir(seq: np.ndarray, wts: dict, prefix: str = "") -> np.ndarray:
         h = o * np.tanh(c)
         out[:, step] = h
     return out
+
+
+def _quantize_rows(mat: np.ndarray) -> np.ndarray:
+    """Per-row int8 quantize-dequantize (WeightMatrix::ConvertToInt,
+    weightmatrix.cpp:110-140: scale = row max_abs / 127, values rounded
+    to int8).  Returns the float32 weights the int kernel would apply."""
+    out = np.empty_like(mat, dtype=np.float32)
+    for r in range(mat.shape[0]):
+        max_abs = np.abs(mat[r]).max()
+        scale = max_abs / 127.0 if max_abs > 0 else 1.0
+        out[r] = np.rint(mat[r] / scale).clip(-128, 127) * scale
+    return out
+
+
+def convert_to_int(net: "VGSLNetwork") -> "VGSLNetwork":
+    """In-place int8 conversion of every weight matrix (the inference
+    analogue of LSTMRecognizer::ConvertToInt).  The reference stores one
+    WeightMatrix per gate spanning [input | state | bias] (na = ni + ns
+    columns, lstm.cpp), so wx/wh/b rows are quantized jointly; conv and
+    output layers quantize [w | b] rows.  Tested by the TestIntMode port
+    in tests/test_lstm_recode_squashed.py."""
+    for layer in net.layers:
+        w = layer.weights
+        if layer.kind in ("conv", "output"):
+            joint = _quantize_rows(
+                np.concatenate([w["w"], w["b"][:, None]], axis=1)
+            )
+            w["w"], w["b"] = joint[:, :-1], joint[:, -1]
+        elif layer.kind in ("lstm_x", "lstm_y_summary"):
+            for prefix in ("", "r_") if layer.params.get("bidi") else ("",):
+                joint = _quantize_rows(
+                    np.concatenate(
+                        [w[prefix + "wx"], w[prefix + "wh"],
+                         w[prefix + "b"][:, None]],
+                        axis=1,
+                    )
+                )
+                d_in = w[prefix + "wx"].shape[1]
+                w[prefix + "wx"] = joint[:, :d_in]
+                w[prefix + "wh"] = joint[:, d_in:-1]
+                w[prefix + "b"] = joint[:, -1]
+    return net
+
+
+def _lstm_over_y_summary(x: np.ndarray, layer: Layer) -> np.ndarray:
+    """Lfys/Lrys: LSTM over the height axis per (image, column), keeping
+    only the last step (lstm.cpp Forward with NT_LSTM_SUMMARY: the
+    summarizing variant reduces the sequence dim to 1).  [N, H, W, D] ->
+    [N, 1, W, units].  Lfys walks rows top-down; Lrys bottom-up."""
+    n, h, w, d = x.shape
+    seq = x.transpose(0, 2, 1, 3).reshape(n * w, h, d)
+    if layer.params.get("reverse"):
+        seq = seq[:, ::-1]
+    out = _lstm_dir(seq, layer.weights)[:, -1]  # [N*W, units]
+    return out.reshape(n, w, -1)[:, None, :, :]
 
 
 def _lstm_over_x(x: np.ndarray, layer: Layer) -> np.ndarray:

@@ -81,6 +81,9 @@ def test_ctc_repeated_label_needs_blank():
         ("[1,1,0,3 Lrx4 O1c5]", (2, 1, 9, 3), [0, 3], 4),
         ("[1,1,0,3 Lbx3 O1c5]", (2, 1, 9, 3), [2, 1], 4),
         ("[1,4,0,1 Ct3,3,2 Mp2,2 Lbx3 O1c5]", (2, 4, 10, 1), [1, 2], 4),
+        ("[1,4,0,1 Lfys3 Lfx4 O1c5]", (2, 4, 9, 1), [1, 2], 4),
+        ("[1,4,0,1 Lrys3 O1c4]", (2, 4, 9, 1), [0, 2], 3),
+        ("[1,6,0,1 Ct3,3,2 Mp2,2 Lfys3 Lbx3 O1c5]", (2, 6, 10, 1), [1, 2], 4),
     ],
 )
 def test_net_backward_matches_numerical(spec, x_shape, labels, blank):
@@ -118,10 +121,22 @@ def test_net_backward_matches_numerical(spec, x_shape, labels, blank):
     T.unflatten(net, slots, vec)
 
 
-def test_summarizing_lstm_rejected():
+def test_summarizing_lstm_keeps_last_y_step():
+    """Lfys reduces height to 1 by keeping the LAST y-step: changing the
+    bottom row (last step top-down) must change the output; with Lrys
+    (bottom-up) changing the TOP row must."""
     net = VGSLNetwork("[1,4,0,1 Lfys3 O1c4]", seed=1)
-    with pytest.raises(ValueError, match="y-summarizing"):
-        T.forward_cache(net, np.zeros((1, 4, 6, 1), np.float32))
+    x = np.random.default_rng(0).normal(0, 1, (1, 4, 6, 1)).astype(np.float32)
+    base = net.forward(x)
+    assert base.shape == (1, 6, 4)
+    x2 = x.copy()
+    x2[:, -1] += 1.0
+    assert not np.allclose(net.forward(x2), base)
+    rnet = VGSLNetwork("[1,4,0,1 Lrys3 O1c4]", seed=1)
+    rbase = rnet.forward(x)
+    x3 = x.copy()
+    x3[:, 0] += 1.0
+    assert not np.allclose(rnet.forward(x3), rbase)
 
 
 def test_exact_net_counts_exact():
