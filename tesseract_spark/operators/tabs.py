@@ -44,6 +44,56 @@ class TabVector:
     n_blobs: int
 
 
+@dataclass
+class TabVectorSeg:
+    """The reference TabVector's line-segment geometry
+    (src/textord/tabvector.h:160-260): a start/end point pair with the
+    integer-arithmetic queries the tab grid uses.  The dataframe-side
+    TabVector above is the axis-aligned (deskewed) special case; this
+    scalar form carries slope for sheared pages and is the parity
+    anchor for unittest/tabvector_test.cc (ported in
+    tests/test_tabvector_colpartition.py)."""
+
+    sx: int = 0
+    sy: int = 0
+    ex: int = 0
+    ey: int = 0
+
+    def set_startpt(self, x: int, y: int) -> None:
+        self.sx, self.sy = int(x), int(y)
+
+    def set_endpt(self, x: int, y: int) -> None:
+        self.ex, self.ey = int(x), int(y)
+
+    def x_at_y(self, y: int) -> int:
+        # tabvector.h:181-188 — C++ integer division truncates toward 0.
+        height = self.ey - self.sy
+        if height != 0:
+            num = (y - self.sy) * (self.ex - self.sx)
+            q = abs(num) // abs(height)
+            return (q if (num >= 0) == (height > 0) else -q) + self.sx
+        return self.sx
+
+    def v_overlap(self, top_y: int, bottom_y: int) -> int:
+        # tabvector.h:195-198 — may be negative when disjoint.
+        return min(top_y, self.ey) - max(bottom_y, self.sy)
+
+    def v_overlap_vector(self, other: "TabVectorSeg") -> int:
+        return min(other.ey, self.ey) - max(other.sy, self.sy)
+
+    def xy_flip(self) -> None:
+        # tabvector.h:247-255 — swap axes (vertical<->horizontal search).
+        self.sx, self.sy = self.sy, self.sx
+        self.ex, self.ey = self.ey, self.ex
+
+
+def columns_overlap(first_a: int, last_a: int, first_b: int, last_b: int) -> bool:
+    """ColPartition::IsInSameColumnAs (colpartition.cpp:2268-2274):
+    column-index ranges count as the same column unless one lies
+    completely to the side of the other (shared borders count)."""
+    return last_a >= first_b and first_a <= last_b
+
+
 def _edge_clusters(edges: np.ndarray, tol: int) -> list[np.ndarray]:
     """Anchor clustering: every member within tol of the cluster's FIRST
     (leftmost) edge.  Chained linkage would let a staircase of edges
