@@ -90,6 +90,15 @@ class TBOX:
             return self.intersection(box).area() * 1.0 / self.area()
         return 0.0
 
+    def major_overlap(self, box: "TBOX") -> bool:
+        # rect.h major_overlap: on EACH axis, twice the overlap must
+        # reach the narrower box's extent.
+        ox = min(self.right, box.right) - max(self.left, box.left)
+        if 2 * ox < min(self.width(), box.width()):
+            return False
+        oy = min(self.top, box.top) - max(self.bottom, box.bottom)
+        return 2 * oy >= min(self.height(), box.height())
+
     def x_overlap(self, box: "TBOX") -> bool:
         return box.left <= self.right and box.right >= self.left
 

@@ -54,6 +54,10 @@ def test_bidi_neutral_resolution():
 
 @pytest.mark.parametrize("rot", [0, 90, 180, 270])
 def test_osd_detects_rotation(rot):
+    """unittest/osd_test.cc MatchOrientationDegrees at fixture scale:
+    the reference runs DetectOrientationScript over phototest rotations
+    of 0/90/180/270 and asserts the exact degrees; same contract here
+    over the fixture page (its tessdata-repo images aren't shipped)."""
     page = compose_page(
         PageSpec(paragraphs=[["the quick brown fox", "jumps over the dog"]])
     )
