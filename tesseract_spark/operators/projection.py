@@ -139,6 +139,102 @@ def box_out_of_textline(
     return min(grad1, grad2) < 0
 
 
+def vertical_distance(proj: np.ndarray, x: int, y1: int, y2: int) -> int:
+    """VerticalDistance (textlineprojection.cpp:248-278): walk the
+    projection column from y1 to y2; a DECREASE in textline density
+    (stepping out of a line band) costs kWrongWayPenalty, staying flat
+    costs 1, an increase costs 1/kWrongWayPenalty (integer math, so 0
+    at this module's scale_factor of 1)."""
+    H, W = proj.shape
+    x = min(max(x, 0), W - 1)
+    if y1 == y2:
+        return 0
+    step = 1 if y1 < y2 else -1
+    prev = int(proj[min(max(y1, 0), H - 1), x])
+    distance = 0
+    right_way = 0
+    y = y1
+    while y != y2:
+        y += step
+        pixel = int(proj[min(max(y, 0), H - 1), x])
+        if pixel < prev:
+            distance += K_WRONG_WAY_PENALTY
+        elif pixel > prev:
+            right_way += 1
+        else:
+            distance += 1
+        prev = pixel
+    return distance + right_way // K_WRONG_WAY_PENALTY
+
+
+def horizontal_distance(proj: np.ndarray, x1: int, x2: int, y: int) -> int:
+    """HorizontalDistance (:280-306) — the x-axis twin."""
+    H, W = proj.shape
+    y = min(max(y, 0), H - 1)
+    if x1 == x2:
+        return 0
+    step = 1 if x1 < x2 else -1
+    prev = int(proj[y, min(max(x1, 0), W - 1)])
+    distance = 0
+    right_way = 0
+    x = x1
+    while x != x2:
+        x += step
+        pixel = int(proj[y, min(max(x, 0), W - 1)])
+        if pixel < prev:
+            distance += K_WRONG_WAY_PENALTY
+        elif pixel > prev:
+            right_way += 1
+        else:
+            distance += 1
+        prev = pixel
+    return distance + right_way // K_WRONG_WAY_PENALTY
+
+
+K_PARA_PERP_DIST_RATIO = 4  # textlineprojection.cpp:39
+
+
+def distance_of_box_from_box(
+    proj: np.ndarray,
+    from_box: tuple[int, int, int, int],
+    to_box: tuple[int, int, int, int],
+    horizontal_textline: bool = True,
+) -> int:
+    """DistanceOfBoxFromBox (:198-246): textline-aware distance used to
+    assign diacritics/partitions to their nearest line.  Perpendicular
+    travel through falling projection (leaving a line band) dominates;
+    parallel gap is discounted by kParaPerpDistRatio.  Boxes are
+    (l, t, r, b) in TOP-DOWN full-resolution coords (this module's
+    documented simplification: scale 1, no denorm)."""
+    fl, ft, fr, fb = from_box
+    tl, tt, tr, tb = to_box
+    if horizontal_textline:
+        # x_gap (rect.h:238) + box width; negative gap = overlap.
+        parallel_gap = max(fl, tl) - min(fr, tr) + (fr - fl)
+        x = (fl + fr) // 2
+        # Does from_box stick out further above (top-down: smaller t)
+        # than below?  Start at the overhanging edge, end at the
+        # to_box edge clipped to not cross the start.
+        if tt - ft >= fb - tb:
+            y1 = ft
+            y2 = max(tt, y1)
+        else:
+            y1 = fb
+            y2 = min(tb, y1)
+        perpendicular_gap = vertical_distance(proj, x, y1, y2)
+    else:
+        parallel_gap = max(ft, tt) - min(fb, tb) + (fb - ft)
+        if tr - fr <= fl - tl:
+            x1 = fr
+            x2 = min(tr, x1)
+        else:
+            x1 = fl
+            x2 = max(tl, x1)
+        y = (ft + fb) // 2
+        perpendicular_gap = horizontal_distance(proj, x1, x2, y)
+    return perpendicular_gap + parallel_gap // K_PARA_PERP_DIST_RATIO
+
+
 def strongly_in_textline_fraction(
     proj: np.ndarray, stats: np.ndarray, strong: float | None = None
 ) -> float:

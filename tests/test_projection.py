@@ -108,3 +108,98 @@ def test_reclaim_keeps_halftone_drops_small_text():
     out = _reclaim_text(mask.copy(), ink)
     assert not out[:, : text.shape[1]].any(), "text must leave the mask"
     assert out[:, text.shape[1] + 20 :].any(), "halftone must stay"
+
+
+# ----------------------------------------------------------------------
+# unittest/textlineprojection_test.cc VerifyBoxes port.  The reference
+# walks every recognized word of phototest.tif (line_height 31, 300-dpi
+# tessdata scale) and checks EvaluateBox / BoxOutOfHTextline /
+# DistanceOfBoxFromBox per word; its kMinStrongTextValue=6 bar is tied
+# to that raster scale, and its EvaluateDistance helper only LOGS
+# failures (textlineprojection_test.cc:131-148 has no EXPECT), so at
+# fixture scale the port asserts the reference's relational contract:
+# the real word box must beat both displaced boxes, a displaced box is
+# never strongly vertical (> -1), at least one displaced box is
+# out-of-textline, and the distance metric must never prefer the
+# challenger line (and must strictly prefer the true line for most
+# words).
+
+
+def _word_boxes(lines, y0=6, gap=8):
+    """Analytic word boxes for the _text_page layout."""
+    font = get_font()
+    out = []
+    y = y0
+    for line in lines:
+        x = 0
+        start = None
+        text = ""
+        for i, ch in enumerate(line):
+            if i:
+                x += KERN
+            if ch == " ":
+                if start is not None:
+                    out.append((text, (start, y, x - KERN, y + CELL_H)))
+                    start, text = None, ""
+                x += 5
+            else:
+                if start is None:
+                    start = x
+                text += ch
+                x += font[ch].shape[1]
+        if start is not None:
+            out.append((text, (start, y, x, y + CELL_H)))
+        y += CELL_H + gap
+    return out
+
+
+def test_verify_boxes_projection_contract():
+    from tesseract_spark.operators.projection import distance_of_box_from_box
+
+    lines = ["hello there again", "more words follow here",
+             "and a third line"]
+    page = _text_page(lines)
+    _lab, n, stats = label_and_stats(page)
+    proj = construct_projection(stats[:n], page.shape)
+    cx = (stats[:n, 0] + stats[:n, 2]) / 2
+    cy = (stats[:n, 1] + stats[:n, 3]) / 2
+    line_height = CELL_H
+    n_strict = 0
+    words = _word_boxes(lines)
+    for text, (l, t, r, b) in words:
+        # The WERD bounding box is the union of its blob boxes — derive
+        # it from the page ink like the reference's word->bounding_box().
+        sel = (cx >= l) & (cx <= r) & (cy >= t) & (cy <= b)
+        wl = int(stats[:n][sel, 0].min())
+        wt = int(stats[:n][sel, 1].min())
+        wr = int(stats[:n][sel, 2].max())
+        wb = int(stats[:n][sel, 3].max())
+        word_h = wb - wt
+        tall_word = word_h * 1.125 > line_height
+        padding = word_h // 3 if tall_word else word_h // 2
+        ev = evaluate_box(proj, (wl, wt, wr, wb))
+        upper = (wl, wt - padding, wr, wt)
+        lower = (wl, wb, wr, wb + padding)
+        eu = evaluate_box(proj, upper)
+        el = evaluate_box(proj, lower)
+        # Real word beats both displaced boxes and is in a line band.
+        assert ev > max(eu, el) and ev > 0, (text, ev, eu, el)
+        # Displaced boxes are never strongly vertical textlines.
+        assert eu >= -1 and el >= -1, text
+        # At least one displaced box is out of any horizontal textline.
+        assert box_out_of_textline(proj, upper) or box_out_of_textline(
+            proj, lower
+        ), text
+        # DistanceOfBoxFromBox: the true line is never FURTHER than a
+        # challenger one line-height away in the same direction.
+        pad = line_height // 4
+        upper_probe = (wl, wt - pad, wr, wt)
+        target = (wl, wt, wr, wb)
+        challenger = (wl, wt - pad - word_h, wr, wt - pad)
+        true_d = distance_of_box_from_box(proj, upper_probe, target)
+        false_d = distance_of_box_from_box(proj, upper_probe, challenger)
+        assert true_d <= false_d, (text, true_d, false_d)
+        n_strict += true_d < false_d
+    # The wrong-way (band-exit) penalty must strictly separate most
+    # words, not just tie.
+    assert n_strict >= len(words) * 3 // 4
