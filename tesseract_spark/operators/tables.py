@@ -154,6 +154,376 @@ def detect_column_partition_tables(regions) -> list[TableRegion]:
     return out
 
 
+# --- tablefind.cpp scalar predicates (unittest/tablefind_test.cc) ----
+
+K_MIN_ROWS_IN_TABLE = 3  # tablefind.cpp:110
+K_SMALL_TABLE_PROJECTION_THRESHOLD = 0.35  # :104
+K_LARGE_TABLE_PROJECTION_THRESHOLD = 0.45  # :105
+K_LARGE_TABLE_ROW_COUNT = 6  # :107
+K_MAX_X_PROJECTION_GAP_FACTOR = 2.0  # :134
+K_ADJACENT_LEADER_SEARCH_PADDING = 2  # :115
+K_SPLIT_PARTITION_SIZE = 2.0  # :42
+
+
+def gap_in_x_projection(xprojection, median_xheight: int) -> bool:
+    """TableFinder::GapInXProjection (tablefind.cpp:1826-1866): does a
+    column-candidate's x-projection (count of horizontally overlapping
+    partitions per x) contain a wide empty gap — evidence the "table"
+    is really two separate columns of text."""
+    proj = [int(v) for v in xprojection]
+    peak = max(proj, default=0)
+    if peak < K_MIN_ROWS_IN_TABLE:
+        return False
+    threshold = K_SMALL_TABLE_PROJECTION_THRESHOLD * peak
+    if peak >= K_LARGE_TABLE_ROW_COUNT:
+        threshold = K_LARGE_TABLE_PROJECTION_THRESHOLD * peak
+    bits = [1 if v >= threshold else 0 for v in proj]
+    largest_gap = 0
+    run_start = -1
+    for i in range(1, len(bits)):
+        if bits[i - 1] and not bits[i]:
+            run_start = i
+        if run_start != -1 and not bits[i - 1] and bits[i]:
+            largest_gap = max(largest_gap, i - run_start)
+    return largest_gap > K_MAX_X_PROJECTION_GAP_FACTOR * median_xheight
+
+
+def _v_significant_core_overlap(a, b) -> bool:
+    # ColPartition::VSignificantCoreOverlap (colpartition.h:390-398)
+    # over (l, bottom, r, top) bottom-up boxes using box bounds as the
+    # medians (FakePartition semantics).
+    overlap = min(a[3], b[3]) - max(a[1], b[1])
+    height = min(a[3] - a[1], b[3] - b[1])
+    return overlap * 3 > height
+
+
+def has_leader_adjacent(
+    part_box,
+    part_cols,
+    leaders,
+    median_xheight: int,
+) -> bool:
+    """TableFinder::HasLeaderAdjacent (tablefind.cpp:962-1002): is a
+    leader (dot-run) partition horizontally adjacent to this partition
+    within a padded y band, sharing a page column, with significant
+    vertical core overlap?  Boxes are (l, bottom, r, top) bottom-up as
+    in the reference; ``leaders`` is [(box, first_col, last_col)];
+    ``part_cols`` = (first_col, last_col)."""
+    from .tabs import columns_overlap
+
+    l, bottom, r, top = part_box
+    pad = K_ADJACENT_LEADER_SEARCH_PADDING * median_xheight
+    band_top, band_bottom = top + pad, bottom - pad
+    # Side search outward from each edge: candidates ordered by
+    # horizontal distance (0 when overlapping), nearest first; a
+    # column-mismatched leader BREAKS the direction (grid search stops).
+    for edge in (r, l):
+        cands = []
+        for box, first_col, last_col in leaders:
+            if box[1] > band_top or box[3] < band_bottom:
+                continue  # outside the padded y band
+            dist = max(box[0] - edge, edge - box[2], 0)
+            cands.append((dist, box, first_col, last_col))
+        for _d, box, first_col, last_col in sorted(cands, key=lambda c: c[0]):
+            if not columns_overlap(part_cols[0], part_cols[1],
+                                   first_col, last_col):
+                break
+            if _v_significant_core_overlap(part_box, box):
+                return True
+    return False
+
+
+def split_fragmented_partition(blob_boxes, median_width: int):
+    """TableFinder::SplitAndInsertFragmentedTextPartition
+    (tablefind.cpp:430-478): split a text partition wherever the gap
+    between consecutive blobs exceeds median_width x
+    kSplitPartitionSize; returns the fragment bounding boxes
+    (l, bottom, r, top).  ``blob_boxes`` sorted left-first."""
+    if not blob_boxes:
+        return []
+    threshold = median_width * K_SPLIT_PARTITION_SIZE
+    fragments = []
+    current: list = []
+    previous_right = None
+    for box in sorted(blob_boxes, key=lambda b: b[0]):
+        if previous_right is not None and box[0] - previous_right > threshold:
+            fragments.append(current)
+            current = []
+            previous_right = None
+        current.append(box)
+        previous_right = box[2] if previous_right is None else max(
+            previous_right, box[2])
+    fragments.append(current)
+    return [
+        (
+            min(b[0] for b in frag),
+            min(b[1] for b in frag),
+            max(b[2] for b in frag),
+            max(b[3] for b in frag),
+        )
+        for frag in fragments
+    ]
+
+
+# --- tablerecog.cpp structural recognizer (unittest/tablerecog_test.cc)
+
+K_HORIZONTAL_SPACING = 0.30  # tablerecog.cpp:34
+K_VERTICAL_SPACING = -0.2  # :37
+K_CELL_SPLIT_ROW_THRESHOLD = 0  # :40
+K_CELL_SPLIT_COLUMN_THRESHOLD = 0  # :41
+K_LINED_TABLE_MIN_VERTICAL_LINES = 3  # :43
+K_LINED_TABLE_MIN_HORIZONTAL_LINES = 3  # :44
+
+
+def _trunc(v: float) -> int:
+    """C++ static_cast<int>: truncate toward zero."""
+    return int(v)
+
+
+class TableStructure:
+    """StructuredTable's grid-structure half (tablerecog.cpp:100-757):
+    derive a table's cell split positions (cell_x / cell_y) from line
+    partitions (lined tables) or from whitespace valleys between text
+    partitions (whitespaced tables), and verify that no text partition
+    crosses a cell border.
+
+    Boxes are (l, bottom, r, top) BOTTOM-UP like the reference.  The
+    reference indexes partitions in a ColPartitionGrid purely as a
+    search accelerator; per-candidate partition sets here are small
+    (post-layout, per page inside the Arrow batch), so flat lists
+    replace the grid."""
+
+    def __init__(self, text_parts=None, line_parts=None,
+                 max_text_height: int = 1 << 31) -> None:
+        # text_parts: [(box, median_width)] ; line_parts: [("h"|"v", box)]
+        self.text_parts = list(text_parts or [])
+        self.line_parts = list(line_parts or [])
+        self.max_text_height = max_text_height
+        self.bounding_box: tuple[int, int, int, int] | None = None
+        self.cell_x: list[int] = []
+        self.cell_y: list[int] = []
+        self.is_lined = False
+
+    # counts --------------------------------------------------------
+    def row_count(self) -> int:
+        return max(0, len(self.cell_y) - 1)
+
+    def column_count(self) -> int:
+        return max(0, len(self.cell_x) - 1)
+
+    def cell_count(self) -> int:
+        return self.row_count() * self.column_count()
+
+    def count_vertical_intersections(self, x: int) -> int:
+        # tablerecog.cpp:673-696: strictly-crossing text partitions.
+        count = 0
+        for box, _mw in self.text_parts:
+            if box[0] < x < box[2]:
+                count += 1
+        return count
+
+    def count_horizontal_intersections(self, y: int) -> int:
+        count = 0
+        for box, _mw in self.text_parts:
+            if box[1] < y < box[3]:
+                count += 1
+        return count
+
+    # lined structure ----------------------------------------------
+    def find_lined_structure(self) -> bool:
+        """FindLinedStructure (:157-207): cell borders at line midpoints,
+        outer borders at the line-box extents."""
+        assert self.bounding_box is not None
+        l, b, r, t = self.bounding_box
+        self.cell_x, self.cell_y = [], []
+        for kind, box in self.line_parts:
+            if not _boxes_overlap(box, self.bounding_box):
+                continue
+            if kind == "h":
+                self.cell_y.append((box[1] + box[3]) // 2)
+            else:
+                self.cell_x.append((box[0] + box[2]) // 2)
+        if len(self.cell_x) < 3 or len(self.cell_y) < 3:
+            return False
+        self.cell_x = sorted(set(self.cell_x))
+        self.cell_y = sorted(set(self.cell_y))
+        self.cell_x[0], self.cell_x[-1] = l, r
+        self.cell_y[0], self.cell_y[-1] = b, t
+        self.cell_x = sorted(set(self.cell_x))
+        self.cell_y = sorted(set(self.cell_y))
+        self.is_lined = self.verify_lined_table_cells()
+        return self.is_lined
+
+    def verify_lined_table_cells(self) -> bool:
+        # :350-368 — no text partition may cross any cell border.
+        for y in self.cell_y:
+            if self.count_horizontal_intersections(y) > 0:
+                return False
+        for x in self.cell_x:
+            if self.count_vertical_intersections(x) > 0:
+                return False
+        return True
+
+    # whitespaced structure ----------------------------------------
+    def _parts_in_box(self):
+        return [
+            (box, mw)
+            for box, mw in self.text_parts
+            if _boxes_overlap(box, self.bounding_box)
+        ]
+
+    def find_whitespaced_columns(self) -> None:
+        """FindWhitespacedColumns (:384-422): column splits at valleys of
+        the padded left/right-side interval stack."""
+        left_sides, right_sides = [], []
+        for box, median_width in self._parts_in_box():
+            spacing = _trunc(median_width * K_HORIZONTAL_SPACING / 2.0 + 0.5)
+            left_sides.append(box[0] - spacing)
+            right_sides.append(box[2] + spacing)
+        if not left_sides:
+            return
+        self.cell_x = _find_cell_split_locations(
+            sorted(left_sides), sorted(right_sides),
+            K_CELL_SPLIT_COLUMN_THRESHOLD)
+
+    def find_whitespaced_rows(self) -> None:
+        """FindWhitespacedRows (:429-494): like columns but with negative
+        vertical padding (skew tolerance) and tall-partition filtering;
+        outer borders snap to the true ink extents."""
+        bottom_sides, top_sides = [], []
+        min_bottom, max_top = None, None
+        for box, _mw in self._parts_in_box():
+            min_bottom = box[1] if min_bottom is None else min(min_bottom, box[1])
+            max_top = box[3] if max_top is None else max(max_top, box[3])
+            if box[3] - box[1] > self.max_text_height:
+                continue
+            spacing = _trunc(
+                (box[3] - box[1]) * K_VERTICAL_SPACING / 2.0 + 0.5)
+            bottom, top = box[1] - spacing, box[3] + spacing
+            if bottom >= top:
+                continue
+            bottom_sides.append(bottom)
+            top_sides.append(top)
+        if not bottom_sides:
+            return
+        self.cell_y = _find_cell_split_locations(
+            sorted(bottom_sides), sorted(top_sides),
+            K_CELL_SPLIT_ROW_THRESHOLD)
+        self.cell_y[0] = min_bottom
+        self.cell_y[-1] = max_top
+
+    def find_whitespaced_structure(self) -> bool:
+        # :210-231.
+        self.cell_x, self.cell_y = [], []
+        self.find_whitespaced_columns()
+        self.find_whitespaced_rows()
+        # VerifyWhitespacedTable (:374-377): at least 2x3 or 3x2.
+        if not (self.row_count() >= 2 and self.column_count() >= 2
+                and self.cell_count() >= 6):
+            return False
+        self.bounding_box = (self.cell_x[0], self.cell_y[0],
+                             self.cell_x[-1], self.cell_y[-1])
+        self.is_lined = False
+        return True
+
+
+def _boxes_overlap(a, b) -> bool:
+    return (a[0] <= b[2] and a[2] >= b[0]
+            and a[1] <= b[3] and a[3] >= b[1])
+
+
+def _find_cell_split_locations(min_list, max_list, max_merged):
+    """FindCellSplitLocations (tablerecog.cpp:630-669): sweep the merged
+    interval-endpoint list; a split lands mid-valley wherever the stack
+    of open intervals dips to <= max_merged."""
+    locations = [min_list[0]]
+    min_index = max_index = 0
+    stacked = 0
+    last_cross = None
+    while min_index < len(min_list):
+        if min_list[min_index] < max_list[max_index]:
+            stacked += 1
+            if last_cross is not None and stacked > max_merged:
+                locations.append((last_cross + min_list[min_index]) // 2)
+                last_cross = None
+            min_index += 1
+        else:
+            stacked -= 1
+            if last_cross is None and stacked <= max_merged:
+                last_cross = max_list[max_index]
+            max_index += 1
+    locations.append(max_list[-1])
+    return locations
+
+
+def has_significant_lines(line_parts, guess) -> bool:
+    """TableRecognizer::HasSignificantLines (tablerecog.cpp:806-825):
+    >= 3 vertical AND >= 3 horizontal line partitions inside the guess."""
+    h = sum(1 for k, box in line_parts
+            if k == "h" and _boxes_overlap(box, guess))
+    v = sum(1 for k, box in line_parts
+            if k == "v" and _boxes_overlap(box, guess))
+    return (v >= K_LINED_TABLE_MIN_VERTICAL_LINES
+            and h >= K_LINED_TABLE_MIN_HORIZONTAL_LINES)
+
+
+def find_lines_bounding_box(line_parts, box):
+    """FindLinesBoundingBox (:847-891): iterate to the fixed point of
+    'bounding box of all lines overlapping the box' (first iteration may
+    shrink to the line extents; later ones only grow).  Returns the
+    stable box or None when no lines overlap."""
+    current = None
+    for _k, lbox in line_parts:
+        if _boxes_overlap(lbox, box):
+            current = lbox if current is None else (
+                min(current[0], lbox[0]), min(current[1], lbox[1]),
+                max(current[2], lbox[2]), max(current[3], lbox[3]))
+    if current is None:
+        return None
+    while True:
+        grown = current
+        for _k, lbox in line_parts:
+            if _boxes_overlap(lbox, grown):
+                grown = (min(grown[0], lbox[0]), min(grown[1], lbox[1]),
+                         max(grown[2], lbox[2]), max(grown[3], lbox[3]))
+        if grown == current:
+            return current
+        current = grown
+
+
+def recognize_lined_table(text_parts, line_parts, guess):
+    """RecognizeLinedTable (:788-798)."""
+    if not has_significant_lines(line_parts, guess):
+        return None
+    bound = find_lines_bounding_box(line_parts, guess)
+    if bound is None:
+        return None
+    table = TableStructure(text_parts, line_parts)
+    table.bounding_box = bound
+    return table if table.find_lined_structure() else None
+
+
+def recognize_whitespaced_table(text_parts, guess):
+    """RecognizeWhitespacedTable over the guess box.  The reference
+    (:908-1030) additionally wobbles the top/bottom borders to shed
+    headers/footers (NextHorizontalSplit + margin scoring); our table
+    guesses come from detect_tables' aligned-row runs which already
+    exclude surrounding prose, so the border search is compressed to
+    the single guess evaluation — the structure/verify/snap semantics
+    are the reference's."""
+    table = TableStructure(text_parts, [])
+    table.bounding_box = tuple(guess)
+    return table if table.find_whitespaced_structure() else None
+
+
+def recognize_table(text_parts, line_parts, guess):
+    """RecognizeTable (:765-786): lined first, whitespace fallback."""
+    table = recognize_lined_table(text_parts, line_parts, guess)
+    if table is not None:
+        return table
+    return recognize_whitespaced_table(text_parts, guess)
+
+
 def detect_page_tables(gray: np.ndarray, dpi: int = 300) -> list[TableRegion]:
     """Full-page convenience: layout then per-region + cross-region table
     detection, bboxes in page coordinates."""
