@@ -249,6 +249,23 @@ def _quantize_rows(mat: np.ndarray) -> np.ndarray:
     return out
 
 
+def int8_matrix_dot_vector(
+    w: np.ndarray, scales: np.ndarray, u: np.ndarray
+) -> np.ndarray:
+    """The generic int8 MatrixDotVector (intsimdmatrix.h / weightmatrix
+    int mode): int8 weight rows (bias as last column) x int8 input
+    (bias slot driven at INT8_MAX), exact int32 accumulation, then one
+    per-row double scale.  numpy's int32 GEMV plays the role of the
+    reference's SSE/AVX2 kernels; parity with the per-element C loop is
+    pinned by the intsimdmatrix_test port."""
+    no, ni1 = w.shape
+    u_full = np.zeros(ni1, dtype=np.int32)
+    u_full[: len(u)] = u
+    u_full[ni1 - 1] = 127  # bias input
+    total = w.astype(np.int32) @ u_full
+    return total.astype(np.float64) * np.asarray(scales, dtype=np.float64)
+
+
 def convert_to_int(net: "VGSLNetwork") -> "VGSLNetwork":
     """In-place int8 conversion of every weight matrix (the inference
     analogue of LSTMRecognizer::ConvertToInt).  The reference stores one
