@@ -58,6 +58,96 @@ def feature_direction(theta: int) -> tuple[float, float]:
     return math.cos(ang), math.sin(ang)
 
 
+class BitVector:
+    """Fast bit array with serialization (src/ccutil/bitvector.h:30-150,
+    bitvector.cpp): 32-bit word storage, NumSetBits via per-byte
+    popcount (the reference's hamming_table_), NextSetBit scan (its
+    lsb_index_/lsb_eroded_ tables), byte format = int32 bit count then
+    the little-endian uint32 words.  The membership structure behind
+    IndexMapBiDi's sparse maps and the ambig/DAWG used-flag sets.
+    Fixture parity: unittest/bitvector_test.cc ported in
+    tests/test_bitvector.py."""
+
+    K_BIT_FACTOR = 32
+
+    def __init__(self, length: int = 0) -> None:
+        self.bit_size = 0
+        self.words: list[int] = []
+        if length:
+            self.init(length)
+
+    def _word_length(self) -> int:
+        return (self.bit_size + self.K_BIT_FACTOR - 1) // self.K_BIT_FACTOR
+
+    def init(self, length: int) -> None:
+        self.bit_size = int(length)
+        self.words = [0] * self._word_length()
+
+    def size(self) -> int:
+        return self.bit_size
+
+    def set_bit(self, index: int) -> None:
+        self.words[index // 32] |= 1 << (index & 31)
+
+    def reset_bit(self, index: int) -> None:
+        self.words[index // 32] &= ~(1 << (index & 31)) & 0xFFFFFFFF
+
+    def set_value(self, index: int, value: bool) -> None:
+        (self.set_bit if value else self.reset_bit)(index)
+
+    def at(self, index: int) -> bool:
+        return bool(self.words[index // 32] & (1 << (index & 31)))
+
+    __getitem__ = at
+
+    def set_all_true(self) -> None:
+        self.words = [0xFFFFFFFF] * self._word_length()
+
+    def set_all_false(self) -> None:
+        self.words = [0] * self._word_length()
+
+    def num_set_bits(self) -> int:
+        return sum(bin(w).count("1") for w in self.words)
+
+    def next_set_bit(self, prev_bit: int = -1) -> int:
+        # bitvector.cpp:139-180 semantics: first set index > prev_bit,
+        # -1 when exhausted (indices past bit_size are never reported
+        # because set_bit is never called past the size).
+        next_bit = prev_bit + 1
+        if next_bit >= self.bit_size:
+            return -1
+        word_index = next_bit // 32
+        word = self.words[word_index] >> (next_bit & 31)
+        if word:
+            return next_bit + (word & -word).bit_length() - 1
+        for wi in range(word_index + 1, self._word_length()):
+            word = self.words[wi]
+            if word:
+                return wi * 32 + (word & -word).bit_length() - 1
+        return -1
+
+    def copy(self) -> "BitVector":
+        out = BitVector()
+        out.bit_size = self.bit_size
+        out.words = list(self.words)
+        return out
+
+    def serialize(self) -> bytes:
+        return struct.pack("<i", self.bit_size) + struct.pack(
+            f"<{self._word_length()}I", *self.words)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "BitVector":
+        (bit_size,) = struct.unpack_from("<I", data, 0)
+        if bit_size > 500000000:  # bitvector.cpp:106 sanity cap
+            raise ValueError("bitvector: unreasonable size")
+        out = cls()
+        out.init(bit_size)
+        out.words = list(
+            struct.unpack_from(f"<{out._word_length()}I", data, 4))
+        return out
+
+
 class IndexMap:
     """Forward-only compact map (indexmapbidi.cpp:28-74)."""
 
