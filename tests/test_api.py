@@ -401,3 +401,115 @@ def test_clean_import_namespace():
     )
     assert out.returncode == 0, out.stderr
     assert "CLEAN" in out.stdout
+
+
+# ---------- continuation wave: the remaining baseapi.h surface ----------
+
+
+def test_wordstr_and_lstm_box_text(ready_api):
+    """GetWordStrBoxText (wordstrboxrenderer.cpp) and GetLSTMBoxText
+    (lstmboxrenderer.cpp) record shapes."""
+    ws = ready_api.GetWordStrBoxText().splitlines()
+    assert len(ws) == 2  # one record per textline
+    for line in ws:
+        assert line.startswith("WordStr ")
+        assert " #" in line
+    assert ws[0].endswith("#hello world")
+    lstm = ready_api.GetLSTMBoxText().splitlines()
+    # per-symbol records incl. the space + one tab record per line
+    assert sum(1 for ln in lstm if ln.startswith("\t")) == 2
+    syms = [ln[0] for ln in lstm if not ln.startswith("\t")]
+    assert "".join(syms) == "hello worldsecond line"
+    # every record carries the same textline box within a line
+    first_line = [ln for ln in lstm[:12]]
+    boxes = {ln[1:] for ln in first_line[:11]}
+    assert len(boxes) == 1
+
+
+def test_analyse_layout_boxes_without_text(page):
+    """AnalyseLayout (baseapi.cpp:805-830): layout-only iterator — boxes
+    walk, text is empty."""
+    t = A.TessBaseAPI()
+    assert t.Init(None, "eng") == 0
+    t.SetImage(page.image)
+    it = t.AnalyseLayout()
+    assert it is not None
+    n_words = 0
+    while True:
+        box = it.BoundingBox(A.RIL_WORD)
+        assert box is not None
+        l, top, r, b = box
+        assert l < r and top < b
+        assert it.GetUTF8Text(A.RIL_WORD).strip() == ""
+        n_words += 1
+        if not it.Next(A.RIL_WORD):
+            break
+    assert n_words == 4  # hello world / second line
+
+
+def test_get_text_direction(page):
+    """GetTextDirection (baseapi.cpp:1894-1925): deskewed fixture lines
+    have slope ~0 and the offset passes through the first line's
+    bottom."""
+    t = A.TessBaseAPI()
+    assert t.Init(None, "eng") == 0
+    t.SetImage(page.image)
+    offset, slope = t.GetTextDirection()
+    assert abs(slope) < 0.05
+    it = t.AnalyseLayout()
+    l, top, r, b = it.BoundingBox(A.RIL_TEXTLINE)
+    assert abs(offset - b) <= 1
+
+
+def test_block_text_orientations(ready_api):
+    out = ready_api.GetBlockTextOrientations()
+    assert out and all(o == (0, False) for o in out)
+
+
+def test_detect_orientation_script(page):
+    """DetectOrientationScript matches the OSD contract (osd_test.cc:
+    expected 0 degrees on an upright page)."""
+    t = A.TessBaseAPI()
+    assert t.Init(None, "osd") == 0
+    t.SetImage(page.image)
+    deg, oconf, script, sconf = t.DetectOrientationScript()
+    assert deg == 0
+    assert script == "Latin" and sconf > 0
+
+
+def test_read_config_file_and_datapath(tmp_path, page):
+    cfg = tmp_path / "myconfig"
+    cfg.write_text("# comment\npreserve_interword_spaces 1\n"
+                   "tessedit_char_blacklist xyz\n\n")
+    t = A.TessBaseAPI()
+    assert t.Init(str(tmp_path), "eng") == 0
+    t.ReadConfigFile(str(cfg))
+    assert t.GetBoolVariable("preserve_interword_spaces") is True
+    assert t.GetStringVariable("tessedit_char_blacklist") == "xyz"
+    assert t.GetDatapath() == str(tmp_path)
+
+
+def test_process_pages_form_feed(page):
+    """ProcessPages: per-page recognize + form-feed-joined document
+    (TessTextRenderer semantics)."""
+    t = A.TessBaseAPI()
+    assert t.Init(None, "eng") == 0
+    doc = t.ProcessPages([page.image, page.image])
+    parts = doc.split("\f")
+    assert len(parts) == 2
+    assert "hello world" in parts[0] and "hello world" in parts[1]
+
+
+def test_adapt_to_word_str(page):
+    """AdaptToWordStr (baseapi.cpp:1640-1700): teaching persists adapted
+    templates on the API object and ClearAdaptiveClassifier drops
+    them."""
+    from tesseract_spark.config import PSM_SINGLE_BLOCK
+
+    t = A.TessBaseAPI()
+    assert t.Init(None, "eng") == 0
+    t.SetImage(page.image)
+    assert t.AdaptToWordStr(PSM_SINGLE_BLOCK, "hello world second line")
+    assert t._adapted is not None and len(t._adapted.protos) > 0
+    t.ClearAdaptiveClassifier()
+    assert t._adapted is None
