@@ -32,6 +32,12 @@ static complement of the ADAPTIVE classifier in lstm/adaptive.py
 (AdaptMatch's two halves, src/classify/adaptmatch.cpp:202-440), and the
 chop pass in templates.chop_run gives joined blobs the
 chopper.cpp/segsearch.cpp treatment.
+
+Feature-set note: the reference also derives pico-features and
+char-norm features from the same outlines (src/classify/picofeat.cpp:
+30-180); the micro-feature path implemented here is the one its
+shape classifier scores with, and the int encoding covers the
+uint8 domain both share (intproto.h:121-131).
 """
 
 from __future__ import annotations

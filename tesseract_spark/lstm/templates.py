@@ -141,7 +141,9 @@ class TemplateNet:
         The legacy engine's chop-and-search slice (OEM_TESSERACT_ONLY
         path): when a word's blobs are joined, ``chop_word_main``
         (src/wordrec/chopper.cpp:385) splits the weakest blob at concave
-        seam points (``attempt_blob_chop``, src/wordrec/chop.cpp) and
+        seam points (``attempt_blob_chop``, src/wordrec/chop.cpp; the best seam is
+        elected by the priority-queue seam search of
+        src/wordrec/findseam.cpp:250-350 pick_good_seam) and
         ``SegSearch`` (src/wordrec/segsearch.cpp:33) walks the resulting
         chunk lattice for the best-rated segmentation.  Here the lattice
         is explicit: a DP tiles the run with static-bank templates,

@@ -311,7 +311,7 @@ def main_text2image(argv: list[str]) -> int:
 
     reg = FlagRegistry()
     reg.string_flag("text", "", "File name of text input to process")
-    reg.string_flag("outputbase", "", "Basename for output image/box file")
+    reg.string_flag("outputbase", "", "Basename for output image/box file (boxchar.cpp box records)")
     reg.bool_flag("degrade_image", True,
                   "Degrade rendered image with ink spread and noise")
     reg.int_flag("exposure", 0, "Exposure level in photocopier")
