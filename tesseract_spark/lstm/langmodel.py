@@ -2,7 +2,11 @@
 path-cost arithmetic (src/dict/dict.cpp ``Dict::adjust_word``:711-792,
 src/dict/context.cpp ``case_ok``:28-64 / ``valid_punctuation``
 dict.cpp:-, src/wordrec/language_model.cpp:224 ``UpdateState`` ->
-``ComputeAdjustedPathCost``:1100-1160).
+``ComputeAdjustedPathCost``:1100-1160).  Candidate dictionary words
+reach this scoring through the reference's in-permutation DAWG walk
+(``Dict::go_deeper`` / ``dawg_permute_and_select``,
+src/dict/permdawg.cpp:45-230); here the CombinedDawg parallel probe
+plays that role over explicit segmentation candidates.
 
 The legacy engine never picks a segmentation by raw classifier rating
 alone: every candidate WERD_CHOICE is re-rated by a multiplicative
