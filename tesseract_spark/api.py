@@ -881,6 +881,12 @@ class TessBaseAPI:
         h = self._page_image().shape[0]
         out = []
         for _k, ws in sorted(self._lines().items()):
+            # empty-text words are excluded exactly like the sink's
+            # length filter (they would emit bare space records and
+            # stretch the shared line box)
+            ws = [w for w in ws if w.text]
+            if not ws:
+                continue
             l = min(w.left for w in ws)
             t = min(w.top for w in ws)
             r = max(w.left + w.width for w in ws)
@@ -927,12 +933,12 @@ class TessBaseAPI:
 
     def GetTextDirection(self):
         """GetTextDirection (baseapi.cpp:1894-1925): (offset, slope) of
-        the first textline's baseline in image coords, the line shifted
-        down to pass through the textline box's bottom corner.  Fitted
-        with the LLSQ accumulator the reference's baseline code uses.
-        None when no textline is found."""
-        from .functions.stats import LLSQ
-
+        the first textline's baseline in IMAGE coords, the line shifted
+        down to pass through the textline box's bottom corner.  The
+        slope is the page's estimated skew (layout rows are stored
+        deskewed, so the per-row baseline is flat by construction; the
+        skew estimate carries the image-frame angle the reference reads
+        off its Baseline endpoints).  None when no textline is found."""
         it = self.AnalyseLayout()
         if it is None:
             return None
@@ -944,26 +950,24 @@ class TessBaseAPI:
                 break
         if first is None:
             return None
-        llsq = LLSQ()
-        boxes = first.word_boxes or [first.bbox]
-        for l, _t, r, _b in boxes:
-            llsq.add((l + r) / 2.0, float(first.baseline_y))
-        slope = llsq.m() if llsq.count() > 1 else 0.0
-        offset = llsq.c(slope)
+        slope = float(layout.skew)
+        offset = float(first.baseline_y)
         # shift down through the nearest bottom corner of the line box
         left, _t, right, bottom = first.bbox
         left_y = slope * left + offset
         right_y = slope * right + offset
         offset += bottom - max(left_y, right_y)
-        return int(offset), float(slope)
+        return int(offset), slope
 
     def GetBlockTextOrientations(self):
         """GetBlockTextOrientations (baseapi.cpp:2148-2188): per text
         block, (rotations-needed-to-upright in 90deg steps, is vertical
-        writing).  The horizontal recognition path emits upright
-        blocks (0, False); vertical pages route through the vertical
-        reader whose columns are (0, True) — matching the reference's
-        re_rotation/classify_rotation arithmetic for those cases."""
+        writing).  The facade's word surface always runs the horizontal
+        recognition path, whose blocks are upright by construction —
+        (0, False) each, matching the reference's re_rotation/
+        classify_rotation arithmetic for that case.  (Vertical pages
+        are the pipeline's recognize_page_auto path, which reports
+        flow per span, not through this facade call.)"""
         self._ensure()
         blocks = sorted({w.block_num for w in self._words})
         return [(0, False) for _ in blocks]
@@ -1013,26 +1017,46 @@ class TessBaseAPI:
             text = self.GetUTF8Text()
         finally:
             self.SetPageSegMode(current_psm)
-        stripped = "".join(c for c in text if c not in " \n")
         truth = "".join(c for c in wordstr if c != " ")
+        if not text or not truth:
+            return False
         net = get_net()
         if self._adapted is None:
             self._adapted = AdaptiveTemplates()
-        # Align truth chars to ink components left-to-right (the apply-
-        # boxes fallback at fixture granularity: one CC per glyph).
+        # Align truth chars to ink components in READING order (the
+        # applybox fallback at fixture granularity: one CC per glyph):
+        # transitive y-band line clustering, lines top-down, glyphs
+        # left-to-right within each line — x-only ordering would
+        # interleave lines and poison the templates.
+        from .operators.page import _cluster_rows
+
         gray = self._page_image()
         ink = binarize_otsu(gray)
         _labels, n, stats = label_and_stats(ink)
         if n < len(truth):
             return False
-        order = np.argsort(stats[:n, 0], kind="stable")[: len(truth)]
+        groups = _cluster_rows(stats[:n])
+        groups.sort(key=lambda g: float(stats[g, 1].min()))
+        order = [int(i) for g in groups
+                 for i in sorted(g, key=lambda j: int(stats[j, 0]))]
+        order = order[: len(truth)]
+        learned = 0
         for ch, i in zip(truth, order):
             if ch not in net.charset:
                 continue
             code = net.charset.index(ch)
             l, t, r, b = (int(v) for v in stats[i, :4])
             self._adapted.learn(code, ink[t:b, l:r])
-        return stripped == truth or len(truth) > 0
+            learned += 1
+        # Invalidate the recognition cache: the next Recognize/getter
+        # must run WITH the newly adapted templates.
+        self._spans = self._words = self._layout = None
+        # The reference returns success of the recognition+alignment,
+        # not of the text match (a mismatch is exactly when adaptation
+        # helps); alignment succeeding for every known truth char =
+        # success.
+        known = sum(1 for c in truth if c in net.charset)
+        return known > 0 and learned == known
 
     def ProcessPages(self, pages, renderer=None):
         """ProcessPages (baseapi.cpp:1080-1180) over in-memory pages:

@@ -316,15 +316,27 @@ class TableStructure:
 
     def count_vertical_intersections(self, x: int) -> int:
         # tablerecog.cpp:673-696: strictly-crossing text partitions.
+        # The reference restricts the search to the TABLE's y-extent
+        # (the search box keeps bounding_box_'s bottom/top) — a
+        # paragraph outside the table must not veto its cell borders.
         count = 0
         for box, _mw in self.text_parts:
+            if self.bounding_box is not None and (
+                    box[3] < self.bounding_box[1]
+                    or box[1] > self.bounding_box[3]):
+                continue
             if box[0] < x < box[2]:
                 count += 1
         return count
 
     def count_horizontal_intersections(self, y: int) -> int:
+        # Restricted to the table's x-extent, like the vertical twin.
         count = 0
         for box, _mw in self.text_parts:
+            if self.bounding_box is not None and (
+                    box[2] < self.bounding_box[0]
+                    or box[0] > self.bounding_box[2]):
+                continue
             if box[1] < y < box[3]:
                 count += 1
         return count

@@ -351,10 +351,18 @@ def recognize_page_auto(gray: np.ndarray, dpi: int = 300, dawg=None):
                 kinds = {f for f, *_rest in bands}
                 big = all(len(g) >= 3 for _f, _a, _b, g in bands)
                 if kinds == {"h", "v"} and big and len(bands) <= 4:
+                    # slice the RULE-REMOVED mask, not the raw gray:
+                    # a rule inside a band would be re-found by the
+                    # band's own pass and double-counted against the
+                    # page-level n_rules media spans (and corrupt the
+                    # vertical cell grid)
+                    from ..functions.fonts import mask_to_gray
+
                     spans: list[SubSpan] = []
                     pad = 4
                     for flow, x0, x1, _g in bands:
-                        sub = gray[:, max(0, x0 - pad):x1 + pad]
+                        sub = mask_to_gray(
+                            base[:, max(0, x0 - pad):x1 + pad])
                         if flow == "v":
                             for txt in recognize_vertical_page(sub):
                                 spans.append(SubSpan(

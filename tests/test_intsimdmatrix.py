@@ -11,6 +11,7 @@ equality contract is asserted over a seeded numpy stream instead.
 """
 
 import numpy as np
+import pytest
 
 from tesseract_spark.lstm.vgsl import (
     VGSLNetwork,
@@ -46,10 +47,10 @@ def test_int8_gemv_matches_scalar_c_loop():
             fast = int8_matrix_dot_vector(w, scales, u)
             assert np.allclose(base, fast, rtol=0, atol=0), (num_out, num_in)
             total += base.sum()
-    # integer accumulation is exact: re-running the sweep reproduces the
-    # checksum bit-for-bit (the reference's EXPECT_FLOAT_EQ(total, ...)
-    # plays this role with its own TRand stream)
-    assert total == total  # deterministic, no NaN
+    # integer accumulation is exact: the sweep's checksum reproduces
+    # bit-for-bit across runs (the reference's
+    # EXPECT_FLOAT_EQ(total, -423243.392) with its own TRand stream)
+    assert total == pytest.approx(8268.237552010192, abs=1e-9)
 
 
 def test_int8_path_matches_dequantized_float_path():

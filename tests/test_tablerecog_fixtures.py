@@ -128,3 +128,16 @@ def test_find_whitespaced_columns_basic_and_sorted():
     assert table.cell_x[0] == 1 and table.cell_x[-1] == 499
     assert table.cell_x[1:-1] == list(range(25, 476, 25))
     assert all(a < b for a, b in zip(table.cell_x, table.cell_x[1:]))
+
+
+def test_intersections_ignore_text_outside_table_extent():
+    """The reference's intersection search keeps the table box's
+    perpendicular extent: a paragraph below the table (or beside it)
+    must not veto cell borders."""
+    parts = _cells_in_lines() + [((101, 200, 299, 220), 3),   # below
+                                 ((600, 11, 780, 19), 3)]     # beside
+    table = TableStructure(parts, _insert_lines())
+    table.cell_y = list(range(10, 51, 10))
+    table.cell_x = list(range(100, 451, 50))
+    table.bounding_box = LINE_BOX
+    assert table.verify_lined_table_cells()
