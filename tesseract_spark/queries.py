@@ -5254,6 +5254,100 @@ SELECT doc_id, source, rk FROM ranked WHERE rk <= 10
 # Registry
 # --------------------------------------------------------------------------
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection via importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by the log-likelihood
+    ratio of a TARGET-domain hashed n-gram model vs the RAW-pool model;
+    resampling then keeps documents in proportion to exp(score).  The
+    published recipe hashes n-grams into a small bucket space so both
+    models are tiny count tables regardless of corpus size.
+
+    Fixture instantiation: features are md5-hashed unigram buckets
+    (B=64, the md5 prefix is the one hash Spark and DuckDB compute
+    identically); the target domain is the stopword-dense half of the
+    corpus (the same 10-word stoplist the quality/justext queries key
+    on — deterministic, and it genuinely discriminates on this corpus);
+    both models are Laplace-smoothed (+1).  Output: per-doc token count
+    and importance = sum over tokens of log((t_b+1)/(T+B)) -
+    log((r_b+1)/(R+B)); the resample step is the trivial consumer
+    (ORDER BY importance DESC LIMIT k, or Gumbel top-k for the
+    stochastic variant) and is left out of the query so no global sort
+    runs here.
+
+    Scale shape: BOTH models are 64-row aggregates (map-side partials)
+    that BROADCAST back; per-doc scoring is a map-side join + ONE
+    doc-keyed hash aggregation.  No window, no global sort, no
+    all-pairs anything — 100 TB of raw pool streams through at scan
+    speed, which is DSIR's selling point.  (The plan's only
+    single-partition exchange is the 64-row model-total reduce — a
+    constant-size rollup, same shape as lm_perplexity's vocab total.)"""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stop = "('the','a','of','and','to','in','is','on','for','it')"
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("w"),
+        F.expr(
+            f"size(filter(split(text, ' '), t -> t IN {stop}))"
+            " / size(split(text, ' '))"
+        ).alias("stop_ratio"),
+    ).withColumn(
+        "b", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int") % 64
+    )
+    raw = words.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt = (
+        words.filter(F.col("stop_ratio") >= 0.2)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    raw_total = raw.agg(F.sum("rc").alias("rn"))
+    tgt_total = tgt.agg(F.sum("tc").alias("tn"))
+    scored = (
+        words.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .withColumn(
+            "w_b",
+            F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                  / (F.col("tn") + 64))
+            - F.log((F.col("rc") + 1) / (F.col("rn") + 64)),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("w_b"), 4).alias("importance"),
+        )
+    )
+    return scored
+
+
+ORACLE_DSIR_IMPORTANCE = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         len(list_filter(string_split(text, ' '), t -> t IN
+           ('the','a','of','and','to','in','is','on','for','it')))
+           * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+), b AS (
+  SELECT doc_id, stop_ratio,
+         ('0x' || substr(md5(w), 1, 4))::INT % 64 AS b
+  FROM words
+), raw AS (
+  SELECT b, count(*) AS rc FROM b GROUP BY b
+), tgt AS (
+  SELECT b, count(*) AS tc FROM b WHERE stop_ratio >= 0.2 GROUP BY b
+), totals AS (
+  SELECT (SELECT sum(rc) FROM raw) AS rn, (SELECT sum(tc) FROM tgt) AS tn
+)
+SELECT doc_id, count(*) AS n_tokens,
+  round(sum(ln((coalesce(tc, 0) + 1) * 1.0 / (tn + 64))
+          - ln((rc + 1) * 1.0 / (rn + 64))), 4) AS importance
+FROM b JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN totals
+GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocr_extract": (q_ocr_extract, ORACLE_OCR_EXTRACT),
     "ocr_vgsl_extract": (q_ocr_vgsl_extract, ORACLE_OCR_VGSL_EXTRACT),
@@ -5271,6 +5365,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dup_substrings": (q_dup_substrings, ORACLE_DUP_SUBSTRINGS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "lm_perplexity": (q_lm_perplexity, ORACLE_LM_PERPLEXITY),
+    "dsir_importance": (q_dsir_importance, ORACLE_DSIR_IMPORTANCE),
     "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
     "ocr_combined_extract": (
         q_ocr_combined_extract,
