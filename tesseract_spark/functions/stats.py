@@ -79,8 +79,10 @@ class STATS:
         return self.buckets[value - self.rangemin]
 
     def mode(self) -> int:
-        # statistc.cpp:112-125: scanned top-down so the LOWEST bucket
-        # wins ties (index decreases, strict > replaces).
+        # statistc.cpp:112-125: best starts at bucket 0, then the scan
+        # walks DOWN from the top with strict > — so bucket 0 wins only
+        # when nothing beats it, and otherwise the HIGHEST tied bucket
+        # wins (the first maximum the descending walk meets).
         if not self.buckets:
             return self.rangemin
         best = self.buckets[0]
@@ -318,11 +320,14 @@ class LLSQ:
         norm = math.hypot(vx, vy)
         if norm > 0:
             vx, vy = vx / norm, vy / norm
-        return math.sqrt(
+        # the quadratic form can round a hair below zero on degenerate
+        # (duplicate-point) inputs — clamp before the sqrt
+        form = (
             self.x_variance() * vx * vx
             + 2 * self.covariance() * vx * vy
             + self.y_variance() * vy * vy
         )
+        return math.sqrt(max(0.0, form))
 
     def vector_fit(self) -> Tuple[float, float]:
         # linlsq.cpp:250-257 — Pearson 1901: the TLS direction is
