@@ -724,6 +724,44 @@ def _write_lstm_weights(w: Writer, wts: dict, prefix: str = "") -> None:
         write_weight_matrix(w, gw)
 
 
+# 2-D LSTM gate layout: internal stacked blocks are CI,GI,GF1,GFS,GO
+# (vgsl._lstm_2d_dir slicing); the file order is WT enum order with GFS
+# last (lstm.cpp Serialize: CI, GI, GF1, GO, then GFS only when 2D).
+_GATE2D_FILE_TO_BLOCK = (0, 1, 2, 4, 3)
+
+
+def _write_lstm2d_weights(w: Writer, wts: dict, prefix: str) -> None:
+    wx = wts[prefix + "wx"]
+    whx = wts[prefix + "whx"]
+    why = wts[prefix + "why"]
+    b = wts[prefix + "b"]
+    units = whx.shape[1]
+    for blk in _GATE2D_FILE_TO_BLOCK:
+        sl = slice(blk * units, (blk + 1) * units)
+        gw = np.concatenate([wx[sl], whx[sl], why[sl], b[sl, None]], axis=1)
+        write_weight_matrix(w, gw)
+
+
+def _read_lstm2d_weights(r: Reader, ni: int, units: int, prefix: str) -> dict:
+    wx = np.zeros((5 * units, ni), dtype=np.float32)
+    whx = np.zeros((5 * units, units), dtype=np.float32)
+    why = np.zeros((5 * units, units), dtype=np.float32)
+    b = np.zeros(5 * units, dtype=np.float32)
+    for blk in _GATE2D_FILE_TO_BLOCK:
+        gw = read_weight_matrix(r)
+        if gw.shape != (units, ni + 2 * units + 1):
+            raise ValueError(
+                f"tessdata: 2D LSTM gate shape {gw.shape} != "
+                f"{(units, ni + 2 * units + 1)}")
+        sl = slice(blk * units, (blk + 1) * units)
+        wx[sl] = gw[:, :ni]
+        whx[sl] = gw[:, ni:ni + units]
+        why[sl] = gw[:, ni + units:-1]
+        b[sl] = gw[:, -1]
+    return {prefix + "wx": wx, prefix + "whx": whx,
+            prefix + "why": why, prefix + "b": b}
+
+
 def _read_lstm_weights(r: Reader, ni: int, units: int) -> dict:
     wx = np.zeros((4 * units, ni), dtype=np.float32)
     wh = np.zeros((4 * units, units), dtype=np.float32)
@@ -804,6 +842,48 @@ def serialize_network(net) -> bytes:
             body.i32(ky)  # y_scale_
             n_layers += 1
             height = max(1, height // ky)
+        elif layer.kind == "reconfig":
+            ky, kx = layer.params["ky"], layer.params["kx"]
+            _write_network_header(
+                body, "Reconfig", depth, depth * ky * kx, "Reconfig")
+            body.i32(kx)  # x_scale_ (reconfig.cpp Serialize order)
+            body.i32(ky)  # y_scale_
+            n_layers += 1
+            depth *= ky * kx
+            height = max(1, height // ky)
+        elif layer.kind == "lstm_2d_quad":
+            # BuildLSTMXYQuad tree (networkbuilder.cpp:387-410):
+            # Par2dLSTM { LSTM, XRev{LSTM}, XRev{YRev{LSTM}}, YRev{LSTM} }
+            units = layer.params["units"]
+            ni = depth
+            na = ni + 2 * units
+            _write_network_header(
+                body, "Par2dLSTM", ni, 4 * units, "2DLSTMQuad")
+            body.u32(4)
+
+            def emit_2d(prefix: str) -> None:
+                _write_network_header(body, "LSTM", ni, units, "LSTM")
+                body.i32(na)
+                _write_lstm2d_weights(body, layer.weights, prefix)
+
+            emit_2d("d0_")
+            _write_network_header(
+                body, "RTLReversed", ni, units, "RTLReversed")
+            body.u32(1)
+            emit_2d("d1_")
+            _write_network_header(
+                body, "RTLReversed", ni, units, "RTLReversed")
+            body.u32(1)
+            _write_network_header(
+                body, "TTBReversed", ni, units, "TTBReversed")
+            body.u32(1)
+            emit_2d("d2_")
+            _write_network_header(
+                body, "TTBReversed", ni, units, "TTBReversed")
+            body.u32(1)
+            emit_2d("d3_")
+            n_layers += 1
+            depth = 4 * units
         elif layer.kind in ("lstm_x", "lstm_y_summary"):
             units = layer.params["units"]
             summ = layer.kind == "lstm_y_summary"
@@ -899,6 +979,29 @@ def deserialize_network(r: Reader, spec: str):
         elif t == "Maxpool":
             r.i32(), r.i32()
             assert net.layers[li].kind == "maxpool"
+            li += 1
+        elif t == "Reconfig":
+            r.i32(), r.i32()
+            assert net.layers[li].kind == "reconfig"
+            li += 1
+        elif t == "Par2dLSTM":
+            assert r.u32() == 4
+            layer = net.layers[li]
+            assert layer.kind == "lstm_2d_quad"
+            units = layer.params["units"]
+            # fixed tree: LSTM, XRev{LSTM}, XRev{YRev{LSTM}}, YRev{LSTM}
+            for d, wrappers in enumerate(
+                    ([], ["RTLReversed"], ["RTLReversed", "TTBReversed"],
+                     ["TTBReversed"])):
+                for expect in wrappers:
+                    sub = _read_network_header(r)
+                    assert sub["type"] == expect, sub["type"]
+                    assert r.u32() == 1
+                sub = _read_network_header(r)
+                assert sub["type"] == "LSTM", sub["type"]
+                na = r.i32()
+                layer.weights.update(
+                    _read_lstm2d_weights(r, na - 2 * units, units, f"d{d}_"))
             li += 1
         elif t in ("LSTM", "SummLSTM"):
             na = r.i32()

@@ -148,6 +148,28 @@ def forward_cache(
             out = _maxpool(x, layer)
             caches.append({"x": x, "a": out})
             x = out
+        elif layer.kind == "reconfig":
+            from .vgsl import _reconfig
+
+            out = _reconfig(x, layer)
+            caches.append({"in_shape": x.shape})
+            x = out
+        elif layer.kind == "lstm_2d_quad":
+            from .vgsl import _QUAD_FLIPS, _lstm_2d_dir
+
+            dir_caches = []
+            outs = []
+            for d, (fx, fy) in enumerate(_QUAD_FLIPS):
+                xi = x[:, ::-1] if fy else x
+                xi = np.ascontiguousarray(xi[:, :, ::-1] if fx else xi)
+                o, c = _lstm_2d_dir(
+                    xi, layer.weights, f"d{d}_", want_cache=True)
+                dir_caches.append(c)
+                o = o[:, :, ::-1] if fx else o
+                o = o[:, ::-1] if fy else o
+                outs.append(o)
+            caches.append({"in_shape": x.shape, "dirs": dir_caches})
+            x = np.concatenate(outs, axis=-1)
         elif layer.kind == "lstm_y_summary":
             n, h, w, d = x.shape
             seq = x.transpose(0, 2, 1, 3).reshape(n * w, h, d)
@@ -234,6 +256,18 @@ def backward(
         elif layer.kind == "lstm_y_summary":
             dx, g = _lstm_y_summary_backward(layer, cache, dx)
             grads[li] = g
+        elif layer.kind == "reconfig":
+            ns_, hs, ws, ds = cache["in_shape"]
+            ky, kx = layer.params["ky"], layer.params["kx"]
+            h2, w2 = hs // ky, ws // kx
+            dxr = dx.reshape(ns_, h2, w2, ky, kx, ds)
+            dxp = np.zeros((ns_, hs, ws, ds), dtype=np.float32)
+            dxp[:, : h2 * ky, : w2 * kx] = dxr.transpose(
+                0, 1, 3, 2, 4, 5).reshape(ns_, h2 * ky, w2 * kx, ds)
+            dx = dxp
+        elif layer.kind == "lstm_2d_quad":
+            dx, g = _lstm_2d_quad_backward(layer, cache, dx)
+            grads[li] = g
         else:  # pragma: no cover - forward_cache already rejected it
             raise ValueError(f"no backward for {layer.kind!r}")
     return grads
@@ -317,6 +351,108 @@ def _lstm_bptt(
     }
     dseq = (dg2 @ wx).reshape(n, t, -1)
     return dseq, g
+
+
+def _lstm_2d_quad_backward(
+    layer: Layer, cache: dict, dx: np.ndarray
+) -> tuple[np.ndarray, dict]:
+    """BPTT for the 2-D LSTM quad: each direction back-propagates on its
+    flipped frame, gradients un-flip and sum into the input delta."""
+    from .vgsl import _QUAD_FLIPS
+
+    units = layer.params["units"]
+    dxp = np.zeros(cache["in_shape"], dtype=np.float64)
+    grads: dict[str, np.ndarray] = {}
+    for d, (fx, fy) in enumerate(_QUAD_FLIPS):
+        dout = dx[..., d * units:(d + 1) * units].astype(np.float64)
+        dout = dout[:, ::-1] if fy else dout
+        dout = np.ascontiguousarray(dout[:, :, ::-1] if fx else dout)
+        dxi, g = _lstm_2d_bptt(
+            layer.weights, f"d{d}_", cache["dirs"][d], dout)
+        dxi = dxi[:, :, ::-1] if fx else dxi
+        dxi = dxi[:, ::-1] if fy else dxi
+        dxp += dxi
+        grads.update(g)
+    return dxp.astype(np.float32), grads
+
+
+def _lstm_2d_bptt(
+    wts: dict, prefix: str, cache: dict, dout: np.ndarray
+) -> tuple[np.ndarray, dict]:
+    """Gate-delta walk of one 2-D direction (lstm.cpp Backward Is2D):
+    state error flows to the x-predecessor where the max-pooled forget
+    chose GF1 and to the y-predecessor where it chose GFS; output error
+    gathers the h-recurrence terms from both successors.  Error clips
+    follow the reference (state +-9, gates +-1, lstm.cpp:73,608)."""
+    wx = wts[prefix + "wx"]
+    whx = wts[prefix + "whx"]
+    why = wts[prefix + "why"]
+    ci_a, gi_a = cache["ci"], cache["gi"]
+    gf1_a, gfs_a, go_a = cache["gf1"], cache["gfs"], cache["go"]
+    st_a, fg2_a, x = cache["state"], cache["fg2"], cache["x"]
+    n, h, w, units = ci_a.shape
+    d_in = x.shape[-1]
+    tanh_st = np.tanh(st_a)
+    E = np.empty((n, h, w, 5 * units), np.float64)
+    dx_out = np.empty((n, h, w, d_in), np.float64)
+    # y-successor buffers (per x position): state error and dh_y
+    se_buf = np.zeros((n, w, units), np.float64)
+    dhy_buf = np.zeros((n, w, units), np.float64)
+    for y in range(h - 1, -1, -1):
+        carry_se = np.zeros((n, units), np.float64)
+        carry_dhx = np.zeros((n, units), np.float64)
+        for xx in range(w - 1, -1, -1):
+            outputerr = dout[:, y, xx] + carry_dhx + dhy_buf[:, xx]
+            se = np.zeros((n, units), np.float64)
+            if xx + 1 < w:
+                keep = ~fg2_a[:, y, xx + 1]
+                se += carry_se * gf1_a[:, y, xx + 1] * keep
+            if y + 1 < h:
+                se += se_buf[:, xx] * gfs_a[:, y + 1, xx] * fg2_a[:, y + 1, xx]
+            ts = tanh_st[:, y, xx]
+            se = se + outputerr * go_a[:, y, xx] * (1.0 - ts * ts)
+            se = np.clip(se, -9.0, 9.0)
+            ci, gi = ci_a[:, y, xx], gi_a[:, y, xx]
+            gf1, gfs, go = gf1_a[:, y, xx], gfs_a[:, y, xx], go_a[:, y, xx]
+            st_px = st_a[:, y, xx - 1] if xx > 0 else 0.0
+            st_py = st_a[:, y - 1, xx] if y > 0 else 0.0
+            # The max-pool forget selection routes each unit's state
+            # through EXACTLY one forget gate, so the true gate errors
+            # are masked by that choice (the reference computes both
+            # unmasked — lstm.cpp:657-684 — accepting the approximate
+            # gradient; the masked form is the exact one).
+            fg2 = fg2_a[:, y, xx]
+            e = np.concatenate([
+                np.clip(se * gi * (1.0 - ci * ci), -1.0, 1.0),
+                np.clip(se * ci * gi * (1.0 - gi), -1.0, 1.0),
+                np.clip(se * st_px * gf1 * (1.0 - gf1) * ~fg2, -1.0, 1.0)
+                if xx > 0 else np.zeros((n, units)),
+                np.clip(se * st_py * gfs * (1.0 - gfs) * fg2, -1.0, 1.0)
+                if y > 0 else np.zeros((n, units)),
+                np.clip(outputerr * ts * go * (1.0 - go), -1.0, 1.0),
+            ], axis=1)
+            E[:, y, xx] = e
+            dx_out[:, y, xx] = e @ wx
+            carry_dhx = e @ whx
+            dhy_buf[:, xx] = e @ why
+            carry_se = se
+            se_buf[:, xx] = se
+    # weight gradients: one big outer product over all steps
+    h_prev_x = np.zeros((n, h, w, units), np.float64)
+    h_prev_x[:, :, 1:] = tanh_st[:, :, :-1] * go_a[:, :, :-1]
+    h_prev_y = np.zeros((n, h, w, units), np.float64)
+    h_prev_y[:, 1:] = tanh_st[:, :-1] * go_a[:, :-1]
+    src = np.concatenate(
+        [x.astype(np.float64), h_prev_x, h_prev_y], axis=-1)
+    E2 = E.reshape(-1, 5 * units)
+    G = E2.T @ src.reshape(-1, d_in + 2 * units)
+    g = {
+        prefix + "wx": G[:, :d_in].astype(np.float32),
+        prefix + "whx": G[:, d_in:d_in + units].astype(np.float32),
+        prefix + "why": G[:, d_in + units:].astype(np.float32),
+        prefix + "b": E2.sum(0).astype(np.float32),
+    }
+    return dx_out, g
 
 
 def _lstm_y_summary_backward(

@@ -87,6 +87,34 @@ class VGSLNetwork:
                 ky, kx = (int(v) for v in re.findall(r"\d+", tok)[:2])
                 self.layers.append(Layer("maxpool", {"ky": ky, "kx": kx}))
                 height = max(1, height // ky)
+            elif tok.startswith("S") and re.match(r"S\d+,\d+$", tok):
+                # Reconfig (networkbuilder 'S', reconfig.cpp): stack
+                # ky x kx tiles into depth — e.g. S2,1 halves height and
+                # doubles depth.  Pure re-layout, no weights.
+                ky, kx = (int(v) for v in re.findall(r"\d+", tok)[:2])
+                self.layers.append(Layer("reconfig", {"ky": ky, "kx": kx}))
+                depth *= ky * kx
+                height = max(1, height // ky)
+            elif re.match(r"L2xy\d+$", tok):
+                # True 2-D LSTM quad (networkbuilder BuildLSTMXYQuad,
+                # networkbuilder.cpp:387-410): four genuinely-2D LSTMs
+                # (x-recurrence + y-recurrence with the 5th GFS forget
+                # gate, lstm.cpp Is2D) over the 4 direction reversals,
+                # outputs concatenated.  Scan is x-major here (the
+                # reference wraps the quad in an XYTranspose for the
+                # 'y' spelling — a scan-order choice the 4 reversals
+                # already cover; documented simplification).
+                units = int(tok[4:])
+                wts: dict = {}
+                for d in range(4):
+                    wts[f"d{d}_wx"] = _glorot(rng, (5 * units, depth))
+                    wts[f"d{d}_whx"] = _glorot(rng, (5 * units, units))
+                    wts[f"d{d}_why"] = _glorot(rng, (5 * units, units))
+                    wts[f"d{d}_b"] = np.zeros(5 * units, dtype=np.float32)
+                self.layers.append(
+                    Layer("lstm_2d_quad", {"units": units}, wts))
+                depth = 4 * units
+                # height preserved: the 2-D LSTM outputs per-pixel h
             elif tok.startswith("Lfys") or tok.startswith("Lrys"):
                 # y-summarizing LSTM (vgslspecs.cpp L..ys): runs over the
                 # HEIGHT dimension per x-column with input depth D and
@@ -152,6 +180,10 @@ class VGSLNetwork:
                 x = _conv(x, layer)
             elif layer.kind == "maxpool":
                 x = _maxpool(x, layer)
+            elif layer.kind == "reconfig":
+                x = _reconfig(x, layer)
+            elif layer.kind == "lstm_2d_quad":
+                x = _lstm_2d_quad(x, layer)
             elif layer.kind == "lstm_y_summary":
                 x = _lstm_over_y_summary(x, layer)
             elif layer.kind == "lstm_x":
@@ -294,6 +326,111 @@ def convert_to_int(net: "VGSLNetwork") -> "VGSLNetwork":
                 w[prefix + "wh"] = joint[:, d_in:-1]
                 w[prefix + "b"] = joint[:, -1]
     return net
+
+
+K_STATE_CLIP = 100.0  # lstm.cpp:71
+
+
+def _reconfig(x: np.ndarray, layer: Layer) -> np.ndarray:
+    """Reconfig (reconfig.cpp / networkbuilder 'S'): stack ky x kx tiles
+    into depth.  [N, H, W, D] -> [N, H/ky, W/kx, ky*kx*D]."""
+    n, h, w, d = x.shape
+    ky, kx = layer.params["ky"], layer.params["kx"]
+    h2, w2 = h // ky, w // kx
+    x = x[:, : h2 * ky, : w2 * kx]
+    x = x.reshape(n, h2, ky, w2, kx, d)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2, w2, ky * kx * d)
+
+
+def _lstm_2d_dir(
+    x: np.ndarray, wts: dict, prefix: str, want_cache: bool = False
+):
+    """One true 2-D LSTM pass (lstm.cpp Forward with Is2D, x-major scan):
+    each cell reads [input, h_prev_x, h_prev_y] through FIVE gates —
+    CI/GI/GF1/GFS/GO — and MAX-POOLS the two forget paths per unit
+    (lstm.cpp:447-462: whichever forget gate is larger forwards ITS
+    state).  x-state resets at row starts so forward and BPTT are
+    exactly consistent (the reference carries x-state across row
+    boundaries in forward but truncates the matching gradient at row
+    ends — same receptive-field intent, made self-consistent here).
+
+    [N, H, W, D] -> [N, H, W, U] (+ caches when want_cache)."""
+    wx = wts[prefix + "wx"]
+    whx = wts[prefix + "whx"]
+    why = wts[prefix + "why"]
+    b = wts[prefix + "b"]
+    n, h, w, d = x.shape
+    units = whx.shape[1]
+    gates_x = (
+        x.reshape(n * h * w, d).astype(np.float64) @ wx.T.astype(np.float64)
+    ).reshape(n, h, w, 5 * units) + b
+    out = np.zeros((n, h, w, units), dtype=np.float64)
+    if want_cache:
+        ci_a = np.empty((n, h, w, units), np.float64)
+        gi_a = np.empty_like(ci_a)
+        gf1_a = np.empty_like(ci_a)
+        gfs_a = np.empty_like(ci_a)
+        go_a = np.empty_like(ci_a)
+        st_a = np.empty_like(ci_a)
+        fg2_a = np.zeros((n, h, w, units), dtype=bool)  # which_fg == 2
+    state_buf = np.zeros((n, w, units), dtype=np.float64)  # prev row states
+    out_buf = np.zeros((n, w, units), dtype=np.float64)  # prev row outputs
+    for y in range(h):
+        h_x = np.zeros((n, units), dtype=np.float64)
+        state_x = np.zeros((n, units), dtype=np.float64)
+        for xx in range(w):
+            g = (
+                gates_x[:, y, xx].astype(np.float64)
+                + h_x @ whx.T
+                + out_buf[:, xx] @ why.T
+            )
+            ci = np.tanh(g[:, :units])
+            gi = _sigmoid(g[:, units:2 * units])
+            gf1 = _sigmoid(g[:, 2 * units:3 * units])
+            gfs = _sigmoid(g[:, 3 * units:4 * units])
+            go = _sigmoid(g[:, 4 * units:])
+            state = gf1 * state_x
+            fg2 = np.zeros((n, units), dtype=bool)
+            if y > 0:
+                fg2 = gf1 < gfs
+                state = np.where(fg2, gfs * state_buf[:, xx], state)
+            state = np.clip(state + ci * gi, -K_STATE_CLIP, K_STATE_CLIP)
+            hcur = np.tanh(state) * go
+            out[:, y, xx] = hcur
+            if want_cache:
+                ci_a[:, y, xx] = ci
+                gi_a[:, y, xx] = gi
+                gf1_a[:, y, xx] = gf1
+                gfs_a[:, y, xx] = gfs
+                go_a[:, y, xx] = go
+                st_a[:, y, xx] = state
+                fg2_a[:, y, xx] = fg2
+            state_buf[:, xx] = state
+            out_buf[:, xx] = hcur
+            state_x, h_x = state, hcur
+    if not want_cache:
+        return out
+    return out, {
+        "ci": ci_a, "gi": gi_a, "gf1": gf1_a, "gfs": gfs_a, "go": go_a,
+        "state": st_a, "fg2": fg2_a, "x": x,
+    }
+
+
+_QUAD_FLIPS = [  # (flip_x, flip_y) per direction, networkbuilder.cpp:387-410
+    (False, False), (True, False), (True, True), (False, True),
+]
+
+
+def _lstm_2d_quad(x: np.ndarray, layer: Layer) -> np.ndarray:
+    outs = []
+    for d, (fx, fy) in enumerate(_QUAD_FLIPS):
+        xi = x[:, ::-1] if fy else x
+        xi = xi[:, :, ::-1] if fx else xi
+        o = _lstm_2d_dir(np.ascontiguousarray(xi), layer.weights, f"d{d}_")
+        o = o[:, :, ::-1] if fx else o
+        o = o[:, ::-1] if fy else o
+        outs.append(o)
+    return np.concatenate(outs, axis=-1).astype(np.float32)
 
 
 def _lstm_over_y_summary(x: np.ndarray, layer: Layer) -> np.ndarray:
