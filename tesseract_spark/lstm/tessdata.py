@@ -920,6 +920,19 @@ def serialize_network(net) -> bytes:
                 depth = units
             n_layers += 1
             height = 1
+        elif layer.kind == "fc":
+            # F<c><n> (BuildFullyConnected): one weight matrix under the
+            # nonlinearity's own network type name.
+            n_out = layer.params["n_out"]
+            ni = height * depth
+            tname = {"s": "Logistic", "t": "Tanh",
+                     "r": "Relu", "l": "Linear"}[layer.params["act"]]
+            _write_network_header(body, tname, ni, n_out, tname)
+            write_weight_matrix(
+                body, _fc_matrix(layer.weights["w"], layer.weights["b"]))
+            n_layers += 1
+            depth = n_out
+            height = 1
         elif layer.kind == "output":
             classes = layer.params["classes"]
             ni = height * depth
@@ -1040,6 +1053,14 @@ def deserialize_network(r: Reader, spec: str):
             wmat, b = _split_fc(mat)
             layer = net.layers[li]
             assert layer.kind == "output"
+            layer.weights["w"] = wmat.astype(np.float32)
+            layer.weights["b"] = b.astype(np.float32)
+            li += 1
+        elif t in ("Logistic", "Tanh", "Relu", "Linear"):
+            mat = read_weight_matrix(r)
+            wmat, b = _split_fc(mat)
+            layer = net.layers[li]
+            assert layer.kind == "fc", layer.kind
             layer.weights["w"] = wmat.astype(np.float32)
             layer.weights["b"] = b.astype(np.float32)
             li += 1

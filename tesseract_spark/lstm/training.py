@@ -154,6 +154,16 @@ def forward_cache(
             out = _reconfig(x, layer)
             caches.append({"in_shape": x.shape})
             x = out
+        elif layer.kind == "fc":
+            from .vgsl import _fc
+
+            out = _fc(x, layer)
+            caches.append({
+                "in_shape": x.shape,
+                "seq": _collapse_height(x)[:, 0],
+                "a": out[:, 0],
+            })
+            x = out
         elif layer.kind == "lstm_2d_quad":
             from .vgsl import _QUAD_FLIPS, _lstm_2d_dir
 
@@ -268,6 +278,30 @@ def backward(
         elif layer.kind == "lstm_2d_quad":
             dx, g = _lstm_2d_quad_backward(layer, cache, dx)
             grads[li] = g
+        elif layer.kind == "fc":
+            a = cache["a"].astype(np.float64)  # [N, W, n_out]
+            dz = dx[:, 0].astype(np.float64)
+            act = layer.params["act"]
+            if act == "s":
+                dz = dz * a * (1.0 - a)
+            elif act == "t":
+                dz = dz * (1.0 - a * a)
+            elif act == "r":
+                dz = dz * (a > 0)
+            seq = cache["seq"]  # [N, W, H*D]
+            n2, w2, dd = seq.shape
+            dz2 = dz.reshape(n2 * w2, -1)
+            grads[li] = {
+                "w": (dz2.T @ seq.reshape(n2 * w2, dd)).astype(np.float32),
+                "b": dz2.sum(0).astype(np.float32),
+            }
+            dseq = (dz2 @ layer.weights["w"]).reshape(n2, w2, dd)
+            ns_, hs, ws, ds = cache["in_shape"]
+            if hs == 1:
+                dx = dseq[:, None, :, :].astype(np.float32)
+            else:
+                dx = dseq.reshape(ns_, ws, hs, ds).transpose(
+                    0, 2, 1, 3).astype(np.float32)
         else:  # pragma: no cover - forward_cache already rejected it
             raise ValueError(f"no backward for {layer.kind!r}")
     return grads

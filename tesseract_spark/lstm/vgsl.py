@@ -149,6 +149,23 @@ class VGSLNetwork:
                 )
                 depth = units * (2 if bidi else 1)
                 height = 1
+            elif re.match(r"F[strl]\d+$", tok):
+                # Fully connected (networkbuilder 'F' /
+                # BuildFullyConnected): height folds into depth (the
+                # builder inserts a Reconfig when H > 1), then a dense
+                # layer with the chosen nonlinearity per x step —
+                # s=sigmoid(Logistic) t=tanh r=relu l=linear.
+                n_out = int(tok[2:])
+                self.layers.append(
+                    Layer(
+                        "fc",
+                        {"act": tok[1], "n_out": n_out},
+                        {"w": _glorot(rng, (n_out, height * depth)),
+                         "b": np.zeros(n_out, dtype=np.float32)},
+                    )
+                )
+                depth = n_out
+                height = 1
             elif tok.startswith("O1c"):
                 classes = int(tok[3:])
                 self.layers.append(
@@ -184,6 +201,8 @@ class VGSLNetwork:
                 x = _reconfig(x, layer)
             elif layer.kind == "lstm_2d_quad":
                 x = _lstm_2d_quad(x, layer)
+            elif layer.kind == "fc":
+                x = _fc(x, layer)
             elif layer.kind == "lstm_y_summary":
                 x = _lstm_over_y_summary(x, layer)
             elif layer.kind == "lstm_x":
@@ -431,6 +450,22 @@ def _lstm_2d_quad(x: np.ndarray, layer: Layer) -> np.ndarray:
         o = o[:, ::-1] if fy else o
         outs.append(o)
     return np.concatenate(outs, axis=-1).astype(np.float32)
+
+
+_FC_ACTS = {
+    "s": _sigmoid,
+    "t": np.tanh,
+    "r": lambda z: np.maximum(z, 0.0),
+    "l": lambda z: z,
+}
+
+
+def _fc(x: np.ndarray, layer: Layer) -> np.ndarray:
+    """Fully connected over the height-collapsed depth per x step
+    (fullyconnected.cpp Forward)."""
+    seq = _collapse_height(x)[:, 0]  # [N, W, H*D]
+    z = seq @ layer.weights["w"].T + layer.weights["b"]
+    return _FC_ACTS[layer.params["act"]](z)[:, None, :, :].astype(np.float32)
 
 
 def _lstm_over_y_summary(x: np.ndarray, layer: Layer) -> np.ndarray:

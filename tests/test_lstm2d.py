@@ -111,3 +111,24 @@ def test_l2xy_and_reconfig_serialize_roundtrip():
                 net2.layers[1].weights[f"d{d}_{k}"])
     x = np.random.default_rng(3).random((2, 8, 12, 1)).astype(np.float32)
     np.testing.assert_array_equal(net.forward(x), net2.forward(x))
+
+
+def test_fc_layer_forward_and_roundtrip():
+    """F<c><n> fully connected (networkbuilder BuildFullyConnected):
+    height folds into depth, dense + nonlinearity per x step; container
+    record under the nonlinearity's type name."""
+    spec = "[1,4,0,1 Ft5 Fs3 O1c6]"
+    net = VGSLNetwork(spec, seed=2)
+    assert [l.kind for l in net.layers] == ["fc", "fc", "output"]
+    x = np.random.default_rng(0).random((2, 4, 9, 1), dtype=np.float32)
+    out = net.forward(x)
+    assert out.shape == (2, 9, 6)
+    blob = td.serialize_network(net)
+    net2 = td.deserialize_network(td.Reader(blob), spec)
+    np.testing.assert_array_equal(out, net2.forward(x))
+    # tanh layer output bounded, sigmoid layer in (0,1)
+    from tesseract_spark.lstm.vgsl import _fc
+    h1 = _fc(x, net.layers[0])
+    assert np.all(np.abs(h1) <= 1.0)
+    h2 = _fc(h1, net.layers[1])
+    assert np.all((h2 > 0) & (h2 < 1))

@@ -87,6 +87,8 @@ def test_ctc_repeated_label_needs_blank():
         ("[1,4,0,1 S2,1 O1c5]", (2, 4, 6, 1), [1, 2], 4),
         ("[1,4,0,1 L2xy3 O1c6]", (2, 4, 7, 1), [1, 2], 5),
         ("[1,6,0,1 S2,1 L2xy2 Lbx3 O1c5]", (2, 6, 8, 1), [0, 2], 4),
+        ("[1,4,0,1 Ft5 Lbx3 O1c5]", (2, 4, 7, 1), [1, 2], 4),
+        ("[1,1,0,4 Fs6 Fr4 O1c5]", (2, 1, 8, 4), [0, 2], 4),
     ],
 )
 def test_net_backward_matches_numerical(spec, x_shape, labels, blank):
