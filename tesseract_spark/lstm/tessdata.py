@@ -613,8 +613,29 @@ class UnicharCompress:
 # ---------------------------------------------------------------------------
 
 
-def write_weight_matrix(w: Writer, mat: np.ndarray) -> None:
-    """Float-mode WeightMatrix: mode byte + GENERIC_2D_ARRAY<double>."""
+def write_weight_matrix(
+    w: Writer, mat: np.ndarray, int_mode: bool = False
+) -> None:
+    """WeightMatrix bytes: float mode = GENERIC_2D_ARRAY<double>;
+    int8 mode (the tessdata_fast format) = int8 array + one double
+    scale per row.  The FILE scale is max_abs/127 (Serialize multiplies
+    the in-memory scale back by INT8_MAX, weightmatrix.cpp:211-216),
+    and quantization is ConvertToInt's per-row round
+    (weightmatrix.cpp:110-140) — so an int8-written matrix reads back
+    as exactly vgsl._quantize_rows of the float one."""
+    if int_mode:
+        w.u8(_K_INT8_FLAG | _K_DOUBLE_FLAG)
+        max_abs = np.abs(mat).max(axis=1)
+        scales = max_abs / 127.0
+        safe = np.where(scales == 0.0, 1.0, scales)
+        wi = np.rint(mat / safe[:, None]).clip(-128, 127).astype(np.int8)
+        w.u32(mat.shape[0])
+        w.u32(mat.shape[1])
+        w.i8(0)  # empty_ sentinel of GENERIC_2D_ARRAY<int8>
+        w.raw(wi.tobytes())
+        w.u32(mat.shape[0])
+        w.raw(np.ascontiguousarray(scales, dtype="<f8").tobytes())
+        return
     w.u8(_K_DOUBLE_FLAG)
     w.u32(mat.shape[0])
     w.u32(mat.shape[1])
@@ -635,7 +656,12 @@ def read_weight_matrix(r: Reader) -> np.ndarray:
         _empty = r.i8()
         wi = np.frombuffer(r.raw(d1 * d2), dtype=np.int8).reshape(d1, d2)
         n_scales = r.u32()
-        scales = np.frombuffer(r.raw(8 * n_scales), dtype="<f8") / 127.0
+        # the FILE scale is already max_abs/127 (Serialize multiplies
+        # the in-memory scale/INT8_MAX convention back out,
+        # weightmatrix.cpp:211-216): dequantized weight = wi * scale.
+        # (The in-memory /127 belongs with the reference's int8 INPUT
+        # scaling, which float inference does not apply.)
+        scales = np.frombuffer(r.raw(8 * n_scales), dtype="<f8")
         mat = wi.astype(np.float64) * scales[:d1, None]
         return mat.astype(np.float32)
     d1, d2 = r.u32(), r.u32()
@@ -708,7 +734,8 @@ _GATE_ORDER = ("u", "i", "f", "o")  # CI, GI, GF1, GO
 _GATE_SLICE = {"i": 0, "f": 1, "o": 2, "u": 3}
 
 
-def _write_lstm_weights(w: Writer, wts: dict, prefix: str = "") -> None:
+def _write_lstm_weights(w: Writer, wts: dict, prefix: str = "",
+                        int_mode: bool = False) -> None:
     wx, wh, b = wts[prefix + "wx"], wts[prefix + "wh"], wts[prefix + "b"]
     units = wh.shape[1]
     for g in _GATE_ORDER:
@@ -721,7 +748,7 @@ def _write_lstm_weights(w: Writer, wts: dict, prefix: str = "") -> None:
             ],
             axis=1,
         )
-        write_weight_matrix(w, gw)
+        write_weight_matrix(w, gw, int_mode=int_mode)
 
 
 # 2-D LSTM gate layout: internal stacked blocks are CI,GI,GF1,GFS,GO
@@ -730,7 +757,8 @@ def _write_lstm_weights(w: Writer, wts: dict, prefix: str = "") -> None:
 _GATE2D_FILE_TO_BLOCK = (0, 1, 2, 4, 3)
 
 
-def _write_lstm2d_weights(w: Writer, wts: dict, prefix: str) -> None:
+def _write_lstm2d_weights(w: Writer, wts: dict, prefix: str,
+                          int_mode: bool = False) -> None:
     wx = wts[prefix + "wx"]
     whx = wts[prefix + "whx"]
     why = wts[prefix + "why"]
@@ -739,7 +767,7 @@ def _write_lstm2d_weights(w: Writer, wts: dict, prefix: str) -> None:
     for blk in _GATE2D_FILE_TO_BLOCK:
         sl = slice(blk * units, (blk + 1) * units)
         gw = np.concatenate([wx[sl], whx[sl], why[sl], b[sl, None]], axis=1)
-        write_weight_matrix(w, gw)
+        write_weight_matrix(w, gw, int_mode=int_mode)
 
 
 def _read_lstm2d_weights(r: Reader, ni: int, units: int, prefix: str) -> dict:
@@ -787,7 +815,7 @@ def _conv_ref_perm(ky: int, kx: int, d: int) -> np.ndarray:
     return idx.transpose(1, 0, 2).ravel()  # -> x-major
 
 
-def serialize_network(net) -> bytes:
+def serialize_network(net, int_mode: bool = False) -> bytes:
     """VGSLNetwork -> reference network-tree bytes (a Series stack).
 
     Layer mapping (networkbuilder.h:52-123 semantics):
@@ -832,7 +860,9 @@ def serialize_network(net) -> bytes:
             _write_network_header(body, act, gathered, nf, act)
             perm = _conv_ref_perm(ky, kx, ni)
             wmat = layer.weights["w"][:, perm]
-            write_weight_matrix(body, _fc_matrix(wmat, layer.weights["b"]))
+            write_weight_matrix(
+                body, _fc_matrix(wmat, layer.weights["b"]),
+                int_mode=int_mode)
             n_layers += 1
             depth = nf
         elif layer.kind == "maxpool":
@@ -864,7 +894,8 @@ def serialize_network(net) -> bytes:
             def emit_2d(prefix: str) -> None:
                 _write_network_header(body, "LSTM", ni, units, "LSTM")
                 body.i32(na)
-                _write_lstm2d_weights(body, layer.weights, prefix)
+                _write_lstm2d_weights(body, layer.weights, prefix,
+                                      int_mode=int_mode)
 
             emit_2d("d0_")
             _write_network_header(
@@ -897,7 +928,8 @@ def serialize_network(net) -> bytes:
             def emit_lstm(prefix: str) -> None:
                 _write_network_header(body, tname, ni, units, tname)
                 body.i32(na)  # na_
-                _write_lstm_weights(body, layer.weights, prefix)
+                _write_lstm_weights(body, layer.weights, prefix,
+                                    int_mode=int_mode)
 
             if layer.params.get("bidi"):
                 # ParBidiLSTM { LSTM, RTLReversed { LSTM } }
@@ -929,7 +961,8 @@ def serialize_network(net) -> bytes:
                      "r": "Relu", "l": "Linear"}[layer.params["act"]]
             _write_network_header(body, tname, ni, n_out, tname)
             write_weight_matrix(
-                body, _fc_matrix(layer.weights["w"], layer.weights["b"]))
+                body, _fc_matrix(layer.weights["w"], layer.weights["b"]),
+                int_mode=int_mode)
             n_layers += 1
             depth = n_out
             height = 1
@@ -938,7 +971,8 @@ def serialize_network(net) -> bytes:
             ni = height * depth
             _write_network_header(body, "Softmax", ni, classes, "Output")
             write_weight_matrix(
-                body, _fc_matrix(layer.weights["w"], layer.weights["b"])
+                body, _fc_matrix(layer.weights["w"], layer.weights["b"]),
+                int_mode=int_mode,
             )
             n_layers += 1
             depth = classes
@@ -1097,14 +1131,15 @@ class LstmModel:
         return "".join(self.unicharset.chars)
 
 
-def write_lstm_section(model: LstmModel) -> bytes:
+def write_lstm_section(model: LstmModel, int_mode: bool = False) -> bytes:
     w = Writer()
-    w.raw(serialize_network(model.net))
+    w.raw(serialize_network(model.net, int_mode=int_mode))
     # charsets embedded (no separate TESSDATA_LSTM_UNICHARSET/RECODER
     # components -> include_charsets = true on both sides)
     w.raw(model.unicharset.save())
     w.string(model.spec)  # network_str_
-    w.i32(TF_COMPRESS_UNICHARSET)  # training_flags_ (recoding on)
+    # training_flags_: recoding on, plus TF_INT_MODE for fast models
+    w.i32(TF_COMPRESS_UNICHARSET | (TF_INT_MODE if int_mode else 0))
     w.i32(0)  # training_iteration_
     w.i32(0)  # sample_iteration_
     w.i32(model.null_char)
@@ -1221,11 +1256,12 @@ def _read_embedded_unicharset(r: Reader) -> Unicharset:
 # ---------------------------------------------------------------------------
 
 
-def save_traineddata(model: LstmModel, version: str = "5.5.3-spark") -> bytes:
+def save_traineddata(model: LstmModel, version: str = "5.5.3-spark",
+                     int_mode: bool = False) -> bytes:
     from .dawg import write_squished_dawg
 
     entries = {
-        TESSDATA_LSTM: write_lstm_section(model),
+        TESSDATA_LSTM: write_lstm_section(model, int_mode=int_mode),
         TESSDATA_VERSION: version.encode("utf-8"),
     }
     # dictionary sections ride as squished dawgs sized to the LSTM

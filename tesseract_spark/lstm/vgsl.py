@@ -326,11 +326,22 @@ def convert_to_int(net: "VGSLNetwork") -> "VGSLNetwork":
     in tests/test_lstm_recode_squashed.py."""
     for layer in net.layers:
         w = layer.weights
-        if layer.kind in ("conv", "output"):
+        if layer.kind in ("conv", "output", "fc"):
             joint = _quantize_rows(
                 np.concatenate([w["w"], w["b"][:, None]], axis=1)
             )
             w["w"], w["b"] = joint[:, :-1], joint[:, -1]
+        elif layer.kind == "lstm_2d_quad":
+            for d in range(4):
+                joint = _quantize_rows(np.concatenate(
+                    [w[f"d{d}_wx"], w[f"d{d}_whx"], w[f"d{d}_why"],
+                     w[f"d{d}_b"][:, None]], axis=1))
+                n_in = w[f"d{d}_wx"].shape[1]
+                u = w[f"d{d}_whx"].shape[1]
+                w[f"d{d}_wx"] = joint[:, :n_in]
+                w[f"d{d}_whx"] = joint[:, n_in:n_in + u]
+                w[f"d{d}_why"] = joint[:, n_in + u:-1]
+                w[f"d{d}_b"] = joint[:, -1]
         elif layer.kind in ("lstm_x", "lstm_y_summary"):
             for prefix in ("", "r_") if layer.params.get("bidi") else ("",):
                 joint = _quantize_rows(

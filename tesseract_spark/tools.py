@@ -410,6 +410,8 @@ def main_lstmtraining(argv: list[str]) -> int:
     reg.double_flag("target_error_rate", 0.01, "Final error rate in percent.")
     reg.int_flag("append_index", -1,
                  "Index in continue_from Network at which to freeze below")
+    reg.bool_flag("convert_to_int", False,
+                  "Convert the recognition model to an integer model.")
     reg.bool_flag("stop_training", False,
                   "Just convert the training model to a runtime model.")
     parse_command_line_flags(
@@ -432,7 +434,8 @@ def main_lstmtraining(argv: list[str]) -> int:
             model = load_traineddata(f.read())
         out = model_output + ".traineddata"
         with open(out, "wb") as f:
-            f.write(save_traineddata(model))
+            f.write(save_traineddata(
+                model, int_mode=reg.get("convert_to_int").value))
         print(f"Converted checkpoint to recognition model {out}")
         return 0
 

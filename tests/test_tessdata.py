@@ -100,7 +100,10 @@ def test_weight_matrix_float_roundtrip():
 
 def test_weight_matrix_int8_read():
     """int8 (tessdata_fast) weights: wi_ int8 array + per-output double
-    scales stored premultiplied by INT8_MAX (weightmatrix.cpp:246-260)."""
+    scales.  The FILE scale is the quantization step max_abs/127 —
+    Serialize multiplies the in-memory scale (which carries an extra
+    /INT8_MAX for the int8-input fast path) back out
+    (weightmatrix.cpp:211-216) — so dequantized weight = wi * scale."""
     w = td.Writer()
     w.u8(128 | 1)  # kDoubleFlag | kInt8Flag
     wi = np.array([[127, -127], [64, 0]], dtype=np.int8)
@@ -109,8 +112,8 @@ def test_weight_matrix_int8_read():
     w.i8(0)  # empty_
     w.raw(wi.tobytes())
     w.u32(2)
-    w.f64(2.0 * 127)  # scale row 0 = 2.0 (written * INT8_MAX)
-    w.f64(0.5 * 127)
+    w.f64(2.0)  # row-0 quantization step: row max_abs was 254
+    w.f64(0.5)
     back = td.read_weight_matrix(td.Reader(w.getvalue()))
     np.testing.assert_allclose(
         back, [[254.0, -254.0], [32.0, 0.0]], rtol=1e-6
@@ -334,3 +337,85 @@ def test_cleanup_string_tatweel_and_ligatures():
     )
     assert d.accepts("abc") and d.accepts("fish")
     assert not d.accepts("aـbc")
+
+
+def test_int8_weight_matrix_roundtrip_matches_convert_to_int():
+    """tessdata_fast format: int8-mode serialization reads back as
+    EXACTLY ConvertToInt's quantize-dequantize of the float weights
+    (file scale = max_abs/127, weightmatrix.cpp:110-140 + 211-216)."""
+    from tesseract_spark.lstm.vgsl import VGSLNetwork, convert_to_int
+
+    spec = "[1,8,0,1 Ct3,3,4 Mp2,2 Lfys6 Lbx5 Lrx4 Ft5 O1c7]"
+    net = VGSLNetwork(spec, seed=11)
+    blob = td.serialize_network(net, int_mode=True)
+    net_q = VGSLNetwork(spec, seed=11)
+    convert_to_int(net_q)
+    net2 = td.deserialize_network(td.Reader(blob), spec)
+    for li, layer in enumerate(net_q.layers):
+        for k, v in layer.weights.items():
+            np.testing.assert_allclose(
+                net2.layers[li].weights[k], v, atol=1e-6,
+                err_msg=f"layer {li} weight {k}")
+
+
+def test_int8_mode_engine_decodes_identically():
+    """The int-mode ('fast') model decodes the fixture corpus the same
+    as the float model — TestIntMode's inference-side contract through
+    the container format."""
+    from tesseract_spark.functions.fonts import render_line
+    from tesseract_spark.lstm.fixture_model import PAD, get_vgsl_model
+
+    model = get_vgsl_model()
+    net = model.net
+    blob = td.serialize_network(net, int_mode=True)
+    net_q = td.deserialize_network(td.Reader(blob), net.spec)
+    for text in ("hello world", "quick brown fox", "zebras jump"):
+        s = render_line(text, 1).astype(np.float32)
+        x = np.zeros((1, 1, s.shape[1] + 2 * PAD, 16), np.float32)
+        x[0, 0, PAD:PAD + s.shape[1], :] = s.T
+        a = net.forward(x)[0].argmax(-1)
+        b = net_q.forward(x)[0].argmax(-1)
+        np.testing.assert_array_equal(a, b, err_msg=text)
+
+
+def test_convert_to_int_cli_produces_working_fast_model(tmp_path, capsys):
+    """lstmtraining --stop_training --convert_to_int (lstmtraining.cpp:54,
+    :131): the converted fast model carries TF_INT_MODE, int8 weight
+    records, and still decodes the training corpus exactly."""
+    from tesseract_spark import tools
+
+    text_file = tmp_path / "t.txt"
+    text_file.write_text("ab ba\naab\nbba ab\n")
+    base = str(tmp_path / "scr")
+    assert tools.main(["prog", "text2image", "--text", str(text_file),
+                       "--outputbase", base, "--degrade_image=false"]) == 0
+    listfile = tmp_path / "scr.list"
+    listfile.write_text(base + ".lstmf\n")
+    ucs_out = str(tmp_path / "u.unicharset")
+    assert tools.main(["prog", "unicharset_extractor",
+                       "--output_unicharset", ucs_out, str(text_file)]) == 0
+    assert tools.main(["prog", "combine_lang_model",
+                       "--input_unicharset", ucs_out, "--lang", "scr",
+                       "--output_dir", str(tmp_path),
+                       "--words", str(text_file)]) == 0
+    model_out = str(tmp_path / "m")
+    assert tools.main([
+        "prog", "lstmtraining", "--net_spec", "[1,1,0,16 Ct1,5,12 Lbx20 O1c9]",
+        "--traineddata", str(tmp_path / "scr" / "scr.traineddata"),
+        "--train_listfile", str(listfile), "--model_output", model_out,
+        "--learning_rate", "0.02", "--max_iterations", "250"]) == 0
+    assert tools.main(["prog", "lstmtraining", "--stop_training",
+                       "--convert_to_int", "--model_output", model_out]) == 0
+    data = open(model_out + ".traineddata", "rb").read()
+    # the LSTM section carries TF_INT_MODE and int8 weight records
+    sec = td.read_container(data)[td.TESSDATA_LSTM]
+    assert bytes([td._K_INT8_FLAG | td._K_DOUBLE_FLAG]) in sec
+    model = td.load_traineddata(data)
+    # fast model still decodes perfectly
+    capsys.readouterr()
+    assert tools.main(["prog", "lstmeval", "--model",
+                       model_out + ".traineddata",
+                       "--eval_listfile", str(listfile),
+                       "--verbosity", "0"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert out.startswith("BCER eval=0.000")
