@@ -625,10 +625,13 @@ def write_weight_matrix(
     as exactly vgsl._quantize_rows of the float one."""
     if int_mode:
         w.u8(_K_INT8_FLAG | _K_DOUBLE_FLAG)
+        from .vgsl import _int_cast_rounded
+
         max_abs = np.abs(mat).max(axis=1)
         scales = max_abs / 127.0
         safe = np.where(scales == 0.0, 1.0, scales)
-        wi = np.rint(mat / safe[:, None]).clip(-128, 127).astype(np.int8)
+        wi = _int_cast_rounded(
+            mat / safe[:, None]).clip(-128, 127).astype(np.int8)
         w.u32(mat.shape[0])
         w.u32(mat.shape[1])
         w.i8(0)  # empty_ sentinel of GENERIC_2D_ARRAY<int8>

@@ -179,7 +179,8 @@ def forward_cache(
                 o = o[:, ::-1] if fy else o
                 outs.append(o)
             caches.append({"in_shape": x.shape, "dirs": dir_caches})
-            x = np.concatenate(outs, axis=-1)
+            # match the inference path's dtype (float32 pipeline)
+            x = np.concatenate(outs, axis=-1).astype(np.float32)
         elif layer.kind == "lstm_y_summary":
             n, h, w, d = x.shape
             seq = x.transpose(0, 2, 1, 3).reshape(n * w, h, d)
@@ -270,10 +271,11 @@ def backward(
             ns_, hs, ws, ds = cache["in_shape"]
             ky, kx = layer.params["ky"], layer.params["kx"]
             h2, w2 = hs // ky, ws // kx
-            dxr = dx.reshape(ns_, h2, w2, ky, kx, ds)
+            # inverse of the X-MAJOR tile stack (kx outermost)
+            dxr = dx.reshape(ns_, h2, w2, kx, ky, ds)
             dxp = np.zeros((ns_, hs, ws, ds), dtype=np.float32)
             dxp[:, : h2 * ky, : w2 * kx] = dxr.transpose(
-                0, 1, 3, 2, 4, 5).reshape(ns_, h2 * ky, w2 * kx, ds)
+                0, 1, 4, 2, 3, 5).reshape(ns_, h2 * ky, w2 * kx, ds)
             dx = dxp
         elif layer.kind == "lstm_2d_quad":
             dx, g = _lstm_2d_quad_backward(layer, cache, dx)

@@ -45,6 +45,12 @@ class Layer:
             return self.params["filters"]
         if self.kind in ("lstm_x", "lstm_y_summary"):
             return self.params["units"] * (2 if self.params["bidi"] else 1)
+        if self.kind == "lstm_2d_quad":
+            return 4 * self.params["units"]
+        if self.kind == "reconfig":
+            return in_depth * self.params["ky"] * self.params["kx"]
+        if self.kind == "fc":
+            return self.params["n_out"]
         if self.kind == "output":
             return self.params["classes"]
         return in_depth
@@ -151,21 +157,30 @@ class VGSLNetwork:
                 height = 1
             elif re.match(r"F[strl]\d+$", tok):
                 # Fully connected (networkbuilder 'F' /
-                # BuildFullyConnected): height folds into depth (the
-                # builder inserts a Reconfig when H > 1), then a dense
-                # layer with the chosen nonlinearity per x step —
-                # s=sigmoid(Logistic) t=tanh r=relu l=linear.
+                # BuildFullyConnected): a dense layer with the chosen
+                # nonlinearity per x step — s=sigmoid(Logistic) t=tanh
+                # r=relu l=linear.  The builder inserts an explicit
+                # Reconfig when H > 1 (FCSeries, networkbuilder.cpp:
+                # 415-421); we mirror that as a REAL reconfig layer so
+                # the serialized tree matches.  (The reference's
+                # FCReconfig also folds width — only legal for
+                # fixed-width inputs; variable-width OCR strips fold
+                # height only, documented divergence.)
                 n_out = int(tok[2:])
+                if height > 1:
+                    self.layers.append(
+                        Layer("reconfig", {"ky": height, "kx": 1}))
+                    depth *= height
+                    height = 1
                 self.layers.append(
                     Layer(
                         "fc",
                         {"act": tok[1], "n_out": n_out},
-                        {"w": _glorot(rng, (n_out, height * depth)),
+                        {"w": _glorot(rng, (n_out, depth)),
                          "b": np.zeros(n_out, dtype=np.float32)},
                     )
                 )
                 depth = n_out
-                height = 1
             elif tok.startswith("O1c"):
                 classes = int(tok[3:])
                 self.layers.append(
@@ -288,15 +303,22 @@ def _lstm_dir(seq: np.ndarray, wts: dict, prefix: str = "") -> np.ndarray:
     return out
 
 
+def _int_cast_rounded(x: np.ndarray) -> np.ndarray:
+    """IntCastRounded (helpers.h:184-189): round half AWAY from zero
+    (np.rint would round half to even)."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
 def _quantize_rows(mat: np.ndarray) -> np.ndarray:
     """Per-row int8 quantize-dequantize (WeightMatrix::ConvertToInt,
     weightmatrix.cpp:110-140: scale = row max_abs / 127, values rounded
-    to int8).  Returns the float32 weights the int kernel would apply."""
+    to int8 with IntCastRounded).  Returns the float32 weights the int
+    kernel would apply."""
     out = np.empty_like(mat, dtype=np.float32)
     for r in range(mat.shape[0]):
         max_abs = np.abs(mat[r]).max()
         scale = max_abs / 127.0 if max_abs > 0 else 1.0
-        out[r] = np.rint(mat[r] / scale).clip(-128, 127) * scale
+        out[r] = _int_cast_rounded(mat[r] / scale).clip(-128, 127) * scale
     return out
 
 
@@ -362,14 +384,20 @@ K_STATE_CLIP = 100.0  # lstm.cpp:71
 
 
 def _reconfig(x: np.ndarray, layer: Layer) -> np.ndarray:
-    """Reconfig (reconfig.cpp / networkbuilder 'S'): stack ky x kx tiles
-    into depth.  [N, H, W, D] -> [N, H/ky, W/kx, ky*kx*D]."""
+    """Reconfig (reconfig.cpp:82-103 / networkbuilder 'S'): stack
+    ky x kx tiles into depth, X-MAJOR within the tile — the reference
+    writes block (x*y_scale + y)*ni, so weight-layout parity with real
+    models requires the kx axis outermost.
+    [N, H, W, D] -> [N, H/ky, W/kx, kx*ky*D]."""
     n, h, w, d = x.shape
     ky, kx = layer.params["ky"], layer.params["kx"]
     h2, w2 = h // ky, w // kx
+    if h2 == 0 or w2 == 0:
+        raise ValueError(
+            f"Reconfig S{ky},{kx}: input {h}x{w} smaller than the tile")
     x = x[:, : h2 * ky, : w2 * kx]
     x = x.reshape(n, h2, ky, w2, kx, d)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2, w2, ky * kx * d)
+    return x.transpose(0, 1, 3, 4, 2, 5).reshape(n, h2, w2, ky * kx * d)
 
 
 def _lstm_2d_dir(

@@ -5283,13 +5283,19 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size rollup, same shape as lm_perplexity's vocab total.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     stop = "('the','a','of','and','to','in','is','on','for','it')"
-    words = docs.select(
+    # stop_ratio evaluates ONCE per document (before the explode — the
+    # Project would otherwise sit above Generate and recompute the
+    # split+filter once per token row)
+    per_doc = docs.select(
         "doc_id",
-        F.explode(F.split("text", " ")).alias("w"),
+        F.split("text", " ").alias("ws"),
         F.expr(
             f"size(filter(split(text, ' '), t -> t IN {stop}))"
             " / size(split(text, ' '))"
         ).alias("stop_ratio"),
+    )
+    words = per_doc.select(
+        "doc_id", "stop_ratio", F.explode("ws").alias("w")
     ).withColumn(
         "b", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int") % 64
     )

@@ -24,8 +24,9 @@ def test_reconfig_shapes_and_content():
 
     out = _reconfig(x, net.layers[0])
     assert out.shape == (2, 2, 3, 12)
-    # tile (0,0) of image 0 = rows 0-1, cols 0-1, all 3 channels
-    expect = x[0, 0:2, 0:2, :].transpose(0, 1, 2).reshape(-1)
+    # tile (0,0) of image 0 = rows 0-1, cols 0-1, all 3 channels,
+    # X-MAJOR within the tile (reconfig.cpp:99: block (x*y_scale+y)*ni)
+    expect = x[0, 0:2, 0:2, :].transpose(1, 0, 2).reshape(-1)
     np.testing.assert_array_equal(out[0, 0, 0], expect)
 
 
@@ -119,7 +120,9 @@ def test_fc_layer_forward_and_roundtrip():
     record under the nonlinearity's type name."""
     spec = "[1,4,0,1 Ft5 Fs3 O1c6]"
     net = VGSLNetwork(spec, seed=2)
-    assert [l.kind for l in net.layers] == ["fc", "fc", "output"]
+    # H>1 before F inserts a real Reconfig (FCSeries,
+    # networkbuilder.cpp:415-421)
+    assert [l.kind for l in net.layers] == ["reconfig", "fc", "fc", "output"]
     x = np.random.default_rng(0).random((2, 4, 9, 1), dtype=np.float32)
     out = net.forward(x)
     assert out.shape == (2, 9, 6)
@@ -127,8 +130,9 @@ def test_fc_layer_forward_and_roundtrip():
     net2 = td.deserialize_network(td.Reader(blob), spec)
     np.testing.assert_array_equal(out, net2.forward(x))
     # tanh layer output bounded, sigmoid layer in (0,1)
-    from tesseract_spark.lstm.vgsl import _fc
-    h1 = _fc(x, net.layers[0])
+    from tesseract_spark.lstm.vgsl import _fc, _reconfig
+    h0 = _reconfig(x, net.layers[0])
+    h1 = _fc(h0, net.layers[1])
     assert np.all(np.abs(h1) <= 1.0)
-    h2 = _fc(h1, net.layers[1])
+    h2 = _fc(h1, net.layers[2])
     assert np.all((h2 > 0) & (h2 < 1))
