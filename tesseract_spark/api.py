@@ -856,21 +856,34 @@ class TessBaseAPI:
         )
 
     def GetWordStrBoxText(self, page_number: int = 0) -> str:
-        """WordStr box format (wordstrboxrenderer.cpp:1-105): one
-        line-level record per textline, 'WordStr' marker + #-joined
-        text, bottom-up y — byte-parity with sinks.to_box."""
+        """WordStr box format (wordstrboxrenderer.cpp:32-86): one
+        line-level record per textline ('WordStr' marker + '#' + the
+        word list with a trailing space per word, :65-71), each line
+        closed by the tab EOL record
+        '\\t right+1 bottom right+5 top page' (:50-56, :76-83),
+        bottom-up y — byte-parity with the reference renderer,
+        including its quirk of skipping the final tab record when any
+        raw coordinate of the last line is 0 (:76)."""
         self._ensure()
         h = self._page_image().shape[0]
         out = []
+        l = t = r = b = 0
         for _k, ws in sorted(self._lines().items()):
+            if out:  # EOL record for the previous line (:50-56)
+                out.append(
+                    f"\n\t {r + 1} {h - b} {r + 5} {h - t} {page_number}\n")
             l = min(w.left for w in ws)
             t = min(w.top for w in ws)
             r = max(w.left + w.width for w in ws)
             b = max(w.top + w.height for w in ws)
-            text = " ".join(w.text for w in sorted(ws, key=lambda x: x.word_num))
+            text = "".join(
+                w.text + " " for w in sorted(ws, key=lambda x: x.word_num))
             out.append(
                 f"WordStr {l} {h - b} {r} {h - t} {page_number} #{text}")
-        return "\n".join(out)
+        if l != 0 and t != 0 and r != 0 and b != 0:  # final guard (:76)
+            out.append(
+                f"\n\t {r + 1} {h - b} {r + 5} {h - t} {page_number}\n")
+        return "".join(out)
 
     def GetLSTMBoxText(self, page_number: int = 0) -> str:
         """LSTM-training box format (lstmboxrenderer.cpp:39-90): one

@@ -163,17 +163,33 @@ def learn_bpe(
 
 
 def learn_bpe_distributed(
-    docs: DataFrame, n_merges: int, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Distributed word-frequency compression, driver-side merge loop.
 
-    The collect here is the compressed DISTINCT-WORD table (the 100 TB
-    design: corpus size is irrelevant after the hash agg), not corpus
-    rows.  For a pathological vocabulary one would pre-prune rare words
-    with a HAVING count >= k — exposed via min_count in word filters by
-    the caller if needed.
+    The collect here is the compressed DISTINCT-WORD table, not corpus
+    rows — for natural language that is a few hundred MB at 100 TB.
+    Noisy web corpora (URLs, hex blobs, code identifiers) grow distinct
+    pre-tokens ~linearly, so the collection is bounded in the Spark agg
+    BEFORE it reaches the driver: a ``min_count`` frequency floor plus a
+    deterministic top-``max_vocab`` cap (count desc, word asc — standard
+    BPE practice; rare singletons cannot win a merge against a 1M-word
+    head, so the cap does not change the learned merges on natural
+    text).  The cap is the fixed driver budget; pass a larger one
+    explicitly if a bigger head is wanted.
     """
-    wf = word_frequencies(docs, text_col).toPandas()
+    wf = word_frequencies(docs, text_col)
+    if min_count > 1:
+        wf = wf.filter(F.col("wc") >= min_count)
+    wf = (
+        wf.orderBy(F.col("wc").desc(), F.col("w"))
+        .limit(int(max_vocab))
+        .toPandas()
+    )
     return learn_bpe(zip(wf["w"].tolist(), wf["wc"].tolist()), n_merges)
 
 

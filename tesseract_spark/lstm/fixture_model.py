@@ -236,7 +236,9 @@ def decode_strips(
         return []
     charset = model.charset
     null_code = model.null_char
-    space_uid = charset.index(" ")
+    # space-free charsets (CJK fixtures) have no space uid — mirror
+    # RecodeBeamSearch.__init__'s defensive fallback
+    space_uid = charset.index(" ") if " " in charset else -1
     out = [""] * len(strips)
     for idxs, x, t_reals in bucket_strips(strips):
         log_probs = model.net.forward(x)  # [N, W', C]
@@ -282,7 +284,9 @@ def beam_decode_strips(
 
     charset = model.charset
     null_code = model.null_char
-    space_uid = charset.index(" ")
+    # space-free charsets (CJK fixtures) have no space uid — mirror
+    # RecodeBeamSearch.__init__'s defensive fallback
+    space_uid = charset.index(" ") if " " in charset else -1
     out = [""] * len(strips)
     beam = RecodeBeamSearch(
         model.recoder,

@@ -521,6 +521,8 @@ class RecodeBeamSearch:
     def _extract_best_paths(self) -> tuple[list, list]:
         """ExtractBestPaths (recodebeam.cpp:1276-1322)."""
         best = second = None
+        if not self.steps:  # zero-timestep decode / extract before decode
+            return [], []
         last = self.steps[-1]
         for (is_dawg, cont, length), heap in last.items():
             # Only completed-unichar beams can terminate a path

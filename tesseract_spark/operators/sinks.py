@@ -573,9 +573,16 @@ def to_page_xml(words: DataFrame) -> DataFrame:
 
 
 def to_box(words: DataFrame, page_heights: DataFrame | None = None) -> DataFrame:
-    """WordStr box format (wordstrboxrenderer.cpp:1-105): one line-level
-    record per text line, 'WordStr' marker + #-joined text, bottom-up y
-    (the box family's coordinate convention, SURVEY §1.1)."""
+    """WordStr box format (wordstrboxrenderer.cpp:32-86): one line-level
+    record per text line — 'WordStr' marker + #-prefixed word list where
+    EVERY word carries a trailing space (:70-71), followed by the tab EOL
+    record '\\t right+1 bottom right+5 top page' (:50-56) — bottom-up y
+    (the box family's coordinate convention, SURVEY §1.1).  Each output
+    row holds one line's full two-record block; joining rows with '\\n'
+    reproduces the reference byte stream.  Known divergence: the
+    reference skips the FINAL line's tab record when any raw coordinate
+    is 0 (:76, a border-touching quirk); a distributed sink has no
+    "final" row, so every row emits its EOL record."""
     words = _ok_words(words)
     lines = words.groupBy("doc_id", "media_ref", "block_num", "par_num", "line_num").agg(
         F.min("left").alias("l"),
@@ -602,15 +609,27 @@ def to_box(words: DataFrame, page_heights: DataFrame | None = None) -> DataFrame
     return lines.select(
         "doc_id",
         "media_ref",
-        F.concat_ws(
-            " ",
-            F.lit("WordStr"),
-            F.col("l"),
-            top_expr,
-            F.col("r"),
-            bot_expr,
-            F.lit("0"),
-            F.concat(F.lit("#"), F.col("line_text")),
+        F.concat(
+            F.concat_ws(
+                " ",
+                F.lit("WordStr"),
+                F.col("l"),
+                top_expr,
+                F.col("r"),
+                bot_expr,
+                F.lit("0"),
+                F.concat(F.lit("#"), F.col("line_text")),
+            ),
+            F.lit(" \n"),  # trailing space after the last word (:70-71)
+            F.concat_ws(
+                " ",
+                F.lit("\t"),
+                F.col("r") + 1,
+                top_expr,
+                F.col("r") + 5,
+                bot_expr,
+                F.lit("0"),
+            ),
         ).alias("box_line"),
     )
 

@@ -5354,71 +5354,6 @@ GROUP BY doc_id
 """
 
 
-def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval decontamination — the benchmark-leakage scan every
-    LLM pretraining pipeline runs (GPT-3 appendix C's 13-gram overlap;
-    Lee et al. 2022 dedup framing): flag training documents sharing
-    long n-gram shingles with the held-out evaluation set.
-
-    Fixture instantiation: the eval set is the deterministic
-    doc_id % 50 == 0 slice; shingles are 8-token windows.  Output: one
-    row per CONTAMINATED train doc with its distinct colliding-shingle
-    count and the smallest eval doc it collides with.
-
-    Scale shape: the eval set is tiny by construction (benchmarks are
-    KBs against TBs of training pool), so its shingle table BROADCASTS;
-    the scan is a map-side semi-join over the train shingles + one
-    doc-keyed aggregation.  No shuffle touches the full train pool
-    beyond the final per-doc agg of the (rare) collision rows."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = docs.select(
-        "doc_id", F.split("text", " ").alias("ws"))
-    sh = words.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(0, greatest(size(ws) - 8,"
-                " 0)), i -> concat_ws(' ', slice(ws, i + 1, 8))))"
-            )
-        ).alias("sh"),
-    ).filter(F.size(F.split("sh", " ")) == 8)
-    eval_sh = (
-        sh.filter(F.col("doc_id") % 50 == 0)
-        .groupBy("sh")
-        .agg(F.min("doc_id").alias("eval_doc"))
-    )
-    train_sh = sh.filter(F.col("doc_id") % 50 != 0)
-    return (
-        train_sh.join(F.broadcast(eval_sh), "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("sh").alias("n_collisions"),
-            F.min("eval_doc").alias("first_eval_doc"),
-        )
-    )
-
-
-ORACLE_DECONTAMINATION = """
-WITH sh AS (
-  SELECT doc_id, sh FROM (
-    SELECT doc_id,
-           unnest(list_distinct(list_transform(
-             range(0, greatest(len(string_split(text, ' ')) - 8, 0) + 1),
-             i -> array_to_string(string_split(text, ' ')[i + 1 : i + 8],
-                                  ' ')))) AS sh
-    FROM documents
-  ) WHERE len(string_split(sh, ' ')) = 8
-), eval_sh AS (
-  SELECT sh, min(doc_id) AS eval_doc FROM sh WHERE doc_id % 50 = 0 GROUP BY sh
-)
-SELECT t.doc_id, count(DISTINCT t.sh) AS n_collisions,
-       min(e.eval_doc) AS first_eval_doc
-FROM sh t JOIN eval_sh e USING (sh)
-WHERE t.doc_id % 50 <> 0
-GROUP BY t.doc_id
-"""
-
-
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocr_extract": (q_ocr_extract, ORACLE_OCR_EXTRACT),
     "ocr_vgsl_extract": (q_ocr_vgsl_extract, ORACLE_OCR_VGSL_EXTRACT),
@@ -5437,7 +5372,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "lm_perplexity": (q_lm_perplexity, ORACLE_LM_PERPLEXITY),
     "dsir_importance": (q_dsir_importance, ORACLE_DSIR_IMPORTANCE),
-    "decontamination": (q_decontamination, ORACLE_DECONTAMINATION),
     "ocr_legacy_extract": (q_ocr_legacy_extract, ORACLE_OCR_LEGACY_EXTRACT),
     "ocr_combined_extract": (
         q_ocr_combined_extract,

@@ -409,12 +409,22 @@ def test_clean_import_namespace():
 def test_wordstr_and_lstm_box_text(ready_api):
     """GetWordStrBoxText (wordstrboxrenderer.cpp) and GetLSTMBoxText
     (lstmboxrenderer.cpp) record shapes."""
-    ws = ready_api.GetWordStrBoxText().splitlines()
-    assert len(ws) == 2  # one record per textline
-    for line in ws:
-        assert line.startswith("WordStr ")
-        assert " #" in line
-    assert ws[0].endswith("#hello world")
+    ws_text = ready_api.GetWordStrBoxText()
+    ws = ws_text.splitlines()
+    word_recs = [ln for ln in ws if ln.startswith("WordStr ")]
+    tab_recs = [ln for ln in ws if ln.startswith("\t ")]
+    assert len(word_recs) == 2  # one record per textline
+    # every line is closed by the reference's tab EOL record
+    # (wordstrboxrenderer.cpp:50-56) and every word carries a
+    # trailing space (:70-71)
+    assert len(tab_recs) == 2 and ws_text.endswith("\n")
+    for line in word_recs:
+        assert " #" in line and line.endswith(" ")
+    assert word_recs[0].endswith("#hello world ")
+    # tab record geometry: right+1 .. right+5 of its own line
+    r = int(word_recs[0].split(" ")[3])
+    t0 = tab_recs[0].split(" ")
+    assert int(t0[1]) == r + 1 and int(t0[3]) == r + 5
     lstm = ready_api.GetLSTMBoxText().splitlines()
     # per-symbol records incl. the space + one tab record per line
     assert sum(1 for ln in lstm if ln.startswith("\t")) == 2

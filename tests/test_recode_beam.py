@@ -423,3 +423,46 @@ def test_dawg_rescoring_on_real_lattice_keeps_all_words():
         "the quick brown fox",
         "jumps",
     ]
+
+
+def test_zero_timestep_extraction_is_empty():
+    """ADVICE r3: extraction on a zero-timestep decode (or before any
+    decode) must return empty paths, not IndexError on steps[-1]."""
+    charset = [" ", "a", "b"]
+    beam, null_char = _ascii_beam(charset)
+    # never decoded: steps is empty
+    labels, xcoords = beam.extract_best_path_as_labels()
+    assert labels == [] and xcoords == [0]
+    uids, certs, ratings, xc = beam.extract_best_path_as_unichar_ids()
+    assert uids == [] and certs == [] and ratings == [] and xc == [0]
+    assert beam.extract_best_path_as_words(lambda u: charset[u]) == []
+    # zero-timestep output matrix
+    beam.decode(np.zeros((0, len(charset) + 1), dtype=np.float32))
+    labels, xcoords = beam.extract_best_path_as_labels()
+    assert labels == [] and xcoords == [0]
+
+
+def test_beam_decode_strips_space_free_charset():
+    """ADVICE r3: beam_decode_strips over a model whose charset lacks
+    a space (CJK fixture shape) must not raise ValueError resolving
+    the space uid."""
+    from tesseract_spark.lstm.fixture_model import beam_decode_strips
+
+    class _Net:
+        def forward(self, x):
+            n, w = x.shape[0], 4
+            lp = np.full((n, w, 3), -10.0, dtype=np.float32)
+            lp[:, :, 2] = -0.01          # null everywhere...
+            lp[:, 0, 0] = -0.01          # ...except uid 0 at t=0
+            lp[:, 0, 2] = -10.0
+            return lp
+
+    class _Model:
+        charset = ["甲", "乙"]           # no space anywhere
+        null_char = 2
+        recoder = UnicharCompress.pass_through(3)
+        net = _Net()
+
+    strips = [np.zeros((16, 8), dtype=np.float32)]
+    out = beam_decode_strips(_Model(), strips, force_beam=True)
+    assert out == ["甲"]
