@@ -1,12 +1,16 @@
 """PDF layout parse: recover positioned text from text-layer PDFs.
 
 Inverse of the PDF sink (operators/sinks.build_pdf_page): scans the
-uncompressed content stream for ``Tm`` cursor placements and ``Tj`` show
-operators, rebuilds (x, y, text) word tuples, then reassembles reading
-order top-to-bottom / left-to-right — the extraction-tier "PDF/layout
+uncompressed content stream for ``Tm`` cursor placements and show
+operators — both the CID layer's UTF-16BE ``[ <hex> ] TJ`` (the
+reference's Identity-H + identity-ToUnicode encoding,
+pdfrenderer.cpp:482-484: code unit == Unicode code unit, so hex
+decodes directly as UTF-16BE) and the legacy ``(str) Tj`` literal form
+— rebuilds (x, y, text) word tuples, then reassembles reading order
+top-to-bottom / left-to-right — the extraction-tier "PDF/layout
 parse" stage.  Handles exactly the deterministic subset this engine
-writes (PDF 1.5, uncompressed streams, Type1 text layer); anything else
-raises ValueError rather than guessing.
+writes (PDF 1.5, uncompressed text streams); anything else raises
+ValueError rather than guessing.
 """
 
 from __future__ import annotations
@@ -15,7 +19,9 @@ import re
 
 _STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _OPS = re.compile(
-    rb"1 0 0 1 (?P<x>[-\d.]+) (?P<y>[-\d.]+) Tm|\((?P<txt>(?:\\.|[^()\\])*)\) Tj"
+    rb"1 0 0 1 (?P<x>[-\d.]+) (?P<y>[-\d.]+) Tm"
+    rb"|\((?P<txt>(?:\\.|[^()\\])*)\) Tj"
+    rb"|\[ <(?P<hex>[0-9A-Fa-f]*)> \] TJ"
 )
 _ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"(": b"(", b")": b")", b"\\": b"\\"}
 
@@ -52,6 +58,15 @@ def extract_pdf_words(blob: bytes) -> list[tuple[float, float, str]]:
         for m in _OPS.finditer(stream):
             if m.group("x") is not None:
                 x, y = float(m.group("x")), float(m.group("y"))
+            elif m.group("hex") is not None:
+                # CID layer: code unit == Unicode code unit (identity
+                # ToUnicode), so the hex IS UTF-16BE.  The sink appends
+                # one U+0020 unit between words (pdfrenderer.cpp:482-484)
+                # — strip it so the tuple carries the bare word.
+                txt = bytes.fromhex(m.group("hex").decode("ascii")).decode(
+                    "utf-16-be"
+                )
+                words.append((x, y, txt[:-1] if txt.endswith(" ") else txt))
             else:
                 words.append((x, y, _unescape(m.group("txt"))))
     return words

@@ -964,25 +964,51 @@ def to_component_images(
 # Searchable PDF sink (pdfrenderer.cpp analogue)
 # ---------------------------------------------------------------------------
 
-K_CHAR_WIDTH_FRAC = 0.5  # Helvetica mean advance ~0.5 em (glue-font analogue
-#                          of kCharWidth, pdfrenderer.cpp:62)
+K_CHAR_WIDTH_FRAC = 0.5  # glue-font advance: half an em (1000/kCharWidth
+#                          with kCharWidth=2, pdfrenderer.cpp:184,550)
+
+# Identity ToUnicode CMap (pdfrenderer.cpp:595-615): character code ==
+# UTF-16BE code unit, so any spec-compliant extractor recovers the
+# original text regardless of script.  Format-mandated boilerplate from
+# the Adobe CMap spec.
+_TO_UNICODE_CMAP = (
+    "/CIDInit /ProcSet findresource begin\n"
+    "12 dict begin\n"
+    "begincmap\n"
+    "/CIDSystemInfo\n"
+    "<<\n"
+    "  /Registry (Adobe)\n"
+    "  /Ordering (UCS)\n"
+    "  /Supplement 0\n"
+    ">> def\n"
+    "/CMapName /Adobe-Identify-UCS def\n"
+    "/CMapType 2 def\n"
+    "1 begincodespacerange\n"
+    "<0000> <FFFF>\n"
+    "endcodespacerange\n"
+    "1 beginbfrange\n"
+    "<0000> <FFFF> <0000>\n"
+    "endbfrange\n"
+    "endcmap\n"
+    "CMapName currentdict /CMap defineresource pop\n"
+    "end\n"
+    "end\n"
+).encode("latin-1")
 
 
-def _pdf_escape(text: str) -> str:
-    """Latin-1-safe PDF string literal body; non-encodable chars -> '?'."""
-    out = []
+def _word_to_utf16be_hex(text: str) -> tuple[str, int]:
+    """UTF-16BE hex string + CODEPOINT count (pdf_word_len counts one
+    per codepoint even when it takes a surrogate pair,
+    pdfrenderer.cpp:470-475)."""
+    from ..functions.glyphless_font import codepoint_to_utf16be_hex
+
+    parts, n = [], 0
     for ch in text:
-        if ch in "()\\":
-            out.append("\\" + ch)
-        elif 32 <= ord(ch) < 127:
-            out.append(ch)
-        else:
-            try:
-                b = ch.encode("latin-1")
-                out.append(f"\\{b[0]:03o}")
-            except UnicodeEncodeError:
-                out.append("?")
-    return "".join(out)
+        h = codepoint_to_utf16be_hex(ord(ch))
+        if h is not None:
+            parts.append(h)
+            n += 1
+    return "".join(parts), n
 
 
 def build_pdf_page(
@@ -998,13 +1024,19 @@ def build_pdf_page(
     (src/api/pdfrenderer.cpp:360-500): one text object per block rendered
     in invisible ink (``BT 3 Tr``), absolute ``Tm`` placement at each line
     start, per-word ``Tz`` horizontal stretch so the string advance matches
-    the word box, ``ET`` at block end.  File skeleton mirrors
-    pdfrenderer.cpp:504-996 (Catalog, Pages, Page, Contents, Font, xref
-    with byte-exact offsets).  Divergence, documented: the reference embeds
-    its CID glue font (pdf_ttf.h) and emits UTF-16BE ``<hex> TJ``; this
-    writer uses the built-in Type1 /Helvetica with WinAnsi ``(str) Tj`` —
-    adequate for a deterministic, dependency-free text layer whose words
-    remain extractable at the same positions.
+    the word box, UTF-16BE ``[ <hex> ] TJ`` show operators with a trailing
+    U+0020 unit between words (:482-484), ``ET`` at block end.  The font is
+    the reference's CID design (BeginDocumentHandler, :503-690): a Type0
+    /GlyphLessFont with /Identity-H encoding, a CIDFontType2 descendant
+    (/DW 500), a FlateDecode CIDToGIDMap stream mapping every CID to the
+    single glyph (:557-563), the identity ToUnicode CMap (:595-615) so
+    ANY script's text layer — Hebrew, Devanagari, CJK, supplementary-plane
+    — extracts losslessly, and an embedded glyphless TrueType program
+    synthesized from the public OpenType spec
+    (functions/glyphless_font.py; the reference ships its own binary in
+    pdf_ttf.h, which is not copied).  File skeleton mirrors
+    pdfrenderer.cpp:504-996 (Catalog, Pages, Page, Contents, font chain,
+    xref with byte-exact offsets).
 
     ``image``: optional gray uint8 page raster — embedded as a
     FlateDecode DeviceGray Image XObject drawn to fill the MediaBox
@@ -1041,13 +1073,17 @@ def build_pdf_page(
         for wi, w in enumerate(ws):
             x = w["left"] * s
             content.append(f"1 0 0 1 {x:.2f} {y:.2f} Tm")
-            n = max(1, len(w["text"]))
+            hexstr, n = _word_to_utf16be_hex(w["text"])
+            if not hexstr:
+                continue  # every codepoint unencodable: skip the show op
             word_len_pts = w["width"] * s
             stretch = 100.0 * word_len_pts / (
                 K_CHAR_WIDTH_FRAC * fontsize * n
             )
             content.append(f"{stretch:.2f} Tz")
-            content.append(f"({_pdf_escape(w['text'])}) Tj")
+            if wi + 1 < len(ws):
+                hexstr += "0020"  # inter-word space unit (:482-484)
+            content.append(f"[ <{hexstr}> ] TJ")
     if cur_block is not None:
         content.append("ET")
     if image is not None:
@@ -1057,9 +1093,13 @@ def build_pdf_page(
         )
     stream = "\n".join(content).encode("latin-1")
 
+    import zlib
+
+    from ..functions.glyphless_font import GLYPHLESS_FONT
+
     xobj = ""
     if image is not None:
-        xobj = " /XObject << /im-0 6 0 R >>"
+        xobj = " /XObject << /im-0 11 0 R >>"
     objs: list[bytes] = []
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
@@ -1073,12 +1113,50 @@ def build_pdf_page(
     objs.append(
         b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
     )
+    # 5: Type0 umbrella font (pdfrenderer.cpp:520-530)
     objs.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-        b"/Encoding /WinAnsiEncoding >>"
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /GlyphLessFont "
+        b"/Encoding /Identity-H /DescendantFonts [ 6 0 R ] "
+        b"/ToUnicode 8 0 R >>"
+    )
+    # 6: CIDFontType2 descendant, /DW = 1000/kCharWidth (:535-554)
+    objs.append(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GlyphLessFont "
+        b"/CIDToGIDMap 7 0 R /CIDSystemInfo << /Ordering (Identity) "
+        b"/Registry (Adobe) /Supplement 0 >> /FontDescriptor 9 0 R "
+        b"/DW 500 >>"
+    )
+    # 7: CIDToGIDMap — every CID to the single glyph GID 1 (:557-563)
+    cid2gid = zlib.compress(b"\x00\x01" * (1 << 16), 6)
+    objs.append(
+        (
+            f"<< /Length {len(cid2gid)} /Filter /FlateDecode >>\nstream\n"
+        ).encode()
+        + cid2gid
+        + b"\nendstream"
+    )
+    # 8: identity ToUnicode CMap (:595-615)
+    objs.append(
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(_TO_UNICODE_CMAP), _TO_UNICODE_CMAP)
+    )
+    # 9: font descriptor (:628-646); FontBBox x-extent = 1000/kCharWidth
+    objs.append(
+        b"<< /Type /FontDescriptor /Ascent 1000 /CapHeight 1000 "
+        b"/Descent -1 /Flags 5 /FontBBox [ 0 0 500 1000 ] "
+        b"/FontFile2 10 0 R /FontName /GlyphLessFont /ItalicAngle 0 "
+        b"/StemV 80 >>"
+    )
+    # 10: the embedded glyphless TrueType program (:648-690)
+    objs.append(
+        (
+            f"<< /Length {len(GLYPHLESS_FONT)} "
+            f"/Length1 {len(GLYPHLESS_FONT)} >>\nstream\n"
+        ).encode()
+        + GLYPHLESS_FONT
+        + b"\nendstream"
     )
     if image is not None:
-        import zlib
 
         import numpy as np
 

@@ -87,6 +87,49 @@ def test_pdf_roundtrip_escapes_and_positions():
     assert abs(x - 12 * 72 / 300) < 0.02  # px->pt placement preserved
 
 
+def test_pdf_roundtrip_non_latin_scripts():
+    """CID text layer (Identity-H + identity ToUnicode, pdfrenderer.cpp:
+    503-690) must round-trip ANY script — the Helvetica/WinAnsi layer the
+    sink used to write could not encode these at all."""
+    words = [
+        _wrec("שלום", 10, 20, word=1),          # Hebrew
+        _wrec("עולם", 60, 20, word=2),
+        _wrec("नमस्ते", 10, 60, block=2),         # Devanagari (w/ combining)
+        _wrec("你好世界", 10, 100, block=3),      # CJK
+        _wrec("\U0001d49c\U0001f600", 10, 140, block=4),  # supplementary
+    ]
+    blob = build_pdf_page(words, 400, 200, 300)
+    assert extract_pdf_text(blob) == (
+        "שלום עולם\nनमस्ते\n你好世界\n\U0001d49c\U0001f600"
+    )
+    # surrogate-pair codepoints still count once for the Tz stretch
+    # (pdf_word_len, pdfrenderer.cpp:470-475)
+    from tesseract_spark.operators.sinks import _word_to_utf16be_hex
+
+    hexstr, n = _word_to_utf16be_hex("\U0001d49c\U0001f600")
+    assert n == 2 and len(hexstr) == 16
+
+
+def test_pdf_glyphless_font_wellformed():
+    """The embedded TrueType program: sfnt header, required tables, and
+    the whole-file checksum invariant (head.checkSumAdjustment makes the
+    file sum to 0xB1B0AFBA per the OpenType spec)."""
+    import struct
+
+    from tesseract_spark.functions.glyphless_font import (
+        GLYPHLESS_FONT as f,
+        _checksum,
+    )
+
+    assert f[:4] == b"\x00\x01\x00\x00"
+    num_tables = struct.unpack(">H", f[4:6])[0]
+    tags = [f[12 + 16 * i : 16 + 16 * i] for i in range(num_tables)]
+    for required in (b"glyf", b"head", b"hhea", b"hmtx", b"loca", b"maxp"):
+        assert required in tags
+    assert tags == sorted(tags)  # directory must be tag-sorted
+    assert _checksum(f) == 0xB1B0AFBA
+
+
 def test_pdf_parse_rejects_non_pdf():
     import pytest
 

@@ -44,8 +44,15 @@ def test_pdf_text_layer_invisible_and_extractable():
     blob = build_pdf_page(WORDS, 200, 100, 300)
     body = blob.decode("latin-1")
     assert "BT\n3 Tr" in body  # invisible ink (pdfrenderer.cpp:374)
-    texts = re.findall(r"\((.*?)\) Tj", body)
-    assert texts == ["hello", "world", r"\(x\)"]
+    # CID layer: UTF-16BE [ <hex> ] TJ show ops (pdfrenderer.cpp:482-484);
+    # identity ToUnicode means the hex decodes straight back to the text.
+    texts = [
+        bytes.fromhex(h).decode("utf-16-be")
+        for h in re.findall(r"\[ <([0-9A-F]+)> \] TJ", body)
+    ]
+    assert texts == ["hello ", "world", "(x)"]  # trailing inter-word space
+    assert "/GlyphLessFont" in body and "/Identity-H" in body
+    assert "/ToUnicode" in body and "beginbfrange" in body
     assert body.count("ET") >= 2  # one text object per block
     # word-box-matched stretch present
     assert " Tz" in body and " Tm" in body
