@@ -312,6 +312,285 @@ def is_equation_para(
     return indent in (LEFT_INDENT, BOTH_INDENT)
 
 
+# ---------------------------------------------------------------------------
+# Seed expansion + satellite merge (ExpandSeed, equationdetect.cpp:1038-1077;
+# ExpandSeedHorizontal :1080-1129; ExpandSeedVertical :1132-1210;
+# SearchByOverlap :447-491; ProcessMathBlockSatelliteParts :1248-1293)
+# over a text region's top-down paragraph list.  The reference expands on
+# ColPartitions in a BBGrid; a region's paragraphs are the partition set
+# here (full-width row groups), so the grid searches reduce to ordered
+# scans of the paragraph list — same predicates, same constants.
+
+K_UNCLEAR_DENSITY_TH = 0.25  # equationdetect.cpp:81
+
+
+def x_overlap_fraction(a, b) -> float:
+    """TBOX::x_overlap_fraction (rect.h:463): overlap as a fraction of
+    A's width (degenerate width: 1.0 if contained)."""
+    w = a[2] - a[0]
+    if w == 0:
+        return 1.0 if b[0] <= a[0] <= b[2] else 0.0
+    return max(0.0, (min(a[2], b[2]) - max(a[0], b[0])) / w)
+
+
+def y_overlap_fraction(a, b) -> float:
+    h = a[3] - a[1]
+    if h == 0:
+        return 1.0 if b[1] <= a[1] <= b[3] else 0.0
+    return max(0.0, (min(a[3], b[3]) - max(a[1], b[1])) / h)
+
+
+def check_seed_neighbor_density(text: str) -> bool:
+    """CheckSeedNeighborDensity (equationdetect.cpp:1232-1245): few
+    glyphs skip the check; else math+digit density must clear the HIGH
+    threshold.  (The unclear-blob branch is structurally absent here:
+    glyphs are decoded, so BSTT_UNCLEAR density is always 0.)"""
+    n, math, digit = _counts(text)
+    if n < K_SEED_BLOBS_COUNT_TH:
+        return True
+    return (math + digit) / n > K_MATH_DIGIT_DENSITY_TH1
+
+
+def _union(a, b):
+    return (min(a[0], b[0]), min(a[1], b[1]), max(a[2], b[2]), max(a[3], b[3]))
+
+
+def _expand_vertical(
+    s: int,
+    down: bool,
+    box: list,
+    kinds: list[str],
+    texts: list[str],
+    alive: list[bool],
+    resolution: int,
+) -> list[int]:
+    """ExpandSeedVertical (equationdetect.cpp:1132-1210) in one
+    direction.  ``down`` = toward larger y (the page's y-down frame;
+    direction flips are pure interval arithmetic)."""
+    y_gap_th = round(0.2 * resolution)
+    x_ov_th = 0.4
+    sb = box[s]
+    cands = [
+        i
+        for i in range(len(box))
+        if alive[i] and i != s and y_gap(box[i], sb) <= y_gap_th
+        # part must extend beyond the seed's edge in the search direction
+        and ((box[i][3] > sb[3]) if down else (box[i][1] < sb[1]))
+    ]
+    picked: list[int] = []
+    # the skipped-part fence: a candidate entirely beyond a skipped
+    # non-equation part must not be jumped over (:1196-1209)
+    skipped_far = None
+    for i in sorted(cands, key=lambda i: y_gap(box[i], sb)):
+        if kinds[i] != "equation":
+            if not (
+                is_near_small_neighbor(sb, box[i], resolution)
+                and check_seed_neighbor_density(texts[i])
+            ):
+                # fence value = the skipped part's FAR edge (the
+                # reference's skipped_max_bottom / skipped_min_top): a
+                # later candidate entirely beyond it is fenced off
+                if down:
+                    skipped_far = (
+                        box[i][3]
+                        if skipped_far is None
+                        else min(skipped_far, box[i][3])
+                    )
+                else:
+                    skipped_far = (
+                        box[i][1]
+                        if skipped_far is None
+                        else max(skipped_far, box[i][1])
+                    )
+                continue
+        elif (
+            x_overlap_fraction(box[i], sb) < x_ov_th
+            and x_overlap_fraction(sb, box[i]) < x_ov_th
+        ):
+            continue
+        picked.append(i)
+    if skipped_far is not None:
+        picked = [
+            i
+            for i in picked
+            if (box[i][1] < skipped_far if down else box[i][3] > skipped_far)
+        ]
+    return picked
+
+
+def _expand_horizontal(
+    s: int,
+    left: bool,
+    box: list,
+    kinds: list[str],
+    texts: list[str],
+    alive: list[bool],
+    resolution: int,
+) -> list[int]:
+    """ExpandSeedHorizontal (equationdetect.cpp:1080-1129)."""
+    x_gap_th = round(0.2 * resolution)
+    y_ov_th = 0.6
+    sb = box[s]
+    picked: list[int] = []
+    for i in range(len(box)):
+        if not alive[i] or i == s or x_gap(box[i], sb) > x_gap_th:
+            continue
+        if (box[i][0] >= sb[0]) if left else (box[i][2] <= sb[2]):
+            continue
+        if kinds[i] != "equation":
+            if not (
+                is_near_small_neighbor(sb, box[i], resolution)
+                and check_seed_neighbor_density(texts[i])
+            ):
+                continue
+        elif (
+            y_overlap_fraction(box[i], sb) < y_ov_th
+            and y_overlap_fraction(sb, box[i]) < y_ov_th
+        ):
+            continue
+        picked.append(i)
+    return picked
+
+
+def _search_by_overlap(
+    s: int, box: list, kinds: list[str], alive: list[bool]
+) -> list[int]:
+    """SearchByOverlap (equationdetect.cpp:447-491): absorb parts the
+    expanded seed box now overlaps."""
+    sb = box[s]
+    picked = []
+    for i in range(len(box)):
+        if not alive[i] or i == s:
+            continue
+        xf, yf = x_overlap_fraction(box[i], sb), y_overlap_fraction(box[i], sb)
+        if (xf >= 0.95 and yf >= 0.95) or (
+            (xf > 0.4 and yf > 0.0) or (xf > 0.0 and yf > 0.5)
+        ):
+            picked.append(i)
+    return picked
+
+
+def expand_equation_paragraphs(
+    boxes: list, texts: list[str], resolution: int = 300
+) -> tuple[list[list[int]], list[bool]]:
+    """Full post-seed pass over one region's paragraphs: seed election
+    (seeds1 density + seeds2 indent, equationdetect.cpp:510-545), four-way
+    seed expansion with absorb (:1038-1077), overlap sweep, then the
+    math-block satellite merge (:1248-1293).
+
+    Returns ``(groups, is_equation)``: ``groups`` partitions the original
+    paragraph indices (each group ascending, groups ordered by first
+    member); ``is_equation[k]`` forces the merged group's span kind —
+    absorbed text keeps the seed's PT_EQUATION type (ColPartition::Absorb
+    keeps the absorbing partition's type) even where dilution would fail
+    the density gate on the merged text.
+    """
+    n = len(boxes)
+    kinds = [
+        "equation"
+        if is_equation_para(
+            texts[i],
+            boxes[i],
+            [b for j, b in enumerate(boxes) if j != i],
+            resolution,
+        )
+        else "text"
+        for i in range(n)
+    ]
+    if "equation" not in kinds or n == 1:
+        return [[i] for i in range(n)], [k == "equation" for k in kinds]
+
+    box = list(boxes)
+    alive = [True] * n
+    members: list[list[int]] = [[i] for i in range(n)]
+
+    def absorb(s: int, parts: list[int]) -> bool:
+        did = False
+        for p in parts:
+            if not alive[p] or p == s:
+                continue
+            alive[p] = False
+            members[s].extend(members[p])
+            box[s] = _union(box[s], box[p])
+            did = True
+        return did
+
+    for s in range(n):
+        if kinds[s] != "equation" or not alive[s]:
+            continue
+        # iterate until this seed stops growing (the reference re-queues
+        # seeds whose Absorb expanded the box)
+        while True:
+            parts = (
+                _expand_horizontal(s, True, box, kinds, texts, alive, resolution)
+                + _expand_horizontal(s, False, box, kinds, texts, alive, resolution)
+                + _expand_vertical(s, False, box, kinds, texts, alive, resolution)
+                + _expand_vertical(s, True, box, kinds, texts, alive, resolution)
+                + _search_by_overlap(s, box, kinds, alive)
+            )
+            if not absorb(s, parts):
+                break
+
+    # ---- ProcessMathBlockSatelliteParts (:1248-1293) ----------------------
+    text_idx = [i for i in range(n) if alive[i] and kinds[i] != "equation"]
+    if text_idx and any(alive[i] and kinds[i] == "equation" for i in range(n)):
+        heights = sorted(box[i][3] - box[i][1] for i in text_idx)
+        m = len(heights)
+        med_h = heights[m // 2]
+        if m % 2 == 0 and m > 1:
+            med_h = round(0.5 * (heights[m // 2 - 1] + med_h))
+        nn_gap_th = round(0.5 * resolution)
+        near_th = round(0.1 * resolution)
+        for t in text_idx:
+            if not alive[t] or box[t][3] - box[t][1] > med_h:
+                continue
+            # nearest vertical neighbors (SearchNNVertical, :1352-1385)
+            nbrs = []
+            for up in (False, True):
+                best, best_gap = None, None
+                for i in range(n):
+                    if i == t or not alive[i]:
+                        continue
+                    g = y_gap(box[i], box[t])
+                    if g > nn_gap_th or not major_x_overlap(box[i], box[t]):
+                        continue
+                    if up and box[i][1] > box[t][1]:
+                        continue
+                    if not up and box[i][3] < box[t][3]:
+                        continue
+                    if best_gap is None or g < best_gap:
+                        best, best_gap = i, g
+                nbrs.append((best, best_gap))
+            if nbrs[0][0] is not None and nbrs[0][0] == nbrs[1][0]:
+                nbrs[1] = (None, None)
+            found = [x for x in nbrs if x[0] is not None]
+            if not found:
+                continue
+            lo = min(box[i][0] for i, _ in found)
+            hi = max(box[i][2] for i, _ in found)
+            if box[t][0] < lo or box[t][2] > hi:
+                continue
+            found.sort(key=lambda x: x[1])
+            near, near_gap = found[0]
+            # IsNearMathNeighbor (:1388-1394)
+            if kinds[near] != "equation" or near_gap > near_th:
+                continue
+            blocks = [near]
+            if len(found) > 1:
+                far, far_gap = found[1]
+                if kinds[far] == "equation" and far_gap <= near_th:
+                    blocks.append(far)
+            # text_part becomes PT_EQUATION and absorbs the math blocks
+            kinds[t] = "equation"
+            absorb(t, blocks)
+
+    order = sorted((i for i in range(n) if alive[i]), key=lambda i: min(members[i]))
+    return (
+        [sorted(members[i]) for i in order],
+        [kinds[i] == "equation" for i in order],
+    )
+
+
 def inline_equation_words(words: list[str]) -> list[int]:
     """Indices of inline-equation words: math-dense tokens embedded in a
     line that is NOT itself an equation (PT_INLINE_EQUATION,

@@ -714,7 +714,37 @@ def recognize_page_detail(
             row_confs.append(
                 float(np.mean([w.confidence for w in words])) if words else 0.0
             )
-        for pi, group in enumerate(region.paragraphs):
+        # ---- equation seed expansion (ExpandSeed equationdetect.cpp:
+        # 1038-1077 + ProcessMathBlockSatelliteParts :1248-1293): when a
+        # paragraph elects as an equation seed, it absorbs eligible
+        # neighbor paragraphs (the second line of a displayed equation,
+        # small limit/exponent fragments, sandwiched short text) so a
+        # multi-line equation emits ONE kind='equation' span.  Gated on a
+        # seed existing — equation-free pages pay one density scan.
+        para_groups: list[list[int]] = region.paragraphs
+        forced_eq: list[bool] | None = None
+        if len(para_groups) > 1:
+            p_texts = ["\n".join(row_texts[i] for i in g) for g in para_groups]
+            if any(is_equation_text(t) for t in p_texts):
+                from .equation import expand_equation_paragraphs
+
+                p_boxes = [
+                    (
+                        min(region.rows[i].bbox[0] for i in g),
+                        min(region.rows[i].bbox[1] for i in g),
+                        max(region.rows[i].bbox[2] for i in g),
+                        max(region.rows[i].bbox[3] for i in g),
+                    )
+                    for g in para_groups
+                ]
+                merged, forced_eq = expand_equation_paragraphs(
+                    p_boxes, p_texts, dpi
+                )
+                para_groups = [
+                    sorted(i for gi in mg for i in region.paragraphs[gi])
+                    for mg in merged
+                ]
+        for pi, group in enumerate(para_groups):
             # bidi reading order (CalculateTextlineOrder,
             # resultiterator.cpp:284-364): paragraphs containing strong-RTL
             # words are re-assembled in the bidi walk with suffix marks;
@@ -752,8 +782,19 @@ def recognize_page_detail(
             para_text = "\n".join(texts)
             # PT_EQUATION taxonomy (publictypes.h:51-67): a math-dense
             # isolated paragraph emits an equation span
-            # (EquationDetect seed gates, equationdetect.cpp:942-974)
-            kind = "equation" if is_equation_text(para_text) else "text"
+            # (EquationDetect seed gates, equationdetect.cpp:942-974);
+            # after seed expansion the merged group keeps the seed's
+            # type (ColPartition::Absorb) even where absorbed prose
+            # dilutes the density below the seed gate
+            kind = (
+                "equation"
+                if (
+                    forced_eq[pi]
+                    if forced_eq is not None
+                    else is_equation_text(para_text)
+                )
+                else "text"
+            )
             keyed.append(
                 (
                     key,

@@ -278,7 +278,15 @@ def q_equation_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " ".join(words[j * WORDS_PER_LINE : (j + 1) * WORDS_PER_LINE])
                     for j in range(-(-len(words) // WORDS_PER_LINE))
                 ]
-                page = compose_page(PageSpec(paragraphs=[lines, [eq]]))
+                # fixed full-width lead line: keeps the prose partition
+                # wider and taller than the equation so the satellite
+                # merge's bounds check (ProcessMathBlockSatelliteParts,
+                # equationdetect.cpp:1325-1328) correctly leaves it text
+                # even when the chunk tail is a one-word line — without
+                # it a short trailing prose line horizontally inside the
+                # equation IS a reference satellite and must merge
+                lead = "the quick brown fox jumps over the lazy dog once more"
+                page = compose_page(PageSpec(paragraphs=[[lead, *lines], [eq]]))
                 spans, _ = recognize_page(page.image, 300, net=net)
                 prose_words = [
                     w
