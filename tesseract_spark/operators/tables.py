@@ -436,7 +436,64 @@ class TableStructure:
         self.bounding_box = (self.cell_x[0], self.cell_y[0],
                              self.cell_x[-1], self.cell_y[-1])
         self.is_lined = False
+        self.calculate_margins()
+        self.calculate_stats()
         return True
+
+    # margins & stats (CalculateMargins :496-549, CalculateStats :552-566,
+    # CountPartitions :727-739, row_height :135-138) — the border-search
+    # scoring inputs of RecognizeWhitespacedTable
+    def count_partitions(self, box) -> int:
+        return sum(1 for b, _mw in self.text_parts if _boxes_overlap(b, box))
+
+    def count_filled_cells_in_row(self, row: int) -> int:
+        filled = 0
+        for col in range(self.column_count()):
+            cell = (self.cell_x[col], self.cell_y[row],
+                    self.cell_x[col + 1], self.cell_y[row + 1])
+            if self.count_partitions(cell) > 0:
+                filled += 1
+        return filled
+
+    def row_height(self, row: int) -> int:
+        return self.cell_y[row + 1] - self.cell_y[row]
+
+    def calculate_margins(self) -> None:
+        """Nearest text/line partition beyond each border, restricted to
+        the border's cross extent (FindVerticalMargin/FindHorizontalMargin,
+        tablerecog.cpp:518-549).  INT32_MAX when the page is clear."""
+        big = 1 << 31
+        l, b, r, t = self.bounding_box
+        boxes = [bx for bx, _mw in self.text_parts]
+        boxes += [bx for _k, bx in self.line_parts]
+        below = [b - bx[3] for bx in boxes
+                 if bx[0] <= r and bx[2] >= l and b - bx[3] >= 0]
+        above = [bx[1] - t for bx in boxes
+                 if bx[0] <= r and bx[2] >= l and bx[1] - t >= 0]
+        left = [l - bx[2] for bx in boxes
+                if bx[1] <= t and bx[3] >= b and l - bx[2] >= 0]
+        right = [bx[0] - r for bx in boxes
+                 if bx[1] <= t and bx[3] >= b and bx[0] - r >= 0]
+        self.space_below = min(below) if below else big
+        self.space_above = min(above) if above else big
+        self.space_left = min(left) if left else big
+        self.space_right = min(right) if right else big
+
+    def calculate_stats(self) -> None:
+        """Median cell height/width, each row/column weighted by its
+        cross-count (CalculateStats, :552-566)."""
+        hs = sorted(
+            h
+            for i in range(self.row_count())
+            for h in [self.row_height(i)] * self.column_count()
+        )
+        ws = sorted(
+            w
+            for i in range(self.column_count())
+            for w in [self.cell_x[i + 1] - self.cell_x[i]] * self.row_count()
+        )
+        self.median_cell_height = hs[len(hs) // 2] if hs else 0
+        self.median_cell_width = ws[len(ws) // 2] if ws else 0
 
 
 def _boxes_overlap(a, b) -> bool:
@@ -515,16 +572,131 @@ def recognize_lined_table(text_parts, line_parts, guess):
     return table if table.find_lined_structure() else None
 
 
-def recognize_whitespaced_table(text_parts, guess):
-    """RecognizeWhitespacedTable over the guess box.  The reference
-    (:908-1030) additionally wobbles the top/bottom borders to shed
-    headers/footers (NextHorizontalSplit + margin scoring); our table
-    guesses come from detect_tables' aligned-row runs which already
-    exclude surrounding prose, so the border search is compressed to
-    the single guess evaluation — the structure/verify/snap semantics
-    are the reference's."""
+K_REQUIRED_COLUMNS = 0.7  # tablerecog.cpp:47
+K_MARGIN_FACTOR = 1.1  # tablerecog.cpp:49
+K_MAX_ROW_SIZE = 2.5  # tablerecog.cpp:52
+K_MAX_CHANCES = 10  # tablerecog.cpp:939
+
+
+def next_horizontal_split(
+    text_parts, left, right, y, top_to_bottom, max_text_height=1 << 31
+):
+    """NextHorizontalSplit (tablerecog.cpp:1053-1082): walk text
+    partitions away from ``y`` (bottom-up frame; ``top_to_bottom`` =
+    toward smaller y) merging overlapping bands until the first clear
+    horizontal gap; returns the split coordinate."""
+    cands = []
+    for box, _mw in text_parts:
+        if box[2] < left or box[0] > right:
+            continue
+        if box[3] - box[1] > max_text_height:
+            continue
+        if top_to_bottom and box[1] <= y:
+            cands.append((-min(box[3], y), box))
+        elif not top_to_bottom and box[3] >= y:
+            cands.append((max(box[1], y), box))
+    last_y = y
+    for _e, box in sorted(cands, key=lambda c: c[0]):
+        if top_to_bottom:
+            if last_y >= y or last_y <= box[3]:
+                last_y = min(last_y, box[1])
+                continue
+        else:
+            if last_y <= y or last_y >= box[1]:
+                last_y = max(last_y, box[3])
+                continue
+        return last_y
+    return last_y
+
+
+def recognize_whitespaced_table(text_parts, guess, min_height: int = 0):
+    """RecognizeWhitespacedTable (tablerecog.cpp:908-1045): wobble the
+    bottom border outward from the guess middle split-by-split, keeping
+    a move when it improves the below-margin (header/footer shedding)
+    or adds a multi-cell data row of sane height; then the same for the
+    top border; finally refit on the best box.  Bottom-up frame."""
     table = TableStructure(text_parts, [])
-    table.bounding_box = tuple(guess)
+    gl, gb, gr, gt = guess
+    mid = (gb + gt) // 2
+    best = [gl, gb, gr, gt]
+    best_below = best_above = 0
+    best_cols = 0
+    found = False
+
+    top = next_horizontal_split(text_parts, gl, gr, mid + min_height // 2, False)
+    bottom = next_horizontal_split(
+        text_parts, gl, gr, mid - min_height // 2, True
+    )
+    last_bottom = 1 << 31
+    previous_below = 0
+    chances = K_MAX_CHANCES
+    while bottom != last_bottom:
+        if top - bottom >= min_height:
+            table.bounding_box = (gl, bottom, gr, top)
+            if (
+                table.find_whitespaced_structure()
+                and table.column_count() >= best_cols * K_REQUIRED_COLUMNS
+            ):
+                chances = K_MAX_CHANCES
+                max_row_h = K_MAX_ROW_SIZE * table.median_cell_height
+                if (
+                    table.space_below * K_MARGIN_FACTOR >= best_below
+                    and table.space_below >= previous_below
+                ) or (
+                    table.count_filled_cells_in_row(0) > 1
+                    and table.row_height(0) < max_row_h
+                ):
+                    best[1] = bottom
+                    best_below = table.space_below
+                    best_cols = max(table.column_count(), best_cols)
+                    found = True
+                previous_below = table.space_below
+            else:
+                chances -= 1
+        if chances <= 0:
+            break
+        last_bottom = bottom
+        bottom = next_horizontal_split(text_parts, gl, gr, last_bottom, True)
+    if not found:
+        return None
+
+    found = False
+    top = next_horizontal_split(text_parts, gl, gr, mid + min_height // 2, False)
+    last_top = -(1 << 31)
+    previous_above = 0
+    chances = K_MAX_CHANCES
+    while top != last_top:
+        if top - best[1] >= min_height:
+            table.bounding_box = (gl, best[1], gr, top)
+            if (
+                table.find_whitespaced_structure()
+                and table.column_count() >= best_cols * K_REQUIRED_COLUMNS
+            ):
+                chances = K_MAX_CHANCES
+                last_row = table.row_count() - 1
+                max_row_h = K_MAX_ROW_SIZE * table.median_cell_height
+                if (
+                    table.space_above * K_MARGIN_FACTOR >= best_above
+                    and table.space_above >= previous_above
+                ) or (
+                    table.count_filled_cells_in_row(last_row) > 1
+                    and table.row_height(last_row) < max_row_h
+                ):
+                    best[3] = top
+                    best_above = table.space_above
+                    best_cols = max(table.column_count(), best_cols)
+                    found = True
+                previous_above = table.space_above
+            else:
+                chances -= 1
+        if chances <= 0:
+            break
+        last_top = top
+        top = next_horizontal_split(text_parts, gl, gr, last_top, False)
+    if not found:
+        return None
+
+    table.bounding_box = tuple(best)
     return table if table.find_whitespaced_structure() else None
 
 

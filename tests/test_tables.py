@@ -223,3 +223,85 @@ def test_ruled_table_on_skewed_page_decodes_all_cells():
         "ab", "cd", "ef", "gh", "ij", "kl",
         "mn", "op", "qr", "st", "uv", "wx",
     ]
+
+
+# ---------------------------------------------------------------------------
+# RecognizeWhitespacedTable border search (tablerecog.cpp:908-1045):
+# fixtures in the reference's bottom-up (l, bottom, r, top) frame
+
+from tesseract_spark.operators.tables import (  # noqa: E402
+    next_horizontal_split,
+    recognize_whitespaced_table,
+)
+
+
+def _grid_parts(n_rows=40, n_cols=20, row_h=20, col_w=25, y0=0):
+    """tablerecog_test.cc InsertPartitions: n_rows x n_cols fake cells
+    (col*25+1, row*20+1, col*25+24, row*20+19), median_width 3."""
+    return [
+        ((col * col_w + 1, y0 + row * row_h + 1,
+          col * col_w + col_w - 1, y0 + row * row_h + row_h - 1), 3)
+        for row in range(n_rows)
+        for col in range(n_cols)
+    ]
+
+
+def test_recognize_whitespaced_table_basic():
+    # RecognizeWhitespacedTableBasic (tablerecog_test.cc:226-244)
+    parts = _grid_parts()
+    table = recognize_whitespaced_table(parts, (0, 0, 500, 800))
+    assert table is not None
+    assert table.bounding_box == (1, 1, 499, 799)
+    assert table.column_count() == 500 // 25
+    assert table.row_count() == 800 // 20
+    assert table.cell_count() == (500 // 25) * (800 // 20)
+    assert not table.is_lined
+
+
+def test_next_horizontal_split_walks_gaps():
+    parts = _grid_parts(n_rows=3, n_cols=4)  # rows at y 1-19, 21-39, 41-59
+    # from the middle of row 1 going down: band [1,19] -> split at 1
+    assert next_horizontal_split(parts, 0, 100, 30, True) == 21
+    assert next_horizontal_split(parts, 0, 100, 10, True) == 1
+    # going up from inside row 1: band merges to top of row (19), next
+    # call from there crosses the gap into row 2's band
+    assert next_horizontal_split(parts, 0, 100, 30, False) == 39
+    assert next_horizontal_split(parts, 0, 100, 39, False) == 59
+
+
+def test_whitespaced_table_sheds_far_footer():
+    # a wide footer line far below the grid: once the walk has
+    # established the 4-column structure and the big below-margin at
+    # the last data row, the footer step bridges columns (2 < 4 *
+    # kRequiredColumns) and is rejected — the border stays on the data
+    parts = _grid_parts(n_rows=6, n_cols=4, y0=100)  # rows y 101..219
+    footer = ((1, 1, 60, 19), 3)  # 82px below the last data row
+    table = recognize_whitespaced_table(
+        parts + [footer], (0, 60, 100, 260)
+    )
+    assert table is not None
+    # bottom border lands on the grid's first data row, not the footer
+    assert table.bounding_box[1] == 101
+    assert table.row_count() == 6
+    assert table.column_count() == 4
+
+
+def test_whitespaced_table_sheds_far_header():
+    parts = _grid_parts(n_rows=6, n_cols=4, y0=100)
+    header = ((1, 301, 60, 319), 3)  # 82px above the top data row
+    table = recognize_whitespaced_table(
+        parts + [header], (0, 60, 100, 260)
+    )
+    assert table is not None
+    assert table.bounding_box[3] == 219  # top of the 6th data row
+    assert table.row_count() == 6
+    assert table.column_count() == 4
+
+
+def test_whitespaced_table_keeps_near_multi_cell_rows():
+    # multi-cell rows at normal pitch are data, not header/footer:
+    # nothing is shed even though the margin rule alone wouldn't add them
+    parts = _grid_parts(n_rows=8, n_cols=4)
+    table = recognize_whitespaced_table(parts, (0, 0, 100, 160))
+    assert table is not None
+    assert table.row_count() == 8
