@@ -829,25 +829,30 @@ def serialize_network(net, int_mode: bool = False) -> bytes:
       output     -> Softmax FullyConnected
     """
     w = Writer()
-    # the Series root
-    depth = net.depth
-    height = net.height
-    n_layers = 0
     body = Writer()
+    _write_network_header(body, "Input", net.depth, net.depth, "Input")
+    # StaticShape (static_shape.h:91-95): batch,h,w,depth,loss_type
+    body.i32(net.batch)
+    body.i32(net.height)
+    body.i32(net.width)
+    body.i32(net.depth)
+    body.i32(0)
+    depth, _height, n_records = _emit_stack(
+        body, net.layers, net.depth, net.height, int_mode
+    )
+    _write_network_header(w, "Series", net.depth, depth, "Series")
+    w.u32(n_records + 1)
+    w.raw(body.getvalue())
+    return w.getvalue()
 
-    def emit_input() -> None:
-        nonlocal n_layers
-        _write_network_header(body, "Input", depth, depth, "Input")
-        # StaticShape (static_shape.h:91-95): batch,h,w,depth,loss_type
-        body.i32(net.batch)
-        body.i32(net.height)
-        body.i32(net.width)
-        body.i32(net.depth)
-        body.i32(0)
-        n_layers += 1
 
-    emit_input()
-    for layer in net.layers:
+def _emit_stack(body, layers, depth, height, int_mode):
+    """Emit one stack of layers as sibling records of a Series; returns
+    (out_depth, out_height, record_count).  Recurses for parallel/
+    reversed groups (Parallel/Replicated/RTLReversed/TTBReversed
+    plumbing nodes, parallel.cpp / reversed.cpp)."""
+    n_layers = 0
+    for layer in layers:
         if layer.kind == "conv":
             ky, kx = layer.params["ky"], layer.params["kx"]
             if ky % 2 == 0 or kx % 2 == 0:
@@ -979,13 +984,39 @@ def serialize_network(net, int_mode: bool = False) -> bytes:
             )
             n_layers += 1
             depth = classes
+        elif layer.kind in ("parallel", "reversed"):
+            # Parallel / Replicated / Reversed plumbing (kTypeNames,
+            # network.cpp): header + u32 stack size + children; a branch
+            # spanning several records nests in its own Series, exactly
+            # as a '[...]' group parses in the reference.
+            if layer.kind == "parallel":
+                tname = ("Replicated" if layer.params["replicated"]
+                         else "Parallel")
+            else:
+                tname = ("RTLReversed" if layer.params["axis"] == "x"
+                         else "TTBReversed")
+            out_d = layer.params["out_depth"]
+            _write_network_header(body, tname, depth, out_d, tname)
+            branches = layer.params["branches"]
+            body.u32(len(branches))
+            h_out = height
+            for br in branches:
+                sub = Writer()
+                d2, h_out, nrec = _emit_stack(sub, br, depth, height,
+                                              int_mode)
+                if nrec == 1:
+                    body.raw(sub.getvalue())
+                else:
+                    _write_network_header(body, "Series", depth, d2,
+                                          "Series")
+                    body.u32(nrec)
+                    body.raw(sub.getvalue())
+            n_layers += 1
+            depth = out_d
+            height = h_out
         else:  # pragma: no cover
             raise ValueError(f"unserializable layer {layer.kind}")
-
-    _write_network_header(w, "Series", net.depth, depth, "Series")
-    w.u32(n_layers)
-    w.raw(body.getvalue())
-    return w.getvalue()
+    return depth, height, n_layers
 
 
 def deserialize_network(r: Reader, spec: str):
@@ -999,111 +1030,149 @@ def deserialize_network(r: Reader, spec: str):
     if hdr["type"] != "Series":
         raise ValueError(f"tessdata: expected Series root, got {hdr['type']}")
     n_children = r.u32()
-    li = 0  # index into net.layers
+    _read_stack(r, net.layers, n_children)
+    return net
+
+
+def _read_stack(r: Reader, layers, n_children: int) -> int:
+    """Read n_children sibling records into the given layer stack."""
+    li = 0
     read = 0
     while read < n_children:
         child = _read_network_header(r)
-        read += 1
-        t = child["type"]
-        if t == "Input":
-            for _ in range(5):
-                r.i32()  # StaticShape
-        elif t == "Convolve":
-            half_x, half_y = r.i32(), r.i32()
-            fc = _read_network_header(r)
-            read += 1
-            if fc["type"] not in ("Tanh", "Relu"):
-                raise ValueError(f"tessdata: conv FC has type {fc['type']}")
-            mat = read_weight_matrix(r)
-            wmat, b = _split_fc(mat)
-            layer = net.layers[li]
-            assert layer.kind == "conv", (li, layer.kind)
-            ky, kx = layer.params["ky"], layer.params["kx"]
-            assert (kx // 2, ky // 2) == (half_x, half_y)
-            d = wmat.shape[1] // (ky * kx)
-            perm = _conv_ref_perm(ky, kx, d)
-            inv = np.argsort(perm)
-            layer.weights["w"] = wmat[:, inv].astype(np.float32)
-            layer.weights["b"] = b.astype(np.float32)
-            li += 1
-        elif t == "Maxpool":
-            r.i32(), r.i32()
-            assert net.layers[li].kind == "maxpool"
-            li += 1
-        elif t == "Reconfig":
-            r.i32(), r.i32()
-            assert net.layers[li].kind == "reconfig"
-            li += 1
-        elif t == "Par2dLSTM":
-            assert r.u32() == 4
-            layer = net.layers[li]
-            assert layer.kind == "lstm_2d_quad"
-            units = layer.params["units"]
-            # fixed tree: LSTM, XRev{LSTM}, XRev{YRev{LSTM}}, YRev{LSTM}
-            for d, wrappers in enumerate(
-                    ([], ["RTLReversed"], ["RTLReversed", "TTBReversed"],
-                     ["TTBReversed"])):
-                for expect in wrappers:
-                    sub = _read_network_header(r)
-                    assert sub["type"] == expect, sub["type"]
-                    assert r.u32() == 1
+        li, extra = _read_child(r, child["type"], layers, li)
+        read += 1 + extra
+    return li
+
+
+def _read_branch(r: Reader, branch) -> None:
+    """Read one plumbing child (a bare record or a nested Series) into a
+    parallel/reversed branch's layer list."""
+    sub_hdr = _read_network_header(r)
+    if sub_hdr["type"] == "Series":
+        cnt = r.u32()
+        _read_stack(r, branch, cnt)
+    else:
+        _read_child(r, sub_hdr["type"], branch, 0)
+
+
+def _read_child(r: Reader, t: str, layers, li: int) -> tuple[int, int]:
+    """Dispatch one serialized record against layers[li]; returns
+    (next_li, extra_sibling_records_consumed)."""
+    if t == "Input":
+        for _ in range(5):
+            r.i32()  # StaticShape
+        return li, 0
+    if t == "Convolve":
+        half_x, half_y = r.i32(), r.i32()
+        fc = _read_network_header(r)
+        if fc["type"] not in ("Tanh", "Relu"):
+            raise ValueError(f"tessdata: conv FC has type {fc['type']}")
+        mat = read_weight_matrix(r)
+        wmat, b = _split_fc(mat)
+        layer = layers[li]
+        assert layer.kind == "conv", (li, layer.kind)
+        ky, kx = layer.params["ky"], layer.params["kx"]
+        assert (kx // 2, ky // 2) == (half_x, half_y)
+        d = wmat.shape[1] // (ky * kx)
+        perm = _conv_ref_perm(ky, kx, d)
+        inv = np.argsort(perm)
+        layer.weights["w"] = wmat[:, inv].astype(np.float32)
+        layer.weights["b"] = b.astype(np.float32)
+        return li + 1, 1  # consumed the activation sibling too
+    if t == "Maxpool":
+        r.i32(), r.i32()
+        assert layers[li].kind == "maxpool"
+        return li + 1, 0
+    if t == "Reconfig":
+        r.i32(), r.i32()
+        assert layers[li].kind == "reconfig"
+        return li + 1, 0
+    if t == "Par2dLSTM":
+        assert r.u32() == 4
+        layer = layers[li]
+        assert layer.kind == "lstm_2d_quad"
+        units = layer.params["units"]
+        # fixed tree: LSTM, XRev{LSTM}, XRev{YRev{LSTM}}, YRev{LSTM}
+        for d, wrappers in enumerate(
+                ([], ["RTLReversed"], ["RTLReversed", "TTBReversed"],
+                 ["TTBReversed"])):
+            for expect in wrappers:
                 sub = _read_network_header(r)
-                assert sub["type"] == "LSTM", sub["type"]
-                na = r.i32()
-                layer.weights.update(
-                    _read_lstm2d_weights(r, na - 2 * units, units, f"d{d}_"))
-            li += 1
-        elif t in ("LSTM", "SummLSTM"):
-            na = r.i32()
-            layer = net.layers[li]
-            units = layer.params["units"]
-            ni = na - units
-            layer.weights.update(_read_lstm_weights(r, ni, units))
-            li += 1
-        elif t == "RTLReversed":
-            n_sub = r.u32()
-            assert n_sub == 1
+                assert sub["type"] == expect, sub["type"]
+                assert r.u32() == 1
             sub = _read_network_header(r)
+            assert sub["type"] == "LSTM", sub["type"]
             na = r.i32()
-            layer = net.layers[li]
-            units = layer.params["units"]
-            layer.weights.update(_read_lstm_weights(r, na - units, units))
-            li += 1
-        elif t == "ParBidiLSTM":
-            n_sub = r.u32()
-            assert n_sub == 2
-            layer = net.layers[li]
-            units = layer.params["units"]
-            fwd_hdr = _read_network_header(r)
-            na = r.i32()
-            layer.weights.update(_read_lstm_weights(r, na - units, units))
-            rev_hdr = _read_network_header(r)
-            assert rev_hdr["type"] == "RTLReversed"
-            assert r.u32() == 1
-            sub = _read_network_header(r)
-            na = r.i32()
-            rw = _read_lstm_weights(r, na - units, units)
-            layer.weights.update({f"r_{k}": v for k, v in rw.items()})
-            li += 1
-        elif t == "Softmax":
-            mat = read_weight_matrix(r)
-            wmat, b = _split_fc(mat)
-            layer = net.layers[li]
-            assert layer.kind == "output"
-            layer.weights["w"] = wmat.astype(np.float32)
-            layer.weights["b"] = b.astype(np.float32)
-            li += 1
-        elif t in ("Logistic", "Tanh", "Relu", "Linear"):
-            mat = read_weight_matrix(r)
-            wmat, b = _split_fc(mat)
-            layer = net.layers[li]
-            assert layer.kind == "fc", layer.kind
-            layer.weights["w"] = wmat.astype(np.float32)
-            layer.weights["b"] = b.astype(np.float32)
-            li += 1
-        else:
-            raise ValueError(f"tessdata: unsupported layer type {t}")
-    return net
+            layer.weights.update(
+                _read_lstm2d_weights(r, na - 2 * units, units, f"d{d}_"))
+        return li + 1, 0
+    if t in ("Parallel", "Replicated"):
+        # generic Parallel / Replicated plumbing (parallel.cpp)
+        n_br = r.u32()
+        layer = layers[li]
+        assert layer.kind == "parallel", layer.kind
+        branches = layer.params["branches"]
+        assert n_br == len(branches), (n_br, len(branches))
+        for br in branches:
+            _read_branch(r, br)
+        return li + 1, 0
+    if (t in ("RTLReversed", "TTBReversed")
+            and layers[li].kind == "reversed"):
+        # generic Rx/Ry wrapper (reversed.cpp) — distinguished from the
+        # reversed-LSTM shorthand by the spec-driven layer kind
+        assert r.u32() == 1
+        _read_branch(r, layers[li].params["branches"][0])
+        return li + 1, 0
+    if t in ("LSTM", "SummLSTM"):
+        na = r.i32()
+        layer = layers[li]
+        units = layer.params["units"]
+        ni = na - units
+        layer.weights.update(_read_lstm_weights(r, ni, units))
+        return li + 1, 0
+    if t == "RTLReversed":
+        n_sub = r.u32()
+        assert n_sub == 1
+        sub = _read_network_header(r)
+        na = r.i32()
+        layer = layers[li]
+        units = layer.params["units"]
+        layer.weights.update(_read_lstm_weights(r, na - units, units))
+        return li + 1, 0
+    if t == "ParBidiLSTM":
+        n_sub = r.u32()
+        assert n_sub == 2
+        layer = layers[li]
+        units = layer.params["units"]
+        _fwd_hdr = _read_network_header(r)
+        na = r.i32()
+        layer.weights.update(_read_lstm_weights(r, na - units, units))
+        rev_hdr = _read_network_header(r)
+        assert rev_hdr["type"] == "RTLReversed"
+        assert r.u32() == 1
+        _sub = _read_network_header(r)
+        na = r.i32()
+        rw = _read_lstm_weights(r, na - units, units)
+        layer.weights.update({f"r_{k}": v for k, v in rw.items()})
+        return li + 1, 0
+    if t == "Softmax":
+        mat = read_weight_matrix(r)
+        wmat, b = _split_fc(mat)
+        layer = layers[li]
+        assert layer.kind == "output"
+        layer.weights["w"] = wmat.astype(np.float32)
+        layer.weights["b"] = b.astype(np.float32)
+        return li + 1, 0
+    if t in ("Logistic", "Tanh", "Relu", "Linear"):
+        mat = read_weight_matrix(r)
+        wmat, b = _split_fc(mat)
+        layer = layers[li]
+        assert layer.kind == "fc", layer.kind
+        layer.weights["w"] = wmat.astype(np.float32)
+        layer.weights["b"] = b.astype(np.float32)
+        return li + 1, 0
+    raise ValueError(f"tessdata: unsupported layer type {t}")
 
 
 # ---------------------------------------------------------------------------

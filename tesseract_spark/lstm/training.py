@@ -136,10 +136,30 @@ def forward_cache(
     net: VGSLNetwork, x: np.ndarray
 ) -> tuple[np.ndarray, list[dict]]:
     """net.forward with per-layer activation caches for backward."""
+    from .vgsl import _collapse_height
+
+    out_layer = net.layers[-1]
+    assert out_layer.kind == "output", out_layer.kind
+    x, caches = _stack_forward_cache(net.layers[:-1], x)
+    seq = _collapse_height(x)[:, 0]  # [N, W, D]
+    w, b = out_layer.weights["w"], out_layer.weights["b"]
+    logits = seq @ w.T + b
+    mx = logits.max(-1, keepdims=True)
+    e = np.exp(logits - mx)
+    logp = (logits - mx) - np.log(e.sum(-1, keepdims=True))
+    caches.append({"seq": seq, "in_shape": x.shape})
+    return logp, caches
+
+
+def _stack_forward_cache(
+    layers: list, x: np.ndarray
+) -> tuple[np.ndarray, list[dict]]:
+    """Forward a (sub-)stack of non-output layers with caches — shared by
+    forward_cache and the parallel/reversed branch walks."""
     from .vgsl import _collapse_height, _conv, _maxpool
 
     caches: list[dict] = []
-    for layer in net.layers:
+    for layer in layers:
         if layer.kind == "conv":
             out = _conv(x, layer)
             caches.append({"x": x, "a": out})
@@ -206,22 +226,31 @@ def forward_cache(
                 cache["b"] = b_cache
             caches.append(cache)
             x = out2[:, None, :, :]
-        elif layer.kind == "output":
-            seq_4d = _collapse_height(x)
-            seq = seq_4d[:, 0]  # [N, W, D]
-            w, b = layer.weights["w"], layer.weights["b"]
-            logits = seq @ w.T + b
-            mx = logits.max(-1, keepdims=True)
-            e = np.exp(logits - mx)
-            logp = (logits - mx) - np.log(e.sum(-1, keepdims=True))
-            caches.append({"seq": seq, "in_shape": x.shape})
-            return logp, caches
+        elif layer.kind == "parallel":
+            # Parallel::Forward/Backward (parallel.cpp): branches share
+            # the input; outputs pack depth-wise, input deltas SUM.
+            bcaches, outs = [], []
+            for br in layer.params["branches"]:
+                o, c = _stack_forward_cache(br, x)
+                bcaches.append(c)
+                outs.append(o)
+            caches.append({
+                "branch_caches": bcaches,
+                "branch_depths": [o.shape[-1] for o in outs],
+            })
+            x = np.concatenate(outs, axis=-1).astype(np.float32)
+        elif layer.kind == "reversed":
+            ax = 1 if layer.params["axis"] == "y" else 2
+            xi = np.ascontiguousarray(np.flip(x, axis=ax))
+            o, c = _stack_forward_cache(layer.params["branches"][0], xi)
+            caches.append({"branch_caches": [c], "axis": ax})
+            x = np.ascontiguousarray(np.flip(o, axis=ax))
         else:
             raise ValueError(
                 f"training backward not implemented for layer kind "
                 f"{layer.kind!r}"
             )
-    raise ValueError("spec has no output layer")
+    return x, caches
 
 
 def backward(
@@ -253,8 +282,20 @@ def backward(
     else:
         dx = dseq.reshape(ns, ws, hs, ds).transpose(0, 2, 1, 3)
 
-    for li in range(len(net.layers) - 2, -1, -1):
-        layer = net.layers[li]
+    _dx, body_grads = _stack_backward(net.layers[:-1], caches[:-1], dx)
+    grads.update(body_grads)
+    return grads
+
+
+def _stack_backward(
+    layers: list, caches: list[dict], dx: np.ndarray
+) -> tuple[np.ndarray, dict]:
+    """Reverse walk over a (sub-)stack of non-output layers; returns the
+    input delta and {stack_idx: {weight_key: grad}} with composite keys
+    ('<branch>:<sub>:<key>') for weights inside parallel/reversed groups."""
+    grads: dict[int, dict[str, np.ndarray]] = {}
+    for li in range(len(layers) - 1, -1, -1):
+        layer = layers[li]
         cache = caches[li]
         if layer.kind == "maxpool":
             dx = _maxpool_backward(cache["x"], cache["a"], dx, layer)
@@ -267,6 +308,32 @@ def backward(
         elif layer.kind == "lstm_y_summary":
             dx, g = _lstm_y_summary_backward(layer, cache, dx)
             grads[li] = g
+        elif layer.kind == "parallel":
+            g: dict[str, np.ndarray] = {}
+            dx_in = None
+            off = 0
+            for bi, (br, bc) in enumerate(zip(
+                    layer.params["branches"], cache["branch_caches"])):
+                d_out = cache["branch_depths"][bi]
+                dxb = np.ascontiguousarray(dx[..., off:off + d_out])
+                off += d_out
+                dxi, gsub = _stack_backward(br, bc, dxb)
+                for si, gw2 in gsub.items():
+                    for k, v in gw2.items():
+                        g[f"{bi}:{si}:{k}"] = v
+                dx_in = dxi if dx_in is None else dx_in + dxi
+            grads[li] = g
+            dx = dx_in
+        elif layer.kind == "reversed":
+            ax = cache["axis"]
+            dxo = np.ascontiguousarray(np.flip(dx, axis=ax))
+            dxi, gsub = _stack_backward(
+                layer.params["branches"][0], cache["branch_caches"][0], dxo)
+            grads[li] = {
+                f"0:{si}:{k}": v
+                for si, gw2 in gsub.items() for k, v in gw2.items()
+            }
+            dx = np.ascontiguousarray(np.flip(dxi, axis=ax))
         elif layer.kind == "reconfig":
             ns_, hs, ws, ds = cache["in_shape"]
             ky, kx = layer.params["ky"], layer.params["kx"]
@@ -306,7 +373,7 @@ def backward(
                     0, 2, 1, 3).astype(np.float32)
         else:  # pragma: no cover - forward_cache already rejected it
             raise ValueError(f"no backward for {layer.kind!r}")
-    return grads
+    return dx, grads
 
 
 def _lstm_dir_cache(
@@ -583,6 +650,20 @@ def _maxpool_backward(
 # ---------------------------------------------------------------------------
 
 
+def _layer_slots(layer) -> list[tuple[str, tuple[int, ...]]]:
+    """Deterministic (key, shape) order for one layer, recursing into
+    parallel/reversed sub-stacks with composite '<branch>:<sub>:<key>'
+    keys."""
+    if layer.kind in ("parallel", "reversed"):
+        out = []
+        for bi, br in enumerate(layer.params["branches"]):
+            for si, sub in enumerate(br):
+                for key, shape in _layer_slots(sub):
+                    out.append((f"{bi}:{si}:{key}", shape))
+        return out
+    return [(k, layer.weights[k].shape) for k in sorted(layer.weights)]
+
+
 def trainable_slots(
     net: VGSLNetwork, layers: tuple[int, ...] | None = None
 ) -> list[tuple[int, str, tuple[int, ...]]]:
@@ -591,24 +672,29 @@ def trainable_slots(
     for li, layer in enumerate(net.layers):
         if layers is not None and li not in layers:
             continue
-        for key in sorted(layer.weights):
-            out.append((li, key, layer.weights[key].shape))
+        for key, shape in _layer_slots(layer):
+            out.append((li, key, shape))
     return out
 
 
 def flatten(net: VGSLNetwork, slots) -> np.ndarray:
-    return np.concatenate(
-        [net.layers[li].weights[key].ravel() for li, key, _s in slots]
-    ).astype(np.float32)
+    from .vgsl import resolve_weight
+
+    parts = []
+    for li, key, _s in slots:
+        wd, leaf = resolve_weight(net.layers[li], key)
+        parts.append(wd[leaf].ravel())
+    return np.concatenate(parts).astype(np.float32)
 
 
 def unflatten(net: VGSLNetwork, slots, vec: np.ndarray) -> None:
+    from .vgsl import resolve_weight
+
     pos = 0
     for li, key, shape in slots:
         size = int(np.prod(shape))
-        net.layers[li].weights[key] = (
-            vec[pos : pos + size].reshape(shape).astype(np.float32)
-        )
+        wd, leaf = resolve_weight(net.layers[li], key)
+        wd[leaf] = vec[pos : pos + size].reshape(shape).astype(np.float32)
         pos += size
 
 

@@ -53,6 +53,8 @@ class Layer:
             return self.params["n_out"]
         if self.kind == "output":
             return self.params["classes"]
+        if self.kind in ("parallel", "reversed"):
+            return self.params["out_depth"]
         return in_depth
 
 
@@ -73,164 +75,319 @@ class VGSLNetwork:
         self.batch, self.height, self.width, self.depth = (
             int(m.group(i)) for i in range(1, 5)
         )
-        depth = self.depth
-        height = self.height
-        for tok in m.group(5).split():
-            if tok.startswith("Ct") or tok.startswith("Cr"):
-                ky, kx, nf = (int(v) for v in re.findall(r"\d+", tok)[:3])
-                w = _glorot(rng, (nf, ky * kx * depth))
-                b = np.zeros(nf, dtype=np.float32)
-                self.layers.append(
-                    Layer(
-                        "conv",
-                        {"ky": ky, "kx": kx, "filters": nf,
-                         "act": "tanh" if tok[1] == "t" else "relu"},
-                        {"w": w, "b": b},
-                    )
-                )
-                depth = nf
-            elif tok.startswith("Mp"):
-                ky, kx = (int(v) for v in re.findall(r"\d+", tok)[:2])
-                self.layers.append(Layer("maxpool", {"ky": ky, "kx": kx}))
-                height = max(1, height // ky)
-            elif tok.startswith("S") and re.match(r"S\d+,\d+$", tok):
-                # Reconfig (networkbuilder 'S', reconfig.cpp): stack
-                # ky x kx tiles into depth — e.g. S2,1 halves height and
-                # doubles depth.  Pure re-layout, no weights.
-                ky, kx = (int(v) for v in re.findall(r"\d+", tok)[:2])
-                self.layers.append(Layer("reconfig", {"ky": ky, "kx": kx}))
-                depth *= ky * kx
-                height = max(1, height // ky)
-            elif re.match(r"L2xy\d+$", tok):
-                # True 2-D LSTM quad (networkbuilder BuildLSTMXYQuad,
-                # networkbuilder.cpp:387-410): four genuinely-2D LSTMs
-                # (x-recurrence + y-recurrence with the 5th GFS forget
-                # gate, lstm.cpp Is2D) over the 4 direction reversals,
-                # outputs concatenated.  Scan is x-major here (the
-                # reference wraps the quad in an XYTranspose for the
-                # 'y' spelling — a scan-order choice the 4 reversals
-                # already cover; documented simplification).
-                units = int(tok[4:])
-                wts: dict = {}
-                for d in range(4):
-                    wts[f"d{d}_wx"] = _glorot(rng, (5 * units, depth))
-                    wts[f"d{d}_whx"] = _glorot(rng, (5 * units, units))
-                    wts[f"d{d}_why"] = _glorot(rng, (5 * units, units))
-                    wts[f"d{d}_b"] = np.zeros(5 * units, dtype=np.float32)
-                self.layers.append(
-                    Layer("lstm_2d_quad", {"units": units}, wts))
-                depth = 4 * units
-                # height preserved: the 2-D LSTM outputs per-pixel h
-            elif tok.startswith("Lfys") or tok.startswith("Lrys"):
-                # y-summarizing LSTM (vgslspecs.cpp L..ys): runs over the
-                # HEIGHT dimension per x-column with input depth D and
-                # keeps only the final step, so height collapses to 1.
-                units = int(re.findall(r"\d+", tok)[0])
-                self.layers.append(
-                    Layer(
-                        "lstm_y_summary",
-                        {"units": units, "bidi": False,
-                         "reverse": tok.startswith("Lr")},
-                        _lstm_weights(rng, depth, units),
-                    )
-                )
-                depth = units
-                height = 1
-            elif tok.startswith(("Lfx", "Lrx", "Lbx")):
-                units = int(re.findall(r"\d+", tok)[0])
-                bidi = tok.startswith("Lbx")
-                wts = _lstm_weights(rng, height * depth, units)
-                if bidi:
-                    wts.update(
-                        {f"r_{k}": v.copy() for k, v in
-                         _lstm_weights(rng, height * depth, units).items()}
-                    )
-                self.layers.append(
-                    Layer(
-                        "lstm_x",
-                        {"units": units, "bidi": bidi,
-                         "reverse": tok.startswith("Lrx")},
-                        wts,
-                    )
-                )
-                depth = units * (2 if bidi else 1)
-                height = 1
-            elif re.match(r"F[strl]\d+$", tok):
-                # Fully connected (networkbuilder 'F' /
-                # BuildFullyConnected): a dense layer with the chosen
-                # nonlinearity per x step — s=sigmoid(Logistic) t=tanh
-                # r=relu l=linear.  The builder inserts an explicit
-                # Reconfig when H > 1 (FCSeries, networkbuilder.cpp:
-                # 415-421); we mirror that as a REAL reconfig layer so
-                # the serialized tree matches.  (The reference's
-                # FCReconfig also folds width — only legal for
-                # fixed-width inputs; variable-width OCR strips fold
-                # height only, documented divergence.)
-                n_out = int(tok[2:])
-                if height > 1:
-                    self.layers.append(
-                        Layer("reconfig", {"ky": height, "kx": 1}))
-                    depth *= height
-                    height = 1
-                self.layers.append(
-                    Layer(
-                        "fc",
-                        {"act": tok[1], "n_out": n_out},
-                        {"w": _glorot(rng, (n_out, depth)),
-                         "b": np.zeros(n_out, dtype=np.float32)},
-                    )
-                )
-                depth = n_out
-            elif tok.startswith("O1c"):
-                classes = int(tok[3:])
-                self.layers.append(
-                    Layer(
-                        "output",
-                        {"classes": classes},
-                        {"w": _glorot(rng, (classes, height * depth)),
-                         "b": np.zeros(classes, dtype=np.float32)},
-                    )
-                )
-                depth = classes
-            else:
-                raise ValueError(f"unsupported VGSL token: {tok!r}")
+        # Recursive-descent parse (BuildFromString, networkbuilder.cpp:87):
+        # '(' opens an NT_PARALLEL group, '[' a nested Series, 'R<d>' an
+        # NT_REPLICATED fan-out, 'Rx'/'Ry' a Reversed wrapper; everything
+        # else is a simple layer token.
+        tokens = re.findall(r"[()\[\]]|[^\s()\[\]]+", m.group(5))
+        self.layers, i, depth, height = _parse_series(
+            tokens, 0, self.depth, self.height, rng, stop=None
+        )
+        if i != len(tokens):
+            raise ValueError(f"trailing tokens in VGSL spec: {tokens[i:]!r}")
+        if not self.layers or self.layers[-1].kind != "output":
+            raise ValueError("spec has no trailing output layer")
         self.n_classes = depth
 
     def load_weights(self, weights: dict[int, dict[str, np.ndarray]]) -> None:
-        """Plug in externally trained weights: {layer_idx: {name: array}}."""
+        """Plug in externally trained weights: {layer_idx: {name: array}}.
+        Composite keys ('<branch>:<sub>:<name>') address layers nested in
+        parallel/reversed groups."""
         for i, wd in weights.items():
             for k, v in wd.items():
-                expect = self.layers[i].weights[k].shape
+                wdict, leaf = resolve_weight(self.layers[i], k)
+                expect = wdict[leaf].shape
                 if v.shape != expect:
                     raise ValueError(f"layer {i} weight {k}: {v.shape} != {expect}")
-                self.layers[i].weights[k] = v.astype(np.float32)
+                wdict[leaf] = v.astype(np.float32)
 
     def forward(self, x: np.ndarray) -> np.ndarray:
         """[N, H, W, D] -> log-softmax [N, W', C] (batched, BLAS-backed)."""
         for layer in self.layers:
-            if layer.kind == "conv":
-                x = _conv(x, layer)
-            elif layer.kind == "maxpool":
-                x = _maxpool(x, layer)
-            elif layer.kind == "reconfig":
-                x = _reconfig(x, layer)
-            elif layer.kind == "lstm_2d_quad":
-                x = _lstm_2d_quad(x, layer)
-            elif layer.kind == "fc":
-                x = _fc(x, layer)
-            elif layer.kind == "lstm_y_summary":
-                x = _lstm_over_y_summary(x, layer)
-            elif layer.kind == "lstm_x":
-                x = _lstm_over_x(_collapse_height(x), layer)
-            elif layer.kind == "output":
+            if layer.kind == "output":
                 w, b = layer.weights["w"], layer.weights["b"]
                 seq = _collapse_height(x)[:, 0]  # [N, W, D]
                 logits = seq @ w.T + b
                 mx = logits.max(-1, keepdims=True)
                 e = np.exp(logits - mx)
-                x = (logits - mx) - np.log(e.sum(-1, keepdims=True))
-                return x
-        raise ValueError("spec has no output layer")
+                return (logits - mx) - np.log(e.sum(-1, keepdims=True))
+            x = _apply_layer(x, layer)
+        raise ValueError("spec has no output layer")  # pragma: no cover
+
+
+def resolve_weight(layer: Layer, key: str) -> tuple[dict, str]:
+    """Resolve a (possibly composite) weight key to its owning weights
+    dict.  Composite keys '<branch>:<sub_idx>:<rest>' walk into
+    parallel/reversed sub-stacks."""
+    if layer.kind in ("parallel", "reversed") and ":" in key:
+        b, sub, leaf = key.split(":", 2)
+        return resolve_weight(
+            layer.params["branches"][int(b)][int(sub)], leaf
+        )
+    return layer.weights, key
+
+
+def iter_layers(layers: list[Layer]):
+    """Depth-first walk over a layer stack including parallel/reversed
+    sub-stacks (weight-bearing leaves and containers alike)."""
+    for layer in layers:
+        yield layer
+        if layer.kind in ("parallel", "reversed"):
+            for br in layer.params["branches"]:
+                yield from iter_layers(br)
+
+
+def _parse_series(tokens, i, depth, height, rng, stop):
+    layers: list[Layer] = []
+    while i < len(tokens) and tokens[i] != stop:
+        lys, i, depth, height = _parse_element(tokens, i, depth, height, rng)
+        layers.extend(lys)
+    if stop is not None:
+        if i >= len(tokens):
+            raise ValueError(f"missing {stop!r} at end of VGSL group")
+        i += 1
+    return layers, i, depth, height
+
+
+def _parse_element(tokens, i, depth, height, rng):
+    """Parse ONE grammar element starting at tokens[i]; returns
+    (layers, next_i, out_depth, out_height).  An element may expand to
+    several flat layers (a '[series]', or F's implicit Reconfig)."""
+    tok = tokens[i]
+    if tok == "[":
+        return _parse_series(tokens, i + 1, depth, height, rng, stop="]")
+    if tok in (")", "]"):
+        raise ValueError(f"unexpected {tok!r} in VGSL spec")
+    if tok == "(":
+        # ParseParallel (networkbuilder.cpp:171-187): every element runs
+        # on the SAME input; outputs concatenate on depth
+        # (Parallel::Forward, parallel.cpp:94-104 CopyPacking), so all
+        # branches must agree on output width/height.
+        i += 1
+        branches, bdepths, bheights = [], [], []
+        while i < len(tokens) and tokens[i] != ")":
+            lys, i, d2, h2 = _parse_element(tokens, i, depth, height, rng)
+            if any(ly.kind == "output" for ly in iter_layers(lys)):
+                raise ValueError("output layer inside a (parallel) group")
+            branches.append(lys)
+            bdepths.append(d2)
+            bheights.append(h2)
+        if i >= len(tokens):
+            raise ValueError("missing ) at end of (Parallel)")
+        i += 1
+        if not branches:
+            raise ValueError("empty (parallel) group")
+        if len(set(bheights)) != 1:
+            raise ValueError(
+                f"parallel branches disagree on output height: {bheights}"
+            )
+        layer = Layer(
+            "parallel",
+            {"branches": branches, "branch_depths": bdepths,
+             "out_depth": sum(bdepths), "replicated": False},
+        )
+        return [layer], i, sum(bdepths), bheights[0]
+    if tok[0] == "R" and len(tok) > 1 and (tok[1] in "xy" or tok[1].isdigit()):
+        # ParseR (networkbuilder.cpp:189-224): Rx/Ry wrap the next element
+        # in a Reversed; R<d> replicates it <d> times in parallel, each
+        # replica independently initialized (the reference re-parses the
+        # sub-spec per replica, so each draws fresh random weights).
+        if tok[1] in "xy":
+            axis, rest = tok[1], tok[2:]
+            if rest:
+                tokens.insert(i + 1, rest)
+            lys, i2, d2, h2 = _parse_element(tokens, i + 1, depth, height, rng)
+            if any(ly.kind == "output" for ly in iter_layers(lys)):
+                raise ValueError("output layer inside an Rx/Ry wrapper")
+            layer = Layer(
+                "reversed",
+                {"axis": axis, "branches": [lys],
+                 "branch_depths": [d2], "out_depth": d2},
+            )
+            return [layer], i2, d2, h2
+        mr = re.match(r"R(\d+)", tok)
+        replicas = int(mr.group(1))
+        if replicas <= 0:
+            raise ValueError(f"invalid R spec: {tok!r}")
+        rest = tok[mr.end():]
+        if rest:
+            tokens.insert(i + 1, rest)
+        start = i + 1
+        branches = []
+        i2 = d2 = h2 = None
+        for _ in range(replicas):
+            lys, i2, d2, h2 = _parse_element(tokens, start, depth, height, rng)
+            if any(ly.kind == "output" for ly in iter_layers(lys)):
+                raise ValueError("output layer inside an R replication")
+            branches.append(lys)
+        layer = Layer(
+            "parallel",
+            {"branches": branches, "branch_depths": [d2] * replicas,
+             "out_depth": d2 * replicas, "replicated": True},
+        )
+        return [layer], i2, d2 * replicas, h2
+    lys, d2, h2 = _make_simple(tok, depth, height, rng)
+    return lys, i + 1, d2, h2
+
+
+def _make_simple(tok, depth, height, rng):
+    """One non-structural VGSL token -> flat layer(s) + new (depth, height)."""
+    layers: list[Layer] = []
+    if tok.startswith("Ct") or tok.startswith("Cr"):
+        ky, kx, nf = (int(v) for v in re.findall(r"\d+", tok)[:3])
+        w = _glorot(rng, (nf, ky * kx * depth))
+        b = np.zeros(nf, dtype=np.float32)
+        layers.append(
+            Layer(
+                "conv",
+                {"ky": ky, "kx": kx, "filters": nf,
+                 "act": "tanh" if tok[1] == "t" else "relu"},
+                {"w": w, "b": b},
+            )
+        )
+        depth = nf
+    elif tok.startswith("Mp"):
+        ky, kx = (int(v) for v in re.findall(r"\d+", tok)[:2])
+        layers.append(Layer("maxpool", {"ky": ky, "kx": kx}))
+        height = max(1, height // ky)
+    elif tok.startswith("S") and re.match(r"S\d+,\d+$", tok):
+        # Reconfig (networkbuilder 'S', reconfig.cpp): stack
+        # ky x kx tiles into depth — e.g. S2,1 halves height and
+        # doubles depth.  Pure re-layout, no weights.
+        ky, kx = (int(v) for v in re.findall(r"\d+", tok)[:2])
+        layers.append(Layer("reconfig", {"ky": ky, "kx": kx}))
+        depth *= ky * kx
+        height = max(1, height // ky)
+    elif re.match(r"L2xy\d+$", tok):
+        # True 2-D LSTM quad (networkbuilder BuildLSTMXYQuad,
+        # networkbuilder.cpp:387-410): four genuinely-2D LSTMs
+        # (x-recurrence + y-recurrence with the 5th GFS forget
+        # gate, lstm.cpp Is2D) over the 4 direction reversals,
+        # outputs concatenated.  Scan is x-major here (the
+        # reference wraps the quad in an XYTranspose for the
+        # 'y' spelling — a scan-order choice the 4 reversals
+        # already cover; documented simplification).
+        units = int(tok[4:])
+        wts: dict = {}
+        for d in range(4):
+            wts[f"d{d}_wx"] = _glorot(rng, (5 * units, depth))
+            wts[f"d{d}_whx"] = _glorot(rng, (5 * units, units))
+            wts[f"d{d}_why"] = _glorot(rng, (5 * units, units))
+            wts[f"d{d}_b"] = np.zeros(5 * units, dtype=np.float32)
+        layers.append(Layer("lstm_2d_quad", {"units": units}, wts))
+        depth = 4 * units
+        # height preserved: the 2-D LSTM outputs per-pixel h
+    elif tok.startswith("Lfys") or tok.startswith("Lrys"):
+        # y-summarizing LSTM (vgslspecs.cpp L..ys): runs over the
+        # HEIGHT dimension per x-column with input depth D and
+        # keeps only the final step, so height collapses to 1.
+        units = int(re.findall(r"\d+", tok)[0])
+        layers.append(
+            Layer(
+                "lstm_y_summary",
+                {"units": units, "bidi": False,
+                 "reverse": tok.startswith("Lr")},
+                _lstm_weights(rng, depth, units),
+            )
+        )
+        depth = units
+        height = 1
+    elif tok.startswith(("Lfx", "Lrx", "Lbx")):
+        units = int(re.findall(r"\d+", tok)[0])
+        bidi = tok.startswith("Lbx")
+        wts = _lstm_weights(rng, height * depth, units)
+        if bidi:
+            wts.update(
+                {f"r_{k}": v.copy() for k, v in
+                 _lstm_weights(rng, height * depth, units).items()}
+            )
+        layers.append(
+            Layer(
+                "lstm_x",
+                {"units": units, "bidi": bidi,
+                 "reverse": tok.startswith("Lrx")},
+                wts,
+            )
+        )
+        depth = units * (2 if bidi else 1)
+        height = 1
+    elif re.match(r"F[strl]\d+$", tok):
+        # Fully connected (networkbuilder 'F' /
+        # BuildFullyConnected): a dense layer with the chosen
+        # nonlinearity per x step — s=sigmoid(Logistic) t=tanh
+        # r=relu l=linear.  The builder inserts an explicit
+        # Reconfig when H > 1 (FCSeries, networkbuilder.cpp:
+        # 415-421); we mirror that as a REAL reconfig layer so
+        # the serialized tree matches.  (The reference's
+        # FCReconfig also folds width — only legal for
+        # fixed-width inputs; variable-width OCR strips fold
+        # height only, documented divergence.)
+        n_out = int(tok[2:])
+        if height > 1:
+            layers.append(Layer("reconfig", {"ky": height, "kx": 1}))
+            depth *= height
+            height = 1
+        layers.append(
+            Layer(
+                "fc",
+                {"act": tok[1], "n_out": n_out},
+                {"w": _glorot(rng, (n_out, depth)),
+                 "b": np.zeros(n_out, dtype=np.float32)},
+            )
+        )
+        depth = n_out
+    elif tok.startswith("O1c"):
+        classes = int(tok[3:])
+        layers.append(
+            Layer(
+                "output",
+                {"classes": classes},
+                {"w": _glorot(rng, (classes, height * depth)),
+                 "b": np.zeros(classes, dtype=np.float32)},
+            )
+        )
+        depth = classes
+    else:
+        raise ValueError(f"unsupported VGSL token: {tok!r}")
+    return layers, depth, height
+
+
+def _apply_layer(x: np.ndarray, layer: Layer) -> np.ndarray:
+    """Forward one non-output layer (shared by VGSLNetwork.forward and
+    the parallel/reversed sub-stack walks)."""
+    if layer.kind == "conv":
+        return _conv(x, layer)
+    if layer.kind == "maxpool":
+        return _maxpool(x, layer)
+    if layer.kind == "reconfig":
+        return _reconfig(x, layer)
+    if layer.kind == "lstm_2d_quad":
+        return _lstm_2d_quad(x, layer)
+    if layer.kind == "fc":
+        return _fc(x, layer)
+    if layer.kind == "lstm_y_summary":
+        return _lstm_over_y_summary(x, layer)
+    if layer.kind == "lstm_x":
+        return _lstm_over_x(_collapse_height(x), layer)
+    if layer.kind == "parallel":
+        # Parallel::Forward (parallel.cpp:94-104): every branch consumes
+        # the SAME input; outputs pack depth-wise in stack order.
+        outs = [_apply_stack(x, br) for br in layer.params["branches"]]
+        return np.concatenate(outs, axis=-1)
+    if layer.kind == "reversed":
+        # Reversed::Forward (reversed.cpp): reverse the chosen axis,
+        # run the wrapped net, reverse its output back.
+        ax = 1 if layer.params["axis"] == "y" else 2
+        xi = np.ascontiguousarray(np.flip(x, axis=ax))
+        o = _apply_stack(xi, layer.params["branches"][0])
+        return np.ascontiguousarray(np.flip(o, axis=ax))
+    raise ValueError(f"no forward for layer kind {layer.kind!r}")
+
+
+def _apply_stack(x: np.ndarray, layers: list[Layer]) -> np.ndarray:
+    for layer in layers:
+        x = _apply_layer(x, layer)
+    return x
 
 
 def _lstm_weights(rng: np.random.Generator, d_in: int, units: int) -> dict:
@@ -346,7 +503,7 @@ def convert_to_int(net: "VGSLNetwork") -> "VGSLNetwork":
     columns, lstm.cpp), so wx/wh/b rows are quantized jointly; conv and
     output layers quantize [w | b] rows.  Tested by the TestIntMode port
     in tests/test_lstm_recode_squashed.py."""
-    for layer in net.layers:
+    for layer in iter_layers(net.layers):
         w = layer.weights
         if layer.kind in ("conv", "output", "fc"):
             joint = _quantize_rows(

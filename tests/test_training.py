@@ -89,6 +89,13 @@ def test_ctc_repeated_label_needs_blank():
         ("[1,6,0,1 S2,1 L2xy2 Lbx3 O1c5]", (2, 6, 8, 1), [0, 2], 4),
         ("[1,4,0,1 Ft5 Lbx3 O1c5]", (2, 4, 7, 1), [1, 2], 4),
         ("[1,1,0,4 Fs6 Fr4 O1c5]", (2, 1, 8, 4), [0, 2], 4),
+        # '('-parallel groups, R replication, Rx/Ry reversal wrappers
+        # (ParseParallel/ParseR, networkbuilder.cpp:171-224)
+        ("[1,1,0,3 (Lfx4 Lrx4) O1c5]", (2, 1, 9, 3), [1, 2], 4),
+        ("[1,6,0,1 R2Ct3,3,3 Mp2,2 Lfys4 O1c5]", (2, 6, 8, 1), [0, 2], 4),
+        ("[1,4,0,1 RxLfys3 Lbx3 O1c5]", (2, 4, 8, 1), [1, 2], 4),
+        ("[1,1,0,2 ([Lfx3 Lfx3] Lrx3) Lfx4 O1c5]", (2, 1, 8, 2), [0, 1], 4),
+        ("[1,6,0,1 Ry[Ct3,3,2 Mp2,2] Lfys4 O1c5]", (2, 6, 8, 1), [1, 2], 4),
     ],
 )
 def test_net_backward_matches_numerical(spec, x_shape, labels, blank):
