@@ -355,6 +355,25 @@ def _union(a, b):
     return (min(a[0], b[0]), min(a[1], b[1]), max(a[2], b[2]), max(a[3], b[3]))
 
 
+_GRID_BIG = 1 << 40  # unbounded query side (BoxGrid clamps to its extent)
+
+
+def _cand_indices(grid, dirty, window, n):
+    """Candidate indices for one partner scan: the BBGrid-style bucket
+    query (boxgrid.py; the reference's GridSearch over ColPartitionGrid,
+    colpartitiongrid.cpp:1212) plus every index whose box GREW since the
+    grid was built (absorbing seeds) — an exact superset of the flat
+    scan, so the predicates below see identical candidates."""
+    if grid is None:
+        return range(n)
+    idx = grid.query(window)
+    if dirty:
+        import numpy as _np
+
+        idx = _np.union1d(idx, _np.fromiter(dirty, dtype=_np.int64))
+    return idx.tolist()
+
+
 def _expand_vertical(
     s: int,
     down: bool,
@@ -363,6 +382,8 @@ def _expand_vertical(
     texts: list[str],
     alive: list[bool],
     resolution: int,
+    grid=None,
+    dirty=(),
 ) -> list[int]:
     """ExpandSeedVertical (equationdetect.cpp:1132-1210) in one
     direction.  ``down`` = toward larger y (the page's y-down frame;
@@ -370,9 +391,10 @@ def _expand_vertical(
     y_gap_th = round(0.2 * resolution)
     x_ov_th = 0.4
     sb = box[s]
+    window = (-_GRID_BIG, sb[1] - y_gap_th, _GRID_BIG, sb[3] + y_gap_th)
     cands = [
         i
-        for i in range(len(box))
+        for i in _cand_indices(grid, dirty, window, len(box))
         if alive[i] and i != s and y_gap(box[i], sb) <= y_gap_th
         # part must extend beyond the seed's edge in the search direction
         and ((box[i][3] > sb[3]) if down else (box[i][1] < sb[1]))
@@ -426,13 +448,16 @@ def _expand_horizontal(
     texts: list[str],
     alive: list[bool],
     resolution: int,
+    grid=None,
+    dirty=(),
 ) -> list[int]:
     """ExpandSeedHorizontal (equationdetect.cpp:1080-1129)."""
     x_gap_th = round(0.2 * resolution)
     y_ov_th = 0.6
     sb = box[s]
+    window = (sb[0] - x_gap_th, -_GRID_BIG, sb[2] + x_gap_th, _GRID_BIG)
     picked: list[int] = []
-    for i in range(len(box)):
+    for i in _cand_indices(grid, dirty, window, len(box)):
         if not alive[i] or i == s or x_gap(box[i], sb) > x_gap_th:
             continue
         if (box[i][0] >= sb[0]) if left else (box[i][2] <= sb[2]):
@@ -453,13 +478,14 @@ def _expand_horizontal(
 
 
 def _search_by_overlap(
-    s: int, box: list, kinds: list[str], alive: list[bool]
+    s: int, box: list, kinds: list[str], alive: list[bool],
+    grid=None, dirty=(),
 ) -> list[int]:
     """SearchByOverlap (equationdetect.cpp:447-491): absorb parts the
     expanded seed box now overlaps."""
     sb = box[s]
     picked = []
-    for i in range(len(box)):
+    for i in _cand_indices(grid, dirty, tuple(sb), len(box)):
         if not alive[i] or i == s:
             continue
         xf, yf = x_overlap_fraction(box[i], sb), y_overlap_fraction(box[i], sb)
@@ -503,6 +529,18 @@ def expand_equation_paragraphs(
     box = list(boxes)
     alive = [True] * n
     members: list[list[int]] = [[i] for i in range(n)]
+    # BBGrid-style bucket index over the INITIAL boxes (the reference
+    # expands seeds through GridSearch over a ColPartitionGrid,
+    # equationdetect.cpp:1080/1132).  Boxes that grow via Absorb go in
+    # `dirty` and are re-included in every scan, so candidate sets stay
+    # exactly the flat scan's.  Small regions skip the index.
+    if n >= 64:
+        from .boxgrid import BoxGrid
+
+        grid = BoxGrid(box, gridsize=max(16, round(0.2 * resolution)))
+    else:
+        grid = None
+    dirty: set[int] = set()
 
     def absorb(s: int, parts: list[int]) -> bool:
         did = False
@@ -513,6 +551,8 @@ def expand_equation_paragraphs(
             members[s].extend(members[p])
             box[s] = _union(box[s], box[p])
             did = True
+        if did:
+            dirty.add(s)
         return did
 
     for s in range(n):
@@ -522,11 +562,15 @@ def expand_equation_paragraphs(
         # seeds whose Absorb expanded the box)
         while True:
             parts = (
-                _expand_horizontal(s, True, box, kinds, texts, alive, resolution)
-                + _expand_horizontal(s, False, box, kinds, texts, alive, resolution)
-                + _expand_vertical(s, False, box, kinds, texts, alive, resolution)
-                + _expand_vertical(s, True, box, kinds, texts, alive, resolution)
-                + _search_by_overlap(s, box, kinds, alive)
+                _expand_horizontal(s, True, box, kinds, texts, alive,
+                                   resolution, grid, dirty)
+                + _expand_horizontal(s, False, box, kinds, texts, alive,
+                                     resolution, grid, dirty)
+                + _expand_vertical(s, False, box, kinds, texts, alive,
+                                   resolution, grid, dirty)
+                + _expand_vertical(s, True, box, kinds, texts, alive,
+                                   resolution, grid, dirty)
+                + _search_by_overlap(s, box, kinds, alive, grid, dirty)
             )
             if not absorb(s, parts):
                 break
@@ -545,10 +589,13 @@ def expand_equation_paragraphs(
             if not alive[t] or box[t][3] - box[t][1] > med_h:
                 continue
             # nearest vertical neighbors (SearchNNVertical, :1352-1385)
+            nn_window = (box[t][0], box[t][1] - nn_gap_th,
+                         box[t][2], box[t][3] + nn_gap_th)
+            nn_cands = _cand_indices(grid, dirty, nn_window, n)
             nbrs = []
             for up in (False, True):
                 best, best_gap = None, None
-                for i in range(n):
+                for i in nn_cands:
                     if i == t or not alive[i]:
                         continue
                     g = y_gap(box[i], box[t])

@@ -288,16 +288,29 @@ class TableStructure:
     crosses a cell border.
 
     Boxes are (l, bottom, r, top) BOTTOM-UP like the reference.  The
-    reference indexes partitions in a ColPartitionGrid purely as a
-    search accelerator; per-candidate partition sets here are small
-    (post-layout, per page inside the Arrow batch), so flat lists
-    replace the grid."""
+    reference indexes partitions in a ColPartitionGrid as a search
+    accelerator (bbgrid.h; colpartitiongrid.cpp); inside an Arrow batch
+    the analogue is one numpy part table scanned with vectorized masks —
+    every border probe / cell count / margin search is O(parts) SIMD
+    instead of an O(parts) Python loop, and the cell-coverage count is
+    O(parts + cells) via interval marking, so a pathological dense page
+    (10k+ partitions) stays bounded instead of going quadratic (see
+    tests/test_tables_dense.py)."""
 
     def __init__(self, text_parts=None, line_parts=None,
                  max_text_height: int = 1 << 31) -> None:
         # text_parts: [(box, median_width)] ; line_parts: [("h"|"v", box)]
         self.text_parts = list(text_parts or [])
         self.line_parts = list(line_parts or [])
+        self._tb = np.asarray(
+            [b for b, _mw in self.text_parts], dtype=np.int64
+        ).reshape(-1, 4)
+        self._tmw = np.asarray(
+            [mw for _b, mw in self.text_parts], dtype=np.float64
+        )
+        self._lb = np.asarray(
+            [b for _k, b in self.line_parts], dtype=np.int64
+        ).reshape(-1, 4)
         self.max_text_height = max_text_height
         self.bounding_box: tuple[int, int, int, int] | None = None
         self.cell_x: list[int] = []
@@ -319,27 +332,25 @@ class TableStructure:
         # The reference restricts the search to the TABLE's y-extent
         # (the search box keeps bounding_box_'s bottom/top) — a
         # paragraph outside the table must not veto its cell borders.
-        count = 0
-        for box, _mw in self.text_parts:
-            if self.bounding_box is not None and (
-                    box[3] < self.bounding_box[1]
-                    or box[1] > self.bounding_box[3]):
-                continue
-            if box[0] < x < box[2]:
-                count += 1
-        return count
+        if len(self._tb) == 0:
+            return 0
+        B = self._tb
+        m = (B[:, 0] < x) & (x < B[:, 2])
+        if self.bounding_box is not None:
+            m &= ~((B[:, 3] < self.bounding_box[1])
+                   | (B[:, 1] > self.bounding_box[3]))
+        return int(m.sum())
 
     def count_horizontal_intersections(self, y: int) -> int:
         # Restricted to the table's x-extent, like the vertical twin.
-        count = 0
-        for box, _mw in self.text_parts:
-            if self.bounding_box is not None and (
-                    box[2] < self.bounding_box[0]
-                    or box[0] > self.bounding_box[2]):
-                continue
-            if box[1] < y < box[3]:
-                count += 1
-        return count
+        if len(self._tb) == 0:
+            return 0
+        B = self._tb
+        m = (B[:, 1] < y) & (y < B[:, 3])
+        if self.bounding_box is not None:
+            m &= ~((B[:, 2] < self.bounding_box[0])
+                   | (B[:, 0] > self.bounding_box[2]))
+        return int(m.sum())
 
     # lined structure ----------------------------------------------
     def find_lined_structure(self) -> bool:
@@ -377,49 +388,57 @@ class TableStructure:
         return True
 
     # whitespaced structure ----------------------------------------
-    def _parts_in_box(self):
-        return [
-            (box, mw)
-            for box, mw in self.text_parts
-            if _boxes_overlap(box, self.bounding_box)
-        ]
+    def _in_box_mask(self) -> np.ndarray:
+        bb = self.bounding_box
+        B = self._tb
+        return (
+            (B[:, 0] <= bb[2]) & (B[:, 2] >= bb[0])
+            & (B[:, 1] <= bb[3]) & (B[:, 3] >= bb[1])
+        )
 
     def find_whitespaced_columns(self) -> None:
         """FindWhitespacedColumns (:384-422): column splits at valleys of
         the padded left/right-side interval stack."""
-        left_sides, right_sides = [], []
-        for box, median_width in self._parts_in_box():
-            spacing = _trunc(median_width * K_HORIZONTAL_SPACING / 2.0 + 0.5)
-            left_sides.append(box[0] - spacing)
-            right_sides.append(box[2] + spacing)
-        if not left_sides:
+        if len(self._tb) == 0:
             return
+        m = self._in_box_mask()
+        if not m.any():
+            return
+        # C++ static_cast<int> truncation; median widths are positive
+        spacing = np.trunc(
+            self._tmw[m] * K_HORIZONTAL_SPACING / 2.0 + 0.5
+        ).astype(np.int64)
+        left_sides = np.sort(self._tb[m, 0] - spacing)
+        right_sides = np.sort(self._tb[m, 2] + spacing)
         self.cell_x = _find_cell_split_locations(
-            sorted(left_sides), sorted(right_sides),
+            left_sides.tolist(), right_sides.tolist(),
             K_CELL_SPLIT_COLUMN_THRESHOLD)
 
     def find_whitespaced_rows(self) -> None:
         """FindWhitespacedRows (:429-494): like columns but with negative
         vertical padding (skew tolerance) and tall-partition filtering;
         outer borders snap to the true ink extents."""
-        bottom_sides, top_sides = [], []
-        min_bottom, max_top = None, None
-        for box, _mw in self._parts_in_box():
-            min_bottom = box[1] if min_bottom is None else min(min_bottom, box[1])
-            max_top = box[3] if max_top is None else max(max_top, box[3])
-            if box[3] - box[1] > self.max_text_height:
-                continue
-            spacing = _trunc(
-                (box[3] - box[1]) * K_VERTICAL_SPACING / 2.0 + 0.5)
-            bottom, top = box[1] - spacing, box[3] + spacing
-            if bottom >= top:
-                continue
-            bottom_sides.append(bottom)
-            top_sides.append(top)
-        if not bottom_sides:
+        if len(self._tb) == 0:
+            return
+        m = self._in_box_mask()
+        if not m.any():
+            return
+        B = self._tb[m]
+        min_bottom = int(B[:, 1].min())
+        max_top = int(B[:, 3].max())
+        h = B[:, 3] - B[:, 1]
+        keep = h <= self.max_text_height
+        # kVerticalSpacing is negative: trunc toward zero like the C cast
+        spacing = np.trunc(
+            h[keep] * K_VERTICAL_SPACING / 2.0 + 0.5
+        ).astype(np.int64)
+        bottoms = B[keep, 1] - spacing
+        tops = B[keep, 3] + spacing
+        ok = bottoms < tops
+        if not ok.any():
             return
         self.cell_y = _find_cell_split_locations(
-            sorted(bottom_sides), sorted(top_sides),
+            np.sort(bottoms[ok]).tolist(), np.sort(tops[ok]).tolist(),
             K_CELL_SPLIT_ROW_THRESHOLD)
         self.cell_y[0] = min_bottom
         self.cell_y[-1] = max_top
@@ -444,16 +463,43 @@ class TableStructure:
     # CountPartitions :727-739, row_height :135-138) — the border-search
     # scoring inputs of RecognizeWhitespacedTable
     def count_partitions(self, box) -> int:
-        return sum(1 for b, _mw in self.text_parts if _boxes_overlap(b, box))
+        if len(self._tb) == 0:
+            return 0
+        B = self._tb
+        m = (
+            (B[:, 0] <= box[2]) & (B[:, 2] >= box[0])
+            & (B[:, 1] <= box[3]) & (B[:, 3] >= box[1])
+        )
+        return int(m.sum())
 
     def count_filled_cells_in_row(self, row: int) -> int:
-        filled = 0
-        for col in range(self.column_count()):
-            cell = (self.cell_x[col], self.cell_y[row],
-                    self.cell_x[col + 1], self.cell_y[row + 1])
-            if self.count_partitions(cell) > 0:
-                filled += 1
-        return filled
+        # O(parts + columns) interval marking instead of columns x parts
+        # probes: each part overlapping the row band covers a contiguous
+        # run of columns (cell_x is sorted); union the runs with a
+        # difference array.
+        ncols = self.column_count()
+        if ncols == 0 or len(self._tb) == 0:
+            return 0
+        B = self._tb
+        y0, y1 = self.cell_y[row], self.cell_y[row + 1]
+        band = (B[:, 1] <= y1) & (B[:, 3] >= y0)
+        if not band.any():
+            return 0
+        xs = np.asarray(self.cell_x, dtype=np.int64)
+        l, r = B[band, 0], B[band, 2]
+        # first col whose right border >= part left; last col whose left
+        # border <= part right (closed-interval overlap, as
+        # count_partitions uses)
+        lo = np.searchsorted(xs[1:], l, side="left")
+        hi = np.searchsorted(xs[:-1], r, side="right") - 1
+        # lo > hi exactly when the part lies outside the grid's x-range
+        ok = lo <= hi
+        if not ok.any():
+            return 0
+        cover = np.zeros(ncols + 1, dtype=np.int64)
+        np.add.at(cover, lo[ok], 1)
+        np.add.at(cover, hi[ok] + 1, -1)
+        return int((np.cumsum(cover[:-1]) > 0).sum())
 
     def row_height(self, row: int) -> int:
         return self.cell_y[row + 1] - self.cell_y[row]
@@ -464,20 +510,24 @@ class TableStructure:
         tablerecog.cpp:518-549).  INT32_MAX when the page is clear."""
         big = 1 << 31
         l, b, r, t = self.bounding_box
-        boxes = [bx for bx, _mw in self.text_parts]
-        boxes += [bx for _k, bx in self.line_parts]
-        below = [b - bx[3] for bx in boxes
-                 if bx[0] <= r and bx[2] >= l and b - bx[3] >= 0]
-        above = [bx[1] - t for bx in boxes
-                 if bx[0] <= r and bx[2] >= l and bx[1] - t >= 0]
-        left = [l - bx[2] for bx in boxes
-                if bx[1] <= t and bx[3] >= b and l - bx[2] >= 0]
-        right = [bx[0] - r for bx in boxes
-                 if bx[1] <= t and bx[3] >= b and bx[0] - r >= 0]
-        self.space_below = min(below) if below else big
-        self.space_above = min(above) if above else big
-        self.space_left = min(left) if left else big
-        self.space_right = min(right) if right else big
+        if len(self._tb) or len(self._lb):
+            bx = np.concatenate([self._tb, self._lb], axis=0)
+        else:
+            bx = np.empty((0, 4), dtype=np.int64)
+
+        def _min_or_big(vals: np.ndarray) -> int:
+            return int(vals.min()) if len(vals) else big
+
+        in_x = (bx[:, 0] <= r) & (bx[:, 2] >= l)
+        in_y = (bx[:, 1] <= t) & (bx[:, 3] >= b)
+        below = b - bx[in_x, 3]
+        above = bx[in_x, 1] - t
+        left = l - bx[in_y, 2]
+        right = bx[in_y, 0] - r
+        self.space_below = _min_or_big(below[below >= 0])
+        self.space_above = _min_or_big(above[above >= 0])
+        self.space_left = _min_or_big(left[left >= 0])
+        self.space_right = _min_or_big(right[right >= 0])
 
     def calculate_stats(self) -> None:
         """Median cell height/width, each row/column weighted by its
@@ -585,16 +635,16 @@ def next_horizontal_split(
     partitions away from ``y`` (bottom-up frame; ``top_to_bottom`` =
     toward smaller y) merging overlapping bands until the first clear
     horizontal gap; returns the split coordinate."""
-    cands = []
-    for box, _mw in text_parts:
-        if box[2] < left or box[0] > right:
-            continue
-        if box[3] - box[1] > max_text_height:
-            continue
-        if top_to_bottom and box[1] <= y:
-            cands.append((-min(box[3], y), box))
-        elif not top_to_bottom and box[3] >= y:
-            cands.append((max(box[1], y), box))
+    B = np.asarray([b for b, _mw in text_parts], dtype=np.int64).reshape(-1, 4)
+    m = (B[:, 2] >= left) & (B[:, 0] <= right) & (
+        B[:, 3] - B[:, 1] <= max_text_height)
+    if top_to_bottom:
+        m &= B[:, 1] <= y
+        keys = -np.minimum(B[:, 3], y)
+    else:
+        m &= B[:, 3] >= y
+        keys = np.maximum(B[:, 1], y)
+    cands = [(int(k), b.tolist()) for k, b in zip(keys[m], B[m])]
     last_y = y
     for _e, box in sorted(cands, key=lambda c: c[0]):
         if top_to_bottom:
