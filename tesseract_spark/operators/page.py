@@ -112,6 +112,22 @@ class PageResult:
     underline_bars: list = field(default_factory=list)
 
 
+def _median_linear(a: np.ndarray) -> float:
+    """np.percentile(a, 50, method='linear') via np.partition — the same
+    value (numpy's _lerp arithmetic reproduced) without the generic
+    percentile machinery, which dominates _grade_blobs at per-page call
+    rates."""
+    n = a.size
+    pos = (n - 1) * 0.5
+    lo = int(pos)
+    if n % 2 == 1:
+        return float(np.partition(a, lo)[lo])
+    p = np.partition(a, (lo, lo + 1))
+    va, vb = float(p[lo]), float(p[lo + 1])
+    # numpy _lerp at t=0.5 computes b - (b - a) * (1 - t)
+    return vb - (vb - va) * 0.5
+
+
 def _grade_blobs(stats: np.ndarray) -> np.ndarray:
     """Grade components: 0=text, 1=noise, 2=photo, 3=rule.
 
@@ -141,7 +157,7 @@ def _grade_blobs(stats: np.ndarray) -> np.ndarray:
     # render scale, so 3×median is text-safe even on mixed-scale pages.
     nonrule = grade == 0
     if nonrule.any():
-        med_all = np.percentile(h[nonrule], 50)
+        med_all = _median_linear(h[nonrule])
         grade[
             nonrule
             & (h >= 3 * med_all)
@@ -152,7 +168,7 @@ def _grade_blobs(stats: np.ndarray) -> np.ndarray:
     # noise: tiny specks relative to the text population percentile
     text_mask = grade == 0
     if text_mask.any():
-        med_h = np.percentile(h[text_mask], 50)
+        med_h = _median_linear(h[text_mask])
         grade[text_mask & ((area <= 2) | (h <= max(1, 0.2 * med_h)))] = 1
     return grade
 
@@ -580,20 +596,15 @@ def _cluster_rows(stats: np.ndarray) -> list[np.ndarray]:
     if len(stats) == 0:
         return []
     order = np.argsort(stats[:, 1], kind="stable")
-    rows: list[list[int]] = []
-    cur: list[int] = []
-    cur_bottom = -1
-    for i in order:
-        t, b = int(stats[i, 1]), int(stats[i, 3])
-        if cur and t >= cur_bottom:
-            rows.append(cur)
-            cur = []
-            cur_bottom = -1
-        cur.append(int(i))
-        cur_bottom = max(cur_bottom, b)
-    if cur:
-        rows.append(cur)
-    return [np.asarray(r, dtype=np.int64) for r in rows]
+    t = stats[order, 1]
+    b = stats[order, 3]
+    # a row break lands wherever a top clears every previous bottom; the
+    # prefix cummax equals the current group's cummax there (any earlier
+    # group's bottom <= the top that started this group), so one
+    # vectorized pass reproduces the sequential band merge exactly
+    cb = np.maximum.accumulate(b)
+    breaks = np.flatnonzero(t[1:] >= cb[:-1]) + 1
+    return [np.asarray(g, dtype=np.int64) for g in np.split(order, breaks)]
 
 
 def _drop_cap_candidates(stats: np.ndarray) -> np.ndarray:
@@ -624,18 +635,21 @@ def _merge_x_overlap_boxes(stats: np.ndarray, idxs: np.ndarray) -> np.ndarray:
     min-of-bottoms baseline anchor.
     """
     order = idxs[np.argsort(stats[idxs, 0], kind="stable")]
-    boxes: list[list[int]] = []
-    for i in order:
-        l, t, r, b = (int(stats[i, 0]), int(stats[i, 1]),
-                      int(stats[i, 2]), int(stats[i, 3]))
-        if boxes and l < boxes[-1][2]:  # x-overlap with previous glyph box
-            m = boxes[-1]
-            m[1] = min(m[1], t)
-            m[2] = max(m[2], r)
-            m[3] = max(m[3], b)
-        else:
-            boxes.append([l, t, r, b])
-    return np.asarray(boxes, dtype=np.int64)
+    l = stats[order, 0]
+    t = stats[order, 1]
+    r = stats[order, 2]
+    b = stats[order, 3]
+    # glyph-box starts wherever a left edge clears every previous right
+    # edge (prefix cummax == group cummax there, as in _cluster_rows)
+    cr = np.maximum.accumulate(r)
+    starts = np.ones(len(order), dtype=bool)
+    starts[1:] = l[1:] >= cr[:-1]
+    si = np.flatnonzero(starts)
+    return np.stack(
+        [l[si], np.minimum.reduceat(t, si),
+         np.maximum.reduceat(r, si), np.maximum.reduceat(b, si)],
+        axis=1,
+    ).astype(np.int64)
 
 
 def _row_metrics(
@@ -944,9 +958,23 @@ def analyze_page(
         _sk = estimate_skew(st_r[:_nr])
         if _sk != 0.0:
             _desk = unshear(ink, _sk)
-            _clean2, v2, h2, music2 = find_and_remove_lines(
-                _desk, dpi, protect=None
-            )
+            # Horizontal-only pre-gate for the retry: our quantized shear
+            # shifts whole COLUMNS, so vertical runs are invariant — the
+            # first (sheared) pass already judged every vertical
+            # candidate, and only horizontal rules / staves can staircase
+            # into hiding.  One dilate+erode pair decides whether the
+            # deskewed copy holds any closing-length horizontal run at
+            # all; the common skewed TEXT page skips the full finder.
+            from .linefind import dilate_brick, erode_brick
+
+            _cb = max(1, max(1, dpi // 20) // 3)
+            _L = max(2, dpi // 4)
+            if erode_brick(dilate_brick(_desk, _cb, _cb), _L, 1).any():
+                _clean2, v2, h2, music2 = find_and_remove_lines(
+                    _desk, dpi, protect=None
+                )
+            else:
+                _clean2, v2, h2, music2 = _desk, [], [], None
             if v2 or h2 or music2 is not None:
                 removed = _desk & ~_clean2
                 ink = ink & ~unshear(removed, -_sk)

@@ -204,6 +204,7 @@ def recognize_page(
 def _decode_row(
     net: TemplateNet, row, dawg: Dawg | None, adapted=None,
     want_choices: bool = False, disabled: tuple[int, ...] | None = None,
+    pre=None,
 ):
     """Decode one layout row:
     (text, words, merged, dropped_xs, col_of_t, used_strip).
@@ -216,13 +217,14 @@ def _decode_row(
     one explains every glyph."""
     space_canon = max(2, row.space_px // max(1, row.scale) - 1)
 
-    def _decode(strip):
+    def _decode(strip, pre_scores=None):
         log_probs, col_of_t, fuzzy_ts, dropped = net.forward(
             strip,
             space_px=space_canon,
             fuzzy_px=fuzzy_space_px(space_canon),
             adapted=adapted,
             soft=dawg is not None,
+            pre=pre_scores,
         )
         if disabled:
             # whitelist/blacklist gate (the recodebeam.cpp:959
@@ -252,7 +254,7 @@ def _decode_row(
                            net.space_code)
         return text, words, merged, dropped, col_of_t
 
-    res = _decode(row.strip) + (row.strip,)
+    res = _decode(row.strip, pre) + (row.strip,)
     if getattr(row, "alt_strip", None) is not None:
         alt = _decode(row.alt_strip) + (row.alt_strip,)
         if _decode_score(alt) > _decode_score(res):
@@ -564,7 +566,7 @@ def recognize_page_detail(
                 dis_of[key] = charlist_disabled(p.net.charset, *charlists)
             return dis_of[key]
 
-        def _row_decode(row):
+        def _row_decode(row, pre=None):
             return decode_row_multilang(
                 state, row,
                 lambda p, r: _decode_row(
@@ -579,10 +581,10 @@ def recognize_page_detail(
 
             disabled = charlist_disabled(net.charset, *charlists)
 
-        def _row_decode(row):
+        def _row_decode(row, pre=None):
             return _decode_row(
                 net, row, dawg, want_choices=want_choices,
-                disabled=disabled,
+                disabled=disabled, pre=pre,
             )
     layout = analyze_page(
         gray, dpi, single_column=single_column, deva_split=deva_split
@@ -607,6 +609,22 @@ def recognize_page_detail(
         for i, row in enumerate(region.rows)
     ]
     FAKE = ("", [], [], [], [], None)  # SetupFake analogue: empty row
+    # batch the static-template scoring of every primary strip up front:
+    # one concatenated match_scores serves the page (precompute_scores —
+    # identical values, a fraction of the per-row numpy call overhead).
+    # alt-baseline/drop-cap/script-segment strips stay unbatched (rare).
+    pre_of: dict[tuple[int, int], object] = {}
+    if packs is None and worklist:
+        from ..lstm.templates import CELL_H
+
+        batchable = [
+            (ri, i, row) for ri, i, row in worklist
+            if getattr(row, "strip", None) is not None
+            and row.strip.shape[0] == CELL_H
+        ]
+        if batchable:
+            pres = net.precompute_scores([row.strip for _, _, row in batchable])
+            pre_of = {(ri, i): p for (ri, i, _row), p in zip(batchable, pres)}
     aborted = False
     for wi, (ri, i, row) in enumerate(worklist):
         if monitor is not None and (
@@ -617,7 +635,7 @@ def recognize_page_detail(
             aborted = True
             decoded[(ri, i)] = FAKE
             continue
-        res = _row_decode(row)
+        res = _row_decode(row, pre_of.get((ri, i)))
         decoded[(ri, i)] = res
         if adapted is not None:
             # crop learned bitmaps from the strip that actually decoded
@@ -643,7 +661,7 @@ def recognize_page_detail(
             row = layout.regions[ri].rows[i]
             redo = _decode_row(
                 net, row, dawg, adapted=adapted, want_choices=want_choices,
-                disabled=disabled,
+                disabled=disabled, pre=pre_of.get((ri, i)),
             )
             # keep the re-decode only if it explains the row better: a
             # false-positive adapted match must not override a correct
