@@ -92,11 +92,15 @@ def _run_reduce(m: np.ndarray, k: int, axis: int, erode: bool) -> np.ndarray:
     O(log k) boolean passes — the van-Herk analogue for numpy."""
     fill = erode  # erosion: out-of-image = ON; dilation: OFF
     out = m
+    op = np.logical_and if erode else np.logical_or
     span = 1
     while span < k:
         step = min(span, k - span)
         shifted = _shift(out, step, axis, fill)
-        out = (out & shifted) if erode else (out | shifted)
+        # combine INTO the freshly-allocated shift buffer: one alloc +
+        # one pass fewer per doubling round (out may alias the caller's
+        # array on round 1; shifted never does)
+        out = op(out, shifted, out=shifted)
         span += step
     return out
 

@@ -302,14 +302,19 @@ def unshear(mask: np.ndarray, slope: float) -> np.ndarray:
     h, w = mask.shape
     shifts = np.round(slope * np.arange(w)).astype(np.int64)
     out = np.zeros_like(mask)
-    for s in np.unique(shifts):
-        cols = shifts == s
+    # round(slope*x) is monotone in x, so equal-shift columns form
+    # contiguous ranges: plain slice copies (no boolean fancy-index
+    # temporaries), one per distinct shift value
+    bounds = np.flatnonzero(shifts[1:] != shifts[:-1]) + 1
+    edges = np.concatenate(([0], bounds, [w]))
+    for a, bnd in zip(edges[:-1], edges[1:]):
+        s = int(shifts[a])
         if s == 0:
-            out[:, cols] = mask[:, cols]
+            out[:, a:bnd] = mask[:, a:bnd]
         elif s > 0:
-            out[: h - s, cols] = mask[s:, cols]
+            out[: h - s, a:bnd] = mask[s:, a:bnd]
         else:
-            out[-s:, cols] = mask[: h + s, cols]
+            out[-s:, a:bnd] = mask[: h + s, a:bnd]
     return out
 
 
@@ -795,16 +800,25 @@ def _word_boxes(
     reference's fuzzy-space WERDs resolved by fix_fuzzy_spaces."""
     split_px = space_px if fuzzy_px is None else min(fuzzy_px, space_px)
     order = idxs[np.argsort(stats[idxs, 0], kind="stable")]
-    boxes: list[tuple[int, int, int, int]] = []
-    cur = [order[0]]
-    for prev, nxt in zip(order[:-1], order[1:]):
-        gap = int(stats[nxt, 0] - stats[prev, 2])
-        if gap >= split_px:
-            boxes.append(_bbox_of(stats, np.asarray(cur)))
-            cur = []
-        cur.append(nxt)
-    boxes.append(_bbox_of(stats, np.asarray(cur)))
-    return boxes
+    l = stats[order, 0]
+    t = stats[order, 1]
+    r = stats[order, 2]
+    b = stats[order, 3]
+    # a word break falls wherever the gap to the PREVIOUS blob (not the
+    # running right edge — overlapping glyphs were merged upstream)
+    # reaches the split threshold; group bboxes via reduceat
+    si = np.concatenate(
+        ([0], np.flatnonzero(l[1:] - r[:-1] >= split_px) + 1)
+    )
+    return [
+        (int(a), int(bb), int(c), int(d))
+        for a, bb, c, d in zip(
+            np.minimum.reduceat(l, si),
+            np.minimum.reduceat(t, si),
+            np.maximum.reduceat(r, si),
+            np.maximum.reduceat(b, si),
+        )
+    ]
 
 
 def _bbox_of(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int, int]:
