@@ -444,6 +444,30 @@ def recognize_page_vgsl(
         get_vgsl_model,
     )
 
+    return recognize_pages_vgsl(
+        [gray], dpi, model=model, charlists=charlists, dawg=dawg,
+        use_beam=use_beam,
+    )[0]
+
+
+def recognize_pages_vgsl(
+    grays: list[np.ndarray], dpi: int = 300, model=None,
+    charlists: tuple[str, str, str] | None = None,
+    dawg=None, use_beam: bool = False,
+) -> list[tuple[list[SubSpan], PageResult]]:
+    """recognize_page_vgsl over MANY pages with one cross-page decode:
+    every page's row strips (and alt hypotheses) pool into a single
+    width-bucketed LSTM forward, so the conv/LSTM BLAS batches span page
+    boundaries — the StrideMap fills with the whole task's lines, not one
+    page's (stridemap.cpp batches whatever the caller queues).  Values
+    are identical to per-page calls: bucketing is per-strip and the
+    decode of one strip never sees another."""
+    from ..lstm.fixture_model import (
+        beam_decode_strips,
+        decode_strips,
+        get_vgsl_model,
+    )
+
     model = model or get_vgsl_model()
     disabled_uids: frozenset[int] | None = None
     if charlists is not None:
@@ -452,19 +476,20 @@ def recognize_page_vgsl(
         disabled_uids = frozenset(
             charlist_disabled(model.charset, *charlists)
         )
-    layout = analyze_page(gray, dpi)
+    layouts = [analyze_page(g, dpi) for g in grays]
     # gather all strips (and alt hypotheses) into ONE batched decode
-    jobs: list[tuple[int, int, int]] = []  # (region, row, 0=main|1=alt)
+    jobs: list[tuple[int, int, int, int]] = []  # (page, region, row, alt)
     strips: list[np.ndarray] = []
-    for ri, region in enumerate(layout.regions):
-        if region.kind != "text":
-            continue
-        for i, row in enumerate(region.rows):
-            jobs.append((ri, i, 0))
-            strips.append(row.strip)
-            if getattr(row, "alt_strip", None) is not None:
-                jobs.append((ri, i, 1))
-                strips.append(row.alt_strip)
+    for pi, layout in enumerate(layouts):
+        for ri, region in enumerate(layout.regions):
+            if region.kind != "text":
+                continue
+            for i, row in enumerate(region.rows):
+                jobs.append((pi, ri, i, 0))
+                strips.append(row.strip)
+                if getattr(row, "alt_strip", None) is not None:
+                    jobs.append((pi, ri, i, 1))
+                    strips.append(row.alt_strip)
     if use_beam or dawg is not None:
         texts = beam_decode_strips(
             model, strips, dawg=dawg, disabled_uids=disabled_uids,
@@ -472,12 +497,33 @@ def recognize_page_vgsl(
         )
     else:
         texts = decode_strips(model, strips, disabled_uids=disabled_uids)
-    decoded: dict[tuple[int, int], str] = {}
-    for (ri, i, alt), text in zip(jobs, texts):
-        cur = decoded.get((ri, i))
+    decoded: dict[tuple[int, int, int], str] = {}
+    for (pi, ri, i, alt), text in zip(jobs, texts):
+        cur = decoded.get((pi, ri, i))
         # hypothesis arbiter: more characters explained wins (ties: main)
         if cur is None or len(text) > len(cur):
-            decoded[(ri, i)] = text
+            decoded[(pi, ri, i)] = text
+    return [
+        (
+            _assemble_vgsl_spans(
+                layout,
+                {
+                    (ri, i): t
+                    for (pj, ri, i), t in decoded.items()
+                    if pj == pi
+                },
+            ),
+            layout,
+        )
+        for pi, layout in enumerate(layouts)
+    ]
+
+
+def _assemble_vgsl_spans(
+    layout: PageResult, decoded: dict[tuple[int, int], str]
+) -> list[SubSpan]:
+    """Reading-order span assembly for the VGSL path (shared by the
+    single-page and cross-page-batched entry points)."""
     multi_col = sum(1 for g in layout.regions if g.kind == "text") > 1
     keyed: list[tuple[tuple, SubSpan]] = []
     for ri, region in enumerate(layout.regions):
@@ -504,7 +550,7 @@ def recognize_page_vgsl(
                 )
             )
     keyed.sort(key=lambda kv: kv[0])
-    return [s for _k, s in keyed], layout
+    return [s for _k, s in keyed]
 
 
 def recognize_page_detail(

@@ -89,30 +89,39 @@ def q_ocr_vgsl_extract(
         from .derived import chunk_page_spec
         from .functions.compose import compose_page
         from .lstm.fixture_model import get_vgsl_model
-        from .operators.recognize import recognize_page_vgsl
+        from .operators.recognize import recognize_pages_vgsl
 
         model = get_vgsl_model()
         for pdf in batches:
-            rows = []
-            for doc_id, i, chunk in zip(
-                pdf["doc_id"], pdf["i"], pdf["chunk_text"]
-            ):
-                # the SAME render rule as the corpus (single source of
-                # truth: derived.chunk_page_spec)
-                page = compose_page(chunk_page_spec(int(doc_id), int(i), chunk))
-                spans, _ = recognize_page_vgsl(
-                    page.image, model=model, use_beam=use_beam
+            # the SAME render rule as the corpus (single source of
+            # truth: derived.chunk_page_spec); decode the WHOLE Arrow
+            # chunk in one cross-page batched LSTM forward — the width
+            # buckets fill with every page's lines, not one page's
+            imgs = [
+                compose_page(
+                    chunk_page_spec(int(doc_id), int(i), chunk)
+                ).image
+                for doc_id, i, chunk in zip(
+                    pdf["doc_id"], pdf["i"], pdf["chunk_text"]
                 )
-                text = "\n".join(s.text for s in spans if s.kind == "text")
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "offset": int(i),
-                        "kind": "text",
-                        "text": text,
-                        "media_ref": None,
-                    }
+            ]
+            results = recognize_pages_vgsl(
+                imgs, model=model, use_beam=use_beam
+            )
+            rows = [
+                {
+                    "doc_id": int(doc_id),
+                    "offset": int(i),
+                    "kind": "text",
+                    "text": "\n".join(
+                        s.text for s in spans if s.kind == "text"
+                    ),
+                    "media_ref": None,
+                }
+                for (doc_id, i), (spans, _layout) in zip(
+                    zip(pdf["doc_id"], pdf["i"]), results
                 )
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "offset", "kind", "text", "media_ref"],

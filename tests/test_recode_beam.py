@@ -466,3 +466,28 @@ def test_beam_decode_strips_space_free_charset():
     strips = [np.zeros((16, 8), dtype=np.float32)]
     out = beam_decode_strips(_Model(), strips, force_beam=True)
     assert out == ["甲"]
+
+
+def test_recognize_pages_vgsl_cross_page_batch_parity():
+    # cross-page batched decode must equal per-page calls exactly: the
+    # width buckets pool strips from every page, but one strip's decode
+    # never sees another (stridemap.cpp batching is caller-transparent)
+    from tesseract_spark.functions.compose import PageSpec, compose_page
+    from tesseract_spark.operators.recognize import (
+        recognize_page_vgsl,
+        recognize_pages_vgsl,
+    )
+
+    pages = [
+        compose_page(PageSpec(paragraphs=[["hello world"]])),
+        compose_page(
+            PageSpec(paragraphs=[["jumps over 13 dogs", "quick brown fox"]])
+        ),
+        compose_page(PageSpec(paragraphs=[["zebras vex 42 jq"]])),
+    ]
+    batched = recognize_pages_vgsl([p.image for p in pages])
+    for page, (spans, _layout) in zip(pages, batched):
+        solo, _ = recognize_page_vgsl(page.image)
+        assert [(s.kind, s.text) for s in spans] == [
+            (s.kind, s.text) for s in solo
+        ]
