@@ -67,7 +67,7 @@ def _column_elements(
             lines.append((x0 + indent, y, text))
             max_w = max(max_w, indent + text_ink_width(text, s))
             y += PITCH * s
-        elems.append({"kind": "text", "lines": lines, "para": pi})
+        elems.append({"kind": "text", "lines": lines, "para": pi, "col_x": x0})
         y += PARA_GAP * s
         for after, w, h in spec.photos:
             if after == pi:
@@ -182,7 +182,9 @@ def _elem_order(e: dict, spec: PageSpec) -> tuple:
     """Reading-order key matching operators.page.analyze_page: columns
     left-to-right when multi-column, else strictly by top y."""
     if e["kind"] == "text":
-        x = min(l[0] for l in e["lines"])
+        # order by COLUMN membership, not raw ink x — an indented first
+        # line must not push its paragraph after its column siblings
+        x = e.get("col_x", min(l[0] for l in e["lines"]))
         y = min(l[1] for l in e["lines"])
         if e.get("pullout"):
             x = -1  # a top pullout band reads before either column

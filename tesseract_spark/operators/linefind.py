@@ -605,8 +605,14 @@ def find_images(ink: np.ndarray) -> np.ndarray:
     if w // 2 < K_MIN_IMAGE_FIND_SIZE or h // 2 < K_MIN_IMAGE_FIND_SIZE:
         return np.zeros_like(ink)
     pixr = _reduce_rank2(ink, 1)  # 2x OR reduce
-    # halftone mask analogue of pixGenerateHalftoneMask: seed = high-rank
-    # cascade (solid areas only), mask = softer cascade, seed grows in mask
+    # halftone mask analogue of pixGenerateHalftoneMask: a small closing
+    # first (leptonica pixCloseSafeBrick inside pixGenerateHalftoneMask,
+    # called at imagefind.cpp:264) solidifies periodic dot fields whose
+    # dots collapse to single pixels under an aligned OR reduce — without
+    # it a grid-aligned halftone reduces to a 1px checkerboard that the
+    # rank-4 seed cascade annihilates; then seed = high-rank cascade
+    # (solid areas only), mask = softer cascade, seed grows in mask
+    pixr = close_brick(pixr, 2, 2)
     seed = _cascade(pixr, [4, 4, 3])  # 16x of full
     if not seed.any():
         return np.zeros_like(ink)
@@ -625,10 +631,19 @@ def find_images(ink: np.ndarray) -> np.ndarray:
     pixht &= _expand2(fine, 4, ink.shape)
     if not pixht.any():
         return pixht
-    return _reclaim_text(pixht, ink)
+    # ink components actually touching the halftone SEED — the dense dot
+    # field itself, before the block-aligned mask growth.  _reclaim_text
+    # scores these (and retains mask only over them), so a mask window
+    # that overreached into a neighbouring text row returns that text to
+    # the pipeline instead of dragging the whole window's verdict down
+    # (the reference's partition-level filtering, imagefind.cpp:1106-1180)
+    core = seedfill(_expand2(seed, 4, ink.shape), ink)
+    return _reclaim_text(pixht, ink, core)
 
 
-def _reclaim_text(pixht: np.ndarray, ink: np.ndarray) -> np.ndarray:
+def _reclaim_text(
+    pixht: np.ndarray, ink: np.ndarray, core: np.ndarray | None = None
+) -> np.ndarray:
     """Reclaim text wrongly caught by the mask: the reference
     re-examines image partitions and returns text-like ones to the text
     pipeline (ImageFind partition filtering, imagefind.cpp:1106-1180;
@@ -645,13 +660,39 @@ def _reclaim_text(pixht: np.ndarray, ink: np.ndarray) -> np.ndarray:
     _mlab, mn, mstats = label_and_stats(pixht)
     for i in range(mn):
         l, t, r, b, _a = (int(v) for v in mstats[i])
+        wl, wt, wr, wb = l, t, r, b  # full mask window (for erasure)
+        win = ink[t:b, l:r]
+        if core is not None and core[t:b, l:r].any():
+            # prefer the seed-touching components: text rows swallowed by
+            # the block-aligned mask growth are excluded from the verdict
+            # and returned to the text pipeline below
+            win = core[t:b, l:r]
+        if not win.any():
+            pixht[t:b, l:r] = False
+            continue
+        # evaluate over the tight ink bbox, not the 8x-block-aligned mask
+        # window — the reference scores ColPartitions on their BLOB
+        # bounding boxes (imagefind.cpp:1106-1180), and the block-aligned
+        # window dilutes a genuine image's solidity below any threshold
+        ys, xs = np.nonzero(win.any(axis=1)), np.nonzero(win.any(axis=0))
+        t, b = t + int(ys[0][0]), t + int(ys[0][-1]) + 1
+        l, r = l + int(xs[0][0]), l + int(xs[0][-1]) + 1
         _clab, cn, cstats = label_and_stats(ink[t:b, l:r])
         if cn == 0:
             pixht[t:b, l:r] = False
             continue
         areas = cstats[:cn, 4]
         is_halftone = cn >= 30 and float(np.median(areas)) <= 16.0
-        is_solid = float(areas.max()) >= 0.5 * (r - l) * (b - t)
+        # the solid path needs an absolute size floor: with the tight
+        # bbox a dense glyph pair also reads "solid", but a genuine
+        # image region is several glyphs big (the same 1200 px² gate as
+        # _grade_blobs' relative photo test; strike-through residue over
+        # one word must fall back to the text pipeline)
+        is_solid = (
+            float(areas.max()) >= 0.5 * (r - l) * (b - t)
+            and (r - l) * (b - t) >= 1200
+            and min(r - l, b - t) >= 20
+        )
         if is_halftone and not is_solid:
             # the projection veto: a "halftone" whose components sit in
             # textline bands is a dense small-glyph paragraph.  A real
@@ -666,5 +707,10 @@ def _reclaim_text(pixht: np.ndarray, ink: np.ndarray) -> np.ndarray:
             if strongly_in_textline_fraction(proj, sample) >= 0.5:
                 is_halftone = False
         if not (is_halftone or is_solid):
-            pixht[t:b, l:r] = False
+            pixht[wt:wb, wl:wr] = False
+        elif (t, b, l, r) != (wt, wb, wl, wr):
+            # keep the image but only over its tight bbox — any text the
+            # block-aligned window swallowed goes back to the pipeline
+            pixht[wt:wb, wl:wr] = False
+            pixht[t:b, l:r] = True
     return pixht

@@ -154,13 +154,16 @@ def _grade_blobs(stats: np.ndarray) -> np.ndarray:
     # absolute gate — a small halftone on small-print text otherwise
     # reaches the row builder and decodes as an empty garbage line.
     # Margins: tallest glyph ≤ 1.5× the median component height at one
-    # render scale, so 3×median is text-safe even on mixed-scale pages.
+    # render scale, so 2.5×median stays text-safe (drop caps are ~2 lines
+    # tall but narrow — the 4×median WIDTH gate excludes them); pages too
+    # small for FindImages (kMinImageFindSize guard, imagefind.cpp:254)
+    # reach the row builder with their photos ungraded otherwise.
     nonrule = grade == 0
     if nonrule.any():
         med_all = _median_linear(h[nonrule])
         grade[
             nonrule
-            & (h >= 3 * med_all)
+            & (h >= 2.5 * med_all)
             & (w >= 4 * med_all)
             & (w * h >= 1200)
             & (density >= 0.45)
@@ -385,23 +388,42 @@ def _column_sets(
         )
 
     def col_of(cand: list[tuple[int, int]], x: float) -> int:
+        # margins make neighbouring columns overlap inside gutters, so
+        # membership is nearest-centre among the columns containing x
+        best, bd = -1, 0.0
         for ci, (l, r) in enumerate(cand):
             if l - slack <= x <= r + slack:
-                return ci
-        return -1
+                d = abs(x - (l + r) / 2.0)
+                if best < 0 or d < bd:
+                    best, bd = ci, d
+        return best
+
+    def fit_col(cand: list[tuple[int, int]], l: int, r: int) -> int:
+        """Column containing the whole partition [l, r] (within slack),
+        nearest centre among fitters; -1 when none contains it."""
+        best, bd = -1, 0.0
+        for ci, (cl, cr) in enumerate(cand):
+            if cl - slack <= l and r <= cr + slack:
+                d = abs((l + r) / 2.0 - (cl + cr) / 2.0)
+                if best < 0 or d < bd:
+                    best, bd = ci, d
+        return best
 
     def compat(sig: list[tuple[int, int]], cand: list[tuple[int, int]]) -> bool:
+        prev_fit, prev_good = -2, False
         for pi, (l, r) in enumerate(sig):
-            lc, rc = col_of(cand, l), col_of(cand, r)
-            if lc < 0 or rc < 0:
-                return False  # a partition edge outside all columns
-            if lc != rc and r - l >= good_w:
-                return False  # good-width partition spans columns
-            if pi + 1 < len(sig):
-                nl, nr = sig[pi + 1]
-                if col_of(cand, nl) == rc and r - l >= good_w \
-                        and nr - nl >= good_w:
-                    return False  # column layout change inside one column
+            f = fit_col(cand, l, r)
+            good = r - l >= good_w
+            if f < 0:
+                lc, rc = col_of(cand, l), col_of(cand, r)
+                if lc < 0 or rc < 0:
+                    return False  # a partition edge outside all columns
+                if good:
+                    return False  # good-width partition spans columns
+                f = lc  # narrow straddler rides its left column
+            if pi > 0 and f == prev_fit and good and prev_good:
+                return False  # column layout change inside one column
+            prev_fit, prev_good = f, good
         return True
 
     # candidate pool ordered by quality — good (column-width) coverage
@@ -416,20 +438,45 @@ def _column_sets(
         bad = [(r - l) for l, r in c if r - l < good_w]
         return (sum(good), len(good), sum(bad))
 
+    def margin_extend(sig: list[tuple[int, int]]) -> list[tuple[int, int]]:
+        """Candidate columns from a strip signature with the reference's
+        margin semantics: a ColPartition's column extent runs between its
+        left_key/right_key — margins pushed out to the nearest obstacle
+        (neighbouring partition) or the page edge, not the ink extent
+        (colpartition.h:171-178 left_key/right_key, :324 KeyWidth;
+        colpartitionset.cpp:446-457 compares margins, not boxes).  Without
+        this, a single-column region whose lines run a little wider than
+        the widest line inside a two-column band above it reads as
+        incompatible with the two-column set, splitting the page into two
+        bands and breaking column-major reading order.  A margin runs to
+        the neighbouring partition's INK edge (the obstacle itself), not
+        the gap midpoint — the gutter belongs to both columns, as both
+        reference margins reach the shared tab vector — so adjacent
+        columns overlap and membership tests use containment (fit_col),
+        not first-match edge lookup."""
+        out: list[tuple[int, int]] = []
+        for i, (l, r) in enumerate(sig):
+            lo = span_l if i == 0 else sig[i - 1][1]
+            hi = span_r if i == len(sig) - 1 else sig[i + 1][0]
+            out.append((min(lo, l), max(hi, r)))
+        return out
+
+    cands = [margin_extend(s) for s in sigs]
+    full = [(span_l, span_r)]
     pool: list[list[tuple[int, int]]] = []
-    for sig in sigs + [[(span_l, span_r)]]:
-        q = quality(sig)
+    for sig, cand in list(zip(sigs, cands)) + [(full, full)]:
+        q = quality(cand)
         dup = False
         at = len(pool)
         for i, c in enumerate(pool):
             if quality(c) < q:
                 at = i
                 break
-            if same_set(sig, c) or compat(sig, c):
+            if same_set(cand, c) or compat(sig, c):
                 dup = True
                 break
         if not dup:
-            pool.insert(at, sig)
+            pool.insert(at, cand)
 
     def unmatched(gidx: np.ndarray, cand: list[tuple[int, int]]) -> int:
         mids = (stats[gidx, 0] + stats[gidx, 2]) / 2.0
@@ -574,19 +621,66 @@ def _column_sets(
         members = np.concatenate([strips[k] for k in range(i, j)])
         cand = pool[assigned[i]]
         if crossing[i] or len(cand) == 1:
-            blocks.append(members)
-            run_of.append(run_idx)
+            # a bridged (cost-INF) strip keeps its own partitions as
+            # units: the reference never merges two ColPartitions into
+            # one textline, so a two-column strip absorbed into a
+            # single-column band must still emit one pullout block per
+            # aligned partition interval — merging them would
+            # concatenate text across the gutter into one line, which
+            # no assignment can justify.  Full-width headings (single-
+            # partition sigs) are unaffected: one interval, one block.
+            ivals: list[list[int]] = []
+            for k in range(i, j):
+                for l, r in sigs[k]:
+                    for iv in ivals:
+                        if l < iv[1] and r > iv[0]:  # x-overlap: align
+                            iv[0], iv[1] = min(iv[0], l), max(iv[1], r)
+                            break
+                    else:
+                        ivals.append([l, r])
+            ivals.sort()
+            if len(ivals) <= 1:
+                blocks.append(members)
+                run_of.append(run_idx)
+            else:
+                cx = (stats[members, 0] + stats[members, 2]) / 2.0
+                lo = np.array([iv[0] for iv in ivals])
+                hi = np.array([iv[1] for iv in ivals])
+                mid = (lo + hi) / 2.0
+                inside = (cx[:, None] >= lo[None, :] - slack) & (
+                    cx[:, None] <= hi[None, :] + slack
+                )
+                nearest = np.argmin(np.abs(cx[:, None] - mid[None, :]), axis=1)
+                iv_idx = np.where(
+                    inside.any(axis=1), inside.argmax(axis=1), nearest
+                )
+                for vi in range(len(ivals)):
+                    sel = members[iv_idx == vi]
+                    if len(sel):
+                        blocks.append(sel)
+                        run_of.append(run_idx)
         else:
-            cx = (stats[members, 0] + stats[members, 2]) / 2.0
-            col_idx = np.array([col_of(cand, m) for m in cx])
-            # outliers join the nearest column
-            for k in np.flatnonzero(col_idx < 0):
-                centers = np.array([(l + r) / 2 for l, r in cand])
-                col_idx[k] = int(np.argmin(np.abs(centers - cx[k])))
+            # assignment is PER-PARTITION, never per-blob: a ColPartition
+            # goes wholly into the column that contains it (margins make
+            # columns overlap inside gutters, so a blob-by-blob x-middle
+            # vote near a gutter would tear words apart)
+            per_col: list[list[np.ndarray]] = [[] for _ in cand]
+            centers = np.array([(l + r) / 2.0 for l, r in cand])
+            for k in range(i, j):
+                g = strips[k]
+                mids = (stats[g, 0] + stats[g, 2]) / 2.0
+                for l, r in sigs[k]:
+                    f = fit_col(cand, l, r)
+                    if f < 0:
+                        f = col_of(cand, l)
+                    if f < 0:
+                        f = int(np.argmin(np.abs(centers - (l + r) / 2.0)))
+                    sel = g[(mids >= l) & (mids <= r)]
+                    if len(sel):
+                        per_col[f].append(sel)
             for ci in range(len(cand)):
-                sel = members[col_idx == ci]
-                if len(sel):
-                    blocks.append(sel)
+                if per_col[ci]:
+                    blocks.append(np.concatenate(per_col[ci]))
                     run_of.append(run_idx)
         i = j
     return blocks, run_of
@@ -1097,7 +1191,15 @@ def analyze_page(
 
     if skew != 0.0:
         src_mask = mask_of(labels, n, keep_idx)
-        if skew_ambiguous:
+        if skew_ambiguous or abs(skew) >= 0.0495:
+            # refine on ambiguity, and ALWAYS near the grid's outer
+            # edge: beyond ~0.055 glyphs shear internally (column shifts
+            # step inside one glyph's width) and the bbox vote can be
+            # DECISIVELY one step off (see estimate_skew's envelope
+            # note) — a true 0.055/0.06 page can READ as 0.05, so the
+            # gate keys on the estimate from 0.05 up; the pixel-
+            # roughness criterion is exact there, and it keeps the bbox
+            # winner on ties so in-envelope behaviour is unchanged.
             # pixel-level tie-break between grid-neighbouring slopes: on
             # a sparse page (few tiny blobs over a short x-range) the
             # bbox vote cannot separate adjacent slopes, and an

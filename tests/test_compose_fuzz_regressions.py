@@ -1,0 +1,151 @@
+"""Regression pins from the round-4 composition fuzzer.
+
+A seeded fuzzer over PageSpec (random paragraphs, unbalanced second
+columns, photos, rules, skew, inversion, noise, indents — 120 cases)
+found five distinct layout/detection bugs; every failing spec is pinned
+here verbatim.  The bugs, and the fixes they drove:
+
+1. Bridged two-column strips concatenated text across the gutter
+   (column-set DP emitted one block for a cost-INF strip) — fixed by
+   per-interval pullout splitting in ``_column_sets``.
+2. Unbalanced columns (short column 2 beside a tall column 1) split the
+   page into vertical runs and interleaved reading order — fixed by
+   margin-extended column candidates (colpartition.h:171-178
+   left_key/right_key semantics: margins run to the neighbouring
+   partition's ink edge / page edge, columns overlap in gutters,
+   membership is containment via fit_col, assignment is per-partition).
+3. Grid-aligned checkerboard photos vanished under the rank-4 seed
+   cascade (a 2px dot field OR-reduces to a 1px checkerboard) — fixed
+   by the pixCloseSafeBrick-analogue closing before the cascades
+   (leptonica pixGenerateHalftoneMask, called at imagefind.cpp:264).
+4. Block-aligned halftone mask windows swallowed neighbouring text rows
+   and diluted the region verdict — fixed by scoring the seed-touching
+   ink components over their tight bbox (with a 1200 px² solid-path
+   floor so a dense glyph pair doesn't read as an image) and retaining
+   the mask only there (imagefind.cpp:1106-1180 partition filtering).
+5. At the skew grid's outer edge (|s| >= 0.055) the bbox vote can be
+   decisively one step off (documented envelope), mangling glyphs at
+   rounding boundaries — fixed by gating the pixel-roughness refinement
+   on |estimate| >= 0.0495 as well as on ambiguity.
+"""
+
+import pytest
+
+from tesseract_spark.functions.compose import PageSpec, compose_page
+from tesseract_spark.lstm.templates import get_net
+from tesseract_spark.operators.recognize import recognize_page
+
+CASES = {
+    # --- bug 2: unbalanced two-column reading order ---
+    "col2_unbalanced_tall_left": PageSpec(
+        paragraphs=[
+            ["vow discotheques", "with brown 42"],
+            ["quick brown lazy", "provide five quartz"],
+            ["sphinx 2026 quartz", "7 2026 provide black", "dozen brown"],
+        ],
+        column2=[["box amazingly dozen", "7 lazy quick"]],
+        scale=2,
+    ),
+    "col2_wider_text_below_band": PageSpec(
+        paragraphs=[
+            ["fox brown", "over fox quartz"],
+            ["few amazingly 2026 jukeboxes", "quartz fox",
+             "the provide box jukeboxes"],
+        ],
+        column2=[["liquor quartz five", "five my dozen"]],
+        scale=1, noise_dots=7, indent_paras=(0,),
+    ),
+    "col2_with_rule": PageSpec(
+        paragraphs=[
+            ["jumps dog dog liquor", "brown jumps", "jugs the box jukeboxes"],
+            ["pack 99", "13 amazingly 13 over"],
+            ["my liquor"],
+        ],
+        column2=[["of brown jumps", "jumps my my"]],
+        scale=1, rules=(1,),
+    ),
+    "col2_skewed_with_rule": PageSpec(
+        paragraphs=[
+            ["my liquor", "42 7"],
+            ["brown quartz my", "brown jugs"],
+            ["jukeboxes of quartz", "2026 quick 2026",
+             "discotheques 7 discotheques"],
+        ],
+        column2=[["black my sphinx", "13 discotheques judge"]],
+        scale=1, skew=-0.045, rules=(2,),
+    ),
+    "col2_skewed_inverted": PageSpec(
+        paragraphs=[["fox jugs 42"], ["the amazingly"]],
+        column2=[["dozen jukeboxes vow", "13 judge box"]],
+        scale=2, skew=0.03, inverted=True, rules=(0,),
+    ),
+    "col2_small_page_skew": PageSpec(
+        paragraphs=[["jukeboxes black jukeboxes"]],
+        column2=[["dog black dozen", "of box box"]],
+        scale=1, skew=0.02, noise_dots=4, rules=(0,),
+    ),
+    "col2_inverted_steep": PageSpec(
+        paragraphs=[["of jukeboxes jukeboxes with"]],
+        column2=[["quick 7 my", "42 dog judge"]],
+        scale=1, skew=-0.05, inverted=True,
+    ),
+    "col2_indented_first_para": PageSpec(
+        paragraphs=[
+            ["provide jugs my jukeboxes"],
+            ["dog five jumps"],
+            ["liquor lazy sphinx with", "black 7", "discotheques my"],
+        ],
+        column2=[["with 42 my", "quick jukeboxes sphinx"]],
+        scale=2, skew=0.01, indent_paras=(0,),
+    ),
+    # --- bugs 3/4: photo detection ---
+    "photo_aligned_checkerboard_scale2": PageSpec(
+        paragraphs=[
+            ["black dog"],
+            ["lazy the", "with five jukeboxes 2026", "jumps fox lazy judge"],
+        ],
+        scale=2, photos=((1, 74, 31),),
+    ),
+    "photo_small_page_below_findimages_floor": PageSpec(
+        paragraphs=[["judge my sphinx", "five quartz"], ["judge dog 2026"]],
+        scale=1, photos=((0, 50, 32),),
+    ),
+    "photo_with_col2_and_indent": PageSpec(
+        paragraphs=[
+            ["amazingly judge 42 lazy", "quartz 42 vow", "brown dozen judge"],
+            ["discotheques my provide five"],
+            ["over amazingly sphinx amazingly", "jukeboxes of fox",
+             "13 jumps fox"],
+        ],
+        column2=[["jugs amazingly dog", "liquor brown liquor"]],
+        scale=2, indent_paras=(0,), photos=((0, 49, 36),),
+    ),
+    "photo_skewed_col2": PageSpec(
+        paragraphs=[
+            ["13 few", "vow black quick box", "jugs jukeboxes sphinx my"],
+            ["42 jukeboxes jukeboxes"],
+            ["vow jumps box", "sphinx sphinx 2026 fox"],
+        ],
+        column2=[["black provide few", "over my dog"]],
+        scale=2, skew=0.015, photos=((2, 68, 37),),
+    ),
+    # --- bug 5: skew-grid outer edge ---
+    "skew_grid_edge_inverted": PageSpec(
+        paragraphs=[["pack dozen", "quartz sphinx"]],
+        scale=2, skew=-0.06, inverted=True, rules=(0,),
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def net():
+    return get_net()
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_fuzz_regression(name, net):
+    spec = CASES[name]
+    page = compose_page(spec)
+    spans, _layout = recognize_page(page.image, spec.dpi, None, net)
+    got = [(s.kind, s.text) for s in spans]
+    assert got == page.golden, f"{name}: {got} != {page.golden}"
