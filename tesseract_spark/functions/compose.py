@@ -72,6 +72,7 @@ def _column_elements(
         for after, w, h in spec.photos:
             if after == pi:
                 elems.append({"kind": "media", "photo": (x0, y, w, h)})
+                max_w = max(max_w, w)  # photos widen the page too
                 y += h + PARA_GAP * s
         if pi in spec.rules:
             elems.append({"kind": "media", "rule": (x0, y)})

@@ -42,8 +42,9 @@ K_THICK_LENGTH_MULTIPLE = 0.75
 K_MAX_NON_LINE_DENSITY = 0.25
 K_MAX_STAVE_HEIGHT = 1.0  # inches
 K_MIN_MUSIC_PIXEL_FRACTION = 0.75
-# Constants from imagefind.cpp:40-47.
-K_MIN_IMAGE_FIND_SIZE = 100
+# Constants from imagefind.cpp:40-47.  kMinImageFindSize=100 is NOT
+# ported: it guards a leptonica error path this numpy cascade doesn't
+# have (see find_images).
 
 
 @dataclass
@@ -602,7 +603,15 @@ def find_images(ink: np.ndarray) -> np.ndarray:
     Returns a full-resolution boolean mask (all-False when no image found).
     """
     h, w = ink.shape
-    if w // 2 < K_MIN_IMAGE_FIND_SIZE or h // 2 < K_MIN_IMAGE_FIND_SIZE:
+    # Documented divergence from the reference's kMinImageFindSize=100
+    # guard (imagefind.cpp:250-255): that bound exists only because
+    # leptonica's pixGenHalftoneMask errors below 100px on the reduced
+    # image — an implementation limit, not semantics.  This cascade is
+    # plain numpy and only needs the 16x reduction to be non-degenerate,
+    # so small pages keep their halftone detection (a photo on a page
+    # too narrow for the reference guard otherwise reaches the row
+    # builder and decodes as an empty garbage line).
+    if w // 2 < 16 or h // 2 < 16:
         return np.zeros_like(ink)
     pixr = _reduce_rank2(ink, 1)  # 2x OR reduce
     # halftone mask analogue of pixGenerateHalftoneMask: a small closing

@@ -129,6 +129,19 @@ CASES = {
         column2=[["black provide few", "over my dog"]],
         scale=2, skew=0.015, photos=((2, 68, 37),),
     ),
+    # --- round-2 fuzz batch: composer width + small-page FindImages ---
+    # (6) compose_page sized the page from text ink only, so a photo
+    #     wider than every text line rendered out of bounds; and (7) the
+    #     reference's kMinImageFindSize=100 guard — a leptonica error-
+    #     path bound, not semantics — left photos on small pages to the
+    #     row builder (now documented-divergent: the numpy cascade runs
+    #     from 32px pages up).
+    "photo_wider_than_text": PageSpec(
+        paragraphs=[["my 2026"]], scale=1, photos=((0, 86, 43),), rules=(0,),
+    ),
+    "photo_on_page_below_reference_guard": PageSpec(
+        paragraphs=[["quick 7"]], scale=2, photos=((0, 70, 37),), rules=(0,),
+    ),
     # --- bug 5: skew-grid outer edge ---
     "skew_grid_edge_inverted": PageSpec(
         paragraphs=[["pack dozen", "quartz sphinx"]],

@@ -186,12 +186,22 @@ def test_halftone_emits_media_span_and_keeps_text():
     assert [g.kind for g in layout.regions].count("photo") == 1
 
 
-def test_find_images_small_page_bypass():
-    """Pages below kMinImageFindSize skip halftone detection
-    (imagefind.cpp:252-257)."""
+def test_find_images_small_page_detects():
+    """Documented divergence from kMinImageFindSize=100
+    (imagefind.cpp:252-257): that bound guards a leptonica error path
+    the numpy cascade doesn't have, so a dot field on a small page IS
+    still detected; only degenerate (<32px) pages bypass."""
     pg = np.zeros((150, 150), bool)
     pg[20:80:2, 20:80:2] = True
-    assert not find_images(pg).any()
+    m = find_images(pg)
+    assert m.any()
+    ys, xs = np.nonzero(m)
+    # the mask covers the dot field, not the page margins
+    assert 10 <= xs.min() and xs.max() <= 90
+    assert 10 <= ys.min() and ys.max() <= 90
+    tiny = np.zeros((30, 30), bool)
+    tiny[4:26:2, 4:26:2] = True
+    assert not find_images(tiny).any()
 
 
 # ---------------------------------------------------------------------------
