@@ -128,12 +128,18 @@ def _median_linear(a: np.ndarray) -> float:
     return vb - (vb - va) * 0.5
 
 
-def _grade_blobs(stats: np.ndarray) -> np.ndarray:
+def _grade_blobs(
+    stats: np.ndarray,
+    ink: np.ndarray | None = None,
+    labels: np.ndarray | None = None,
+) -> np.ndarray:
     """Grade components: 0=text, 1=noise, 2=photo, 3=rule.
 
     filter_blobs semantics (tordmain.cpp:236-349): size percentiles relative
     to the page's blob population, plus the rule/photo detectors
-    (linefind/imagefind analogues).
+    (linefind/imagefind analogues).  When ``ink``/``labels`` are given, a
+    texture pass also runs (see below) for photo blocks the size gates
+    cannot see.
     """
     n = len(stats)
     grade = np.zeros(n, dtype=np.int64)
@@ -168,6 +174,63 @@ def _grade_blobs(stats: np.ndarray) -> np.ndarray:
             & (w * h >= 1200)
             & (density >= 0.45)
         ] = 2
+    # texture pass (needs pixels): a halftone/solid block whose HEIGHT is
+    # glyph-sized defeats every size gate — at render scale 3 a 26px-tall
+    # photo strip is SHORTER than the glyphs around it.  What no glyph
+    # ever has is the halftone's lake structure: within the component's
+    # own bbox the largest background component is a tiny interior lake
+    # (the dot field's 2x2 gaps; a solid block has none), while any
+    # glyph's bbox holds large concavities or open border background.
+    # This is the per-blob analogue of the imagefind halftone verdict
+    # (imagefind.cpp:1106-1180 partition scoring) for blobs the mask
+    # cascade is too coarse to see.  Pre-gates keep it off glyphs: dense
+    # (>=0.42), at least ~2 glyphs of area, and wider than tall.
+    if ink is not None and labels is not None:
+        cand = np.flatnonzero(
+            (grade == 0)
+            & (w >= 20)
+            & (h >= 14)
+            & (w >= h)
+            & (w * h >= 600)
+            & (density >= 0.42)
+        )
+        if len(cand):
+            from .linefind import label_and_stats as _las
+
+            def lake_ok(comp: np.ndarray) -> bool:
+                # 4-connected background (the 8-fg/4-bg duality): the dot
+                # field's interior gaps must NOT chain diagonally into
+                # one big pseudo-lake
+                _lb, ln, lstats = _las(~comp, connectivity=4)
+                lake = float(lstats[:ln, 4].max()) if ln else 0.0
+                hh, ww = comp.shape
+                return lake <= max(8.0, 0.02 * ww * hh)
+
+            # page shear steps THROUGH a dot field chain lakes along the
+            # step column; retry failed candidates on a window-local
+            # unshear at the page's provisional slope
+            prov_skew = estimate_skew(stats)
+
+            def unsheared_window(comp: np.ndarray, x0: int) -> np.ndarray:
+                hh, ww = comp.shape
+                sh = np.round(prov_skew * (x0 + np.arange(ww)))
+                sh = sh.astype(np.int64)
+                sh -= sh.min()
+                pad = int(sh.max())
+                out = np.zeros((hh + pad, ww), dtype=bool)
+                for xi in range(ww):
+                    out[pad - sh[xi] : pad - sh[xi] + hh, xi] = comp[:, xi]
+                ys = np.flatnonzero(out.any(axis=1))
+                return out[ys[0] : ys[-1] + 1] if len(ys) else comp
+
+            for i in cand:
+                l, t, r, b = (int(v) for v in stats[i, :4])
+                comp = labels[t:b, l:r] == i + 1
+                if lake_ok(comp) or (
+                    prov_skew != 0.0 and lake_ok(unsheared_window(comp, l))
+                ):
+                    grade[i] = 2
+
     # noise: tiny specks relative to the text population percentile
     text_mask = grade == 0
     if text_mask.any():
@@ -1153,7 +1216,7 @@ def analyze_page(
         if res.n_underlines:
             labels, n, stats = label_and_stats(ink)
 
-    grade = _grade_blobs(stats)
+    grade = _grade_blobs(stats, ink, labels)
     res.n_blobs = int((grade == 0).sum())
     res.n_noise = int((grade == 1).sum())
 

@@ -142,6 +142,43 @@ CASES = {
     "photo_on_page_below_reference_guard": PageSpec(
         paragraphs=[["quick 7"]], scale=2, photos=((0, 70, 37),), rules=(0,),
     ),
+    # --- round-3 fuzz batch (wide axes): thin photos at large scales ---
+    # (8) photos whose height is at or below the surrounding glyph
+    #     height defeat every size gate (a 26px photo strip is SHORTER
+    #     than scale-3 glyphs); the texture pass in _grade_blobs now
+    #     catches them by lake structure — the largest 4-connected
+    #     background component inside a halftone/solid block's bbox is a
+    #     tiny interior gap, while any glyph bbox holds large concavities
+    #     — with a window-local unshear retry for sheared pages.
+    "thin_photo_glyph_height_scale2": PageSpec(
+        paragraphs=[["brown my jukeboxes sphinx", "provide jugs"]],
+        scale=2, photos=((0, 38, 27), (0, 57, 45)),
+    ),
+    "thin_photo_shorter_than_scale3_glyphs": PageSpec(
+        paragraphs=[
+            ["lazy vow box"],
+            ["liquor 2026 liquor quick", "quartz jukeboxes jumps brown"],
+            ["the sphinx five quartz", "five 13"],
+        ],
+        column2=[["sphinx my fox"]],
+        scale=3, indent_paras=(1, 0), photos=((0, 80, 25),),
+    ),
+    "thin_photos_inverted_scale3": PageSpec(
+        paragraphs=[
+            ["dozen dozen my"],
+            ["black jumps jugs box", "my 13 box", "my 42 judge quartz"],
+        ],
+        scale=3, inverted=True, noise_dots=6, photos=((0, 86, 26), (0, 50, 41)),
+    ),
+    "thin_photo_sheared_lake_chain": PageSpec(
+        paragraphs=[
+            ["dog dozen with", "7 jugs with few"],
+            ["vow discotheques fox amazingly", "amazingly 2026 jukeboxes quick",
+             "dozen brown jukeboxes"],
+        ],
+        scale=1, skew=-0.02, noise_dots=2, photos=((1, 51, 36), (0, 41, 26)),
+        pullout_lines=["black brown jukeboxes with"],
+    ),
     # --- bug 5: skew-grid outer edge ---
     "skew_grid_edge_inverted": PageSpec(
         paragraphs=[["pack dozen", "quartz sphinx"]],
