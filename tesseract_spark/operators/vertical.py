@@ -70,21 +70,32 @@ def is_vertical_page(stats: np.ndarray) -> bool:
     """True when text flows vertically: glyphs pack tighter along y
     within x-band columns than along x within y-band rows — the
     direction test of the reference's vertical check
-    (pagesegmain.cpp:272-413), expressed on box statistics.  Both
-    clusterings must produce real runs (>= 3-glyph medians) to vote."""
+    (pagesegmain.cpp:272-413), expressed on box statistics.
+
+    When the cluster evidence is thin or degenerate — short columns
+    drop the median below the 3-glyph floor, and tight pitch makes the
+    transitive y-band "rows" chain across columns into overlapping
+    pseudo-rows with meaningless (negative) gaps — the verdict falls to
+    the per-blob strokewidth flow vote with the reference's 2:1
+    clear-winner rule (FindTextlineFlowDirection semantics,
+    strokewidth.cpp:812-1175), exactly the machinery the mixed-flow
+    router already trusts."""
     stats = _filter_specks(stats)
-    if len(stats) < 4:
-        return False
+    if len(stats) < 2:
+        return False  # one blob has no flow direction
     rows = _cluster_rows(stats)
     cols = _cluster_columns(stats)
     med_col = float(np.median([len(g) for g in cols]))
-    if med_col < 3.0:
-        return False
     row_gap = _flow_gap(stats, rows, axis=0)
     col_gap = _flow_gap(stats, cols, axis=1)
     # a genuine flow direction has strictly sequential members (positive
     # gaps); overlap along an axis means side-by-side, not reading order
-    return 0.0 <= col_gap < row_gap
+    if med_col >= 3.0 and 0.0 <= col_gap < row_gap:
+        return True
+    flows = blob_flows(stats)
+    nv = int((flows == "v").sum())
+    nh = int((flows == "h").sum())
+    return nv > max(1, 2 * nh)
 
 
 def blob_flows(stats: np.ndarray) -> np.ndarray:
@@ -412,6 +423,37 @@ def recognize_vertical_page(
             r = int(sub[cell, 2].max())
             b = int(sub[cell, 3].max())
             crops.append(ink[t:b, l:r])
+        if _pitch > 0:
+            # fixed-pitch chop for TOUCHING glyphs: a descender tip
+            # brushing the next glyph fuses two cells into one over-tall
+            # component; the reference chops fused fixed-pitch cells at
+            # the pitch grid with a minimal-ink cut (the FPCUTPT
+            # machinery of pithsync.cpp driving fpchop, applied by the
+            # CJK analyzer to its cell grid) — split each k-cell crop at
+            # the least-ink row near each expected boundary and decode
+            # the pieces as their own cells
+            chopped: list[np.ndarray] = []
+            for c in crops:
+                k = max(1, int(round(c.shape[0] / _pitch)))
+                if k <= 1 or c.shape[0] <= CELL_H:
+                    chopped.append(c)
+                    continue
+                prev = 0
+                for j in range(1, k):
+                    target = int(round(j * c.shape[0] / k))
+                    lo = max(prev + 1, target - 3)
+                    hi = min(c.shape[0] - 1, target + 3)
+                    if lo >= hi:
+                        continue
+                    cut = lo + int(c[lo:hi].sum(axis=1).argmin())
+                    chopped.append(c[prev:cut])
+                    prev = cut
+                chopped.append(c[prev:])
+            crops = []
+            for c in chopped:
+                ys = np.flatnonzero(c.any(axis=1))
+                if len(ys):
+                    crops.append(c[ys[0] : ys[-1] + 1])
         # classify each cell with a vertical-alignment search: the cell's
         # ink band inside its canonical 16-row frame is unknown (a
         # descender glyph vs an x-height glyph), so try every placement
@@ -419,18 +461,37 @@ def recognize_vertical_page(
         # search the horizontal path runs for baseline-ambiguous rows
         chars: list[str] = []
         for c in crops:
-            if c.shape[0] > CELL_H:
-                c = c[:CELL_H]
             best_frac, best_code = -1.0, -1
-            for dy in range(CELL_H - c.shape[0] + 1):
-                strip = np.zeros((CELL_H, c.shape[1] + KERN), dtype=bool)
-                strip[dy : dy + c.shape[0], : c.shape[1]] = c
-                _xs, fracs = net.match_scores(strip, cand_xs=np.array([0]))
-                for w, (idxs, _f) in net.by_width.items():
-                    fr = fracs[w]
-                    if fr.size and float(fr.max()) > best_frac:
-                        best_frac = float(fr.max())
-                        best_code = int(idxs[int(fr[:, 0].argmax())])
+            # placement hypotheses include NEGATIVE dy and small dx: an
+            # ink speck fused to a glyph's top/left edge extends the
+            # component bbox, and no non-negative placement can realign
+            # the glyph with its template frame — the negative offsets
+            # treat the leading rows/columns as noise and cut them
+            for dy in range(-2, max(1, CELL_H - c.shape[0] + 1)):
+                top = c[max(0, -dy) :]
+                if top.shape[0] > CELL_H:
+                    top = top[:CELL_H]
+                place = max(0, dy)
+                if place + top.shape[0] > CELL_H:
+                    continue
+                for dx in (0, 1, 2):
+                    if top.shape[1] - dx <= 0:
+                        break
+                    sub_c = top[:, dx:]
+                    strip = np.zeros(
+                        (CELL_H, sub_c.shape[1] + KERN), dtype=bool
+                    )
+                    strip[place : place + top.shape[0], : sub_c.shape[1]] = (
+                        sub_c
+                    )
+                    _xs, fracs = net.match_scores(
+                        strip, cand_xs=np.array([0])
+                    )
+                    for w, (idxs, _f) in net.by_width.items():
+                        fr = fracs[w]
+                        if fr.size and float(fr.max()) > best_frac:
+                            best_frac = float(fr.max())
+                            best_code = int(idxs[int(fr[:, 0].argmax())])
             if best_code >= 0 and best_frac >= 0.9:
                 chars.append(net.charset[best_code])
         out.append("".join(chars))
