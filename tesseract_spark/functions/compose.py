@@ -28,6 +28,7 @@ class PageSpec:
 
     paragraphs: list[list[str]]
     column2: list[list[str]] | None = None
+    column3: list[list[str]] | None = None  # requires column2
     scale: int = 1
     skew: float = 0.0  # must be a SKEW_GRID value for exact recovery
     inverted: bool = False
@@ -135,6 +136,15 @@ def compose_page(spec: PageSpec) -> ComposedPage:
         elems += col2
         total_w = max(total_w, x2 + w2)
         total_h = max(total_h, y2)
+        if spec.column3:
+            x3 = x2 + w2 + GUTTER * s
+            col3, w3, y3 = _column_elements(spec, spec.column3, x3)
+            if y_body:
+                _shift_elements(col3, y_body)
+                y3 += y_body
+            elems += col3
+            total_w = max(total_w, x3 + w3)
+            total_h = max(total_h, y3)
     W = total_w + MARGIN * s
     H = total_h + MARGIN * s
     # account for rules spanning the page width
@@ -150,10 +160,50 @@ def compose_page(spec: PageSpec) -> ComposedPage:
         elif "photo" in e:
             x, y, w, h = e["photo"]
             mask[y : y + h, x : x + w] |= _photo_mask(w, h)
+            e["rect"] = (x, y, x + w, y + h)
         else:
             x, y = e["rule"]
             rule_w = max(120, w1)
             mask[y : y + 3, x : x + rule_w] = True
+            e["rect"] = (x, y, x + rule_w, y + 3)
+    # media elements whose rendered rects overlap or touch fuse into ONE
+    # ink region (a per-column rule wider than a narrow neighbour column
+    # runs into the next column's rule) — the golden counts the MERGED
+    # regions, since that is all any engine can observe
+    media = [e for e in elems if e["kind"] != "text"]
+    parent = list(range(len(media)))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(media)):
+        l1, t1, r1, b1 = media[i]["rect"]
+        for j in range(i + 1, len(media)):
+            l2, t2, r2, b2 = media[j]["rect"]
+            if l1 <= r2 and l2 <= r1 and t1 <= b2 and t2 <= b1:
+                parent[find(i)] = find(j)
+    drop = set()
+    for i, e in enumerate(media):
+        root = find(i)
+        if root != i:
+            # keep one representative per merged group (the root); widen
+            # its rect so the ordering key reflects the union
+            l1, t1, r1, b1 = media[root]["rect"]
+            l2, t2, r2, b2 = e["rect"]
+            media[root]["rect"] = (
+                min(l1, l2), min(t1, t2), max(r1, r2), max(b1, b2)
+            )
+            drop.add(id(e))
+    for e in media:
+        l, t, _r, _b = e["rect"]
+        if "photo" in e:
+            e["photo"] = (l, t) + e["photo"][2:]
+        else:
+            e["rule"] = (l, t)
+    elems = [e for e in elems if id(e) not in drop]
     for e in sorted(elems, key=lambda e: _elem_order(e, spec)):
         if e["kind"] == "text":
             golden.append(("text", "\n".join(t for _x, _y, t in e["lines"])))

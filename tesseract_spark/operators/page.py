@@ -1110,62 +1110,70 @@ def analyze_page(
     ink, v_vecs, h_vecs, music_mask = find_and_remove_lines(
         ink, dpi, protect=deva_mask if deva_split else None
     )
+    # skew retry: a thin rule on a sheared page staircases into
+    # short segments the straight-run morphology cannot see (a 1px
+    # rule at slope s has runs of ~1/|s| px per row).  Estimate the
+    # shear from the components, re-run the finder on a DESKEWED
+    # copy, and map the removed pixels and boxes back through the
+    # exact integer shear (unshear with the negated slope inverts
+    # the quantized column shifts exactly).  Straight pages never
+    # reach this (skew 0); sheared rule-less pages pay one extra
+    # lazily-gated pass.  The reference tolerates slope later, at
+    # TabVector fitting — this engine's quantized-shear model makes
+    # the deskew-retry the faithful equivalent.  The retry runs
+    # even when the first pass FOUND rules: a sheared page can hide
+    # further collinear bars whose staircase defeated the straight
+    # morphology (first-pass finds are already removed from the
+    # ink, so the retry only ever adds what was missed) — gating on
+    # an empty first pass made rule detection skew-dependent.
+    _lr, _nr, st_r = label_and_stats(ink)
+    # reusable downstream while the ink is untouched (the common
+    # sheared text page pays for this labeling ONCE)
     if not v_vecs and not h_vecs and music_mask is None:
-        # skew retry: a thin rule on a sheared page staircases into
-        # short segments the straight-run morphology cannot see (a 1px
-        # rule at slope s has runs of ~1/|s| px per row).  Estimate the
-        # shear from the components, re-run the finder on a DESKEWED
-        # copy, and map the removed pixels and boxes back through the
-        # exact integer shear (unshear with the negated slope inverts
-        # the quantized column shifts exactly).  Straight pages never
-        # reach this (skew 0); sheared rule-less pages pay one extra
-        # lazily-gated pass.  The reference tolerates slope later, at
-        # TabVector fitting — this engine's quantized-shear model makes
-        # the deskew-retry the faithful equivalent.
-        _lr, _nr, st_r = label_and_stats(ink)
-        # reusable downstream while the ink is untouched (the common
-        # sheared text page pays for this labeling ONCE)
         _cc_cache = (_lr, _nr, st_r)
-        _sk = estimate_skew(st_r[:_nr])
-        if _sk != 0.0:
-            _desk = unshear(ink, _sk)
-            # Horizontal-only pre-gate for the retry: our quantized shear
-            # shifts whole COLUMNS, so vertical runs are invariant — the
-            # first (sheared) pass already judged every vertical
-            # candidate, and only horizontal rules / staves can staircase
-            # into hiding.  One dilate+erode pair decides whether the
-            # deskewed copy holds any closing-length horizontal run at
-            # all; the common skewed TEXT page skips the full finder.
-            from .linefind import dilate_brick, erode_brick
+    _sk = estimate_skew(st_r[:_nr])
+    if _sk != 0.0:
+        _desk = unshear(ink, _sk)
+        # Horizontal-only pre-gate for the retry: our quantized shear
+        # shifts whole COLUMNS, so vertical runs are invariant — the
+        # first (sheared) pass already judged every vertical
+        # candidate, and only horizontal rules / staves can staircase
+        # into hiding.  One dilate+erode pair decides whether the
+        # deskewed copy holds any closing-length horizontal run at
+        # all; the common skewed TEXT page skips the full finder.
+        from .linefind import dilate_brick, erode_brick
 
-            _cb = max(1, max(1, dpi // 20) // 3)
-            _L = max(2, dpi // 4)
-            if erode_brick(dilate_brick(_desk, _cb, _cb), _L, 1).any():
-                _clean2, v2, h2, music2 = find_and_remove_lines(
-                    _desk, dpi, protect=None
+        _cb = max(1, max(1, dpi // 20) // 3)
+        _L = max(2, dpi // 4)
+        if erode_brick(dilate_brick(_desk, _cb, _cb), _L, 1).any():
+            _clean2, v2, h2, music2 = find_and_remove_lines(
+                _desk, dpi, protect=None
+            )
+        else:
+            _clean2, v2, h2, music2 = _desk, [], [], None
+        if v2 or h2 or music2 is not None:
+            removed = _desk & ~_clean2
+            ink = ink & ~unshear(removed, -_sk)
+            _cc_cache = None
+
+            def _shear_box(b):
+                l, t, r, bb = b
+                sh = [round(_sk * l), round(_sk * max(l, r - 1))]
+                return (l, t + min(sh), r, bb + max(sh))
+
+            v_vecs = v_vecs + [
+                type(v)(kind=v.kind, bbox=_shear_box(v.bbox))
+                for v in v2
+            ]
+            h_vecs = h_vecs + [
+                type(h)(kind=h.kind, bbox=_shear_box(h.bbox))
+                for h in h2
+            ]
+            if music2 is not None:
+                m2 = unshear(music2, -_sk)
+                music_mask = (
+                    m2 if music_mask is None else (music_mask | m2)
                 )
-            else:
-                _clean2, v2, h2, music2 = _desk, [], [], None
-            if v2 or h2 or music2 is not None:
-                removed = _desk & ~_clean2
-                ink = ink & ~unshear(removed, -_sk)
-                _cc_cache = None
-
-                def _shear_box(b):
-                    l, t, r, bb = b
-                    sh = [round(_sk * l), round(_sk * max(l, r - 1))]
-                    return (l, t + min(sh), r, bb + max(sh))
-
-                v_vecs = [
-                    type(v)(kind=v.kind, bbox=_shear_box(v.bbox))
-                    for v in v2
-                ]
-                h_vecs = [
-                    type(h)(kind=h.kind, bbox=_shear_box(h.bbox))
-                    for h in h2
-                ]
-                if music2 is not None:
-                    music_mask = unshear(music2, -_sk)
     res.v_rules, res.h_rules = len(v_vecs), len(h_vecs)
     res.has_music = music_mask is not None
     pre_regions: list[Region] = [

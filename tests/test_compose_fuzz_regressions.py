@@ -179,6 +179,31 @@ CASES = {
         scale=1, skew=-0.02, noise_dots=2, photos=((1, 51, 36), (0, 41, 26)),
         pullout_lines=["black brown jukeboxes with"],
     ),
+    # --- round-4 fuzz batch: three-column pages ---
+    # (9) column3 support exercises the column-set DP at k=3; the
+    #     sheared case pinned a rule-finder gap — the deskew retry was
+    #     gated on an EMPTY first pass, so a sheared page where the
+    #     straight morphology caught one of three collinear bars never
+    #     re-looked for the others (they vanished as pseudo-underlines);
+    #     the retry now always runs on sheared pages and appends.
+    "three_columns_balanced": PageSpec(
+        paragraphs=[["quick brown fox", "jumps over dog"]],
+        column2=[["pack my box", "five dozen"]],
+        column3=[["sphinx of black", "judge my vow"]],
+        scale=2,
+    ),
+    "three_columns_unbalanced_with_pullout": PageSpec(
+        paragraphs=[["the quick brown", "fox jumps"]],
+        column2=[["pack my", "box with", "five dozen"]],
+        column3=[["jugs few"]],
+        scale=2, pullout_lines=["amazingly few discotheques provide"],
+    ),
+    "three_columns_sheared_collinear_rules": PageSpec(
+        paragraphs=[["over jukeboxes five"]],
+        column2=[["box discotheques jumps", "brown judge the"]],
+        column3=[["my the", "five box"]],
+        scale=1, skew=0.04, inverted=True, rules=(0,),
+    ),
     # --- bug 5: skew-grid outer edge ---
     "skew_grid_edge_inverted": PageSpec(
         paragraphs=[["pack dozen", "quartz sphinx"]],
