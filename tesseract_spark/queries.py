@@ -5371,6 +5371,194 @@ GROUP BY doc_id
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph-hash deduplication — the CCNet
+    boilerplate-removal stage (Wenzek et al. 2020, arXiv:1911.00359 §3.1:
+    documents split into paragraphs, each paragraph hashed, duplicated
+    paragraphs dropped keeping the FIRST occurrence in corpus order).
+    Paragraph rule = the corpus's own 12-word chunking (derived.py
+    WORDS_PER_PARA — one rule, never forked).  Per document: paragraph
+    count, kept count, kept fraction, and the md5 of the deduplicated
+    text (kept paragraphs rejoined in order) — the output a pipeline
+    would write back.
+
+    Scale shape: one hash aggregation keyed by paragraph text (map-side
+    partial min), one hashed-key join back, one per-doc aggregation —
+    two shuffles, no windows over global sorts, no pairwise."""
+    K = 12  # WORDS_PER_PARA — the corpus chunk rule
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    paras = (
+        docs.select(
+            "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("ws")
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("ws") / K).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("ws", i * K + 1, K), " "
+                    ),
+                )
+            ).alias("pi", "para"),
+        )
+    )
+    # global first occurrence per paragraph: min (doc_id, pi) — CCNet
+    # keeps one copy; corpus order makes the keeper deterministic
+    first = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pi")).alias("first")
+    )
+    marked = paras.join(first, "para").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pi") == F.col("first.pi")),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("is_first").cast("int")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_first"),
+                                    F.struct("pi", "para"),
+                                )
+                            )
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_paras"), 4).alias(
+                "kept_fraction"
+            ),
+            "kept_md5",
+        )
+    )
+
+
+ORACLE_PARAGRAPH_DEDUP = """
+WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
+), p AS (
+  SELECT doc_id, g.i AS pi,
+         array_to_string(list_slice(ws, g.i * 12 + 1, g.i * 12 + 12), ' ')
+           AS para
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(len(ws) / 12.0) AS INT) - 1)) AS i
+  ) g
+), r AS (
+  SELECT doc_id, pi, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pi) AS rn
+  FROM p
+)
+SELECT doc_id, count(*) AS n_paras,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / count(*), 4)
+    AS kept_fraction,
+  md5(coalesce(
+    string_agg(para, ' ' ORDER BY pi) FILTER (WHERE rn = 1), ''))
+    AS kept_md5
+FROM r
+GROUP BY doc_id
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms — the classic IR salience
+    primitive a curation pipeline uses for topic profiling and
+    domain-mix diagnostics (Salton & Buckley 1988; smoothed idf per
+    scikit-learn: idf = ln((1+N)/(1+df)) + 1).  Deterministic ranking:
+    score desc, then term asc.
+
+    Scale shape: (doc, term) tf via one hash agg; df via one term-keyed
+    agg; N is a tiny scalar broadcast; the top-3 window partitions by
+    document (per-doc cardinality is bounded by vocabulary actually in
+    the doc) — no global sort, no collect."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.coalesce("text", F.lit("")), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df")))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "rnk",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS term
+  FROM documents
+), t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM w WHERE term <> '' GROUP BY doc_id, term
+), d AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), s AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * (ln((1.0 + n_docs) / (1.0 + d.df)) + 1.0) AS score
+  FROM t JOIN d USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM s
+)
+SELECT doc_id, rnk, term, tf, df, round(score, 4) AS score
+FROM r WHERE rnk <= 3
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ocr_extract": (q_ocr_extract, ORACLE_OCR_EXTRACT),
     "ocr_vgsl_extract": (q_ocr_vgsl_extract, ORACLE_OCR_VGSL_EXTRACT),
@@ -5459,4 +5647,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "source_mix": (q_source_mix, ORACLE_SOURCE_MIX),
     "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
+    "paragraph_dedup": (q_paragraph_dedup, ORACLE_PARAGRAPH_DEDUP),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
 }

@@ -178,10 +178,25 @@ def test_no_single_partition_exchange_in_registry_lsh_queries(spark):
                  "data_mix_sample", "gopher_repetition", "seq_packing",
                  "c4_filters", "dehyphenate", "ocr_combined_extract",
                  "reject_flips", "hash_split", "domain_cap",
-                 "ocr_beam_extract"):
+                 "ocr_beam_extract", "paragraph_dedup"):
         fn, _ = REGISTRY[name]
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, name
+
+
+def test_tfidf_topk_window_is_rank_limited(spark):
+    """tfidf_top_terms ranks per document: the top-3 must compile to a
+    rank-limited window (WindowGroupLimit pushes the k=3 cut below the
+    doc-keyed exchange), never a global sort.  The plan's only
+    SinglePartition exchange is the one-row corpus-count aggregate —
+    the scalar N every smoothed-idf needs."""
+    from tesseract_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["tfidf_top_terms"]
+    plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_knn_label_accuracy_has_no_cross_join(spark):
