@@ -24,6 +24,8 @@ from ..functions.fonts import CELL_H, CHARSET, WORD_GAP, get_font
 BLANK_SCORE = 0.9  # match fraction a true glyph must beat
 ALPHA = 24.0  # logit sharpness
 K_SOFT_GATE = 0.75  # min static frac for a soft (dict-arbitrated) event
+K_DEGRADED_ACCEPT = 0.875  # no-dict fallback: near-exact static match
+# still elects its best class (same bar as the adaptive bitmap accept)
 SOFT_EVENT_SCORE = BLANK_SCORE - 0.003  # loses to blank in greedy decode,
 #   but close enough that the kDictRatio/kCertOffset flip criterion
 #   (lstmrecognizer.cpp:46-48) lets the dictionary beam take the char —
@@ -428,6 +430,28 @@ class TemplateNet:
                         taken_until = x + best_w - 1
                         dropped.append(x)
                         continue
+                elif best_frac[ci] >= K_DEGRADED_ACCEPT:
+                    # degraded-glyph fallback: with neither a dictionary
+                    # (soft events) nor adapted templates to arbitrate,
+                    # a NEAR-exact static match still elects its best
+                    # class at minimal winning confidence — the
+                    # reference's static classifier always answers and
+                    # defers rejection to document quality
+                    # (AdaptiveClassifier, adaptmatch.cpp:202-234; found
+                    # by the round-4 three-column fuzzer: a separator
+                    # overhanging a text row clips the glyph tops that
+                    # are collinear with it, and the clipped '3' read
+                    # 0.89 — dropped by the 0.9 exact gate, recoverable
+                    # by its unambiguous best class).
+                    code = codes_l[ci]
+                    vec = np.zeros(self.n_classes, dtype=np.float32)
+                    vec[code] = BLANK_SCORE + 0.001
+                    best_w = int(self.width_by_code[code])
+                    events.append((x, vec))
+                    explained[x : x + best_w] = True
+                    taken_until = x + best_w - 1
+                    dropped.append(x)
+                    continue
                 dropped.append(x)
                 continue
             best_w = widest_l[ci] or int(self.width_by_code[codes_l[ci]])

@@ -304,7 +304,21 @@ def _filter_false_positives(
                     below.size and below.any(axis=0).sum() >= 0.35 * span
                 )
                 if above_cov != below_cov:
-                    bad = True
+                    # extent check before the underline verdict: an
+                    # underline hugs its text's x-extent, while a
+                    # section separator under a SHORT line extends far
+                    # past it (found by the round-4 fuzzer: a column
+                    # rule below a two-word line read as that line's
+                    # underline and vanished from the separator path).
+                    # Keep the underline verdict only when the bar does
+                    # not outrun the covering ink's extent by more than
+                    # ~1mm at 300dpi on either side.
+                    side = above if above_cov else below
+                    cols = np.flatnonzero(side.any(axis=0))
+                    ink_l, ink_r = xl + int(cols[0]), xl + int(cols[-1]) + 1
+                    slop = max(8, resolution // 10)
+                    if l >= ink_l - slop and r <= ink_r + slop:
+                        bad = True
         if bad:
             line_pix[t:b, l:r] &= ~comp
             remaining -= 1
@@ -377,14 +391,21 @@ def _vectors_of(
     CROSSED by ink (the striking glyph that broke the rule, the pixels
     SubtractLinesAndResidue later restores): an EMPTY gap means two
     separate separators — e.g. the per-column rules of a two-column
-    page must not fuse across the gutter."""
+    page must not fuse across the gutter.  The gap must also hold no
+    OTHER collinear separator: on a three-column page whose per-column
+    rules share one y, the middle rule's own ink would otherwise pass
+    the bridging test and chain the outer rules into one page-wide
+    separator (found by the round-4 three-column fuzzer).  Segments are
+    processed in along-the-line order so every segment that could sit
+    in a candidate gap is already in the merged list when the gap is
+    tested."""
     _lab, n, stats = label_and_stats(line_pix)
     segs = [
         [int(l), int(t), int(r), int(b)] for l, t, r, b, _a in stats[:n]
     ]
     lo, hi = (1, 3) if kind == "h" else (0, 2)  # cross-direction interval
     al, ah = (0, 2) if kind == "h" else (1, 3)  # along-direction interval
-    segs.sort(key=lambda s: (s[lo], s[hi], s[al]))
+    segs.sort(key=lambda s: (s[al], s[lo], s[ah]))
     merged: list[list[int]] = []
     for s in segs:
         for m in merged:
@@ -393,11 +414,30 @@ def _vectors_of(
             g0, g1 = min(m[ah], s[ah]), max(m[al], s[al])
             gap_ok = g1 <= g0  # overlapping/abutting along the line
             if not gap_ok and ink is not None:
-                b0, b1 = min(m[lo], s[lo]), max(m[hi], s[hi])
-                if kind == "h":
-                    gap_ok = bool(ink[b0:b1, g0:g1].any())
-                else:
-                    gap_ok = bool(ink[g0:g1, b0:b1].any())
+                blocked = any(
+                    o is not m
+                    and s[lo] < o[hi] and s[hi] > o[lo]
+                    and o[al] < g1 and o[ah] > g0
+                    for o in merged
+                )
+                if not blocked:
+                    # EVERY gap column must carry band ink: a struck rule
+                    # is still continuous ink under the striking glyph
+                    # (the mask gap comes from the solid-blob subtraction,
+                    # not from missing rule pixels), whereas a text row
+                    # that merely crosses the band in the gutter leaves
+                    # word-gap and margin columns empty — .any() let such
+                    # rows chain per-column rules across the page (found
+                    # by the round-4 three-column fuzzer)
+                    b0, b1 = min(m[lo], s[lo]), max(m[hi], s[hi])
+                    if kind == "h":
+                        gap_ok = bool(
+                            ink[b0:b1, g0:g1].any(axis=0).all()
+                        )
+                    else:
+                        gap_ok = bool(
+                            ink[g0:g1, b0:b1].any(axis=1).all()
+                        )
             elif not gap_ok:
                 gap_ok = True  # no ink supplied: legacy permissive merge
             if gap_ok:
@@ -679,6 +719,29 @@ def _reclaim_text(
         if not win.any():
             pixht[t:b, l:r] = False
             continue
+        # rule-shaped components never belong to an image verdict: the
+        # block-aligned seed expansion can pull a nearby separator into
+        # the window's core (a rule 2 px beside a photo), gluing it into
+        # the retained bbox and costing the page a separator region
+        # (round-4 fuzzer, inverted photo+rule column).  Strip them from
+        # the window before the tight bbox; back in the ink they reach
+        # the rule path of blob grading.  A rule physically crossing a
+        # photo is connected to it — one big component, never filtered.
+        _wlab, wn, wstats = label_and_stats(win)
+        if wn > 1:
+            wcw = wstats[:wn, 2] - wstats[:wn, 0]
+            wch = wstats[:wn, 3] - wstats[:wn, 1]
+            rule_like = ((wcw >= 8 * wch) & (wch <= 4)) | (
+                (wch >= 8 * wcw) & (wcw <= 4)
+            )
+            if rule_like.any() and not rule_like.all():
+                win = win.copy()
+                for ri in np.flatnonzero(rule_like):
+                    rl_, rt_, rr_, rb_ = (int(v) for v in wstats[ri][:4])
+                    win[rt_:rb_, rl_:rr_] &= _wlab[rt_:rb_, rl_:rr_] != ri + 1
+                if not win.any():
+                    pixht[wt:wb, wl:wr] = False
+                    continue
         # evaluate over the tight ink bbox, not the 8x-block-aligned mask
         # window — the reference scores ColPartitions on their BLOB
         # bounding boxes (imagefind.cpp:1106-1180), and the block-aligned
@@ -702,6 +765,30 @@ def _reclaim_text(
             and (r - l) * (b - t) >= 1200
             and min(r - l, b - t) >= 20
         )
+        if not (is_halftone or is_solid) and cn > 1:
+            # a block-aligned mask window can fuse SEVERAL images (two
+            # photos stacked within one 8x block column) — the union
+            # bbox then fails the solidity test even though every
+            # member is a solid image.  Score each component on its own
+            # bbox and retain the qualifying ones (the reference's
+            # partition filtering is likewise per-ColPartition,
+            # imagefind.cpp:1106-1180; found by the round-4 fuzzer: two
+            # stacked photos in one column both vanished and the
+            # smaller re-entered the text pipeline as a phantom row)
+            kept_any = False
+            pixht[wt:wb, wl:wr] = False
+            for j in range(cn):
+                cl, ct, cr, cb, ca = (int(v) for v in cstats[j])
+                cw, ch = cr - cl, cb - ct
+                if (
+                    ca >= 0.5 * cw * ch
+                    and cw * ch >= 1200
+                    and min(cw, ch) >= 20
+                ):
+                    pixht[t + ct : t + cb, l + cl : l + cr] = True
+                    kept_any = True
+            if kept_any:
+                continue
         if is_halftone and not is_solid:
             # the projection veto: a "halftone" whose components sit in
             # textline bands is a dense small-glyph paragraph.  A real

@@ -323,7 +323,22 @@ def _refine_skew_pixels(mask: np.ndarray, skew: float) -> float:
     coincidentally stack dense rows of different glyphs and prefer the
     wrong neighbour, and occupied-row counts can shrink under shear
     when sparse glyph rows vacate).  Only sheared pages pay (three
-    XOR passes over the mask)."""
+    XOR passes over the mask).
+
+    A neighbour REPLACES the bbox estimate only when two independent
+    pixel criteria agree: lower column-hamming roughness AND higher
+    per-pixel row-histogram concentration (Σh² of the unsheared ink's
+    row profile).  On a NARROW page the hamming signal saturates — the
+    candidate shears differ at a handful of rounding-boundary columns
+    and a diagonal stroke there can score a wrong neighbour a few
+    pixels smoother than the true rendering (found by the round-4
+    composition fuzzer: a one-line scale-1 page at the true slope
+    −0.05 was refined off to −0.055, mangling the boundary glyph) —
+    while row concentration is computed from EVERY ink pixel and stays
+    decisive; conversely row concentration alone can stack dense rows
+    coincidentally, which the hamming check vetoes.  Requiring both
+    keeps the bbox winner unless the off-slope evidence is
+    corroborated."""
     if not mask.any():
         return skew
     step = float(SKEW_GRID[1] - SKEW_GRID[0])
@@ -349,11 +364,17 @@ def _refine_skew_pixels(mask: np.ndarray, skew: float) -> float:
             cost += int((a[:, cols] ^ bb).sum())
         return cost
 
-    best, best_cost = skew, roughness(skew)
+    def row_concentration(s: float) -> int:
+        h = unshear(mask, s).sum(axis=1).astype(np.int64)
+        return int((h * h).sum())
+
+    best = skew
+    best_cost = roughness(skew)
+    best_conc = row_concentration(skew)
     for s in (round(skew - step, 4), round(skew + step, 4)):
         c = roughness(s)
-        if c < best_cost:
-            best, best_cost = s, c
+        if c < best_cost and row_concentration(s) > best_conc:
+            best, best_cost, best_conc = s, c, row_concentration(s)
     return best
 
 
@@ -484,7 +505,24 @@ def _column_sets(
                 if good:
                     return False  # good-width partition spans columns
                 f = lc  # narrow straddler rides its left column
-            if pi > 0 and f == prev_fit and good and prev_good:
+            # two adjacent partitions sharing one candidate column are a
+            # layout change when both are column-width, OR when the gap
+            # between them is a true GUTTER (>= 2x the partition split
+            # threshold): a narrow column of short lines ('42 my')
+            # across a wide gutter is still a column, and a set that
+            # would swallow both partitions into one column would fuse
+            # their text across the gutter (round-4 three-column
+            # fuzzer).  Table cell gaps stay below the gutter width, so
+            # cell pairs keep riding one column and table detection
+            # downstream is unaffected.
+            gap_wide = (
+                pi > 0 and l - sig[pi - 1][1] >= 2 * min_gutter
+            )
+            if (
+                pi > 0
+                and f == prev_fit
+                and ((good and prev_good) or gap_wide)
+            ):
                 return False  # column layout change inside one column
             prev_fit, prev_good = f, good
         return True
@@ -495,10 +533,50 @@ def _column_sets(
     # fit an existing better-or-equal set is a duplicate
     # (AddToColumnSetsIfUnique, colpartitionset.cpp:178-226); the
     # full-width single column is always appended as the backup
-    # (MakeSingleColumnSet)
-    def quality(c: list[tuple[int, int]]) -> tuple[int, int, int]:
-        good = [(r - l) for l, r in c if r - l >= good_w]
-        bad = [(r - l) for l, r in c if r - l < good_w]
+    # (MakeSingleColumnSet).
+    #
+    # "good" follows the reference's CommonWidth (tabfind.cpp:393 via
+    # WidthCB; coverage semantics colpartitionset.cpp:636-683): a
+    # partition is good when its width is CLOSE TO A FREQUENT width on
+    # the page, not merely wide — a double-width heading (or a
+    # margin-extended two-column set manufactured from a strip where
+    # the middle column happens to be empty) counts as BAD coverage,
+    # so the true column set outranks it even at less total coverage.
+    # Quality is scored on the GENERATING signature's ink widths;
+    # margin-extended extents overlap in gutters and double-count.
+    K_WIDTH_FACTOR = 20  # kColumnWidthFactor, tabfind.h
+    from collections import Counter
+
+    # Column-width statistics come from MULTI-partition strips only:
+    # they evidence an actual gutter, so their partition widths are real
+    # column widths (the reference derives column_widths_ from tab-
+    # vector pairs, tabfind.cpp ComputeColumnWidths — gutter-delimited
+    # spans, not arbitrary line lengths).  A single-partition strip is
+    # width-ambiguous — a short line of a wider column — and must not
+    # promote its own width to "common", or a page-wide single-column
+    # candidate outranks the true column set whenever one body line
+    # runs a little longer than a column (the round-4 three-column
+    # fuzzer's short-middle-column pages).  Single-column pages have no
+    # gutter evidence; they fall back to the all-strips histogram
+    # (candidates all dedupe to the full-width set there anyway).
+    column_sigs = [sig for sig in sigs if len(sig) >= 2]
+    width_counts = Counter(
+        (r - l) // K_WIDTH_FACTOR
+        for sig in (column_sigs or sigs)
+        for l, r in sig
+    )
+
+    def _good_width(w: int) -> bool:
+        # CommonWidth merges near-equal histogram entries into ranges
+        # (column_widths_ holds [x, y] ranges matched with +-1 slack)
+        b = w // K_WIDTH_FACTOR
+        return w >= good_w and any(
+            abs(b - cb) <= 1 for cb in width_counts
+        )
+
+    def quality(sig: list[tuple[int, int]]) -> tuple[int, int, int]:
+        good = [(r - l) for l, r in sig if _good_width(r - l)]
+        bad = [(r - l) for l, r in sig if not _good_width(r - l)]
         return (sum(good), len(good), sum(bad))
 
     def margin_extend(sig: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -527,12 +605,13 @@ def _column_sets(
     cands = [margin_extend(s) for s in sigs]
     full = [(span_l, span_r)]
     pool: list[list[tuple[int, int]]] = []
+    pool_q: list[tuple[int, int, int]] = []
     for sig, cand in list(zip(sigs, cands)) + [(full, full)]:
-        q = quality(cand)
+        q = quality(sig)
         dup = False
         at = len(pool)
         for i, c in enumerate(pool):
-            if quality(c) < q:
+            if pool_q[i] < q:
                 at = i
                 break
             if same_set(cand, c) or compat(sig, c):
@@ -540,6 +619,7 @@ def _column_sets(
                 break
         if not dup:
             pool.insert(at, cand)
+            pool_q.insert(at, q)
 
     def unmatched(gidx: np.ndarray, cand: list[tuple[int, int]]) -> int:
         mids = (stats[gidx, 0] + stats[gidx, 2]) / 2.0
@@ -588,7 +668,17 @@ def _column_sets(
             for ci in range(C):
                 if costs[si][ci] < acost[si]:
                     votes[ci] += 1
-        return int(np.argmax(votes))
+        # vote ties prefer the candidate with MORE columns: a short
+        # middle column leaves most strips compatible with both the
+        # true set and a coarser set that bridges the empty column —
+        # the extra gutter was evidenced by some strip, while the
+        # bridge is only the absence of ink (round-4 three-column
+        # fuzzer: short-col2 pages banded under the coarser set).
+        # Final tie: pool order (quality), matching the reference's
+        # first-best scan.
+        return max(
+            range(C), key=lambda ci: (votes[ci], len(pool[ci]), -ci)
+        )
 
     def shrink(cid: int, ostart: int, oend: int) -> tuple[int, int]:
         bs, be, bsize = oend, oend, 0
@@ -987,6 +1077,60 @@ def _bbox_of(stats: np.ndarray, idxs: np.ndarray) -> tuple[int, int, int, int]:
     )
 
 
+def _fuse_media_regions(media_regions: list["Region"]) -> list["Region"]:
+    """Media regions overlapping a PHOTO fuse into it: a rule overlaying
+    a photo (or two photo verdicts on one ink mass) is a single
+    connected page element — separate detector verdicts are an
+    implementation detail (found by the round-4 three-column fuzzer:
+    a neighbour column's overhanging rule crossed another column's
+    photo and the page emitted a phantom extra media span).  Rule-rule
+    pairs never fuse: crossing separators (a form frame) are distinct
+    rules by contract, and collinear fragments were already merged by
+    the line finder.  Photo kind dominates a merged group."""
+    if len(media_regions) <= 1:
+        return media_regions
+    parent = list(range(len(media_regions)))
+
+    def _find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(media_regions)):
+        l1, t1, r1, b1 = media_regions[i].bbox
+        for j in range(i + 1, len(media_regions)):
+            if (
+                media_regions[i].kind != "photo"
+                and media_regions[j].kind != "photo"
+            ):
+                continue
+            l2, t2, r2, b2 = media_regions[j].bbox
+            if l1 <= r2 and l2 <= r1 and t1 <= b2 and t2 <= b1:
+                parent[_find(i)] = _find(j)
+    groups: dict[int, list[Region]] = {}
+    for i, g in enumerate(media_regions):
+        groups.setdefault(_find(i), []).append(g)
+    if len(groups) == len(media_regions):
+        return media_regions
+    fused = []
+    for members in groups.values():
+        u = members[0]
+        for g in members[1:]:
+            u = Region(
+                kind="photo" if "photo" in (u.kind, g.kind) else u.kind,
+                bbox=(
+                    min(u.bbox[0], g.bbox[0]),
+                    min(u.bbox[1], g.bbox[1]),
+                    max(u.bbox[2], g.bbox[2]),
+                    max(u.bbox[3], g.bbox[3]),
+                ),
+                block_id=-1,
+            )
+        fused.append(u)
+    return fused
+
+
 def _paragraphs(
     rows: list[Row], block_left: int, separators: list[tuple] = ()
 ) -> list[list[int]]:
@@ -1022,9 +1166,26 @@ def _paragraphs(
             prev_bot = rows[i - 1].bbox[3]
             cur_top = tops[i]
             rl, rr = rows[i].bbox[0], rows[i].bbox[2]
+            block_right = max(r.bbox[2] for r in rows)
+            tol = 2 * rows[i].space_px
             for sl, st, sr, sb in separators:
                 sy = (st + sb) / 2.0
-                if prev_bot <= sy <= cur_top and sl < rr and sr > rl:
+                if not (prev_bot <= sy <= cur_top and sl < rr and sr > rl):
+                    continue
+                # the rule bounds this block only when the block OWNS
+                # it: it starts at the block's left margin (a column's
+                # own section rule, whatever its length), or it fully
+                # spans the block (a page-wide separator crossing every
+                # column).  A neighbouring column's rule overhanging
+                # into this column starts far left of the block and
+                # ends mid-block — it is that column's separator, not
+                # this one's (the reference keeps separators in their
+                # own column's partition set, colpartitionset.cpp;
+                # found by the round-4 three-column fuzzer, where such
+                # overhangs split the next column's paragraphs)
+                own = abs(sl - block_left) <= tol
+                spans = sl <= block_left + tol and sr >= block_right - tol
+                if own or spans:
                     sep_break = True
                     break
         if gap_break or indent_break or sep_break:
@@ -1236,6 +1397,13 @@ def analyze_page(
         for i in np.flatnonzero(grade == kind_code):
             l, t, r, b, _a = (int(v) for v in stats[i])
             media_regions.append(Region(kind=kind, bbox=(l, t, r, b), block_id=-1))
+    # fuse overlapping media HERE, while every bbox is still in the
+    # original (sheared) frame and therefore tight — the deskew mapping
+    # below expands boxes conservatively at their shear envelopes, and
+    # merging after it manufactured phantom photo+rule overlaps at high
+    # skew (round-4 fuzzer: a 0.06-skew page fused a column rule into
+    # the photo 60 px above it)
+    media_regions = _fuse_media_regions(media_regions)
 
     text_idx = np.flatnonzero(grade == 0)
     if len(text_idx) == 0:

@@ -63,11 +63,41 @@ def _texts(spans):
     return [s.text for s in spans if s.kind == "text"]
 
 
-def test_static_gate_drops_damaged_glyph_without_dict():
+def test_degraded_fallback_recovers_near_exact_glyph_without_dict():
+    # the static classifier always answers (adaptmatch.cpp:202-234):
+    # a glyph damaged below the 0.9 exact gate but at/above the 0.875
+    # degraded-accept bar recovers as its best class at minimal
+    # confidence even with no dictionary (round-4: a separator clipping
+    # glyph tops must not erase characters from the page)
     bad_w = _damaged_glyph("w")
     gray = _page([_word("wind", {0: bad_w})])
     spans, _ = recognize_page(gray)
-    assert _texts(spans) == ["ind"]  # 'w' fails the exact gate and drops
+    assert _texts(spans) == ["wind"]
+
+
+def test_static_gate_drops_heavily_damaged_glyph_without_dict():
+    # damage below K_DEGRADED_ACCEPT (0.875 of cell pixels): no static
+    # class is a near-exact explanation, and with neither dictionary
+    # nor adapted templates the column drops
+    font = get_font()
+    g = font["w"].copy()
+    ys, xs = np.nonzero(g)
+    t, b, l, r = ys.min(), ys.max(), xs.min(), xs.max()
+    keep = (ys > t) & (ys < b) & (xs > l) & (xs < r)
+    iy, ix = ys[keep], xs[keep]
+    rng = np.random.default_rng(4)
+    # clear every interior ink pixel AND fill interior background until
+    # > 12.5% of the glyph cell disagrees with the template
+    g[iy, ix] = False
+    need = max(0, int(0.13 * CELL_H * g.shape[1]) + 2 - len(iy))
+    if need:
+        by, bx = np.nonzero(~g)
+        bk = (by > t) & (by < b) & (bx > l) & (bx < r)
+        sel = rng.choice(len(by[bk]), size=need, replace=False)
+        g[by[bk][sel], bx[bk][sel]] = True
+    gray = _page([_word("wind", {0: g})])
+    spans, _ = recognize_page(gray)
+    assert _texts(spans) == ["ind"]
 
 
 def test_soft_event_lets_dictionary_recover_damaged_glyph():

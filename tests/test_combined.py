@@ -9,9 +9,12 @@ are never touched.
 
 The fixture exploits the two engines' different tolerance profiles: a
 2-canonical-pixel notch in 'w' drops the best static template fraction
-to 0.896 (under the 0.9 gate — the LSTM path drops the glyph and the
-±1-row jitter retry cannot help, the damage is in-frame) while the
-micro-feature classifier still reads 'w' at ~0.97.
+to 0.896 (under the 0.9 exact gate; the ±1-row jitter retry cannot
+help, the damage is in-frame).  The LSTM path's degraded fallback
+(K_DEGRADED_ACCEPT, round 4) still answers with the best NEAR-match —
+which for this notch is the WRONG class 'z' — and records the column
+as failed, so the combined wrapper re-runs the word through the
+micro-feature classifier, which reads 'w' at ~0.97 and corrects it.
 """
 
 import numpy as np
@@ -40,7 +43,10 @@ def test_combined_rescues_lstm_dropped_word():
     gray = _notched_page("the word wax here", "wax here")
     lstm_spans, _ = recognize_page(gray, 300)
     assert [(s.kind, s.text) for s in lstm_spans] == [
-        ("text", "the word ax here")  # the LSTM path provably drops 'w'
+        # the LSTM path's degraded fallback answers with the wrong
+        # near-match class ('z') at minimal confidence — provably a
+        # FAILED word the combined wrapper must re-run
+        ("text", "the word zax here")
     ]
     spans, _layout = recognize_page_combined(gray, 300)
     assert spans == [("text", "the word wax here")]

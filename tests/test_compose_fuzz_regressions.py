@@ -209,6 +209,164 @@ CASES = {
         paragraphs=[["pack dozen", "quartz sphinx"]],
         scale=2, skew=-0.06, inverted=True, rules=(0,),
     ),
+    # --- round-4 continuation campaign (seeds 101/202/303/404/606):
+    #     ten fixes, each pinned by the case that found it ---
+    # (m) narrow single-line page at |skew|=0.05: the pixel-roughness
+    #     refinement moved a CORRECT bbox estimate one grid step off
+    #     (hamming saturates on narrow pages) — now a neighbour slope
+    #     needs hamming AND row-concentration agreement to replace it
+    "narrow_line_skew_refine_misfire": PageSpec(
+        paragraphs=[["quick quick"]], scale=1, skew=-0.05, noise_dots=4,
+    ),
+    # (n) a neighbour column's rule overhanging 19% into the next column
+    #     split that column's paragraph (separator ownership rule)
+    "rule_overhang_splits_neighbour_para": PageSpec(
+        paragraphs=[["2026 vow jumps the", "discotheques liquor provide"]],
+        column2=[["dozen 42 jumps"],
+                 ["box over", "7 amazingly jumps", "jumps five"]],
+        column3=[["99 lazy 7", "amazingly 13 vow provide",
+                  "quartz jumps 2026 lazy"]],
+        scale=1, rules=(0,), pullout_lines=["dozen 7 pack black"],
+    ),
+    # (o) three same-y per-column rules: the middle rule's own ink
+    #     passed the gap-bridging test and chained the outer two into a
+    #     page-wide separator (merge order + in-gap separator block)
+    "three_collinear_rules_no_chain": PageSpec(
+        paragraphs=[["liquor black", "13 quick brown", "few liquor my"]],
+        column2=[["black quartz", "black jukeboxes 13 sphinx",
+                  "sphinx amazingly five"],
+                 ["five quartz provide box", "jugs box", "five judge"],
+                 ["fox brown few pack"]],
+        column3=[["quick 13 the", "dozen brown liquor",
+                  "quick dozen dozen quick"],
+                 ["7 box my", "dog few", "five amazingly"]],
+        scale=3, rules=(0,), pullout_lines=["jukeboxes pack quick 99"],
+    ),
+    # (p) a text row crossing the rule band in the gutter passed the
+    #     .any() bridge test (now every gap column must carry band ink)
+    "text_row_does_not_bridge_rules": PageSpec(
+        paragraphs=[["the 7 judge", "over of pack my", "box black"]],
+        column2=[["black discotheques",
+                  "quartz discotheques brown over"],
+                 ["few of liquor", "black provide dozen"],
+                 ["42 vow", "99 quartz"]],
+        column3=[["discotheques of", "jukeboxes lazy", "42 quick fox"],
+                 ["few jukeboxes jugs black", "sphinx fox"]],
+        scale=2, photos=((0, 44, 32), (0, 43, 30)), rules=(0,),
+    ),
+    # (q) a separator overhanging a text row clipped the glyph tops
+    #     collinear with it; the clipped '3' read 0.89 and was dropped
+    #     by the 0.9 exact gate (degraded-glyph static fallback)
+    "rule_clipped_glyph_degraded_fallback": PageSpec(
+        paragraphs=[["dog black judge", "dozen amazingly jukeboxes jumps",
+                     "pack jugs"]],
+        column2=[["provide judge", "13 black quartz"],
+                 ["five liquor the vow"],
+                 ["sphinx quick vow box", "quick over"]],
+        column3=[["over amazingly"],
+                 ["13 provide jugs jukeboxes", "lazy jugs"]],
+        scale=2, skew=-0.035, noise_dots=7, rules=(0,),
+    ),
+    # (r) short-middle-column pages: the margin-extended coarse set
+    #     outranked the true column set (CommonWidth-based quality from
+    #     gutter-evidencing strips + more-columns vote tiebreak)
+    "short_middle_column_column_major": PageSpec(
+        paragraphs=[["quartz quick"], ["2026 42 99", "7 of", "brown my"],
+                    ["provide the 7 2026", "sphinx lazy", "fox quick"]],
+        column2=[["dozen 2026 99"]],
+        column3=[["judge sphinx"], ["few five", "over over"]],
+        scale=1, inverted=True, rules=(2,),
+        pullout_lines=["brown brown lazy discotheques"],
+    ),
+    "short_middle_column_2col_pullout": PageSpec(
+        paragraphs=[["black 13 7", "quartz 2026", "the with"]],
+        column2=[["13 liquor five 7"]],
+        scale=2, skew=0.045, rules=(0,),
+        pullout_lines=["jumps liquor provide sphinx"],
+    ),
+    "short_middle_column_tall_col3": PageSpec(
+        paragraphs=[["the quartz"], ["five few"],
+                    ["judge quartz of", "pack 42"]],
+        column2=[["13 jumps"]],
+        column3=[["of 99 of fox", "jukeboxes discotheques",
+                  "with jukeboxes jukeboxes"], ["13 pack"]],
+        scale=2, noise_dots=4,
+        pullout_lines=["judge lazy jukeboxes quartz"],
+    ),
+    # (s) a narrow column of short lines across a wide gutter fused
+    #     into the neighbouring column's textline (gutter-width
+    #     adjacent-pair rule in compat)
+    "narrow_column_not_fused_across_gutter": PageSpec(
+        paragraphs=[["liquor vow five"]],
+        column2=[["42 my", "with quick", "quartz jukeboxes"],
+                 ["the discotheques lazy", "of jumps of 2026",
+                  "over vow"]],
+        column3=[["pack amazingly", "liquor 2026 black lazy"],
+                 ["lazy pack", "dog box of box"]],
+        scale=1, rules=(0,),
+        pullout_lines=["discotheques liquor over dog"],
+    ),
+    # (t) a rule owned by the neighbour column ending mid-block no
+    #     longer bounds this block's paragraphs (ownership: starts at
+    #     the block's left margin, or spans the block)
+    "rule_ownership_bounds_own_column": PageSpec(
+        paragraphs=[["2026 jumps pack jumps", "jukeboxes quartz sphinx 7",
+                     "liquor judge judge"],
+                    ["with over fox five",
+                     "discotheques jukeboxes over jugs"]],
+        column2=[["with few"]],
+        column3=[["2026 dozen", "provide jukeboxes 99 black",
+                  "fox brown discotheques 13"],
+                 ["over quartz the", "box judge with",
+                  "pack jukeboxes discotheques quick"]],
+        scale=2, skew=-0.005, photos=((1, 69, 42),), rules=(0,),
+        pullout_lines=["over 2026 over provide"],
+    ),
+    # (u) two photos stacked in one 8x mask block column: the union
+    #     bbox failed the solidity test and BOTH vanished, the smaller
+    #     re-entering the text pipeline as a phantom row (per-component
+    #     retention in _reclaim_text)
+    "stacked_photos_per_component_retention": PageSpec(
+        paragraphs=[["13 quartz the", "quick the"],
+                    ["dog amazingly 7 2026", "jugs my", "jugs with 42"]],
+        column2=[["sphinx dog provide"]],
+        column3=[["my box"], ["lazy lazy jugs", "provide 42 judge"]],
+        scale=1, skew=-0.025, indent_paras=(0, 1),
+        photos=((1, 39, 46), (1, 77, 26)), rules=(0,),
+        pullout_lines=["dog discotheques my dog"],
+    ),
+    # (v) media fused AFTER the deskew bbox expansion manufactured a
+    #     phantom photo+rule overlap at |skew|=0.06 (fuse before the
+    #     shear mapping, while boxes are tight)
+    "high_skew_media_no_phantom_fuse": PageSpec(
+        paragraphs=[["my jumps jukeboxes 42",
+                     "discotheques jumps the jumps"],
+                    ["of lazy discotheques vow",
+                     "discotheques sphinx quartz amazingly",
+                     "few jugs box sphinx"],
+                    ["over pack the few", "sphinx 13 vow",
+                     "provide 99 few"]],
+        column2=[["quick 2026", "judge my jugs 7"],
+                 ["of the liquor", "7 box dog"]],
+        column3=[["sphinx provide"]],
+        scale=3, skew=0.06, indent_paras=(2,),
+        photos=((2, 60, 35), (2, 64, 28)), rules=(2,),
+    ),
+    # (w) a column rule below a SHORT line read as that line's
+    #     underline and vanished from the separator path (extent check:
+    #     an underline hugs its text's x-extent)
+    "separator_under_short_line_stays_rule": PageSpec(
+        paragraphs=[["provide brown"], ["99 jumps",
+                     "with judge discotheques judge", "my my pack"],
+                    ["13 few provide", "with 99 dozen", "42 13"]],
+        column2=[["my five 42"]],
+        column3=[["sphinx five sphinx brown", "13 quartz quick",
+                  "brown brown black 2026"],
+                 ["box sphinx jumps 99", "discotheques 2026",
+                  "provide black 42 liquor"]],
+        scale=1, inverted=True, noise_dots=7, rules=(0,),
+        pullout_lines=["box liquor over 42"],
+    ),
 }
 
 
