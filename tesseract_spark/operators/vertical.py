@@ -466,14 +466,24 @@ def recognize_vertical_page(
             # ink speck fused to a glyph's top/left edge extends the
             # component bbox, and no non-negative placement can realign
             # the glyph with its template frame — the negative offsets
-            # treat the leading rows/columns as noise and cut them
-            for dy in range(-2, max(1, CELL_H - c.shape[0] + 1)):
+            # treat the leading rows/columns as noise and cut them.
+            # The upper range runs 2 PAST the fit limit with trailing
+            # truncation: a speck fused to the BOTTOM edge likewise
+            # extends the crop, and a descender glyph then needs a
+            # placement where the trailing noise rows overflow the
+            # frame (round-4 vertical fuzzer: 'g' + bottom speck).
+            for dy in range(-2, max(1, CELL_H - c.shape[0] + 1) + 2):
                 top = c[max(0, -dy) :]
                 if top.shape[0] > CELL_H:
                     top = top[:CELL_H]
                 place = max(0, dy)
                 if place + top.shape[0] > CELL_H:
-                    continue
+                    over = place + top.shape[0] - CELL_H
+                    if over > 2:
+                        continue
+                    top = top[: top.shape[0] - over]
+                    if not top.any():
+                        continue
                 for dx in (0, 1, 2):
                     if top.shape[1] - dx <= 0:
                         break

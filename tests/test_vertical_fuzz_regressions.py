@@ -59,6 +59,11 @@ CASES = {
     "speck_fused_trailing_glyph": (["0jzzb", "ve3", "ne66k0"], 24, 27, 182),
     "digit_column_clean": (["0e", "yt", "rgw", "a9d7xa"], 22, 28, None),
     "m_vs_dot_confusion": (["c7o", "imfii", "i3"], 18, 29, None),
+    # round-4 continuation: a speck fused to a glyph's BOTTOM edge
+    # extends the crop downward, and a descender glyph ('g') then needs
+    # a placement whose trailing noise rows overflow the 16-row frame —
+    # the hypothesis search now truncates up to 2 trailing rows
+    "speck_fused_to_descender_bottom": (["ck", "zg"], 20, 31, 996),
 }
 
 

@@ -65,7 +65,13 @@ def main() -> int:
             for _ in range(rng.randint(1, 4))
         ]
         pitch = rng.randint(17, 24)
-        cs = rng.randint(22, 49)
+        # colspace must be >= pitch: with columns packed tighter than
+        # the glyph pitch, neighbouring glyphs are closer horizontally
+        # than vertically and the grid legitimately reads as horizontal
+        # rows — the same documented ambiguity envelope as the
+        # composer's narrow-page skew gate (verified: detection flips
+        # exactly at colspace < pitch, e.g. pitch 23 / colspace 22)
+        cs = rng.randint(max(22, pitch), 49)
         speck_seed = rng.randrange(1000) if rng.random() < 0.3 else None
         try:
             gray = compose_vertical(cols, pitch=pitch, colspace=cs)
