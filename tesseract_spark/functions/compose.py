@@ -169,7 +169,11 @@ def compose_page(spec: PageSpec) -> ComposedPage:
     # media elements whose rendered rects overlap or touch fuse into ONE
     # ink region (a per-column rule wider than a narrow neighbour column
     # runs into the next column's rule) — the golden counts the MERGED
-    # regions, since that is all any engine can observe
+    # regions, since that is all any engine can observe.  Two collinear
+    # RULES with a sub-closing gap (<= 3 px, the line finder's closing
+    # brick at 300 dpi — leptonica heals such breaks inside
+    # GetLineMasks, linefind.cpp:456) likewise count as ONE separator:
+    # a 3 px break in a bar is below any engine's healing distance.
     media = [e for e in elems if e["kind"] != "text"]
     parent = list(range(len(media)))
 
@@ -184,6 +188,15 @@ def compose_page(spec: PageSpec) -> ComposedPage:
         for j in range(i + 1, len(media)):
             l2, t2, r2, b2 = media[j]["rect"]
             if l1 <= r2 and l2 <= r1 and t1 <= b2 and t2 <= b1:
+                parent[find(i)] = find(j)
+            elif (
+                "rule" in media[i]
+                and "rule" in media[j]
+                and t1 <= b2
+                and t2 <= b1
+                and l1 <= r2 + 3
+                and l2 <= r1 + 3
+            ):
                 parent[find(i)] = find(j)
     drop = set()
     for i, e in enumerate(media):

@@ -446,6 +446,20 @@ def _vectors_of(
                 break
         else:
             merged.append(list(s))
+    # tight-clip each vector to the INK inside its box: the
+    # erode+dilate length restoration can overshoot the bar's true
+    # extent by a pixel, and a bbox touching a neighbouring photo's
+    # rect then fuses with it downstream while the golden's tight
+    # rects stay separate (round-4 fuzzer, rule 1 px shy of a photo)
+    if ink is not None:
+        for m in merged:
+            sub = ink[m[1] : m[3], m[0] : m[2]]
+            if not sub.any():
+                continue
+            rows = np.flatnonzero(sub.any(axis=1))
+            cols = np.flatnonzero(sub.any(axis=0))
+            m[0], m[2] = m[0] + int(cols[0]), m[0] + int(cols[-1]) + 1
+            m[1], m[3] = m[1] + int(rows[0]), m[1] + int(rows[-1]) + 1
     return [LineVector(kind=kind, bbox=tuple(m)) for m in merged]
 
 
