@@ -41,6 +41,17 @@ class PageSpec:
     # the gutter, so only the strip-banded column DP can place it
     # (a whole-page x-projection sees no gutter at all)
     pullout_lines: list[str] | None = None
+    # (para_idx, line_idx) pairs whose line gets an UNDERLINE bar the
+    # width of its ink, ABUTTING the glyph cells (touching descenders —
+    # the classic merged underline the separate_underlines machinery
+    # owns; applies in every column holding that para/line, like
+    # photos/rules).  Underlines are text decoration, not media: the
+    # engine must erase the bar, restore the characters, and the
+    # golden text is unchanged.  A bar floated BETWEEN two lines is a
+    # different object — the reference's one-sided test reads it as a
+    # separator (text on both sides), so the composer does not render
+    # detached underlines.
+    underlines: tuple[tuple[int, int], ...] = ()
 
 
 @dataclass
@@ -67,6 +78,17 @@ def _column_elements(
             )
             lines.append((x0 + indent, y, text))
             max_w = max(max_w, indent + text_ink_width(text, s))
+            if (pi, li) in spec.underlines:
+                elems.append(
+                    {
+                        "kind": "deco",
+                        "bar": (
+                            x0 + indent,
+                            y + CELL_H * s - 1,
+                            text_ink_width(text, s),
+                        ),
+                    }
+                )
             y += PITCH * s
         elems.append({"kind": "text", "lines": lines, "para": pi, "col_x": x0})
         y += PARA_GAP * s
@@ -90,6 +112,9 @@ def _shift_elements(elems: list[dict], dy: int) -> None:
         elif "photo" in e:
             x, y, w, h = e["photo"]
             e["photo"] = (x, y + dy, w, h)
+        elif "bar" in e:
+            x, y, w = e["bar"]
+            e["bar"] = (x, y + dy, w)
         else:
             x, y = e["rule"]
             e["rule"] = (x, y + dy)
@@ -161,6 +186,9 @@ def compose_page(spec: PageSpec) -> ComposedPage:
             x, y, w, h = e["photo"]
             mask[y : y + h, x : x + w] |= _photo_mask(w, h)
             e["rect"] = (x, y, x + w, y + h)
+        elif "bar" in e:
+            x, y, w = e["bar"]  # underline: decoration, never media
+            mask[y : y + 2, x : x + w] = True
         else:
             x, y = e["rule"]
             rule_w = max(120, w1)
@@ -174,7 +202,7 @@ def compose_page(spec: PageSpec) -> ComposedPage:
     # brick at 300 dpi — leptonica heals such breaks inside
     # GetLineMasks, linefind.cpp:456) likewise count as ONE separator:
     # a 3 px break in a bar is below any engine's healing distance.
-    media = [e for e in elems if e["kind"] != "text"]
+    media = [e for e in elems if e["kind"] == "media"]
     parent = list(range(len(media)))
 
     def find(i: int) -> int:
@@ -217,7 +245,8 @@ def compose_page(spec: PageSpec) -> ComposedPage:
         else:
             e["rule"] = (l, t)
     elems = [e for e in elems if id(e) not in drop]
-    for e in sorted(elems, key=lambda e: _elem_order(e, spec)):
+    ordered = [e for e in elems if e["kind"] != "deco"]
+    for e in sorted(ordered, key=lambda e: _elem_order(e, spec)):
         if e["kind"] == "text":
             golden.append(("text", "\n".join(t for _x, _y, t in e["lines"])))
         else:

@@ -291,7 +291,14 @@ def _filter_false_positives(
                 # underline/overline has text on exactly one side,
                 # a strike-through rule (line_removal golden) has text
                 # on BOTH sides and must stay on the separator path.
-                win = max(12, 3 * bh)
+                # window reach 18 (was 12): a large-scale line's glyphs
+                # only dip their bottom strokes into a 12-row window
+                # and an abutting underline's coverage fell just under
+                # the 0.35 bar (round-4 underline axis, scale-3 page);
+                # 18 still stays inside the paragraph gap (>= 26 px at
+                # the smallest scale), so separators between paragraphs
+                # remain uncovered on both sides
+                win = max(18, 3 * bh)
                 ext = max(4 * bh, resolution // 10)
                 xl, xr = max(0, l - ext), min(nonline.shape[1], r + ext)
                 span = xr - xl

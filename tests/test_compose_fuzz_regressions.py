@@ -335,6 +335,27 @@ CASES = {
         photos=((1, 39, 46), (1, 77, 26)), rules=(0,),
         pullout_lines=["dog discotheques my dog"],
     ),
+    # --- underline axis (EXPERIMENTAL, flag-gated in the fuzzer):
+    #     abutting bars = classic merged underlines; the bar must be
+    #     erased, characters restored, golden text unchanged, NO media
+    #     emitted.  Pinned here are the configurations that hold
+    #     today.  KNOWN OPEN (next round): a scale-1 underline with a
+    #     following line 6 px below reads as a both-sides-covered
+    #     separator — the underline-vs-separator call at a 2 px bar /
+    #     16 px glyph scale needs the gap-asymmetry design finished
+    #     without disturbing the pinned separator contracts. ---
+    "underline_scale2_second_line": PageSpec(
+        paragraphs=[["pack my box", "five dozen jugs"]],
+        scale=2, underlines=((0, 1),),
+    ),
+    "underline_scale3_with_rule": PageSpec(
+        paragraphs=[["pack the"]], scale=3, rules=(0,),
+        underlines=((0, 0),),
+    ),
+    "underline_two_columns": PageSpec(
+        paragraphs=[["quick brown fox"]], column2=[["pack my box"]],
+        underlines=((0, 0),),
+    ),
     # (v) media fused AFTER the deskew bbox expansion manufactured a
     #     phantom photo+rule overlap at |skew|=0.06 (fuse before the
     #     shear mapping, while boxes are tight)

@@ -46,7 +46,9 @@ def _para(rng: random.Random, max_lines: int = 3) -> list[str]:
     ]
 
 
-def gen_spec(rng: random.Random, columns: int) -> PageSpec:
+def gen_spec(
+    rng: random.Random, columns: int, with_underlines: bool = False
+) -> PageSpec:
     n_paras = rng.randint(1, 3)
     paragraphs = [_para(rng) for _ in range(n_paras)]
     column2 = column3 = None
@@ -75,6 +77,10 @@ def gen_spec(rng: random.Random, columns: int) -> PageSpec:
         if column2 is not None and rng.random() < 0.25
         else None
     )
+    underlines = ()
+    if with_underlines and rng.random() < 0.25:
+        pi = rng.randrange(n_paras)
+        underlines = ((pi, rng.randrange(len(paragraphs[pi]))),)
     return PageSpec(
         paragraphs=paragraphs,
         column2=column2,
@@ -87,6 +93,7 @@ def gen_spec(rng: random.Random, columns: int) -> PageSpec:
         photos=photos,
         rules=rules,
         pullout_lines=pullout,
+        underlines=underlines,
     )
 
 
@@ -95,6 +102,15 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--cases", type=int, default=200)
     ap.add_argument("--columns", type=int, default=2, choices=(1, 2, 3))
+    ap.add_argument(
+        "--underlines",
+        action="store_true",
+        help="enable the underline axis (EXPERIMENTAL: abutting "
+        "underlines compose cleanly at moderate settings — see the "
+        "pinned cases — but interact with shear/adjacent elements at "
+        "the fixture font's 2px bar scale; campaign still has known "
+        "failures, so the axis is opt-in until they are driven down)",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -103,7 +119,7 @@ def main() -> int:
     failures = 0
     t0 = time.time()
     for ci in range(args.cases):
-        spec = gen_spec(rng, args.columns)
+        spec = gen_spec(rng, args.columns, args.underlines)
         try:
             page = compose_page(spec)
             spans, _layout = recognize_page(page.image, spec.dpi, None, net)
