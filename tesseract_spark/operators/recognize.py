@@ -859,6 +859,16 @@ def recognize_page_detail(
                 )
                 else "text"
             )
+            # a paragraph whose every row decoded to NOTHING is
+            # unexplained ink (detector residue re-entering the text
+            # pipeline), not text — the reference's quality machinery
+            # rejects such garbage rows (docqual), and a zero-content
+            # span only pollutes the sequence (round-4 fuzzer: a
+            # half-masked photo chunk emitted ('text', ''))
+            if not para_text.strip() and not any(
+                row_words[i] for i in group
+            ):
+                continue
             keyed.append(
                 (
                     key,
