@@ -199,12 +199,36 @@ def _label_vectorized(mask: np.ndarray, connectivity: int = 8):
         ei = np.repeat(np.arange(R), cnt)
         off = np.repeat(np.cumsum(cnt) - cnt, cnt)
         ej = np.repeat(lo, cnt) + np.arange(E) - off
-        # min-label propagation + pointer jumping until fixed point
+        # chain pre-contraction: glyph bodies are mostly vertical STACKS of
+        # runs (each run's sole prev-row neighbour has it as its sole
+        # next-row neighbour).  Those 1-1 edges form a functional forest
+        # whose roots resolve with O(log chain) pointer-doubling gathers —
+        # far cheaper than dragging the min label one step per round
+        # through the edge loop below.  Only junction edges (branches,
+        # loop closures) remain for the loop, so it converges in a couple
+        # of rounds instead of ~10 on ordinary text pages.
+        ncnt = np.bincount(ej, minlength=R)
+        chain = (cnt[ei] == 1) & (ncnt[ej] == 1)
+        parent = np.arange(R, dtype=np.int64)
+        parent[ei[chain]] = ej[chain]  # each such i appears exactly once
         while True:
-            mn = np.minimum(lbl[ei], lbl[ej])
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        lbl = parent
+        rest = ~chain
+        ei2 = parent[ei[rest]]
+        ej2 = parent[ej[rest]]
+        keep_e = ei2 != ej2
+        ei2 = ei2[keep_e]
+        ej2 = ej2[keep_e]
+        # min-label propagation + pointer jumping until fixed point
+        while ei2.size:
+            mn = np.minimum(lbl[ei2], lbl[ej2])
             new = lbl.copy()
-            np.minimum.at(new, ei, mn)
-            np.minimum.at(new, ej, mn)
+            np.minimum.at(new, ei2, mn)
+            np.minimum.at(new, ej2, mn)
             new = new[new]
             if np.array_equal(new, lbl):
                 break

@@ -1292,7 +1292,10 @@ def analyze_page(
     # sheared text page pays for this labeling ONCE)
     if not v_vecs and not h_vecs and music_mask is None:
         _cc_cache = (_lr, _nr, st_r)
-    _sk = estimate_skew(st_r[:_nr])
+    # with_ambiguity here so the main deskew below can REUSE this estimate
+    # (identical inputs) when grading filters nothing — the common text
+    # page then runs estimate_skew once, not twice
+    _sk, _sk_amb = estimate_skew(st_r[:_nr], with_ambiguity=True)
     if _sk != 0.0:
         _desk = unshear(ink, _sk)
         # Horizontal-only pre-gate for the retry: our quantized shear
@@ -1418,7 +1421,12 @@ def analyze_page(
     # noise filtering must wait — reference order: Deskew tabfind.cpp:1287
     # precedes final grading), then unshear and re-extract.
     keep_idx = np.flatnonzero((grade == 0) | (grade == 1))
-    skew, skew_ambiguous = estimate_skew(stats[keep_idx], with_ambiguity=True)
+    if stats is st_r and len(keep_idx) == n:
+        # same stats rows as the retry-gate estimate above (cache held and
+        # nothing was graded out): the answer cannot differ — reuse it
+        skew, skew_ambiguous = _sk, _sk_amb
+    else:
+        skew, skew_ambiguous = estimate_skew(stats[keep_idx], with_ambiguity=True)
     # total reported shear includes the deva pre-pass even when the
     # post-split residual is exactly 0 (the pre-pass did all the work)
     res.skew = skew + pre_skew
@@ -1429,7 +1437,9 @@ def analyze_page(
         return lut[lbl]
 
     if skew != 0.0:
-        src_mask = mask_of(labels, n, keep_idx)
+        # labels/stats describe the current ink exactly; when nothing was
+        # graded out the keep mask IS the ink — skip the LUT paint
+        src_mask = ink if len(keep_idx) == n else mask_of(labels, n, keep_idx)
         if skew_ambiguous or abs(skew) >= 0.0495:
             # refine on ambiguity, and ALWAYS near the grid's outer
             # edge: beyond ~0.055 glyphs shear internally (column shifts
