@@ -262,7 +262,9 @@ def _extract_words(
         if not cur:
             return
         text = "".join(charset[c] for c in cur)
-        conf = float(np.exp(np.mean(cur_lp)) * 100.0)
+        # sum/len matches np.mean's sequential reduce bit-for-bit at word
+        # lengths, without the list->array conversion per word
+        conf = float(np.exp(sum(cur_lp) / len(cur_lp)) * 100.0)
         is_dict = bool(dawg is not None and dawg.accepts(text))
         words.append(
             DecodedWord(
@@ -347,12 +349,12 @@ def _greedy_with_words(
     positions: list[int] = []
     char_lp: list[float] = []
     prev = -1
-    for t, c in enumerate(ids):
-        c = int(c)
+    lp_l = top_lp.tolist()
+    for t, c in enumerate(ids.tolist()):
         if c != blank and c != prev:
             prefix.append(c)
             positions.append(t)
-            char_lp.append(float(top_lp[t]))
+            char_lp.append(lp_l[t])
         prev = c
     best = BeamEntry(
         prefix=tuple(prefix),

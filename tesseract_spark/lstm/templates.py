@@ -508,28 +508,38 @@ class TemplateNet:
             [(c, v) for c, v in events]
             + [(c, None) for c in gap_cols]  # None marks a space event
         , key=lambda e: e[0])
-        T = 2 * len(merged) + 1
+        n_ev = len(merged)
+        T = 2 * n_ev + 1
         logits = np.full((T, self.n_classes), ALPHA * 0.0, dtype=np.float32)
         logits[:, self.blank] = ALPHA * BLANK_SCORE
         col_of_t = np.zeros(T, dtype=np.int64)
         fuzzy_ts: set[int] = set()
-        for i, (c, v) in enumerate(merged):
-            t = 2 * i + 1
-            col_of_t[t] = c
-            if i > 0:
-                col_of_t[t - 1] = c - 1
-            if v is None:
-                logits[t, self.space_code] = ALPHA * 1.0
-                if c in fuzzy_cols:
-                    fuzzy_ts.add(t)
-            elif isinstance(v, int):  # candidate index into vec_all
-                logits[t, : self.space_code] = (
-                    ALPHA * vec_all[: self.space_code, v]
-                )
-            else:
-                logits[t, : self.space_code] = ALPHA * v[: self.space_code]
-        if len(merged) > 0:
-            col_of_t[-1] = merged[-1][0] + 1
+        if n_ev:
+            # grouped by payload kind so the common static-accept path is
+            # one gather from vec_all instead of a per-event slice write
+            cols = np.fromiter((c for c, _v in merged), np.int64, n_ev)
+            ts = 2 * np.arange(n_ev, dtype=np.int64) + 1
+            col_of_t[ts] = cols
+            col_of_t[ts[1:] - 1] = cols[1:] - 1
+            col_of_t[-1] = cols[-1] + 1
+            sp_i = [i for i, (_c, v) in enumerate(merged) if v is None]
+            ci_i = [i for i, (_c, v) in enumerate(merged) if isinstance(v, int)]
+            if sp_i:
+                logits[ts[sp_i], self.space_code] = ALPHA * 1.0
+                if fuzzy_cols:
+                    fuzzy_ts = {
+                        2 * i + 1 for i in sp_i if merged[i][0] in fuzzy_cols
+                    }
+            if ci_i:
+                vs = [merged[i][1] for i in ci_i]
+                logits[ts[ci_i], : self.space_code] = (
+                    ALPHA * vec_all[: self.space_code, vs]
+                ).T
+            for i, (_c, v) in enumerate(merged):
+                if v is not None and not isinstance(v, int):
+                    logits[2 * i + 1, : self.space_code] = (
+                        ALPHA * v[: self.space_code]
+                    )
         # log-softmax
         m = logits.max(axis=1, keepdims=True)
         e = np.exp(logits - m)

@@ -475,6 +475,8 @@ def find_and_remove_lines(
     resolution: int = 300,
     music: bool = True,
     protect: np.ndarray | None = None,
+    pix_dil: np.ndarray | None = None,
+    gate1_known: bool = False,
 ) -> tuple[np.ndarray, list[LineVector], list[LineVector], np.ndarray | None]:
     """FindAndRemoveLines (linefind.cpp:674-755) over a binary ink mask.
 
@@ -492,8 +494,13 @@ def find_and_remove_lines(
     # first: pix_closed ⊆ pix_dilated, so a min_line_length run in the
     # closed mask needs one in the dilated mask — test THAT and skip the
     # close's erosion half entirely on the common clean text page.
-    pix_dil = dilate_brick(src, closing_brick, closing_brick)
-    if (
+    if pix_dil is None:
+        pix_dil = dilate_brick(src, closing_brick, closing_brick)
+    # ``pix_dil``/``gate1_known``: the deskew-retry caller already built
+    # the dilated mask and proved a closing-length run exists (its
+    # pre-gate) — reuse both instead of recomputing (exact; page.py
+    # computes the identical brick/length from the same dpi)
+    if not gate1_known and (
         not erode_brick(pix_dil, 1, min_line_length).any()
         and not erode_brick(pix_dil, min_line_length, 1).any()
     ):
@@ -683,9 +690,14 @@ def find_images(ink: np.ndarray) -> np.ndarray:
     # rank-4 seed cascade annihilates; then seed = high-rank cascade
     # (solid areas only), mask = softer cascade, seed grows in mask
     pixr = close_brick(pixr, 2, 2)
-    seed = _cascade(pixr, [4, 4, 3])  # 16x of full
-    if not seed.any():
-        return np.zeros_like(ink)
+    # seed cascade with early exit: once a rank reduce empties, the rest
+    # stay empty and the page has no halftone — the common text page
+    # stops at its first all-AND reduce
+    seed = pixr
+    for r in (4, 4, 3):
+        seed = _reduce_rank2(seed, r)
+        if not seed.any():
+            return np.zeros_like(ink)
     mask4 = dilate_brick(_cascade(pixr, [4, 2]), 3, 3)  # 8x of full
     ht8 = seedfill(_expand2(seed, 1, mask4.shape), mask4)
     if not ht8.any():

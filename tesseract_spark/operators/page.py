@@ -622,12 +622,14 @@ def _column_sets(
             pool_q.insert(at, q)
 
     def unmatched(gidx: np.ndarray, cand: list[tuple[int, int]]) -> int:
+        # col_of(x) < 0 iff no column's slack-extended span contains x —
+        # vectorized over the strip's blob mids (candidate sets are tiny)
         mids = (stats[gidx, 0] + stats[gidx, 2]) / 2.0
         w = stats[gidx, 2] - stats[gidx, 0]
-        out = np.fromiter(
-            (col_of(cand, m) < 0 for m in mids), dtype=bool, count=len(mids)
-        )
-        return int(w[out].sum())
+        matched = np.zeros(len(mids), dtype=bool)
+        for l, r in cand:
+            matched |= (l - slack <= mids) & (mids <= r + slack)
+        return int(w[~matched].sum())
 
     S, C = len(strips), len(pool)
     INF = 1 << 60
@@ -1309,9 +1311,12 @@ def analyze_page(
 
         _cb = max(1, max(1, dpi // 20) // 3)
         _L = max(2, dpi // 4)
-        if erode_brick(dilate_brick(_desk, _cb, _cb), _L, 1).any():
+        _dil2 = dilate_brick(_desk, _cb, _cb)
+        if erode_brick(_dil2, _L, 1).any():
+            # the pre-gate's dilated mask and its h-run proof carry into
+            # the finder (same brick/length formulas) — gate1 skipped
             _clean2, v2, h2, music2 = find_and_remove_lines(
-                _desk, dpi, protect=None
+                _desk, dpi, protect=None, pix_dil=_dil2, gate1_known=True
             )
         else:
             _clean2, v2, h2, music2 = _desk, [], [], None
