@@ -91,6 +91,21 @@ def main() -> None:
     # note), and the metric targets a long-running cluster's
     # steady-state — the same protocol the scaling gate uses.  Both
     # passes recompute everything (no Spark caching is used anywhere).
+    import gc
+
+    def _isolate():
+        # per-query isolation barrier (BENCH.md: the flagship's GC/page-
+        # cache pressure poisoned the NEXT query's in-session reading by
+        # up to 3x without changing its plan): drop Python garbage, ask
+        # the JVM to collect, and let the executor pools settle before
+        # the next timed region
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(0.3)
+
     for name in BENCH_QUERIES:
         if name == "ocr_extract":
             fn = ocr_production_bucketed
@@ -98,6 +113,7 @@ def main() -> None:
             fn = REGISTRY[name][0]
         best = None
         for _rep in range(2):
+            _isolate()
             t0 = time.perf_counter()
             rows[name] = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
@@ -114,8 +130,9 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / timings["ocr_extract"], 2),
         "rows": rows,
-        "protocol": "best-of-2 same-session per query (steady-state; "
-        "see BENCH.md variance note)",
+        "protocol": "best-of-2 same-session per query with a gc+settle "
+        "isolation barrier before each timed region (steady-state; see "
+        "BENCH.md variance note)",
     }
     print(json.dumps(out))
     spark.stop()

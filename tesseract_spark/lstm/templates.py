@@ -118,8 +118,9 @@ class TemplateNet:
             prev_blank[0] = True
             prev_blank[1:] = ~col_ink[:-1]
             cand_xs = np.flatnonzero(col_ink & prev_blank)
-        s = strip.astype(np.float32)
-        sp = np.pad(s, ((0, 0), (0, max(self.by_width) + 1)))  # right pad
+        pad = max(self.by_width) + 1  # right pad (direct alloc; np.pad's
+        sp = np.zeros((H, W + pad), dtype=np.float32)  # machinery shows up
+        sp[:, :W] = strip  # at per-row call rates
         out: dict[int, np.ndarray] = {}
         for w, (idxs, filt) in self.by_width.items():
             if len(cand_xs) == 0:
@@ -510,7 +511,7 @@ class TemplateNet:
         , key=lambda e: e[0])
         n_ev = len(merged)
         T = 2 * n_ev + 1
-        logits = np.full((T, self.n_classes), ALPHA * 0.0, dtype=np.float32)
+        logits = np.zeros((T, self.n_classes), dtype=np.float32)
         logits[:, self.blank] = ALPHA * BLANK_SCORE
         col_of_t = np.zeros(T, dtype=np.int64)
         fuzzy_ts: set[int] = set()

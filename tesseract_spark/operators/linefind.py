@@ -628,7 +628,9 @@ def _reduce_rank2(m: np.ndarray, rank: int) -> np.ndarray:
     h, w = m.shape
     ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
     if (ph, pw) != (h, w):
-        m = np.pad(m, ((0, ph - h), (0, pw - w)))
+        p = np.zeros((ph, pw), dtype=m.dtype)  # direct alloc (np.pad's
+        p[:h, :w] = m  # generic machinery costs at per-page call rates)
+        m = p
     # the 2x2 block corners as four strided views; rank thresholds reduce
     # to pure boolean algebra (no int accumulation pass)
     a, b = m[0::2, 0::2], m[0::2, 1::2]
