@@ -147,7 +147,12 @@ def _window_any(m: np.ndarray, k: int, axis: int) -> np.ndarray:
 
 
 def erode_brick(m: np.ndarray, hsize: int, vsize: int) -> np.ndarray:
-    """pixErodeBrick(hsize, vsize) — Leptonica argument order."""
+    """pixErodeBrick(hsize, vsize) — Leptonica argument order.
+
+    (A bbox-cropped variant was A/B'd and REVERTED: at flagship mask
+    sizes the per-call bbox scan + full-size paste, ~35us, cancels the
+    ~50% area saving — the crop only pays on sparse masks, which the
+    label-side crop in image_ops already covers.)"""
     return _window_all(_window_all(m, hsize, 1), vsize, 0)
 
 
