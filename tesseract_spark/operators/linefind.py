@@ -115,10 +115,14 @@ def _windowed(m: np.ndarray, k: int, axis: int, erode: bool) -> np.ndarray:
     if before:
         shape = list(m.shape)
         shape[axis] += before
-        p = np.full(shape, erode, dtype=m.dtype)
+        # empty + pad-strip fill, not np.full: the full-array prefill is
+        # immediately overwritten by the copy for all but `before` lanes
+        p = np.empty(shape, dtype=m.dtype)
         if axis == 0:
+            p[:before, :] = erode
             p[before:, :] = m
         else:
+            p[:, :before] = erode
             p[:, before:] = m
     else:
         p = m
@@ -501,15 +505,16 @@ def find_and_remove_lines(
     # close's erosion half entirely on the common clean text page.
     if pix_dil is None:
         pix_dil = dilate_brick(src, closing_brick, closing_brick)
-    # ``pix_dil``/``gate1_known``: the deskew-retry caller already built
-    # the dilated mask and proved a closing-length run exists (its
-    # pre-gate) — reuse both instead of recomputing (exact; page.py
-    # computes the identical brick/length from the same dpi)
-    if not gate1_known and (
-        not erode_brick(pix_dil, 1, min_line_length).any()
-        and not erode_brick(pix_dil, min_line_length, 1).any()
-    ):
-        return src, [], [], None
+    # ``pix_dil``: the deskew-retry caller already built the dilated mask
+    # (its pre-gate) — reuse it instead of recomputing (exact; page.py
+    # computes the identical brick from the same dpi).  ``gate1_known``
+    # is accepted for that caller's contract but no longer changes the
+    # flow: a dilated-mask pre-gate was measured NET-NEGATIVE here (half
+    # the flagship pages pass it and then pay the closed-mask gate too),
+    # so the first early-exit decision is taken on pix_closed directly —
+    # pix_closed ⊆ pix_dilated, so every early return this gate takes,
+    # the old two-stage gate took as well: exact.
+    del gate1_known
     pix_closed = erode_brick(pix_dil, closing_brick, closing_brick)
     # pix_hollow ⊆ pix_closed, so a min_line_length run in the hollow mask
     # needs one in the closed mask first — gate on that before paying for
