@@ -434,11 +434,13 @@ class TessBaseAPI:
         return self._input_name
 
     def SetImage(self, image) -> None:
-        """A gray ndarray (0-255, ink dark) or PNG bytes."""
+        """A gray ndarray (0-255, ink dark) or PNG/JPEG/TIFF bytes
+        (content-sniffed, baseapi.cpp:1033-1194; first page of a
+        multipage container)."""
         if isinstance(image, (bytes, bytearray)):
-            from .functions.png_codec import decode_gray_png
+            from .functions.image_codecs import decode_gray_image
 
-            image = decode_gray_png(bytes(image))
+            image = decode_gray_image(bytes(image))
         self._image = np.asarray(image)
         self._spans = self._words = self._layout = None
 

@@ -434,7 +434,7 @@ def _cli_spans(spark, docs, media, a: CliArgs, charlists, dict_words,
     )
 
     def udf(batches):
-        from .functions.png_codec import decode_gray_png
+        from .functions.image_codecs import decode_gray_pages
         from .lstm.dawg import Dawg
         from .lstm.templates import get_net
 
@@ -452,34 +452,40 @@ def _cli_spans(spark, docs, media, a: CliArgs, charlists, dict_words,
             ):
                 if png is None:
                     continue
-                gray = decode_gray_png(bytes(png))
+                # content autodetect + multipage container iteration
+                # (baseapi.cpp:1033-1194, :958-998): every page of the
+                # media blob contributes spans in container order
+                grays = decode_gray_pages(bytes(png))
                 use_dpi = dpi_override or int(dpi)
-                if oem == 0:
-                    from .operators.legacy import recognize_page_legacy
+                spans = []
+                for gray in grays:
+                    if oem == 0:
+                        from .operators.legacy import recognize_page_legacy
 
-                    spans, _ = recognize_page_legacy(
-                        gray, use_dpi, charlists=charlists, dawg=dawg)
-                elif oem == 1:
-                    from .operators.recognize import recognize_page_vgsl
+                        sp, _ = recognize_page_legacy(
+                            gray, use_dpi, charlists=charlists, dawg=dawg)
+                    elif oem == 1:
+                        from .operators.recognize import recognize_page_vgsl
 
-                    spans, _ = recognize_page_vgsl(
-                        gray, use_dpi, charlists=charlists)
-                elif oem == 2:
-                    from .operators.legacy import recognize_page_combined
+                        sp, _ = recognize_page_vgsl(
+                            gray, use_dpi, charlists=charlists)
+                    elif oem == 2:
+                        from .operators.legacy import recognize_page_combined
 
-                    spans, _ = recognize_page_combined(
-                        gray, use_dpi, dawg=dawg, charlists=charlists)
-                elif packs is not None:
-                    from .operators.recognize import recognize_page_detail
+                        sp, _ = recognize_page_combined(
+                            gray, use_dpi, dawg=dawg, charlists=charlists)
+                    elif packs is not None:
+                        from .operators.recognize import recognize_page_detail
 
-                    spans, _w, _l = recognize_page_detail(
-                        gray, use_dpi, packs=packs, charlists=charlists)
-                else:
-                    from .operators.recognize import process_page
+                        sp, _w, _l = recognize_page_detail(
+                            gray, use_dpi, packs=packs, charlists=charlists)
+                    else:
+                        from .operators.recognize import process_page
 
-                    spans, _ = process_page(
-                        gray, use_dpi, psm=psm, dawg=dawg,
-                        charlists=charlists)
+                        sp, _ = process_page(
+                            gray, use_dpi, psm=psm, dawg=dawg,
+                            charlists=charlists)
+                    spans.extend(sp)
                 for k, s in enumerate(spans):
                     # SubSpan objects (template/VGSL paths) or plain
                     # (kind, text) tuples (the legacy/combined paths)
@@ -790,7 +796,7 @@ def _osd_spans(spark, docs, media):
     )
 
     def udf(batches):
-        from .functions.png_codec import decode_gray_png
+        from .functions.image_codecs import decode_gray_image
         from .operators.osd import get_osd_text
 
         for b in batches:
@@ -806,7 +812,7 @@ def _osd_spans(spark, docs, media):
                         "offset": int(pos),
                         "kind": "osd",
                         "text": get_osd_text(
-                            decode_gray_png(bytes(png)), page_number=int(pos)),
+                            decode_gray_image(bytes(png)), page_number=int(pos)),
                         "media_ref": ref,
                     }
                 )

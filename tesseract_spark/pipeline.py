@@ -76,7 +76,7 @@ def _make_ocr_udf(
 
         from pyspark import TaskContext
 
-        from .functions.png_codec import decode_gray_png
+        from .functions.image_codecs import decode_gray_pages
         from .lstm.dawg import CombinedDawg, Dawg, PatternDawg
         from .lstm.templates import get_net
         from .operators.recognize import recognize_page, recognize_page_detail
@@ -141,7 +141,13 @@ def _make_ocr_udf(
                     # and the run continues, src/ccmain/control.cpp:314-322);
                     # n_chars = -1 marks the failure for lineage/QA
                     try:
-                        img = decode_gray_png(bytes(png))
+                        # format autodetect by content (PNG/JPEG/TIFF —
+                        # baseapi.cpp:1033-1194 ProcessPagesInternal); a
+                        # multipage TIFF contributes every page's spans in
+                        # container order under one media_ref
+                        # (baseapi.cpp:958-998 multipage iteration)
+                        imgs = decode_gray_pages(bytes(png))
+                        spans = []
                         if adapt_carryover and dawg is not None:
                             if doc_id != carry_doc:
                                 from .lstm.adaptive import AdaptiveTemplates
@@ -150,17 +156,21 @@ def _make_ocr_udf(
                                 carry_doc = doc_id
                                 carry_templates = AdaptiveTemplates()
                                 carry_doc_words = DocumentWords()
-                            spans, _words, _layout = recognize_page_detail(
-                                img, int(dpi), dawg, net,
-                                carry_adapted=carry_templates,
-                                charlists=charlists,
-                                doc_words=carry_doc_words,
-                            )
+                            for img in imgs:
+                                sp, _words, _layout = recognize_page_detail(
+                                    img, int(dpi), dawg, net,
+                                    carry_adapted=carry_templates,
+                                    charlists=charlists,
+                                    doc_words=carry_doc_words,
+                                )
+                                spans.extend(sp)
                         else:
-                            spans, _layout = recognize_page(
-                                img, int(dpi), dawg, net,
-                                charlists=charlists,
-                            )
+                            for img in imgs:
+                                sp, _layout = recognize_page(
+                                    img, int(dpi), dawg, net,
+                                    charlists=charlists,
+                                )
+                                spans.extend(sp)
                     except Exception:
                         wall = (time.perf_counter() - t0) * 1000.0
                         rows.append(
