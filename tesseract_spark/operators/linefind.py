@@ -278,6 +278,32 @@ def _filter_false_positives(
             )
             if nonline_count > bh * bw * K_MAX_NON_LINE_DENSITY:
                 bad = True  # underline / shirorekha-like: embedded in text
+            elif bw > 2 * bh and bh > 8:
+                # THICK wide candidates (photo closures, fused masses)
+                # keep the round-4 guard verbatim: whole-window coverage
+                # against the ext-span bar, strict one-sided XOR.  The
+                # per-column/own-width refinements below are calibrated
+                # for the thin-bar regime and changed a pinned thick
+                # case's verdict when applied here.
+                win = max(18, 3 * bh)
+                ext = max(4 * bh, resolution // 10)
+                xl, xr = max(0, l - ext), min(nonline.shape[1], r + ext)
+                span = xr - xl
+                above = nonline[max(0, t - win) : t, xl:xr]
+                below = nonline[b : b + win, xl:xr]
+                above_cov = bool(
+                    above.size and above.any(axis=0).sum() >= 0.35 * span
+                )
+                below_cov = bool(
+                    below.size and below.any(axis=0).sum() >= 0.35 * span
+                )
+                if above_cov != below_cov:
+                    side = above if above_cov else below
+                    cols = np.flatnonzero(side.any(axis=0))
+                    ink_l, ink_r = xl + int(cols[0]), xl + int(cols[-1]) + 1
+                    slop = max(8, resolution // 10)
+                    if l >= ink_l - slop and r <= ink_r + slop:
+                        bad = True
             elif bw > 2 * bh:
                 # underline guard (linefind.cpp:207-213 'perhaps ...
                 # underlines'): an h candidate flush under a text line —
@@ -307,19 +333,134 @@ def _filter_false_positives(
                 # 18 still stays inside the paragraph gap (>= 26 px at
                 # the smallest scale), so separators between paragraphs
                 # remain uncovered on both sides
+                # coverage window 18 (round-4 value): widening to 24 was
+                # tried for the no-descender scale-3 underline (its
+                # ink-above coverage starts at depth ~21) and REVERTED —
+                # it traded three pinned separator contracts (a rule near
+                # a photo edge and the clipped-glyph rule both sit in the
+                # 19-24 band).  That single residual class (underline on
+                # a descender-free line at the largest render scale) is
+                # documented in the fuzzer help.
                 win = max(18, 3 * bh)
                 ext = max(4 * bh, resolution // 10)
                 xl, xr = max(0, l - ext), min(nonline.shape[1], r + ext)
-                span = xr - xl
-                above = nonline[max(0, t - win) : t, xl:xr]
-                below = nonline[b : b + win, xl:xr]
-                above_cov = bool(
-                    above.size and above.any(axis=0).sum() >= 0.35 * span
-                )
-                below_cov = bool(
-                    below.size and below.any(axis=0).sum() >= 0.35 * span
-                )
-                if above_cov != below_cov:
+                ncols = xr - xl
+                # coverage bar: 0.35 x the candidate's OWN width, counted
+                # over the ext-extended window columns.  The window still
+                # extends ~1mm past the candidate (a word-gap SEGMENT of a
+                # text-crossed bar has no text over its own x-range — the
+                # neighbouring words' ink identifies it), but the bar no
+                # longer counts the extension's margin columns in its
+                # denominator: a full-ink-width scale-3 underline's
+                # baseline-band coverage sat one column under the old
+                # ext-span bar (round-5 fuzz).
+                cov_bar = 0.35 * bw
+                # probe depth > coverage window: 'covered' keeps the
+                # reference's one-sided window (win), but the gap-
+                # asymmetry arbitration below needs the far side's TRUE
+                # depth — at scale >= 2 the next line's coverage starts
+                # right at the window edge and a win-truncated reading
+                # compressed every gap to ~18, erasing the asymmetry
+                probe = max(54, 2 * win + 4)
+                # depths measured PER COLUMN from the candidate's own
+                # top/bottom profile, not its bbox rows: a staircased bar
+                # on a still-sheared page spans several bbox rows, and
+                # bbox-frame windows smear both sides' distances by the
+                # full shear rise (round-5 fuzz: a 0.025-slope page read
+                # (8, 9) where the flat truth is (10, 13)).  Per-column
+                # measurement is shear-invariant; ext columns without
+                # candidate ink fall back to the bbox rows (<= 1 px off
+                # at separator-legal slopes over the ~1mm extension).
+                cmask = labels[t:b, l:r] == i + 1
+                top_of = np.full(ncols, t, dtype=np.int64)
+                bot_of = np.full(ncols, b, dtype=np.int64)
+                has = cmask.any(axis=0)
+                ch = b - t
+                first = np.argmax(cmask, axis=0)
+                last = ch - 1 - np.argmax(cmask[::-1], axis=0)
+                sel = np.zeros(ncols, dtype=bool)
+                sel[l - xl : r - xl] = has
+                top_of[sel] = t + first[has]
+                bot_of[sel] = t + last[has] + 1
+                cols_idx = np.arange(xl, xr)
+                depths = np.arange(1, probe + 1)
+
+                def _cov_dist(edge: np.ndarray, sign: int):
+                    """(depth, win_cols): smallest per-column depth at
+                    which column coverage reaches the bar (None if never
+                    within probe), plus each column's any-ink-within-win
+                    flag (the extent checks' covering-ink span).  Depth d
+                    probes row edge + sign*d per column."""
+                    rows_at = edge[None, :] + sign * depths[:, None]
+                    valid = (rows_at >= 0) & (rows_at < nonline.shape[0])
+                    vals = np.zeros((probe, ncols), dtype=bool)
+                    vv = valid.ravel()
+                    vals.ravel()[vv] = nonline[
+                        rows_at.ravel()[vv],
+                        np.broadcast_to(cols_idx, (probe, ncols)).ravel()[vv],
+                    ]
+                    reach = np.maximum.accumulate(vals, axis=0)
+                    counts = reach.sum(axis=1)
+                    hit = np.flatnonzero(counts >= cov_bar)
+                    d = int(hit[0]) + 1 if len(hit) else None
+                    return d, reach[win - 1], int(vals[:win].sum())
+
+                d_above, above_cols, mass_above = _cov_dist(top_of, -1)
+                d_below, below_cols, mass_below = _cov_dist(bot_of - 1, +1)
+                above_cov = d_above is not None and d_above <= win
+                below_cov = d_below is not None and d_below <= win
+                if above_cov and below_cov:
+                    # gap-asymmetry arbitration (the round-4 KNOWN OPEN):
+                    # a 2 px underline under a line with the NEXT line an
+                    # interline gap below covers BOTH sides of the one-
+                    # sided test and read as a separator.  Measured
+                    # envelope (300 dpi, own-width bar, probe window):
+                    # underlines read (near, far) = (5,10)/(5,12)/(6,13)
+                    # at scale 1 and (12,18+)/(15,26+) on deskew-retry
+                    # copies at scales 2-3 — the near side is the
+                    # abutting descender band (<= 4s + residue slack),
+                    # the far side a full interline gap away.  A strike-
+                    # through rule not already on the >=2-intersections
+                    # bypass reads ~(1,1), and a between-paragraph
+                    # separator is not both-covered at all (its nearest
+                    # ink sits beyond the coverage window).  Underline
+                    # iff near <= 16 (descender band at the largest
+                    # render scale) and far >= near + 3 (a staircased
+                    # scale-2 bar reads (9, 12) — each side loses ~1 px
+                    # to the transition rows; the nearest competing
+                    # contract, equal gaps, reads a difference of 0-1).
+                    d_near = min(d_above, d_below)
+                    d_far = max(d_above, d_below)
+                    text_cols = None
+                    if d_near <= 16 and d_far >= d_near + 3:
+                        text_cols = (
+                            above_cols if d_above <= d_below else below_cols
+                        )
+                    elif min(mass_above, mass_below) <= 0.5 * max(
+                        mass_above, mass_below
+                    ):
+                        # tail fallback: a bar struck through the
+                        # DESCENDER BAND of its own line (the
+                        # underline_stats golden, makerow.cpp:1771
+                        # regime) has ink at depth ~1 on both sides —
+                        # but the far side is only the severed tails,
+                        # carrying a fraction of the text side's mass;
+                        # a true both-sided separator (two full lines)
+                        # is near mass parity.  The bar hugs the HEAVY
+                        # (text) side.
+                        text_cols = (
+                            above_cols
+                            if mass_above >= mass_below
+                            else below_cols
+                        )
+                    if text_cols is not None:
+                        cols = np.flatnonzero(text_cols)
+                        ink_l = xl + int(cols[0])
+                        ink_r = xl + int(cols[-1]) + 1
+                        slop = max(8, resolution // 10)
+                        if l >= ink_l - slop and r <= ink_r + slop:
+                            bad = True
+                elif above_cov != below_cov:
                     # extent check before the underline verdict: an
                     # underline hugs its text's x-extent, while a
                     # section separator under a SHORT line extends far
@@ -329,8 +470,9 @@ def _filter_false_positives(
                     # Keep the underline verdict only when the bar does
                     # not outrun the covering ink's extent by more than
                     # ~1mm at 300dpi on either side.
-                    side = above if above_cov else below
-                    cols = np.flatnonzero(side.any(axis=0))
+                    cols = np.flatnonzero(
+                        above_cols if above_cov else below_cols
+                    )
                     ink_l, ink_r = xl + int(cols[0]), xl + int(cols[-1]) + 1
                     slop = max(8, resolution // 10)
                     if l >= ink_l - slop and r <= ink_r + slop:

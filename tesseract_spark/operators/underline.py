@@ -238,6 +238,25 @@ def separate_underlines_page(
             if bars is not None:
                 bars.append((l, t, r, b))
             continue
+        if w >= 48:
+            # line-width bars: a small residual slope (in-frame or left
+            # by the quantized local unshear) splits the 2 px bar across
+            # up to 3 rows with partial widths (0.45-0.93 x w measured)
+            # — the flat core alone leaves a part-row fused with the
+            # glyphs (round-5 fuzz: scale-2 skewed underline read
+            # 'w,x'), so widen the erase band to adjacent rows still
+            # holding >= 0.35 of the width.  Glyph-sized components
+            # (w < 48) keep the core-only erase: there an adjacent
+            # half-width row is a glyph arm (a fused 'rn' pair's
+            # connecting row reads ~0.55 x w and must survive for the
+            # chop pass).
+            body = comp if sh is None else comp_frame
+            fproj = body.sum(axis=1)
+            fw = body.shape[1]
+            while bt > 0 and fproj[bt - 1] >= 0.35 * fw:
+                bt -= 1
+            while be < len(fproj) and fproj[be] >= 0.35 * fw:
+                be += 1
         if sh is None:
             restored = _restore_component(comp, bt, be, overline)
         else:

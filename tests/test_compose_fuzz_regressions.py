@@ -335,15 +335,24 @@ CASES = {
         photos=((1, 39, 46), (1, 77, 26)), rules=(0,),
         pullout_lines=["dog discotheques my dog"],
     ),
-    # --- underline axis (EXPERIMENTAL, flag-gated in the fuzzer):
+    # --- underline axis (default-on in the fuzzer since round 5):
     #     abutting bars = classic merged underlines; the bar must be
     #     erased, characters restored, golden text unchanged, NO media
-    #     emitted.  Pinned here are the configurations that hold
-    #     today.  KNOWN OPEN (next round): a scale-1 underline with a
-    #     following line 6 px below reads as a both-sides-covered
-    #     separator — the underline-vs-separator call at a 2 px bar /
-    #     16 px glyph scale needs the gap-asymmetry design finished
-    #     without disturbing the pinned separator contracts. ---
+    #     emitted.  The round-4 KNOWN OPEN (a scale-1 underline with the
+    #     next line ~6 px below covering BOTH sides of the one-sided
+    #     test) is CLOSED by the gap-asymmetry arbitration in
+    #     _filter_false_positives: an underline abuts its text (near
+    #     depth <= ~6 px) while the far side's coverage starts a full
+    #     interline gap away (>= near + 4); equal gaps (strike-through,
+    #     between-paragraph separators) keep the separator path. ---
+    "underline_scale1_first_line": PageSpec(
+        paragraphs=[["pack my box", "five dozen jugs"]],
+        scale=1, underlines=((0, 0),),
+    ),
+    "underline_scale1_between_lines": PageSpec(
+        paragraphs=[["pack my box", "five dozen jugs", "the quick fox"]],
+        scale=1, underlines=((0, 1),),
+    ),
     "underline_scale2_second_line": PageSpec(
         paragraphs=[["pack my box", "five dozen jugs"]],
         scale=2, underlines=((0, 1),),

@@ -104,12 +104,17 @@ def main() -> int:
     ap.add_argument("--columns", type=int, default=2, choices=(1, 2, 3))
     ap.add_argument(
         "--underlines",
-        action="store_true",
-        help="enable the underline axis (EXPERIMENTAL: abutting "
-        "underlines compose cleanly at moderate settings — see the "
-        "pinned cases — but interact with shear/adjacent elements at "
-        "the fixture font's 2px bar scale; campaign still has known "
-        "failures, so the axis is opt-in until they are driven down)",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="underline axis (DEFAULT-ON since round 5: the scale-1 "
+        "both-sides-covered case is closed by the gap-asymmetry "
+        "arbitration in _filter_false_positives; --no-underlines "
+        "disables the axis for bisecting other failures).  KNOWN "
+        "RESIDUAL: an underline on a DESCENDER-FREE line at render "
+        "scale 3 — its covering ink starts at depth ~21, past the "
+        "18-row one-sided window, and widening to 24 traded three "
+        "pinned separator contracts (rule-near-photo and "
+        "clipped-glyph rules live in the 19-24 band)",
     )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
