@@ -12,7 +12,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .fonts import CELL_H, WORD_GAP, mask_to_gray, render_line, text_ink_width
+from .fonts import (
+    BASELINE,
+    CELL_H,
+    WORD_GAP,
+    mask_to_gray,
+    render_line,
+    text_ink_width,
+)
 
 LEADING = 6  # blank rows between line cells (pitch = 22 per scale unit)
 PITCH = CELL_H + LEADING
@@ -79,12 +86,21 @@ def _column_elements(
             lines.append((x0 + indent, y, text))
             max_w = max(max_w, indent + text_ink_width(text, s))
             if (pi, li) in spec.underlines:
+                # typographic placement: flush under the BASELINE,
+                # crossing descenders — the classic merged underline
+                # (underline_stats renders the same position).  The
+                # round-4 placement at the CELL bottom left the bar
+                # DETACHED by 4s-1 px whenever the line had no
+                # descenders, and a detached bar is a separator under
+                # the reference's own adjacency test
+                # (linefind.cpp:207-213) — a contradiction with this
+                # axis's "NO media" golden at scale >= 2
                 elems.append(
                     {
                         "kind": "deco",
                         "bar": (
                             x0 + indent,
-                            y + CELL_H * s - 1,
+                            y + BASELINE * s + 1,
                             text_ink_width(text, s),
                         ),
                     }

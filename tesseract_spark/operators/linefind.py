@@ -241,13 +241,22 @@ def _filter_false_positives(
     inter_stats: np.ndarray | None,
     line_pix: np.ndarray,
     protect: np.ndarray | None = None,
+    raw_nonline: np.ndarray | None = None,
 ) -> int:
     """FilterFalsePositives (linefind.cpp:183-224).  Erases bad components
     from line_pix in place; returns the number remaining.
 
     ``protect``: ink known a-priori to be text (the shiro-rekha
     splitter's split-word mask) — a candidate whose pixels mostly fall
-    on protected ink is text, however line-like its closed shape."""
+    on protected ink is text, however line-like its closed shape.
+
+    ``raw_nonline``: the UNERODED non-line ink, used only by the
+    underline guard's extent-hug measurement — the residue-eroded
+    ``nonline`` drops <6-row glyph stubs the candidate itself chopped,
+    truncating the covering ink's apparent extent (round-5 fuzz: a
+    scale-1 underline under 'discotheques' lost its right half there
+    and flipped to the separator path).  Coverage/mass tests keep the
+    eroded mask (reference fidelity, CountPixelsAdjacentToLine)."""
     min_thick_length = int(resolution * K_THICK_LENGTH_MULTIPLE)
     labels, n, stats = label_and_stats(line_pix)
     remaining = n
@@ -385,17 +394,22 @@ def _filter_false_positives(
                 cols_idx = np.arange(xl, xr)
                 depths = np.arange(1, probe + 1)
 
-                def _cov_dist(edge: np.ndarray, sign: int):
-                    """(depth, win_cols): smallest per-column depth at
-                    which column coverage reaches the bar (None if never
-                    within probe), plus each column's any-ink-within-win
-                    flag (the extent checks' covering-ink span).  Depth d
-                    probes row edge + sign*d per column."""
+                raw = raw_nonline if raw_nonline is not None else nonline
+
+                def _cov_dist(edge: np.ndarray, sign: int, src=None):
+                    """(depth, win_cols, win_mass): smallest per-column
+                    depth at which column coverage reaches the bar (None
+                    if never within probe), each column's any-ink-within-
+                    win flag, and the within-win ink count.  Depth d
+                    probes row edge + sign*d per column of ``src``
+                    (default: the residue-eroded nonline)."""
+                    if src is None:
+                        src = nonline
                     rows_at = edge[None, :] + sign * depths[:, None]
-                    valid = (rows_at >= 0) & (rows_at < nonline.shape[0])
+                    valid = (rows_at >= 0) & (rows_at < src.shape[0])
                     vals = np.zeros((probe, ncols), dtype=bool)
                     vv = valid.ravel()
-                    vals.ravel()[vv] = nonline[
+                    vals.ravel()[vv] = src[
                         rows_at.ravel()[vv],
                         np.broadcast_to(cols_idx, (probe, ncols)).ravel()[vv],
                     ]
@@ -404,6 +418,12 @@ def _filter_false_positives(
                     hit = np.flatnonzero(counts >= cov_bar)
                     d = int(hit[0]) + 1 if len(hit) else None
                     return d, reach[win - 1], int(vals[:win].sum())
+
+                def _extent_cols(side_above: bool) -> np.ndarray:
+                    # extent-hug span from the RAW ink (see docstring)
+                    if side_above:
+                        return _cov_dist(top_of, -1, src=raw)[1]
+                    return _cov_dist(bot_of - 1, +1, src=raw)[1]
 
                 d_above, above_cols, mass_above = _cov_dist(top_of, -1)
                 d_below, below_cols, mass_below = _cov_dist(bot_of - 1, +1)
@@ -433,9 +453,7 @@ def _filter_false_positives(
                     d_far = max(d_above, d_below)
                     text_cols = None
                     if d_near <= 16 and d_far >= d_near + 3:
-                        text_cols = (
-                            above_cols if d_above <= d_below else below_cols
-                        )
+                        text_cols = _extent_cols(d_above <= d_below)
                     elif min(mass_above, mass_below) <= 0.5 * max(
                         mass_above, mass_below
                     ):
@@ -448,11 +466,7 @@ def _filter_false_positives(
                         # a true both-sided separator (two full lines)
                         # is near mass parity.  The bar hugs the HEAVY
                         # (text) side.
-                        text_cols = (
-                            above_cols
-                            if mass_above >= mass_below
-                            else below_cols
-                        )
+                        text_cols = _extent_cols(mass_above >= mass_below)
                     if text_cols is not None:
                         cols = np.flatnonzero(text_cols)
                         ink_l = xl + int(cols[0])
@@ -470,9 +484,7 @@ def _filter_false_positives(
                     # Keep the underline verdict only when the bar does
                     # not outrun the covering ink's extent by more than
                     # ~1mm at 300dpi on either side.
-                    cols = np.flatnonzero(
-                        above_cols if above_cov else below_cols
-                    )
+                    cols = np.flatnonzero(_extent_cols(above_cov))
                     ink_l, ink_r = xl + int(cols[0]), xl + int(cols[-1]) + 1
                     slop = max(8, resolution // 10)
                     if l >= ink_l - slop and r <= ink_r + slop:
@@ -733,7 +745,8 @@ def find_and_remove_lines(
         if not h_empty:
             non_vline = (non_vline | hline) & ~(inter if inter is not None else False)
         if _filter_false_positives(
-            resolution, non_vline, inter_stats, vline, protect
+            resolution, non_vline, inter_stats, vline, protect,
+            raw_nonline=nonlines,
         ) == 0:
             v_empty = True
     else:
@@ -744,7 +757,8 @@ def find_and_remove_lines(
         if not v_empty:
             non_hline |= vline & ~(inter if inter is not None else False)
         if _filter_false_positives(
-            resolution, non_hline, inter_stats, hline, protect
+            resolution, non_hline, inter_stats, hline, protect,
+            raw_nonline=nonlines,
         ) == 0:
             h_empty = True
 

@@ -151,6 +151,32 @@ def _grade_blobs(
     density = area / np.maximum(w * h, 1)
     # rules: very wide, thin, dense (linefind.cpp:674)
     grade[(w >= 100) & (h <= 6) & (density >= 0.85)] = 3
+    # SHEARED rules: a staircased separator on a skewed page inflates its
+    # bbox (h grows by |slope|*w, density collapses) and the straight
+    # gate above never fires — but per COLUMN it is still a uniform
+    # 2-6 px contiguous band, which no glyph row can fake (letter
+    # columns vary 0..16s with gaps).  Round-5 fuzz: a -0.055 page's
+    # rule graded TEXT, polluted the skew vote, and decoded as a stray
+    # glyph.
+    if ink is not None and labels is not None:
+        cand_r = np.flatnonzero(
+            (grade == 0)
+            & (w >= 100)
+            & (h <= 16)
+            & (area >= 2 * w)
+            & (area <= 6 * w)
+        )
+        for i in cand_r:
+            l, t, r, b = (int(v) for v in stats[i, :4])
+            comp = labels[t:b, l:r] == i + 1
+            colcount = comp.sum(axis=0)
+            if (colcount >= 2).mean() < 0.95 or colcount.max() > 6:
+                continue
+            ch = b - t
+            ctop = np.argmax(comp, axis=0)
+            cbot = ch - np.argmax(comp[::-1], axis=0)
+            if ((cbot - ctop) == colcount).mean() >= 0.95:
+                grade[i] = 3
     # photos: large dense regions (imagefind.cpp:247)
     # (largest text glyph at render scale 3 is ~48x27 ≈ 1300 px² — safe gap)
     grade[(w >= 40) & (h >= 40) & (w * h >= 2000) & (density >= 0.45)] = 2
@@ -375,6 +401,61 @@ def _refine_skew_pixels(mask: np.ndarray, skew: float) -> float:
         c = roughness(s)
         if c < best_cost and row_concentration(s) > best_conc:
             best, best_cost, best_conc = s, c, row_concentration(s)
+    return best
+
+
+def _global_skew_pixels(mask: np.ndarray, skew: float) -> float:
+    """Whole-grid pixel-criteria election for SPARSE pages.
+
+    With only a handful of voting components the bbox vote can be
+    DECISIVELY wrong by several grid steps (round-5 fuzz: a two-word
+    scale-3 page at -0.055 read -0.03, outside the local refine's
+    one-step reach), while the pixel criteria stay globally decisive —
+    on that page the true slope is both the row-concentration argmax
+    and the roughness minimum over the full grid.  Same corroboration
+    contract as the local refine: a candidate REPLACES the bbox winner
+    only when it beats it on BOTH criteria."""
+    if not mask.any():
+        return skew
+    W = mask.shape[1]
+    a, b = mask[:, :-1], mask[:, 1:]
+    xr = np.arange(W)
+
+    def roughness(s: float) -> int:
+        sh = np.round(s * xr).astype(np.int64)
+        d = sh[1:] - sh[:-1]
+        cost = 0
+        for dv in np.unique(d):
+            cols = np.flatnonzero(d == dv)
+            bb = b[:, cols]
+            if dv > 0:
+                bb = np.vstack(
+                    [bb[dv:], np.zeros((dv, len(cols)), dtype=bool)]
+                )
+            elif dv < 0:
+                bb = np.vstack(
+                    [np.zeros((-dv, len(cols)), dtype=bool), bb[:dv]]
+                )
+            cost += int((a[:, cols] ^ bb).sum())
+        return cost
+
+    def row_concentration(s: float) -> int:
+        h = unshear(mask, s).sum(axis=1).astype(np.int64)
+        return int((h * h).sum())
+
+    best = skew
+    best_cost = roughness(skew)
+    best_conc = row_concentration(skew)
+    for s in SKEW_GRID:
+        s = float(s)
+        if s == skew:
+            continue
+        conc = row_concentration(s)
+        if conc <= best_conc:
+            continue
+        c = roughness(s)
+        if c < best_cost:
+            best, best_cost, best_conc = s, c, conc
     return best
 
 
@@ -1467,6 +1548,14 @@ def analyze_page(
             # break pages the estimator got right.
             skew = _refine_skew_pixels(src_mask, skew)
             res.skew = skew + pre_skew  # refined total
+        elif len(keep_idx) <= 8:
+            # sparse page: too few bbox voters for the quantized-edge
+            # election to be trusted even when decisive (round-5 fuzz:
+            # a two-word scale-3 page at -0.055 read -0.03) — run the
+            # whole-grid pixel election; the bbox winner stands unless
+            # beaten on BOTH pixel criteria
+            skew = _global_skew_pixels(src_mask, skew)
+            res.skew = skew + pre_skew
         text_mask = unshear(src_mask, skew)
         labels, n, stats = label_and_stats(text_mask)
         # move media bboxes into the deskewed frame: each column's pixels

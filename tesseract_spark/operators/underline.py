@@ -233,6 +233,25 @@ def separate_underlines_page(
             continue
         kind, bt, be, overline = hit
         if kind == "bar":
+            # decoration requires an ABUTTING text line: coverage of the
+            # bar's width within the one-sided window above (underline)
+            # or below (overline) — the linefind guard's semantics.  A
+            # free bar at paragraph distance is a separator the line
+            # finder missed (e.g. staircased on a still-sheared page);
+            # leave it for blob grading's rule verdict instead of
+            # silently eating the media (round-5 fuzz: a -0.055 page's
+            # rule vanished here).
+            win = 18
+            above = ink[max(0, t - win) : t, l:r]
+            below = ink[b : b + win, l:r]
+            a_cov = bool(
+                above.size and above.any(axis=0).sum() >= 0.35 * w
+            )
+            b_cov = bool(
+                below.size and below.any(axis=0).sum() >= 0.35 * w
+            )
+            if not (a_cov or b_cov):
+                continue
             ink[t:b, l:r] &= ~comp
             n_found += 1
             if bars is not None:
