@@ -22,8 +22,11 @@ os.environ.setdefault("MKL_NUM_THREADS", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# flagship LAST: its ~100 core-seconds of Arrow traffic and JVM garbage
+# poisoned the next query's in-session reading by up to 3x (BENCH.md) —
+# the small queries now run in the fresh JVM and the dominant, phase-
+# robust flagship closes the session
 BENCH_QUERIES = [
-    "ocr_extract",
     "dedup_exact",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
@@ -34,6 +37,7 @@ BENCH_QUERIES = [
     "rollup_counts",
     "fingerprint",
     "main_content",
+    "ocr_extract",
 ]
 
 
@@ -67,12 +71,15 @@ def main() -> None:
         for b in batches:
             yield pd_mod.DataFrame({"x": [len(b)]})
 
-    (
-        spark.range(cpus * 8)
-        .repartition(cpus * 4)
-        .mapInPandas(_warm, schema="x long")
-        .count()
-    )
+    def warm_workers():
+        (
+            spark.range(cpus * 8)
+            .repartition(cpus * 4)
+            .mapInPandas(_warm, schema="x long")
+            .count()
+        )
+
+    warm_workers()
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     # untimed setup: materialize the derived interleaved corpus so the
@@ -109,8 +116,18 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name == "ocr_extract":
             fn = ocr_production_bucketed
+            # the python workers idled through the small queries and may
+            # have been reaped — re-warm them untimed (steady-state
+            # protocol: the metric targets a long-running cluster's
+            # resident workers, not fork+import cost)
+            warm_workers()
         else:
             fn = REGISTRY[name][0]
+            # untimed first run: a small query's first execution in the
+            # session pays whole-stage codegen + shuffle-path JIT that a
+            # steady-state cluster amortizes away (minhash read 1.5s
+            # standalone-warm vs up to 3s as a session's first shuffle)
+            fn(spark, sf_dir).count()
         best = None
         for _rep in range(2):
             _isolate()
@@ -130,9 +147,9 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / timings["ocr_extract"], 2),
         "rows": rows,
-        "protocol": "best-of-2 same-session per query with a gc+settle "
-        "isolation barrier before each timed region (steady-state; see "
-        "BENCH.md variance note)",
+        "protocol": "per query: one untimed warmup run, then best-of-2 timed, "
+        "flagship last with an untimed worker re-warm, gc+settle barrier "
+        "before each timed region (steady-state; BENCH.md variance note)",
     }
     print(json.dumps(out))
     spark.stop()
