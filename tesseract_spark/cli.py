@@ -323,24 +323,50 @@ class CLIError(Exception):
     reference's unreadable-image error path)."""
 
 
+def _fetch_url(url: str) -> bytes:
+    """http(s):// input (baseapi.cpp:1061-1078, the libcurl path) via
+    stdlib urllib; file:// supported for parity with curl."""
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.read()
+    except (urllib.error.URLError, OSError) as e:
+        raise CLIError(f"Error: cannot fetch {url}: {e}") from None
+
+
 def _load_input(image: str, dpi: int) -> tuple[list[dict], list[dict]]:
     """A file input -> (docs_rows, media_rows).  One document; one
-    media span per page (the reference's multipage document walk)."""
+    media span per page (the reference's multipage document walk;
+    a multipage TIFF blob yields its pages downstream)."""
+    from .functions.image_codecs import sniff_format
+
     if image in ("stdin", "-"):
         pages = [("stdin", sys.stdin.buffer.read())]
+    elif image.startswith(("http://", "https://", "file://")):
+        # URL source (ProcessPagesInternal's curl branch,
+        # baseapi.cpp:1061-1078): fetch then content-sniff like any file
+        data = _fetch_url(image)
+        if sniff_format(data) is None:
+            raise CLIError(
+                f"Error: {image} is not a PNG/JPEG/TIFF image"
+            )
+        pages = [(image.rstrip("/").rsplit("/", 1)[-1] or "url", data)]
     else:
         with open(image, "rb") as f:
             head = f.read(8)
             f.seek(0)
-            if head == PNG_MAGIC:
+            if sniff_format(head + b"\x00" * 8) is not None:
+                # PNG/JPEG/TIFF: pass bytes through — the decode UDF
+                # content-sniffs (image_codecs.decode_gray_pages) and a
+                # multipage TIFF contributes one span per page
                 pages = [(os.path.basename(image), f.read())]
             else:
-                # a known non-PNG image magic must NOT fall through to
-                # the imagelist reader (the reference reports an
-                # unreadable-image error; this build decodes PNG only)
+                # a known unsupported image magic must NOT fall through
+                # to the imagelist reader (the reference reports an
+                # unreadable-image error)
                 known = (
-                    (b"\xff\xd8\xff", "JPEG"),
-                    (b"II*\x00", "TIFF"), (b"MM\x00*", "TIFF"),
                     (b"GIF8", "GIF"), (b"BM", "BMP"),
                     (b"P4", "PNM"), (b"P5", "PNM"), (b"P6", "PNM"),
                     (b"RIFF", "WEBP"),
@@ -349,16 +375,16 @@ def _load_input(image: str, dpi: int) -> tuple[list[dict], list[dict]]:
                     if head.startswith(magic):
                         raise CLIError(
                             f"Error: {image} is a {fmt} image; this "
-                            "build reads PNG (or an imagelist / parquet "
-                            "corpus directory)"
+                            "build reads PNG/JPEG/TIFF (or an imagelist "
+                            "/ parquet corpus directory)"
                         )
                 # imagelist: one path per line
                 try:
                     listing = f.read().decode("utf-8")
                 except UnicodeDecodeError:
                     raise CLIError(
-                        f"Error: {image} is neither a PNG image nor a "
-                        "UTF-8 imagelist"
+                        f"Error: {image} is neither a supported image "
+                        "nor a UTF-8 imagelist"
                     ) from None
                 paths = [
                     ln.strip()
@@ -367,6 +393,11 @@ def _load_input(image: str, dpi: int) -> tuple[list[dict], list[dict]]:
                 ]
                 pages = []
                 for p in paths:
+                    if p.startswith(("http://", "https://", "file://")):
+                        pages.append(
+                            (p.rstrip("/").rsplit("/", 1)[-1], _fetch_url(p))
+                        )
+                        continue
                     with open(p, "rb") as pf:
                         pages.append((os.path.basename(p), pf.read()))
     doc_id = "doc-0"

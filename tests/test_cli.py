@@ -280,17 +280,89 @@ def test_cli_corpus_dir_mode(spark, corpus, tmp_path):
     assert set(got.columns) == {"doc_id", "text"}
 
 
-def test_non_png_image_reports_error(capsys, tmp_path):
-    """A JPEG/TIFF input must produce a clean unsupported-format error,
-    not fall through to the imagelist reader (whose UTF-8 decode of
-    image bytes would traceback)."""
-    jpg = tmp_path / "scan.jpg"
-    jpg.write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
-    assert cli.run(["t", str(jpg), str(tmp_path / "o")]) == 1
+def test_unsupported_image_reports_error(capsys, tmp_path):
+    """An unsupported image format (GIF/BMP/...) must produce a clean
+    error, not fall through to the imagelist reader (whose UTF-8 decode
+    of image bytes would traceback).  JPEG/TIFF are READ since round 5
+    (functions/image_codecs.py) and covered by the tests below."""
+    gif = tmp_path / "anim.gif"
+    gif.write_bytes(b"GIF89a" + b"\x00" * 32)
+    assert cli.run(["t", str(gif), str(tmp_path / "o")]) == 1
     err = capsys.readouterr().err
-    assert "JPEG" in err and "PNG" in err
-    # binary garbage with no known magic: neither PNG nor imagelist
+    assert "GIF" in err and "PNG/JPEG/TIFF" in err
+    # binary garbage with no known magic: neither image nor imagelist
     junk = tmp_path / "junk.bin"
     junk.write_bytes(bytes(range(256)))
     assert cli.run(["t", str(junk), str(tmp_path / "o")]) == 1
     assert "imagelist" in capsys.readouterr().err
+
+
+# ---------- round 5: multiformat input + URL source ----------
+# (ProcessPagesInternal content autodetect baseapi.cpp:1033-1194;
+#  the libcurl URL branch :1061-1078)
+
+
+def test_cli_jpeg_input(spark, tmp_path):
+    from tesseract_spark.functions.compose import PageSpec, compose_page
+    from tesseract_spark.functions.image_codecs import encode_gray_jpeg
+
+    page = compose_page(PageSpec(paragraphs=[["hello world", "second line"]]))
+    p = tmp_path / "page.jpg"
+    p.write_bytes(encode_gray_jpeg(page.image, 95))
+    base = str(tmp_path / "out")
+    assert cli.run(["t", str(p), base], spark=spark) == 0
+    assert open(base + ".txt").read() == GOLD + "\n"
+
+
+def test_cli_multipage_tiff_input(spark, tmp_path):
+    from tesseract_spark.functions.compose import PageSpec, compose_page
+    from tesseract_spark.functions.image_codecs import encode_gray_tiff
+
+    p1 = compose_page(PageSpec(paragraphs=[["hello world"]]))
+    p2 = compose_page(PageSpec(paragraphs=[["second line"]]))
+    p = tmp_path / "pages.tif"
+    p.write_bytes(encode_gray_tiff([p1.image, p2.image]))
+    base = str(tmp_path / "out")
+    assert cli.run(["t", str(p), base], spark=spark) == 0
+    # one span per TIFF page; the text sink separates page spans with a
+    # blank line (the reference's page separator)
+    assert open(base + ".txt").read() == "hello world\n\nsecond line\n"
+
+
+def test_cli_file_url_input(spark, page_png, tmp_path):
+    base = str(tmp_path / "out")
+    assert cli.run(["t", "file://" + page_png, base], spark=spark) == 0
+    assert open(base + ".txt").read() == GOLD + "\n"
+
+
+def test_cli_http_url_input(spark, page_png, tmp_path):
+    import http.server
+    import threading
+
+    import os as _os
+
+    class H(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **k):
+            super().__init__(*a, directory=_os.path.dirname(page_png), **k)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/page.png"
+        base = str(tmp_path / "out")
+        assert cli.run(["t", url, base], spark=spark) == 0
+        assert open(base + ".txt").read() == GOLD + "\n"
+    finally:
+        srv.shutdown()
+
+
+def test_cli_bad_url_reports_error(capsys, tmp_path):
+    rc = cli.run(
+        ["t", "http://127.0.0.1:1/none.png", str(tmp_path / "o")]
+    )
+    assert rc == 1
+    assert "cannot fetch" in capsys.readouterr().err
