@@ -402,9 +402,14 @@ def _filter_false_positives(
                     if never within probe), each column's any-ink-within-
                     win flag, and the within-win ink count.  Depth d
                     probes row edge + sign*d per column of ``src``
-                    (default: the residue-eroded nonline)."""
+                    (default: the RAW non-line ink — the residue erosion
+                    eats the <6-row glyph tops the candidate itself
+                    chopped, and a long word's whole above-coverage
+                    vanished with them; the density pre-pass keeps the
+                    eroded mask, which IS the reference's
+                    CountPixelsAdjacentToLine input)."""
                     if src is None:
-                        src = nonline
+                        src = raw
                     rows_at = edge[None, :] + sign * depths[:, None]
                     valid = (rows_at >= 0) & (rows_at < src.shape[0])
                     vals = np.zeros((probe, ncols), dtype=bool)

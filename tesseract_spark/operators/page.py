@@ -218,7 +218,7 @@ def _grade_blobs(
             & (h >= 14)
             & (w >= h)
             & (w * h >= 600)
-            & (density >= 0.42)
+            & (density >= 0.35)
         )
         if len(cand):
             from .linefind import label_and_stats as _las
@@ -249,6 +249,8 @@ def _grade_blobs(
                 ys = np.flatnonzero(out.any(axis=1))
                 return out[ys[0] : ys[-1] + 1] if len(ys) else comp
 
+            from .linefind import close_brick as _close
+
             for i in cand:
                 l, t, r, b = (int(v) for v in stats[i, :4])
                 comp = labels[t:b, l:r] == i + 1
@@ -256,6 +258,42 @@ def _grade_blobs(
                     prov_skew != 0.0 and lake_ok(unsheared_window(comp, l))
                 ):
                     grade[i] = 2
+                    continue
+                # carved-photo retry: a separator struck THROUGH a
+                # halftone is removed by the line finder first
+                # (reference order), carving a slot and often leaving a
+                # thin residue tail fused to the photo — the slot reads
+                # as one big pseudo-lake, the tail stretches the bbox
+                # with empty space, and density drops below 0.42.  Trim
+                # to the dense-COLUMN core (the dot field; a 1 px tail
+                # has column count ~1), heal vertical gaps <= 5 rows,
+                # and re-run the lake verdict there; the media region
+                # keeps the FULL component (photo + tail = the merged
+                # media rect the golden observes).  A word blob's
+                # columns are uniformly dense, so trimming changes
+                # nothing for glyphs and their concavity lakes stand.
+                # Gated to the carved-density band so intact candidates
+                # never pay.
+                if density[i] < 0.42:
+                    colc = comp.sum(axis=0)
+                    bar_c = max(2, int(0.3 * colc.max()))
+                    dense = np.flatnonzero(colc >= bar_c)
+                    if len(dense) >= 20:
+                        core = comp[:, dense[0] : dense[-1] + 1]
+                        rowc = core.sum(axis=1)
+                        rdense = np.flatnonzero(rowc >= 2)
+                        if len(rdense) >= 14:
+                            core = core[rdense[0] : rdense[-1] + 1]
+                            healed = _close(core, 1, 5)
+                            if lake_ok(healed) or (
+                                prov_skew != 0.0
+                                and lake_ok(
+                                    unsheared_window(
+                                        healed, l + int(dense[0])
+                                    )
+                                )
+                            ):
+                                grade[i] = 2
 
     # noise: tiny specks relative to the text population percentile
     text_mask = grade == 0
@@ -1433,6 +1471,34 @@ def analyze_page(
     if photo_mask.any():
         ink = ink & ~photo_mask
         _cc_cache = None
+        # absorb mask-residue chunks (the round-4 KNOWN EDGE): the
+        # block-aligned halftone mask can sever a sheared photo,
+        # leaving a dense remainder that re-enters the text pipeline
+        # as a phantom row (its density drops below every photo gate
+        # once the mask took the rest).  A remaining component that
+        # ABUTS the removed area (8-connected within 1 px) with
+        # photo-like density is the photo's own flesh — the
+        # reference's partition filtering re-absorbs such pieces
+        # (imagefind.cpp:1106-1180).  Text never abuts a photo at
+        # 1 px: glyphs sit a paragraph gap away, and the area/density
+        # gates keep stray specks and ordinary glyphs out.
+        from .linefind import dilate_brick as _dil
+
+        _fat = _dil(photo_mask, 3, 3)
+        _lr2, _nr2, st_r2 = label_and_stats(ink)
+        _absorbed = False
+        for _i in range(_nr2):
+            _l, _t, _r, _b, _a = (int(x) for x in st_r2[_i])
+            if _a < 100:
+                continue
+            if _a < 0.3 * (_r - _l) * (_b - _t):
+                continue
+            _cm = _lr2[_t:_b, _l:_r] == _i + 1
+            if (_cm & _fat[_t:_b, _l:_r]).any():
+                photo_mask[_t:_b, _l:_r] |= _cm
+                ink[_t:_b, _l:_r] &= ~_cm
+                _absorbed = True
+        del _fat, _lr2, st_r2
     if music_mask is not None:
         photo_mask = photo_mask | music_mask
     if photo_mask.any():

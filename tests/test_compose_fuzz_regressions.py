@@ -345,6 +345,19 @@ CASES = {
     #     depth <= ~6 px) while the far side's coverage starts a full
     #     interline gap away (>= near + 4); equal gaps (strike-through,
     #     between-paragraph separators) keep the separator path. ---
+    # (r5-a) a rule struck THROUGH a neighbouring column's photo is
+    #     removed first (reference order), carving a slot and leaving a
+    #     thin residue tail fused to the photo — the merged component's
+    #     pseudo-lake and tail-stretched bbox defeated every photo gate
+    #     and it re-entered the text pipeline as a phantom row, splitting
+    #     the column's paragraph (dense-column-core + slot-healed lake
+    #     retry in _grade_blobs)
+    "rule_through_photo_core_retry": PageSpec(
+        paragraphs=[["sphinx with of", "99 amazingly sphinx jukeboxes"]],
+        column2=[["amazingly jugs"]],
+        column3=[["vow jukeboxes provide brown", "quick the", "dog quick"]],
+        scale=1, skew=0.015, photos=((0, 75, 44),), rules=(0,),
+    ),
     "underline_scale1_first_line": PageSpec(
         paragraphs=[["pack my box", "five dozen jugs"]],
         scale=1, underlines=((0, 0),),
