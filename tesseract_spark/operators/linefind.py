@@ -412,6 +412,19 @@ def _filter_false_positives(
                         src = raw
                     rows_at = edge[None, :] + sign * depths[:, None]
                     valid = (rows_at >= 0) & (rows_at < src.shape[0])
+                    # ext columns: a STAIRCASED bar's continuation beyond
+                    # this candidate's own run lives in the raw mask
+                    # around the band rows (the bar drifts |slope|*ext
+                    # <= 2 px past its own band across the ~1mm window,
+                    # on top of the band height) and read as abutting
+                    # "text" on both sides (round-5 fuzz: a -0.035
+                    # scale-1 underline's last plateau saw its own left
+                    # remnant at depth 1).  Probes in columns without
+                    # candidate ink skip the band +-4 rows; genuine
+                    # covering glyphs extend far beyond them.
+                    valid &= sel[None, :] | (
+                        (rows_at < t - 4) | (rows_at >= b + 4)
+                    )
                     vals = np.zeros((probe, ncols), dtype=bool)
                     vv = valid.ravel()
                     vals.ravel()[vv] = src[
