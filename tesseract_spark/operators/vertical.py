@@ -460,18 +460,26 @@ def recognize_vertical_page(
         # and keep the best exact template match — the same hypothesis
         # search the horizontal path runs for baseline-ambiguous rows
         chars: list[str] = []
-        for c in crops:
-            best_frac, best_code = -1.0, -1
-            # placement hypotheses include NEGATIVE dy and small dx: an
-            # ink speck fused to a glyph's top/left edge extends the
-            # component bbox, and no non-negative placement can realign
-            # the glyph with its template frame — the negative offsets
-            # treat the leading rows/columns as noise and cut them.
-            # The upper range runs 2 PAST the fit limit with trailing
-            # truncation: a speck fused to the BOTTOM edge likewise
-            # extends the crop, and a descender glyph then needs a
-            # placement where the trailing noise rows overflow the
-            # frame (round-4 vertical fuzzer: 'g' + bottom speck).
+        # placement hypotheses include NEGATIVE dy and small dx: an
+        # ink speck fused to a glyph's top/left edge extends the
+        # component bbox, and no non-negative placement can realign
+        # the glyph with its template frame — the negative offsets
+        # treat the leading rows/columns as noise and cut them.
+        # The upper range runs 2 PAST the fit limit with trailing
+        # truncation: a speck fused to the BOTTOM edge likewise
+        # extends the crop, and a descender glyph then needs a
+        # placement where the trailing noise rows overflow the
+        # frame (round-4 vertical fuzzer: 'g' + bottom speck).
+        #
+        # ALL hypotheses of ALL the column's cells batch into ONE
+        # concatenated strip with inter-hypothesis gaps wider than any
+        # template (the precompute_scores trick: windows cannot cross a
+        # gap, so per-candidate scores are identical to the per-call
+        # values) — the per-(cell, dy, dx) match_scores calls were ~330
+        # numpy round-trips per vertical page, ~85% of the path's cost.
+        hyp_strips: list[np.ndarray] = []
+        hyp_cell: list[int] = []  # owning cell index, hypothesis order
+        for ci_, c in enumerate(crops):
             for dy in range(-2, max(1, CELL_H - c.shape[0] + 1) + 2):
                 top = c[max(0, -dy) :]
                 if top.shape[0] > CELL_H:
@@ -494,15 +502,43 @@ def recognize_vertical_page(
                     strip[place : place + top.shape[0], : sub_c.shape[1]] = (
                         sub_c
                     )
-                    _xs, fracs = net.match_scores(
-                        strip, cand_xs=np.array([0])
-                    )
-                    for w, (idxs, _f) in net.by_width.items():
-                        fr = fracs[w]
-                        if fr.size and float(fr.max()) > best_frac:
-                            best_frac = float(fr.max())
-                            best_code = int(idxs[int(fr[:, 0].argmax())])
-            if best_code >= 0 and best_frac >= 0.9:
-                chars.append(net.charset[best_code])
+                    hyp_strips.append(strip)
+                    hyp_cell.append(ci_)
+        if hyp_strips:
+            gap = max(net.by_width) + 2
+            widths_h = [s.shape[1] for s in hyp_strips]
+            total = sum(widths_h) + gap * len(hyp_strips)
+            big = np.zeros((CELL_H, total), dtype=bool)
+            offs = np.empty(len(hyp_strips), dtype=np.int64)
+            x = 0
+            for j, s_ in enumerate(hyp_strips):
+                big[:, x : x + s_.shape[1]] = s_
+                offs[j] = x
+                x += s_.shape[1] + gap
+            _xs, fracs = net.match_scores(big, cand_xs=offs)
+            n_h = len(hyp_strips)
+            best_frac = np.full(n_h, -1.0)
+            best_code = np.full(n_h, -1, dtype=np.int64)
+            # width iteration order matches the per-call loop, strict >
+            # keeps the earliest width on ties, exactly as before
+            for w, (idxs, _f) in net.by_width.items():
+                fr = fracs[w]
+                if not fr.size:
+                    continue
+                mx = fr.max(axis=0)
+                am = fr.argmax(axis=0)
+                take = mx > best_frac
+                best_frac[take] = mx[take]
+                best_code[take] = idxs[am[take]]
+            per_cell_frac = np.full(len(crops), -1.0)
+            per_cell_code = np.full(len(crops), -1, dtype=np.int64)
+            for j in range(n_h):  # hypothesis order = original loop order
+                ci_ = hyp_cell[j]
+                if best_frac[j] > per_cell_frac[ci_]:
+                    per_cell_frac[ci_] = float(best_frac[j])
+                    per_cell_code[ci_] = int(best_code[j])
+            for ci_ in range(len(crops)):
+                if per_cell_code[ci_] >= 0 and per_cell_frac[ci_] >= 0.9:
+                    chars.append(net.charset[int(per_cell_code[ci_])])
         out.append("".join(chars))
     return out
